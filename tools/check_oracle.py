@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local dev harness (not part of the library): replicate the driver's
+DuckDB-oracle compare against the Verify output dir.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    # driver-style: sort columns by name
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    exp = exp[sorted(exp.columns)] if set(exp.columns) == set(got.columns) else exp
+    exp = exp.reset_index(drop=True)
+    if sorted(got.columns) != sorted(exp.columns):
+        print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}")
+        fails += 1; continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
+    # exact value compare (hash analog), row order as produced
+    bad = None
+    for c in got.columns:
+        gv, ev = got[c], exp[c]
+        try:
+            eq = (gv.astype(object).where(pd.notna(gv), None) ==
+                  ev.astype(object).where(pd.notna(ev), None))
+        except Exception:
+            eq = gv.eq(ev)
+        if not eq.all():
+            i = int(eq.idxmin())
+            bad = (c, i, gv.iloc[i], ev.iloc[i]); break
+    if bad:
+        print(f"FAIL {name}: col {bad[0]} row {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)")
+print("-----"); print(f"{len(oracle)-fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
