@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators._
+import graft.functions.AsciiBackslash.asciiBackslash
 
 /** The query registry: one named entry per operator from SURVEY.md §2
   * (reference parity) plus the scale extensions (dedup / similarity /
@@ -142,9 +143,164 @@ object Registry {
   )
 
   // ---------------------------------------------------------------------
+  // Cleaning kernel (F1–F5, Form700.py:246-298)
+  // ---------------------------------------------------------------------
+
+  private val cleaning: Map[String, Q] = Map(
+    // F1: strip newlines from every string column of a table.
+    "f1_remove_newlines" -> ((s, dir) =>
+      Cleaning.removeNewLines(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // F2 (+F3/F4): the reference's letter→'0' sanitize quirk, then the
+    // long-with-0-default cast chain ("15%" → "150" → 150).
+    "f2_number_sanitize" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        Cleaning.sanitizeNumber(col("p_name")).as("sanitized"),
+        Cleaning.toLongOrZero(
+          concat(col("p_size").cast(StringType), lit("%"))).as("as_number"))
+        .orderBy("p_partkey")),
+
+    // F3: null defaults after an outer join introduces missing values.
+    "f3_null_defaults" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey")
+      val cnts = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("order_count"))
+      cust.join(cnts, Seq("c_custkey"), "left_outer")
+        .na.fill(0L, Seq("order_count"))
+        .orderBy("c_custkey")
+    }),
+
+    // F4: try-cast semantics — parse digits out of a text field; a
+    // non-numeric field falls back to the -1 sentinel.
+    "f4_try_cast" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).try_cast(LongType)
+          .as("name_digits"),
+        coalesce(col("c_mktsegment").try_cast(LongType), lit(-1L))
+          .as("seg_num"))
+        .orderBy("c_custkey")),
+
+    // F5: native ascii-backslash expression (Form700.py:291-294). The
+    // fixture text is pure ASCII so the oracle is identity; non-ASCII
+    // semantics are covered by CleaningSpec.
+    "f5_ascii_backslash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), asciiBackslash(col("text")).as("escaped"))
+        .orderBy("doc_id"))
+  )
+
+  private val cleaningOracles: Map[String, String] = Map(
+    "f1_remove_newlines" ->
+      """SELECT doc_id, regexp_replace(text, '\n', '', 'g') AS text,
+        |  regexp_replace(lang, '\n', '', 'g') AS lang,
+        |  regexp_replace(source, '\n', '', 'g') AS source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f2_number_sanitize" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[a-zA-Z%]', '0', 'g') AS sanitized,
+        |  COALESCE(TRY_CAST(regexp_replace(p_size || '%', '[a-zA-Z%]', '0', 'g') AS BIGINT), 0) AS as_number
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f3_null_defaults" ->
+      """SELECT c.c_custkey, COALESCE(o.order_count, 0) AS order_count
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS order_count FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY o_custkey
+        |) o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "f4_try_cast" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(regexp_extract(c_name, '[0-9]+') AS BIGINT) AS name_digits,
+        |  COALESCE(TRY_CAST(c_mktsegment AS BIGINT), -1) AS seg_num
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f5_ascii_backslash" ->
+      "SELECT doc_id, text AS escaped FROM documents ORDER BY doc_id"
+  )
+
+  // ---------------------------------------------------------------------
+  // Restructuring kernel (P1, X1–X3, Form700.py:306-383)
+  // ---------------------------------------------------------------------
+
+  private val restructure: Map[String, Q] = Map(
+    // X1: array-of-struct → "k:v,k:v|k:v" string (Form700.py:306-323).
+    // The array is built with a deterministic sort so Spark and the
+    // oracle agree on struct order.
+    "x1_serialize" -> ((s, dir) => {
+      val arr = t(s, dir, "nation").groupBy(col("n_regionkey"))
+        .agg(sort_array(collect_list(
+          struct(col("n_nationkey"), col("n_name")))).as("members"))
+      Restructure.serializeStructArray(arr, "members").orderBy("n_regionkey")
+    }),
+
+    // X2: generator explode with position (LATERAL VIEW OUTER analog).
+    "x2_explode" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), posexplode_outer(split(col("p_name"), " ")))
+        .select(col("p_partkey"), col("pos").cast(LongType).as("pos"),
+          col("col").as("word"))
+        .orderBy("p_partkey", "pos")),
+
+    // X2+X3 (Form700.py:354-383): explode an array-of-struct back to
+    // child rows with prefixed column names — round-trips lineitem
+    // through collect_list(struct(...)) → explode_outer.
+    "x3_explode_prefix" -> ((s, dir) => {
+      val nested = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(
+          struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+      Restructure.explodeStructArray(nested, "items", Some("item"))
+        .orderBy("l_orderkey", "itemL_linenumber", "itemL_quantity")
+    }),
+
+    // P1 (json_normalize): parse a JSON payload column and flatten the
+    // struct into dotted top-level columns.
+    "p1_flatten_json" -> ((s, dir) => {
+      val parsed = t(s, dir, "events").select(
+        col("event_id"),
+        from_json(col("props"),
+          StructType(Seq(StructField("k", LongType)))).as("props"))
+      Restructure.flattenStruct(parsed).orderBy("event_id")
+    }),
+
+    // K2/F7 (Form700.py:465-466): sink-boundary snake_case rename.
+    "k2_sink_rename" -> ((s, dir) =>
+      Restructure.renameForSink(
+        t(s, dir, "documents")
+          .select(col("doc_id").as("docId"), col("n_chars").as("nChars")))
+        .orderBy("doc_id"))
+  )
+
+  private val restructureOracles: Map[String, String] = Map(
+    "x1_serialize" ->
+      """SELECT n_regionkey,
+        |  string_agg('n_nationkey:' || n_nationkey || ',n_name:' || n_name,
+        |             '|' ORDER BY n_nationkey) AS members
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "x2_explode" ->
+      """SELECT p_partkey,
+        |  CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS BIGINT) AS pos,
+        |  unnest(string_split(p_name, ' ')) AS word
+        |FROM part ORDER BY p_partkey, pos""".stripMargin,
+    "x3_explode_prefix" ->
+      """SELECT l_orderkey, l_linenumber AS "itemL_linenumber",
+        |  l_quantity AS "itemL_quantity"
+        |FROM lineitem
+        |ORDER BY l_orderkey, "itemL_linenumber", "itemL_quantity"""".stripMargin,
+    "p1_flatten_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS "props.k"
+        |FROM events ORDER BY event_id""".stripMargin,
+    "k2_sink_rename" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY doc_id"
+  )
+
+  // ---------------------------------------------------------------------
   // Public registry
   // ---------------------------------------------------------------------
 
-  val queries: Map[String, Q] = core
-  val oracles: Map[String, String] = coreOracles
+  val queries: Map[String, Q] = core ++ cleaning ++ restructure
+  val oracles: Map[String, String] =
+    coreOracles ++ cleaningOracles ++ restructureOracles
 }
