@@ -300,7 +300,8 @@ object Registry {
   // Public registry
   // ---------------------------------------------------------------------
 
-  val queries: Map[String, Q] = core ++ cleaning ++ restructure
+  val queries: Map[String, Q] =
+    core ++ cleaning ++ restructure ++ RegistryExt.queries
   val oracles: Map[String, String] =
-    coreOracles ++ cleaningOracles ++ restructureOracles
+    coreOracles ++ cleaningOracles ++ restructureOracles ++ RegistryExt.oracles
 }

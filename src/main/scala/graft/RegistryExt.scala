@@ -1,0 +1,378 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Extension registry: the training-data-pipeline operators
+  * (SURVEY.md §7.2 M5) — dedup, similarity search, text analysis, and
+  * event/stream rollups — each with a DuckDB oracle whose SQL is
+  * generated from the same constants as the Spark plan, so the two
+  * stay structurally in lockstep.
+  *
+  * Determinism notes (same rules as [[Registry]]):
+  *  - all hashing is md5 over explicit strings (no murmur3/hashCode);
+  *  - embeddings are quantized to BIGINT before any arithmetic, so dot
+  *    products are exact integer math; cosine/ratios are derived with an
+  *    identical expression shape in Spark and the oracle;
+  *  - every query ends in a total ORDER BY;
+  *  - the documents fixture has no duplicate texts, so dedup queries
+  *    synthesize duplicates in-query (UNION ALL of a shifted copy) —
+  *    deterministically, mirrored in the oracle.
+  */
+object RegistryExt {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // Shared constants — referenced by BOTH plans and oracle SQL.
+  private val NumHashes = 8
+  private val Bands = 4
+  private val JaccardMaxId = 40L
+  private val JaccardThreshold = 0.5
+  private val NumQueries = 8L
+  private val TopK = 5
+  private val NumPlanes = 4
+  private val Dim = 64
+  private val SessionGapSeconds = 1800L
+  private val IdShift = 1000000L
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL builders (DuckDB dialect)
+  // ---------------------------------------------------------------------
+
+  /** Word 3-shingle CTEs over a relation with (doc_id, text). */
+  private def shingleCtes(src: String): String =
+    s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src),
+       |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+       |  THEN list_transform(generate_series(1, len(w) - 2),
+       |                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |  ELSE CAST([] AS VARCHAR[]) END)) AS shingle FROM w)""".stripMargin
+
+  private val mhSelects: String =
+    (0 until NumHashes).map(j => s"min(md5('$j:' || shingle)) AS mh$j")
+      .mkString(", ")
+
+  /** Exact BIGINT dot product of two list columns (len = Dim). */
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** Plane-literal dot: list column vs an inline ±1 literal list. */
+  private def planeDotSql(v: String, p: IndexedSeq[Long]): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $Dim), " +
+      s"i -> $v[i] * (LIST_VALUE(${p.mkString(", ")}))[i])) AS BIGINT)"
+
+  // ---------------------------------------------------------------------
+  // Dedup
+  // ---------------------------------------------------------------------
+
+  private val dedup: Map[String, Q] = Map(
+    // Exact dedup: the fixture has no duplicate texts, so duplicate every
+    // doc under a shifted id; the operator must keep the original id and
+    // report dup_count = 2.
+    "dd_exact_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = d.unionAll(
+        d.select((col("doc_id") + IdShift).as("doc_id"), col("text")))
+      Dedup.exactDedup(doubled, "doc_id", Seq("text"))
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signatures (k=8) straight over the fixture.
+    "dd_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(t(s, dir, "documents"), "doc_id", "text", NumHashes)
+        .orderBy("doc_id")),
+
+    // LSH candidate pairs over near-duplicates: each doc is paired with a
+    // copy whose text gained three trailing tokens — most minhashes agree
+    // so the banded bucket join must surface the pair.
+    "dd_lsh_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val near = d.unionAll(d.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text")))
+      val sig = Dedup.minhashSignature(near, "doc_id", "text", NumHashes)
+      Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, Bands)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "dd_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        JaccardMaxId, JaccardThreshold)
+        .orderBy("doc_a", "doc_b"))
+  )
+
+  private val dedupOracles: Map[String, String] = Map(
+    "dd_exact_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + $IdShift, text FROM documents)
+         |SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         |FROM d GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dd_minhash_sig" ->
+      s"""WITH ${shingleCtes("documents")}
+         |SELECT doc_id, $mhSelects
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_lsh_pairs" -> {
+      val rows = NumHashes / Bands
+      val bandSelects = (0 until Bands).map { b =>
+        val sig = (0 until rows).map(r => s"mh${b * rows + r}")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz' FROM documents),
+         |${shingleCtes("d")},
+         |mh AS (SELECT doc_id, $mhSelects FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "dd_simhash" -> {
+      val sums = (0 until 32).map { b =>
+        val pos = 1 + b / 4
+        val shift = b % 4
+        s"SUM(CASE WHEN (((instr('0123456789abcdef', substr(md5(t), $pos, 1)) - 1) >> $shift) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n  ")
+      val bits = (0 until 32)
+        .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
+         |s AS (SELECT doc_id,
+         |  $sums
+         |FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "dd_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
+         |  FROM documents WHERE doc_id < $JaccardMaxId),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM tok a JOIN tok b ON a.t = b.t
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter,
+         |  sa.n + sb.n - n_inter AS n_union,
+         |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+
+  // ---------------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------------
+
+  private val similarity: Map[String, Q] = Map(
+    "sim_brute_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), NumQueries, TopK)
+        .orderBy("query_id", "rank")),
+    "sim_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), NumQueries, TopK,
+        NumPlanes, Dim)
+        .orderBy("query_id", "rank"))
+  )
+
+  private val quantCte =
+    """v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |FROM embeddings)""".stripMargin
+
+  private val similarityOracles: Map[String, String] = Map(
+    "sim_brute_topk" ->
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |sc AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${dotSql("qq.q", "c.q")} AS dot, qq.nq AS nqq, c.nq AS nqc
+         |  FROM n c CROSS JOIN n qq
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |r AS (
+         |  SELECT query_id, cand_id, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, dot, cosine, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin,
+    "sim_lsh_topk" -> {
+      val planes = Similarity.planes(NumPlanes, Dim)
+      val bucket = planes.map(p =>
+        s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq, $bucket AS bucket FROM v),
+         |sc AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id, c.bucket,
+         |    ${dotSql("qq.q", "c.q")} AS dot, qq.nq AS nqq, c.nq AS nqc
+         |  FROM n c JOIN n qq ON c.bucket = qq.bucket
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |r AS (
+         |  SELECT query_id, cand_id, bucket, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, bucket, dot, cosine, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    }
+  )
+
+  // ---------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------
+
+  private val text: Map[String, Q] = Map(
+    "tx_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "tx_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "tx_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "tx_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
+  )
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private val textOracles: Map[String, String] = Map(
+    "tx_token_stats" ->
+      s"""WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.wordPattern}')) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern}')) AS BIGINT) AS n_bpe,
+         |  CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS n_token_chars,
+         |  CASE WHEN len(w) > 0
+         |    THEN CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w)
+         |    ELSE 0.0 END AS avg_token_len
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "tx_quality" -> {
+      val en = inList(TextAnalysis.stopwords.toMap.apply("en"))
+      s"""WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(w, t -> t IN ($en))) AS BIGINT) AS n_stopwords
+         |FROM w)
+         |SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+         |  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+         |  (n_tokens >= 5 AND n_tokens <= 100000
+         |   AND (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) < 0.2) AS quality_keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "tx_langid" -> {
+      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+        s"CAST(len(list_filter(w, t -> t IN (${inList(ws)}))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val best = TextAnalysis.stopwords.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val cases = TextAnalysis.stopwords.map { case (l, _) =>
+        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scores
+         |FROM w)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+         |  CASE $cases
+         |    ELSE 'und' END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "tx_fingerprint" ->
+      """WITH n AS (SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS content_md5,
+        |  CASE WHEN len(norm) >= 8
+        |    THEN list_min(list_transform(generate_series(1, len(norm) - 7),
+        |                                 i -> md5(substr(norm, i, 8))))
+        |    ELSE md5(norm) END AS min_gram
+        |FROM n ORDER BY doc_id""".stripMargin
+  )
+
+  // ---------------------------------------------------------------------
+  // Events (batch duals of the streaming path)
+  // ---------------------------------------------------------------------
+
+  private val events: Map[String, Q] = Map(
+    "ev_hourly_rollup" -> ((s, dir) =>
+      Events.hourlyRollup(t(s, dir, "events")).orderBy("hour", "event_type")),
+    "ev_sessionize" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"), SessionGapSeconds)
+        .orderBy("user_id", "session_id")),
+    "ev_top_n" -> ((s, dir) =>
+      Events.topNPerUser(t(s, dir, "events"), 3).orderBy("user_id", "rank")),
+    "ev_moving_sum" -> ((s, dir) =>
+      Events.movingSum(t(s, dir, "events")).orderBy("user_id", "event_id"))
+  )
+
+  // events.ts is TIMESTAMP(NANOS) in the parquet; Spark-side we truncate
+  // to microseconds (Tables.load), so every oracle goes through
+  // epoch_us(CAST(ts AS TIMESTAMP)) — the same floor-to-micros.
+  private val eventsOracles: Map[String, String] = Map(
+    "ev_hourly_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "ev_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |b AS (SELECT user_id, event_id, us,
+         |  CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > ${SessionGapSeconds * 1000000L}
+         |       THEN 1 ELSE 0 END AS brk
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT user_id, us,
+         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |FROM b)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(us) AS start_us, max(us) AS end_us,
+         |  max(us) - min(us) AS duration_us
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "ev_top_n" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS "rank"
+        |FROM events)
+        |SELECT user_id, event_id, value, "rank"
+        |FROM r WHERE "rank" <= 3 ORDER BY user_id, "rank"""".stripMargin,
+    "ev_moving_sum" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+        |       OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_micros,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+        |       OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000 AS mov_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin
+  )
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, Q] = dedup ++ similarity ++ text ++ events
+  val oracles: Map[String, String] =
+    dedupOracles ++ similarityOracles ++ textOracles ++ eventsOracles
+}

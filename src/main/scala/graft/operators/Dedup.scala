@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication kernel — the training-data-pipeline operators layered on
+  * top of the reference's surface (SURVEY.md §7.2 M5): exact dedup,
+  * MinHash+LSH near-dup candidates, SimHash fingerprints, n-gram Jaccard.
+  *
+  * Scale design (100 TB posture):
+  *  - exact dedup is one hash-partitioned window / group-by on the key —
+  *    the single shuffle is unavoidable and AQE-skew-splittable;
+  *  - MinHash is the classic shingle → k minhashes → band → bucket-join
+  *    pipeline: signatures are computed with ONE map-side-combining
+  *    group-by (k `min` aggregates, partial aggregation pushes to the
+  *    mappers), and the candidate join shuffles on (band, signature) —
+  *    never an O(n²) cross join;
+  *  - SimHash is one group-by with 32 conditional-sum aggregates (again
+  *    map-side partials) — no bit-explosion;
+  *  - Jaccard is token-postinglist self-join — quadratic per shared token,
+  *    so callers bound the id range / pre-filter with MinHash candidates.
+  *
+  * All hashing is md5 over deterministic strings so results are
+  * reproducible across engines (DuckDB oracle parity) and across runs —
+  * no dependence on Spark's murmur3 seed or JVM hashCode.
+  */
+object Dedup {
+
+  /** Word n-shingles of a text column, distinct, deterministic.
+    * Spark's `sequence(a, b)` DESCENDS when a > b (DuckDB's
+    * generate_series is empty instead), so short texts are guarded
+    * explicitly. */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val w = split(trim(textCol), "\\s+")
+    val sh = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
+    array_distinct(
+      when(size(w) >= n, sh).otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  /** Exact dedup: keep the lowest-id row per duplicate group, carrying the
+    * group's duplicate count. One shuffle on the dedup key. */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(part.orderBy(col(idCol))))
+      .withColumn("dup_count", count(lit(1)).over(part))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MinHash signature: k independent minhashes per document, where
+    * hash_j(s) = md5("j:" ++ s) and the signature value is the
+    * lexicographic min of the hex digests. One group-by, k partial-agg
+    * `min`s — the only shuffle is on the document id. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature: split the k hashes into
+    * `bands` bands, bucket-join documents sharing any (band, band-sig)
+    * pair. Returns distinct candidate pairs (doc_a < doc_b). The join
+    * shuffles on the band signature — the standard near-dup plan that
+    * avoids all-pairs comparison at cluster scale. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, numHashes: Int,
+                        bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+          .as("sig"))
+    }: _*)
+    val exploded = sig
+      .select(col(idCol), explode(bandArr).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = exploded.toDF("doc_a", "band", "sig")
+    val b = exploded.toDF("doc_b", "band", "sig")
+    a.join(b, Seq("band", "sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** 32-bit SimHash over whitespace tokens. Bit b of a token is bit
+    * (b mod 4) of hex digit (b div 4) of md5(token); the document bit is
+    * the sign of the ±1 vote sum. Computed as 32 conditional-sum
+    * aggregates in one group-by — no per-bit row explosion. */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("t"))
+    val aggs = (0 until 32).map { b =>
+      val pos = 1 + b / 4
+      val shift = b % 4
+      sum(expr(
+        s"CASE WHEN (shiftright(instr('0123456789abcdef', substr(md5(t), $pos, 1)) - 1, $shift) & 1) = 1 THEN 1 ELSE -1 END"
+      )).as(s"s$b")
+    }
+    tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Distinct-token Jaccard similarity for all pairs with id < maxId and
+    * similarity >= threshold. Posting-list self-join on token (shuffle on
+    * the token key); the id bound keeps the candidate space sane — at
+    * scale, feed [[lshCandidatePairs]] output instead of an id range. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxId: Long, threshold: Double): DataFrame = {
+    val tok = df.where(col(idCol) < maxId)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("t"))
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tok.toDF("doc_a", "t")
+      .join(tok.toDF("doc_b", "t"), Seq("t"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val j = inter
+      .join(broadcast(sz.toDF("doc_a", "na")), Seq("doc_a"))
+      .join(broadcast(sz.toDF("doc_b", "nb")), Seq("doc_b"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / col("n_union"))
+    j.where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+  }
+}

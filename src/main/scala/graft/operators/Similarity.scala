@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`) —
+  * brute-force top-k as the exactness baseline and a random-hyperplane
+  * LSH bucketed variant as the scale path (SURVEY.md §7.2 M5).
+  *
+  * Determinism: embeddings are quantized to integers
+  * (`floor(double(x) * 1000)`) before any arithmetic, so every dot
+  * product is exact BIGINT math — identical in Spark, DuckDB, and across
+  * partitionings (float summation order never matters). Cosine values are
+  * then derived from those integers with a fixed expression shape, so
+  * they are bit-identical too.
+  *
+  * Scale design:
+  *  - the query set is small and explicitly `broadcast`; the candidate
+  *    (big) side is never shuffled for the brute-force pass — the plan is
+  *    scan → broadcast-nested-loop → per-partition top-k window;
+  *  - the LSH variant buckets both sides by hyperplane-sign keys and
+  *    joins on the bucket — a hash join on a short string key, which at
+  *    100 TB replaces the O(n·q) scan with O(bucket) work per query;
+  *  - hyperplanes are pseudo-random but deterministic (md5-derived ±1),
+  *    so plans replay identically on every run / engine.
+  */
+object Similarity {
+
+  /** Quantize an array<float> to array<bigint>: floor(double(x)*scale).
+    * float→double is exact, double math is IEEE-identical everywhere. */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => floor(x.cast(DoubleType) * scale).cast(LongType))
+
+  /** Exact BIGINT dot product of two array<bigint> columns. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic ±1 hyperplanes: plane j component i is +1 iff the
+    * first hex digit of md5("j:i") is < 8. Same construction is
+    * expressible in SQL for the oracle. */
+  def planes(numPlanes: Int, dim: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val mdHex = (s: String) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    IndexedSeq.tabulate(numPlanes)(j =>
+      IndexedSeq.tabulate(dim)(i => if (mdHex(s"$j:$i").head <= '7') 1L else -1L))
+  }
+
+  /** LSH bucket key: the sign bits of the quantized vector against each
+    * hyperplane, concatenated into a bit-string. */
+  def lshBucket(qvec: Column, planes: IndexedSeq[IndexedSeq[Long]]): Column =
+    concat(planes.map(p =>
+      when(dotQ(qvec, typedLit(p)) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Brute-force top-k by quantized dot product (cosine carried along),
+    * for queries `vec_id < numQueries` against all other vectors.
+    * The query side is broadcast; ranking is a per-query window with a
+    * total tiebreak (dot desc, cand_id asc). */
+  def bruteForceTopK(emb: DataFrame, numQueries: Long, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    val queries = q.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("nq").as("nqq"))
+    val cands = q.select(col("vec_id").as("cand_id"), col("q").as("cv"),
+      col("nq").as("nqc"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("dot", dotQ(col("qv"), col("cv")))
+      .withColumn("cosine", col("dot").cast(DoubleType) /
+        (sqrt(col("nqq").cast(DoubleType)) * sqrt(col("nqc").cast(DoubleType))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "dot", "cosine", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: both sides are keyed by the
+    * hyperplane bucket; candidates are only scored within the query's
+    * bucket. Recall trades off against `numPlanes` (bucket granularity). */
+  def lshTopK(emb: DataFrame, numQueries: Long, k: Int,
+              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+      .withColumn("bucket", lshBucket(col("q"), ps))
+    val queries = q.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nq").as("nqq"), col("bucket"))
+    val cands = q.select(col("vec_id").as("cand_id"), col("q").as("cv"),
+      col("nq").as("nqc"), col("bucket"))
+    val scored = cands.join(broadcast(queries), Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("dot", dotQ(col("qv"), col("cv")))
+      .withColumn("cosine", col("dot").cast(DoubleType) /
+        (sqrt(col("nqq").cast(DoubleType)) * sqrt(col("nqc").cast(DoubleType))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "bucket", "dot", "cosine", "rank")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis kernel for training-data pipelines (SURVEY.md §7.2 M5):
+  * token statistics, quality scoring, n-gram-list language ID, and
+  * document fingerprinting.
+  *
+  * Everything is a narrow per-row transform built from codegen'd
+  * built-ins (regexp, higher-order functions, md5) — no UDFs, no
+  * shuffles; at 100 TB each of these runs as a pure map stage over the
+  * parquet scan with full column pruning.
+  */
+object TextAnalysis {
+
+  val wordPattern = "[a-z0-9]+"
+  /** BPE-ish pre-tokenizer: letter runs, single digits, single symbols. */
+  val bpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  /** Small public stopword lists for the n-gram language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("的", "了", "是", "在", "我"))
+
+  private def toks(textCol: Column): Column =
+    split(trim(textCol), "\\s+")
+
+  private def countIn(w: Column, words: Seq[String]): Column =
+    size(filter(w, t => t.isin(words: _*))).cast(LongType)
+
+  /** Token statistics: whitespace tokens, regex word tokens, BPE-ish
+    * tokens, distinct words, mean token length. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = toks(col(textCol))
+    val words = regexp_extract_all(col(textCol), lit(wordPattern), lit(0))
+    val nTok = size(w).cast(LongType)
+    val charSum = aggregate(transform(w, t => length(t).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+    df.select(col(idCol),
+      nTok.as("n_tokens"),
+      size(array_distinct(w)).cast(LongType).as("n_distinct"),
+      size(words).cast(LongType).as("n_words"),
+      size(regexp_extract_all(col(textCol), lit(bpePattern), lit(0)))
+        .cast(LongType).as("n_bpe"),
+      charSum.as("n_token_chars"),
+      when(nTok > 0, charSum.cast(DoubleType) / nTok).otherwise(lit(0.0))
+        .as("avg_token_len"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, and a
+    * composite keep/drop flag — the standard cheap pre-filter before
+    * expensive dedup/similarity passes. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = toks(col(textCol))
+    val nTok = size(w).cast(LongType)
+    val nChars = length(col(textCol)).cast(LongType)
+    val nPunct = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast(LongType)
+    val nStop = countIn(w, stopwords.toMap.apply("en"))
+    val punctRatio = when(nChars > 0, nPunct.cast(DoubleType) / nChars)
+      .otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, nStop.cast(DoubleType) / nTok)
+      .otherwise(lit(0.0))
+    df.select(col(idCol),
+      nChars.as("n_chars"), nTok.as("n_tokens"), nPunct.as("n_punct"),
+      nStop.as("n_stopwords"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+      (nTok >= 5 && nTok <= 100000 && punctRatio < 0.2)
+        .as("quality_keep"))
+  }
+
+  /** Language ID: score each language's stopword list against the token
+    * bag; argmax with a fixed tiebreak order (list order above). */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = toks(col(textCol))
+    val scored = df.select(
+      (col(idCol) +: stopwords.map { case (l, ws) => countIn(w, ws).as(s"s_$l") }): _*)
+    val best = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+    val guess = stopwords.foldRight(lit("und"): Column) { case ((l, _), e) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(e)
+    }
+    // foldRight builds WHEN en ... WHEN zh ... ELSE und — first match in
+    // list order wins, matching the oracle's CASE chain.
+    scored.withColumn("lang_guess", guess)
+  }
+
+  /** Fingerprinting: md5 of whitespace-normalized text (exact content
+    * identity) plus the minimum md5 over all 8-char windows — a 1-hash
+    * winnowing sketch that survives local edits. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val minGram = array_min(transform(
+      sequence(lit(1), length(norm) - 7),
+      i => md5(norm.substr(i, lit(8)))))
+    df.select(col(idCol),
+      md5(norm).as("content_md5"),
+      when(length(norm) >= 8, minGram).otherwise(md5(norm)).as("min_gram"))
+  }
+}

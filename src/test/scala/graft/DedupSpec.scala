@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exactDedup keeps lowest id and counts the group") {
+    val df = Seq(
+      (1L, "alpha"), (2L, "alpha"), (5L, "alpha"),
+      (3L, "beta"), (4L, "gamma")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", Seq("text"))
+      .select("id", "text", "dup_count").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "alpha", 3L), (3L, "beta", 1L), (4L, "gamma", 1L)))
+  }
+
+  test("shingles: distinct word 3-grams; short text yields empty array") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z x y z x y z"))
+      .toDF("id", "text")
+    val out = df.select($"id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(out(0)._2.sorted == Seq("a b c", "b c d"))
+    assert(out(1)._2.isEmpty)
+    // 7 positions but only 3 distinct shingles in the repeating text
+    assert(out(2)._2.length == 3)
+  }
+
+  test("identical docs share the full minhash signature; LSH pairs them") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now today friends"))
+      .toDF("id", "text")
+    val sig = Dedup.minhashSignature(df, "id", "text", 8)
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    val pairs = Dedup.lshCandidatePairs(sig, "id", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("simhash is deterministic and identical for identical text") {
+    val df = Seq((1L, "spark scala engine"), (2L, "spark scala engine"),
+      (3L, "other stuff")).toDF("id", "text")
+    val out = Dedup.simhash32(df, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    val again = Dedup.simhash32(df, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out == again)
+  }
+
+  test("jaccardPairs computes exact set overlap") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),   // |∩|=3 |∪|=5 → 0.6
+      (3L, "x y"))
+      .toDF("id", "text")
+    val out = Dedup.jaccardPairs(df, "id", "text", 100L, 0.5)
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 3L, 5L, 0.6)))
+  }
+}

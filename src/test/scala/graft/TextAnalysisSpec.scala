@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenStats counts tokens, words, bpe pieces") {
+    val df = Seq((1L, "the cat sat on the mat 42!")).toDF("id", "text")
+    val r = TextAnalysis.tokenStats(df, "id", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("n_distinct") == 6L)   // "the" twice
+    assert(r.getAs[Long]("n_words") == 7L)      // 42! → one [a-z0-9]+ run
+    // bpe: 6 letter runs + '4' + '2' + '!' = 9
+    assert(r.getAs[Long]("n_bpe") == 9L)
+    assert(r.getAs[Long]("n_token_chars") == 20L)
+  }
+
+  test("qualityScore ratios and keep flag") {
+    val good = (1L, "the quick brown fox jumps over a lazy dog")
+    val punct = (2L, "!!! ??? ***")
+    val out = TextAnalysis.qualityScore(Seq(good, punct).toDF("id", "text"),
+      "id", "text").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("quality_keep"))
+    assert(!out(2L).getAs[Boolean]("quality_keep"))
+    assert(out(2L).getAs[Double]("punct_ratio") > 0.5)
+    assert(out(1L).getAs[Long]("n_stopwords") == 2L) // "the", "a"
+  }
+
+  test("languageId picks the dominant stopword list") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is fine"),
+      (2L, "der hund ist nicht hier und das ist gut"),
+      (3L, "qqq www eee")).toDF("id", "text")
+    val out = TextAnalysis.languageId(df, "id", "text")
+      .select("id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprint is whitespace-insensitive on content_md5") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"),
+      (3L, "different text here")).toDF("id", "text")
+    val out = TextAnalysis.fingerprint(df, "id", "text")
+      .select("id", "content_md5").as[(Long, String)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("fingerprint min_gram survives an append-only edit") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, base), (2L, base + " tail")).toDF("id", "text")
+    val out = TextAnalysis.fingerprint(df, "id", "text")
+      .select("id", "min_gram").as[(Long, String)].collect().toMap
+    // 1-hash winnowing: min over windows usually unchanged by a small append
+    assert(out(1L) == out(2L))
+  }
+}
