@@ -301,7 +301,9 @@ object Registry {
   // ---------------------------------------------------------------------
 
   val queries: Map[String, Q] =
-    core ++ cleaning ++ restructure ++ RegistryExt.queries
+    core ++ cleaning ++ restructure ++ RegistryExt.queries ++
+      RegistryForm700.queries
   val oracles: Map[String, String] =
-    coreOracles ++ cleaningOracles ++ restructureOracles ++ RegistryExt.oracles
+    coreOracles ++ cleaningOracles ++ restructureOracles ++
+      RegistryExt.oracles ++ RegistryForm700.oracles
 }

@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Form700Pipeline => P, Restructure}
+
+/** E1 registry — the assembled reference pipeline
+  * (Form700.py:667-687) exposed as driver-checkable queries. Both sides
+  * read the SAME JSON page fixtures: Spark via the classpath copy,
+  * DuckDB via the source-tree copy (identical bytes, stable path).
+  *
+  * The oracle SQL is *generated* from the same helpers for every clean
+  * rule (text escape, number sanitize, checkbox default, X1 serialize),
+  * so Spark semantics and oracle semantics cannot drift independently.
+  */
+object RegistryForm700 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Source-tree fixture path for the DuckDB side (driver runs on this
+    * machine; content is byte-identical to the classpath copy Spark
+    * reads). */
+  private val OraclePages = "/root/repo/src/main/resources/form700/pages"
+
+  private def tables(s: SparkSession): Map[String, DataFrame] =
+    P.run(s, P.defaultPagesRoot, Some(P.fixtureDoubles))
+
+  // ------------------------------------------------------------------
+  // Oracle SQL builders (DuckDB dialect) — one per clean rule.
+  // ------------------------------------------------------------------
+
+  /** F5: Python backslashreplace over an arbitrary string expression. */
+  private def escSql(x: String): String =
+    s"""COALESCE(list_aggr(list_transform(range(1, length($x)+1), i ->
+       |    CASE WHEN unicode($x[i:i]) < 128 THEN $x[i:i]
+       |         WHEN unicode($x[i:i]) <= 255 THEN '\\x' || format('{:02x}', unicode($x[i:i]))
+       |         WHEN unicode($x[i:i]) <= 65535 THEN '\\u' || format('{:04x}', unicode($x[i:i]))
+       |         ELSE '\\U' || format('{:08x}', unicode($x[i:i])) END),
+       |  'string_agg', ''), '')""".stripMargin
+
+  /** text clean: null→'', newline strip (F1), ascii escape (F5). */
+  private def textSql(c: String, as: String): String =
+    escSql(s"COALESCE(replace(CAST($c AS VARCHAR), chr(10), ''), '')") +
+      s" AS \"$as\""
+  private def textSql(c: String): String = textSql(c, c)
+
+  /** number clean (F2+F3+F4): sanitize then long-or-zero / double-or-zero
+    * per the column-global int-else-float decision (pinned, same as the
+    * Spark side's fixtureDoubles). */
+  private def numSql(c: String, as: String, double: Boolean = false): String = {
+    val t = if (double) "DOUBLE" else "BIGINT"
+    val z = if (double) "0.0" else "0"
+    s"COALESCE(TRY_CAST(regexp_replace(CAST($c AS VARCHAR), '[a-zA-Z%]', '0', 'g') AS $t), $z) AS \"$as\""
+  }
+
+  private def checkboxSql(c: String): String =
+    s"COALESCE($c, false) AS \"$c\""
+
+  /** X1 serialize of an array-of-struct column, explicit field order
+    * (matches Spark's alphabetical JSON struct inference). */
+  private def serSql(c: String, fields: Seq[String]): String = {
+    val kv = fields.map(f =>
+      s"'$f:' || CASE WHEN s.$f IS NULL OR CAST(s.$f AS VARCHAR) = '' THEN 'None' ELSE CAST(s.$f AS VARCHAR) END")
+      .mkString(" || ',' || ")
+    s"array_to_string(list_transform($c, s -> $kv), '|')"
+  }
+
+  /** Cover CTEs: flattened filings + serialized offices, shared by every
+    * oracle (the filer side of J1). */
+  private val coverCte =
+    s"""cf AS (
+       |  SELECT unnest(filings, recursive := true)
+       |  FROM read_json_auto('$OraclePages/cover/*.json')
+       |), cser AS (
+       |  SELECT * REPLACE (${serSql("offices", Seq("code", "title"))} AS offices) FROM cf
+       |)""".stripMargin
+
+  private val filerTextCols =
+    Seq("filerName", "departmentName", "positionName", "offices")
+  private val filerDateCols = Seq("periodStart", "periodEnd", "filingDate")
+
+  /** Joined filer columns, cleaned (text rules; dates pass through). */
+  private def filerSelect(alias: String): String =
+    (filerTextCols.map(c => textSql(s"$alias.$c", c)) ++
+      filerDateCols.map(c => s"""COALESCE($alias.$c, '') AS "$c""""))
+      .mkString(",\n  ")
+
+  // ------------------------------------------------------------------
+  // Queries + oracles
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // Full cleaned cover page — sources S2-S4, X1 serialize, F1-F5 casts,
+    // P2 projection, pagination UNION ALL. The K2 sink-wide fillna("")
+    // (Form700.py:470) is applied so no nulls reach the compare (dates
+    // are pass-through text and may be null pre-sink).
+    "e1_cover_clean" -> ((s, _) =>
+      tables(s)("cover").na.fill("").orderBy("filingId")),
+
+    // scheduleD: S5 pluck, J1 broadcast filer join, X2 outer explode of
+    // gifts, cleaning with the float-fallback amount column.
+    "e1_schedule_d" -> ((s, _) =>
+      tables(s)("scheduleD").na.fill("")
+        .orderBy(col("id"), col("giftDate"))),
+
+    // scheduleA2: X1 serialize (incomeSources) + X2/X3 prefixed explode
+    // (realProperties) in one table.
+    "e1_schedule_a2" -> ((s, _) =>
+      tables(s)("scheduleA2").na.fill("")
+        .orderBy(col("id"), col("realPropertyParcelAddress"))),
+
+    // scheduleB through the K2 sink boundary: dotted loan.* columns
+    // renamed snake_case, string nulls filled — the exact frame the
+    // K-family sink writes.
+    "e1_schedule_b_sink" -> ((s, _) =>
+      P.prepareForSink(tables(s)("scheduleB")).orderBy("id")),
+
+    // O5/A1 audit: write all 8 tables to a scratch dir, compare written
+    // vs expected counts. Rows-only check (side-effecting sink — not
+    // SQL-expressible).
+    "e1_audit" -> ((s, _) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_e1_audit").toString
+      P.writeAll(s, tables(s), out).orderBy("table_name")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_cover_clean" ->
+      s"""WITH $coverCte
+         |SELECT ${textSql("filingId")}, ${textSql("filerId")}, ${textSql("filerName")},
+         |  ${textSql("departmentName")}, ${textSql("positionName")}, ${textSql("offices")},
+         |  COALESCE(periodStart, '') AS periodStart,
+         |  COALESCE(periodEnd, '') AS periodEnd,
+         |  COALESCE(filingDate, '') AS filingDate,
+         |  ${textSql("agency")}, ${checkboxSql("isAnnual")}, ${checkboxSql("isCandidate")},
+         |  ${numSql("scheduleA1Count", "scheduleA1Count")}, ${numSql("scheduleDCount", "scheduleDCount")},
+         |  ${numSql("commentCount", "commentCount")},
+         |  ${textSql("transactionType")}, ${textSql("id")}
+         |FROM cser ORDER BY filingId""".stripMargin,
+
+    "e1_schedule_d" ->
+      s"""WITH $coverCte,
+         |d0 AS (
+         |  SELECT unnest(scheduleD) AS r
+         |  FROM read_json_auto('$OraclePages/schedules/*.json')
+         |), d1 AS (
+         |  SELECT r.filingId AS filingId, r.id AS id,
+         |    r.nameOfSource AS nameOfSource,
+         |    unnest(CASE WHEN r.gifts IS NULL OR len(r.gifts) = 0
+         |      THEN [NULL::STRUCT(amount DOUBLE, description VARCHAR, giftDate VARCHAR)]
+         |      ELSE CAST(r.gifts AS STRUCT(amount DOUBLE, description VARCHAR, giftDate VARCHAR)[]) END) AS g
+         |  FROM d0
+         |)
+         |SELECT ${textSql("d1.filingId", "filingId")}, ${textSql("d1.id", "id")},
+         |  ${textSql("d1.nameOfSource", "nameOfSource")},
+         |  ${numSql("g.amount", "amount", double = true)},
+         |  ${textSql("g.description", "description")},
+         |  COALESCE(g.giftDate, '') AS "giftDate",
+         |  ${filerSelect("c")}
+         |FROM d1 LEFT JOIN cser c ON d1.filingId = c.filingId
+         |ORDER BY id, "giftDate"""".stripMargin,
+
+    "e1_schedule_a2" -> {
+      val rpType = "STRUCT(businessName VARCHAR, fairMarketValue BIGINT, natureOfInterest VARCHAR, parcelAddress VARCHAR)"
+      s"""WITH $coverCte,
+         |a0 AS (
+         |  SELECT unnest(scheduleA2) AS r
+         |  FROM read_json_auto('$OraclePages/schedules/*.json')
+         |), a1 AS (
+         |  SELECT r.filingId AS filingId, r.id AS id,
+         |    r.entityName AS entityName, r.address AS address,
+         |    ${serSql("r.incomeSources", Seq("address", "name"))} AS incomeSources,
+         |    unnest(CASE WHEN r.realProperties IS NULL OR len(r.realProperties) = 0
+         |      THEN [NULL::$rpType]
+         |      ELSE CAST(r.realProperties AS $rpType[]) END) AS p
+         |  FROM a0
+         |)
+         |SELECT ${textSql("a1.filingId", "filingId")}, ${textSql("a1.id", "id")},
+         |  ${textSql("a1.entityName", "entityName")}, ${textSql("a1.address", "address")},
+         |  ${textSql("a1.incomeSources", "incomeSources")},
+         |  ${textSql("p.businessName", "realPropertyBusinessName")},
+         |  ${textSql("p.parcelAddress", "realPropertyParcelAddress")},
+         |  ${numSql("p.fairMarketValue", "realPropertyFairMarketValue")},
+         |  ${textSql("p.natureOfInterest", "realPropertyNatureOfInterest")},
+         |  ${filerSelect("c")}
+         |FROM a1 LEFT JOIN cser c ON a1.filingId = c.filingId
+         |ORDER BY id, "realPropertyParcelAddress"""".stripMargin
+    },
+
+    "e1_schedule_b_sink" -> {
+      def snake(n: String) = Restructure.toSinkName(n)
+      s"""WITH $coverCte,
+         |b0 AS (
+         |  SELECT unnest(scheduleB) AS r
+         |  FROM read_json_auto('$OraclePages/schedules/*.json')
+         |), bj AS (
+         |  SELECT r.filingId AS filingId, r.id AS id,
+         |    r.parcelOrAddress AS parcelOrAddress,
+         |    r.loan.nameOfLender AS ln, r.loan.highestBalance AS hb,
+         |    r.loan.interestRate AS ir, r.loan.address AS la,
+         |    ${serSql("r.incomeSources", Seq("address", "name"))} AS incomeSources,
+         |    c.filerName AS filerName, c.departmentName AS departmentName,
+         |    c.positionName AS positionName, c.offices AS offices,
+         |    c.periodStart AS periodStart, c.periodEnd AS periodEnd,
+         |    c.filingDate AS filingDate
+         |  FROM b0 LEFT JOIN cser c ON r.filingId = c.filingId
+         |)
+         |SELECT ${textSql("bj.filingId", "filing_id")}, ${textSql("bj.id", "id")},
+         |  ${textSql("bj.parcelOrAddress", "parcel_or_address")},
+         |  ${textSql("bj.ln", snake("loan.nameOfLender"))},
+         |  ${numSql("bj.hb", snake("loan.highestBalance"))},
+         |  ${numSql("bj.ir", snake("loan.interestRate"), double = true)},
+         |  ${textSql("bj.la", snake("loan.address"))},
+         |  ${textSql("bj.incomeSources", "income_sources")},
+         |  ${textSql("bj.filerName", "filer_name")},
+         |  ${textSql("bj.departmentName", "department_name")},
+         |  ${textSql("bj.positionName", "position_name")},
+         |  ${textSql("bj.offices", "offices")},
+         |  COALESCE(bj.periodStart, '') AS "period_start",
+         |  COALESCE(bj.periodEnd, '') AS "period_end",
+         |  COALESCE(bj.filingDate, '') AS "filing_date"
+         |FROM bj ORDER BY id""".stripMargin
+    }
+    // e1_audit: no oracle (side-effecting sink) → driver rows-only check.
+  )
+}

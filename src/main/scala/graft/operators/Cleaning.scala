@@ -17,10 +17,12 @@ object Cleaning {
   /** F1 (Form700.py:296-298): strip embedded newlines from every string
     * column of a table. */
   def removeNewLines(df: DataFrame): DataFrame = {
+    // Backticked refs: flattened columns may carry literal dots in their
+    // names (`loan.address`, form700_scheduleB_schema.csv:20-30).
     val cols = df.schema.fields.map { f =>
       if (f.dataType == StringType)
-        regexp_replace(col(f.name), "\n", "").as(f.name)
-      else col(f.name)
+        regexp_replace(col(s"`${f.name}`"), "\n", "").as(f.name)
+      else col(s"`${f.name}`")
     }
     df.select(cols.toIndexedSeq: _*)
   }
@@ -50,5 +52,5 @@ object Cleaning {
   /** P2 (Form700.py:249-253): project + reorder to a declared column
     * list; fails fast on missing columns exactly like the reference. */
   def projectToSchema(df: DataFrame, fieldNames: Seq[String]): DataFrame =
-    df.select(fieldNames.map(col): _*)
+    df.select(fieldNames.map(n => col(s"`$n`")): _*)
 }

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.AsciiBackslash.asciiBackslash
+import graft.sources.Form700Source
+
+/** The assembled E1 pipeline — `getDataAndUpload`
+  * (Form700.py:667-687) re-expressed Spark-first: paged-JSON sources →
+  * J1 broadcast filer join → X4 catalog dispatch (serialize / explode) →
+  * P2 schema projection → F1–F5 casts → K-family parquet sink with the
+  * O5/A1 row-count audit.
+  *
+  * The catalog (§1.4 of SURVEY.md) stays *data*: table list-columns and
+  * per-table field contracts load from CSV resources
+  * (`src/main/resources/form700/`) shaped like the reference's
+  * form700_schemas (Form700.py:246-253, form700_tables.csv) — authored
+  * for the fixture corpus, not copied.
+  */
+object Form700Pipeline {
+
+  // ------------------------------------------------------------------
+  // Catalog (driver-side only — a few KB of config, never shipped to
+  // executors; SURVEY.md §7.4 "catalog only on driver").
+  // ------------------------------------------------------------------
+
+  final case class FieldSpec(dataType: String, fieldName: String,
+                             displayName: String)
+  final case class TableSpec(name: String, listColumns: Seq[String],
+                             fields: Seq[FieldSpec]) {
+    def fieldNames: Seq[String] = fields.map(_.fieldName)
+  }
+
+  /** Columns that explode to child rows (X2) rather than serialize to a
+    * string (X1) — Form700.py:335-343. */
+  private val Explodable = Set("gifts", "realProperties")
+  /** X3 (Form700.py:356-362): only realProperties children are
+    * prefixed. */
+  private val ExplodePrefix = Map("realProperties" -> "realProperty")
+
+  private def resourceLines(path: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** K6 analog (Form700.py:402-404) — the table catalog, loaded once. */
+  lazy val catalog: Map[String, TableSpec] =
+    resourceLines("/form700/tables.csv").drop(1).map { line =>
+      val Array(name, listCols) = line.split(",", -1)
+      val fields = resourceLines(s"/form700/schema/form700_${name}_schema.csv")
+        .drop(1).map { l =>
+          val Array(t, f, d) = l.split(",", -1)
+          FieldSpec(t, f, d)
+        }
+      name -> TableSpec(name, listCols.split(":").toIndexedSeq.filter(_.nonEmpty),
+        fields)
+    }.toMap
+
+  /** Known fixture page files (FIXTURES.md §B). */
+  private val pageFiles = Seq(
+    "cover/page_1.json", "cover/page_2.json",
+    "schedules/page_1.json", "schedules/page_2.json")
+
+  /** Location of the page fixtures as a `file:`-readable directory.
+    * When the classpath copy sits on disk we use it directly; when it is
+    * packaged inside a jar (sbt runMain), the files are extracted once
+    * to a temp dir — Hadoop's FileSystem cannot read `jar:` URIs. */
+  lazy val defaultPagesRoot: String = {
+    val url = getClass.getResource("/form700/pages")
+    if (url != null && url.getProtocol == "file") url.toString
+    else {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_f700_pages")
+      pageFiles.foreach { rel =>
+        val in = getClass.getResourceAsStream(s"/form700/pages/$rel")
+        require(in != null, s"missing resource /form700/pages/$rel")
+        val dst = tmp.resolve(rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        try java.nio.file.Files.copy(in, dst) finally in.close()
+      }
+      tmp.toUri.toString
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // J1 — joinFilerToSchedule (Form700.py:346-352)
+  // ------------------------------------------------------------------
+
+  /** The 8 filer-identity columns denormalized onto every schedule row
+    * (Form700.py:347). */
+  val filerCols: Seq[String] = Seq("filingId", "filerName",
+    "departmentName", "positionName", "offices", "periodStart",
+    "periodEnd", "filingDate")
+
+  /** Left-outer equi-join of each schedule with the cover projection on
+    * `filingId`. The cover side is tiny relative to schedules (one row
+    * per filing vs many rows per schedule) — broadcast it so the fact
+    * side never shuffles, at any scale. */
+  def joinFilerToSchedule(schedules: Map[String, DataFrame],
+                          cover: DataFrame): Map[String, DataFrame] = {
+    val filer = broadcast(
+      cover.select(filerCols.map(c => col(s"`$c`")): _*))
+    schedules.map { case (n, df) =>
+      n -> df.join(filer, Seq("filingId"), "left_outer")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // cleanDataSet (Form700.py:246-289): X4 dispatch → P2 project →
+  // F1 newline strip → castFields
+  // ------------------------------------------------------------------
+
+  /** X4 (Form700.py:325-344): serialize every list column except
+    * gifts/realProperties; explode those (with the X3 prefix). */
+  def dispatchListColumns(df: DataFrame, spec: TableSpec): DataFrame = {
+    val present = df.columns.toSet
+    val (explodeCols, serializeCols) =
+      spec.listColumns.partition(Explodable.contains)
+    var d = df
+    serializeCols.filter(present.contains).foreach { c =>
+      d = Restructure.serializeStructArray(d, c)
+    }
+    explodeCols.filter(present.contains).foreach { c =>
+      d = Restructure.explodeStructArray(d, c, ExplodePrefix.get(c))
+    }
+    d
+  }
+
+  /** castFields (Form700.py:258-289). Type semantics:
+    *  - text:     null→"", string cast, non-ASCII backslash-escaped (F5)
+    *  - number:   sanitize [a-zA-Z%]→'0' (F2), then the reference's
+    *              column-global int-else-float decision (F4): LONG if
+    *              every non-null sanitized value parses as long, else
+    *              DOUBLE; nulls/unparseable → 0 / 0.0 (F3)
+    *  - checkbox: null→false
+    *  - date:     pass-through (the reference's date cast is disabled,
+    *              Form700.py:285-288 — dates stay text)
+    *
+    * `numberAsDouble` pins the per-column decision without the extra
+    * inspection pass — the scale path when the contract is known. When
+    * absent, one narrow aggregate over just the number columns decides
+    * (column-pruned scan, one job, no collect of data rows). */
+  def castFields(df: DataFrame, spec: TableSpec,
+                 numberAsDouble: Option[Set[String]] = None): DataFrame = {
+    def c(n: String): Column = col(s"`$n`")
+    val numberCols = spec.fields.filter(_.dataType == "number")
+      .map(_.fieldName)
+    val doubles: Set[String] = numberAsDouble.getOrElse {
+      if (numberCols.isEmpty) Set.empty
+      else {
+        val flags = df.agg(
+          max(lit(0)).as("__pad"), // keeps agg non-empty if 1 col
+          numberCols.map { n =>
+            val s = Cleaning.sanitizeNumber(c(n))
+            max(when(s.isNotNull && s.try_cast(LongType).isNull, 1)
+              .otherwise(0)).as(n)
+          }: _*).head()
+        numberCols.filter(n => flags.getAs[Int](n) == 1).toSet
+      }
+    }
+    val outCols = spec.fields.map { f =>
+      val in = c(f.fieldName)
+      val out = f.dataType match {
+        case "text" => asciiBackslash(Cleaning.textOrEmpty(in))
+        case "number" =>
+          if (doubles.contains(f.fieldName)) Cleaning.toDoubleOrZero(in)
+          else Cleaning.toLongOrZero(in)
+        case "checkbox" => Cleaning.checkboxOrFalse(in)
+        case _ => in // date: disabled cast, flows through as-is
+      }
+      out.as(f.fieldName)
+    }
+    df.select(outCols: _*)
+  }
+
+  /** Full clean pass for one table (cleanDataSet, Form700.py:246-256). */
+  def clean(df: DataFrame, spec: TableSpec,
+            numberAsDouble: Option[Set[String]] = None): DataFrame = {
+    val dispatched = dispatchListColumns(df, spec)
+    val projected = Cleaning.projectToSchema(dispatched, spec.fieldNames)
+    castFields(Cleaning.removeNewLines(projected), spec, numberAsDouble)
+  }
+
+  // ------------------------------------------------------------------
+  // E1 assembled (getDataAndUpload, Form700.py:667-687)
+  // ------------------------------------------------------------------
+
+  /** Per-table number columns that take the reference's float fallback
+    * on the fixture corpus — pinning these keeps `run` fully lazy (no
+    * per-table inspection job). Derived from the fixtures; a deployment
+    * against other data either pins its own map or passes None to let
+    * the inspection pass decide. */
+  val fixtureDoubles: Map[String, Set[String]] = Map(
+    "scheduleB" -> Set("loan.interestRate"),
+    "scheduleD" -> Set("amount"))
+
+  /** Source → join → clean for all 8 tables. With `doublesByTable`
+    * pinned, lazy end to end: nothing executes until a sink action. */
+  def run(spark: SparkSession, pagesRoot: String,
+          doublesByTable: Option[Map[String, Set[String]]] = None)
+      : Map[String, DataFrame] = {
+    val coverRaw = Form700Source.cover(
+      Form700Source.readPages(spark, s"$pagesRoot/cover"))
+    val schedulesRaw = Form700Source.schedules(
+      Form700Source.readPages(spark, s"$pagesRoot/schedules"))
+    val joined = joinFilerToSchedule(schedulesRaw, coverRaw)
+    (joined + ("cover" -> coverRaw)).map { case (n, df) =>
+      n -> clean(df, catalog(n),
+        doublesByTable.map(_.getOrElse(n, Set.empty)))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Sink + audit (K1–K5 — Form700.py:439-506; O5/A1 — :588-655)
+  // ------------------------------------------------------------------
+
+  /** K2 sink prep (Form700.py:465-470): snake_case dot-stripped column
+    * names, string nulls → "" (the reference's sink-wide fillna). */
+  def prepareForSink(df: DataFrame): DataFrame =
+    Restructure.renameForSink(df).na.fill("")
+
+  /** Write every table (truncate-and-load ≙ overwrite; the reference's
+    * chunked upsert + retry collapses into Spark's task-level writes and
+    * retries), then audit written counts against expected — the O5
+    * SUCCESS/FAILURE check, returned as a report DataFrame instead of an
+    * email. */
+  def writeAll(spark: SparkSession, tables: Map[String, DataFrame],
+               outDir: String): DataFrame = {
+    val report = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      val prepared = prepareForSink(df)
+      val expected = prepared.count()
+      val path = s"$outDir/$name"
+      prepared.write.mode("overwrite").parquet(path)
+      val written = spark.read.parquet(path).count()
+      Row(name, expected, written,
+        if (written == expected) "SUCCESS" else "FAILURE")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(report, 1),
+      StructType(Seq(
+        StructField("table_name", StringType, nullable = false),
+        StructField("rows_expected", LongType, nullable = false),
+        StructField("rows_written", LongType, nullable = false),
+        StructField("status", StringType, nullable = false))))
+  }
+}

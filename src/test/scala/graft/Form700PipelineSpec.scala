@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+import graft.operators.Form700Pipeline
+
+/** Golden end-to-end tests of the assembled E1 pipeline over the
+  * reference-shaped JSON page fixtures (FIXTURES.md §B) — covers every
+  * B3 edge case: pagination concat, empty arrays, ""→None serialization,
+  * newline strip, number-sanitize quirk, int-else-float column decision,
+  * non-ASCII escaping, null defaults, unmatched-join defaults. */
+class Form700PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val tables =
+    Form700Pipeline.run(spark, Form700Pipeline.defaultPagesRoot)
+
+  private def rows(name: String, order: String*): Seq[Row] =
+    tables(name).orderBy(order.head, order.tail: _*).collect().toSeq
+
+  test("cover: pages concat (union), declared column order, cleaned types") {
+    val df = tables("cover")
+    assert(df.columns.toSeq ==
+      Form700Pipeline.catalog("cover").fieldNames)
+    val r = rows("cover", "filingId")
+    assert(r.size == 3) // 2 filings page 1 + 1 filing page 2
+    val byId = r.map(x => x.getAs[String]("filingId") -> x).toMap
+    // F2 quirk: "3x" → "30" → 30; column stays LONG (all values parse)
+    assert(byId("F001").getAs[Long]("scheduleDCount") == 2L)
+    assert(byId("F003").getAs[Long]("scheduleDCount") == 30L)
+    // F3: null number → 0
+    assert(byId("F002").getAs[Long]("scheduleA1Count") == 0L)
+    // checkbox: null → false
+    assert(byId("F001").getAs[Boolean]("isCandidate") == false)
+    assert(byId("F003").getAs[Boolean]("isAnnual") == false)
+    // F1: newline stripped inside a text cell
+    assert(byId("F003").getAs[String]("filerName") == "SamLee")
+    // F5: non-ASCII backslash-escaped
+    assert(byId("F002").getAs[String]("filerName") == "Ana N\\xfa\\xf1ez")
+    // date columns pass through as text (cast disabled in reference)
+    assert(byId("F002").getAs[String]("periodEnd") == null)
+  }
+
+  test("X1 serialize: struct order, empty string → None, empty array → \"\"") {
+    val r = rows("cover", "filingId")
+    val byId = r.map(x => x.getAs[String]("filingId") -> x).toMap
+    // JSON structs infer alphabetical field order: code, title
+    assert(byId("F001").getAs[String]("offices") ==
+      "code:SFO,title:Office A|code:OAK,title:None")
+    assert(byId("F002").getAs[String]("offices") == "")
+  }
+
+  test("J1: filer columns joined onto schedules; unmatched → defaults") {
+    val r = rows("scheduleB", "id")
+    val byId = r.map(x => x.getAs[String]("id") -> x).toMap
+    assert(byId("b-1").getAs[String]("filerName") == "Jane Roe")
+    assert(byId("b-1").getAs[String]("offices") ==
+      "code:SFO,title:Office A|code:OAK,title:None")
+    // F999 has no cover row: text defaults to "", date stays null
+    assert(byId("b-2").getAs[String]("filerName") == "")
+    assert(byId("b-2").getAs[String]("offices") == "")
+    assert(byId("b-2").getAs[String]("periodStart") == null)
+  }
+
+  test("P1 dotted flatten + int-else-float column decision (scheduleB)") {
+    val r = rows("scheduleB", "id")
+    val byId = r.map(x => x.getAs[String]("id") -> x).toMap
+    assert(byId("b-1").getAs[String]("loan.nameOfLender") == "First Bank")
+    // highestBalance: 500 / null → all longs → LONG column with 0 default
+    assert(byId("b-1").getAs[Long]("loan.highestBalance") == 500L)
+    assert(byId("b-2").getAs[Long]("loan.highestBalance") == 0L)
+    // interestRate: "3.5%" → "3.50" fails long parse → whole column DOUBLE
+    assert(byId("b-1").getAs[Double]("loan.interestRate") == 3.5)
+    assert(byId("b-2").getAs[Double]("loan.interestRate") == 4.0)
+  }
+
+  test("X2 explode gifts: child rows, empty array keeps parent") {
+    val r = rows("scheduleD", "id", "giftDate")
+    assert(r.size == 3) // F001 × 2 gifts + F002 × 1 retained parent
+    val d1 = r.filter(_.getAs[String]("id") == "d-1")
+    assert(d1.map(_.getAs[String]("description")) == Seq("Tickets", "Lunch"))
+    // amount: 75.5 forces the whole column to DOUBLE
+    assert(d1.map(_.getAs[Double]("amount")) == Seq(75.5, 25.0))
+    val d2 = r.filter(_.getAs[String]("id") == "d-2").head
+    assert(d2.getAs[Double]("amount") == 0.0) // null child → 0
+    assert(d2.getAs[String]("description") == "")
+    assert(d2.getAs[String]("giftDate") == null)
+  }
+
+  test("X2+X3 explode realProperties with prefix (scheduleA2)") {
+    val r = rows("scheduleA2", "id", "realPropertyParcelAddress")
+    assert(r.size == 3) // a2-1 × 2 properties + a2-2 retained parent
+    val a1 = r.filter(_.getAs[String]("id") == "a2-1")
+    assert(a1.map(_.getAs[String]("realPropertyBusinessName")).toSet ==
+      Set("B Corp", "C Corp"))
+    assert(a1.map(_.getAs[Long]("realPropertyFairMarketValue")).toSet ==
+      Set(5000L, 750L))
+    // ""→None inside serialized incomeSources (alphabetical field order)
+    assert(a1.head.getAs[String]("incomeSources") == "address:None,name:Src")
+    val a2 = r.filter(_.getAs[String]("id") == "a2-2").head
+    assert(a2.getAs[String]("realPropertyBusinessName") == "")
+    assert(a2.getAs[Long]("realPropertyFairMarketValue") == 0L)
+    assert(a2.getAs[String]("incomeSources") == "")
+  }
+
+  test("comments: newline stripped; schedule page with empty array unions") {
+    val r = rows("comments", "id")
+    assert(r.map(_.getAs[String]("comment")) == Seq("line1line2", "ok"))
+    assert(rows("scheduleC", "id").size == 1) // page_2 scheduleC is []
+  }
+
+  test("non-ASCII escapes: Latin-1 → \\xHH, BMP → \\uHHHH") {
+    val a1 = rows("scheduleA1", "id")
+    assert(a1.find(_.getAs[String]("id") == "a1-2").get
+      .getAs[String]("nameOfBusinessEntity") == "B\\xfcro GmbH")
+    val e = rows("scheduleE", "id")
+    assert(e.find(_.getAs[String]("id") == "e-2").get
+      .getAs[String]("nameOfSource") == "Nonprofit \\u0178")
+    // scheduleE amount "300"/"120" all parse → LONG column
+    assert(e.map(_.getAs[Long]("amount")).toSet == Set(300L, 120L))
+  }
+
+  test("K sink + O5 audit: write all tables, counts match") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_e1_sink").toString
+    val report = Form700Pipeline.writeAll(spark, tables, out)
+      .collect().map(r => r.getAs[String]("table_name") ->
+        r.getAs[String]("status")).toMap
+    assert(report.size == 8)
+    assert(report.values.forall(_ == "SUCCESS"))
+    // K2/F7: sink columns are dot-stripped snake_case
+    val sunk = spark.read.parquet(s"$out/scheduleB")
+    assert(sunk.columns.contains("loanname_of_lender") ||
+      sunk.columns.contains("loan_name_of_lender"))
+  }
+}
