@@ -371,8 +371,59 @@ object RegistryExt {
   )
 
   // ---------------------------------------------------------------------
+  // Streaming (graft.streaming.StreamOps) — a genuinely streaming plan
+  // (file stream → watermark+window agg → memory sink, run to
+  // completion) plus the stream-capable session_window operator in its
+  // batch mode. Both get the SAME oracles as their batch duals: the
+  // value-for-value match IS the stream/batch parity proof.
+  // ---------------------------------------------------------------------
 
-  val queries: Map[String, Q] = dedup ++ similarity ++ text ++ events
+  private val streaming: Map[String, Q] = Map(
+    "st_hourly_rollup" -> ((s, dir) =>
+      graft.streaming.StreamOps.runToCompletion(
+        s, Tables.loadStream(s, dir, "events"),
+        graft.streaming.StreamOps.hourlyRollupStream)
+        .orderBy("hour", "event_type")),
+    "st_session_window" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionWindowAgg(
+        t(s, dir, "events"), SessionGapSeconds)
+        .orderBy("user_id", "start_us"))
+  )
+
+  private val streamingOracles: Map[String, String] = Map(
+    // Identical to ev_hourly_rollup: the streaming plan must agree with
+    // the batch aggregate bit-for-bit.
+    "st_hourly_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // session_window semantics: window = [first event, last event + gap).
+    "st_session_window" ->
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |b AS (SELECT user_id, event_id, us, value,
+         |  CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > ${SessionGapSeconds * 1000000L}
+         |       THEN 1 ELSE 0 END AS brk
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT user_id, us, value,
+         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |FROM b)
+         |SELECT user_id, min(us) AS start_us,
+         |  max(us) + ${SessionGapSeconds * 1000000L} AS end_us,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, start_us""".stripMargin
+  )
+
+  val queries: Map[String, Q] =
+    dedup ++ similarity ++ text ++ events ++ streaming
   val oracles: Map[String, String] =
-    dedupOracles ++ similarityOracles ++ textOracles ++ eventsOracles
+    dedupOracles ++ similarityOracles ++ textOracles ++ eventsOracles ++
+      streamingOracles
 }

@@ -26,4 +26,20 @@ object Tables {
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Streaming read of the same fixture (file source needs an explicit
+    * schema — taken from a batch scan of the footer, no data read), with
+    * the identical `ts` normalization so stream and batch plans see one
+    * canonical type. */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // The fixture is a bare parquet FILE; a glob path (brace alternative)
+    // makes the file source treat the parent dir as basePath — a literal
+    // file path fails with "'basePath' must be a directory".
+    val df = spark.readStream.schema(raw.schema)
+      .parquet(s"$dir/{$name}.parquet")
+    if (name == "events" && raw.schema("ts").dataType != org.apache.spark.sql.types.TimestampType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 }

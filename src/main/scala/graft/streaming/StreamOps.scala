@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.operators.Events
+
+/** Structured Streaming surface (SURVEY.md §7.2 M5: the `events`
+  * streaming-shaped extensions; the reference itself is batch-only —
+  * Form700.py runs top-to-bottom, SURVEY.md §2 "Streaming: none").
+  *
+  * Design: every streaming aggregation here shares its column
+  * expressions with the batch dual in [[graft.operators.Events]] so
+  * stream and batch results are comparable value-for-value. Rollups use
+  * watermark + tumbling window; sessions use the built-in
+  * `session_window` (batch- and stream-capable) plus a
+  * `flatMapGroupsWithState` variant that demonstrates arbitrary state
+  * (running per-user session numbering, which `session_window` cannot
+  * express).
+  *
+  * Scale: streaming aggs shuffle once on the group key per micro-batch;
+  * state lives in the state store keyed by (window, type) / user. The
+  * exact-distinct `collect_set` is fine at fixture scale; at 100 TB you
+  * would swap it for `approx_count_distinct` (HLL state, bounded
+  * memory) — noted inline.
+  */
+object StreamOps {
+
+  /** Streaming dual of [[Events.hourlyRollup]]: tumbling 1-hour window
+    * with a 2-hour watermark. `countDistinct` is unsupported in
+    * streaming, so exact distinct is `size(collect_set(...))` (swap for
+    * `approx_count_distinct` at scale). */
+  def hourlyRollupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        size(collect_set(col("user_id"))).cast(LongType).as("n_users"),
+        sum(Events.micros(col("value"))).as("value_micros"))
+      .select(
+        col("window.start").cast(StringType).as("hour"),
+        col("event_type"), col("n_events"), col("n_users"),
+        col("value_micros"),
+        (col("value_micros").cast(DoubleType) / 1000000).as("value_sum"))
+
+  /** Gap-based sessions via the built-in `session_window` operator —
+    * identical semantics in batch and streaming: a session's window is
+    * [first event, last event + gap). */
+  def sessionWindowAgg(events: DataFrame, gapSeconds: Long): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapSeconds seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Events.micros(col("value"))).as("value_micros"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("value_micros"))
+
+  // ------------------------------------------------------------------
+  // Arbitrary-state sessionization (flatMapGroupsWithState)
+  // ------------------------------------------------------------------
+
+  final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(sessionId: Long, startUs: Long, endUs: Long,
+                                n: Long)
+  final case class SessionOut(user_id: Long, session_id: Long,
+                              n_events: Long, start_us: Long, end_us: Long,
+                              duration_us: Long)
+
+  /** Custom stateful sessionizer: emits a closed session when a user is
+    * idle past `gapSeconds` (event-time timeout) — the streaming dual of
+    * [[Events.sessionize]], including the per-user 1-based session
+    * numbering that `session_window` cannot produce. Events inside one
+    * micro-batch are sorted by (ts, event_id); late events beyond the
+    * watermark are dropped by the engine. */
+  def statefulSessionize(events: Dataset[Ev], gapSeconds: Long,
+                         watermarkDelay: String = "0 seconds")
+      : Dataset[SessionOut] = {
+    val gapUs = gapSeconds * 1000000L
+    // Full-precision micros (Timestamp.getTime alone is millis).
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, it: Iterator[Ev],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      def close(s: SessionState): Unit =
+        out ::= SessionOut(userId, s.sessionId, s.n, s.startUs, s.endUs,
+          s.endUs - s.startUs)
+      if (state.hasTimedOut) {
+        state.getOption.foreach(close)
+        state.remove()
+      } else {
+        var cur = state.getOption.orNull
+        it.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+          val us = usOf(e.ts)
+          cur match {
+            case null =>
+              cur = SessionState(1L, us, us, 1L)
+            case s if us - s.endUs > gapUs =>
+              close(s)
+              cur = SessionState(s.sessionId + 1, us, us, 1L)
+            case s =>
+              cur = s.copy(endUs = math.max(s.endUs, us), n = s.n + 1)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.endUs / 1000L + gapSeconds * 1000L)
+        }
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  // ------------------------------------------------------------------
+  // Run-to-completion harness (file stream → memory sink)
+  // ------------------------------------------------------------------
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Execute a streaming transform of a parquet-file stream to
+    * completion (Trigger.AvailableNow) and return the materialized
+    * result — the bridge that lets the driver's batch-style oracle check
+    * a genuinely streaming plan. `complete` mode keeps every group in
+    * the sink table. */
+  def runToCompletion(spark: SparkSession, source: DataFrame,
+                      transform: DataFrame => DataFrame,
+                      outputMode: String = "complete"): DataFrame = {
+    val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
+    val q = transform(source)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

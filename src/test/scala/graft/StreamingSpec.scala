@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.operators.Events
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+
+/** Stream/batch parity tests: the streaming plans must produce exactly
+  * the rows their batch duals produce on the same data. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(us: Long) = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+  }
+
+  private val H = 3600L * 1000000L
+  // Positive base epoch: a ts at/below the engine's initial watermark
+  // (epoch 0) would be dropped as late data.
+  private val B = 1000000L * 1000000L
+  private val rows = Seq(
+    (1L, 1L, B, "view", 1.25),
+    (2L, 1L, B + 10L * 1000000L, "view", 2.5),
+    (3L, 2L, B + H / 2, "click", 0.75),
+    (4L, 1L, B + H + 1L, "view", 4.0),
+    (5L, 2L, B + 2 * H + 5L, "click", 1.0),
+    (6L, 2L, B + 2 * H + 1900L * 1000000L, "view", 3.0))
+
+  test("streaming hourly rollup == batch hourly rollup (MemoryStream)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val batch = eventsDf(rows)
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = StreamOps.hourlyRollupStream(streamDf)
+      .writeStream.format("memory").queryName("st_spec_rollup")
+      .outputMode(OutputMode.Complete).start()
+    ms.addData(rows.take(3)); q.processAllAvailable()
+    ms.addData(rows.drop(3)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st_spec_rollup")
+      .orderBy("hour", "event_type").collect().toSeq
+    val want = Events.hourlyRollup(batch)
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
+
+  test("stateful sessionize == batch sessionize after timeout flush") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val gap = 1800L
+    val ms = MemoryStream[Ev]
+    val evs = rows.map { case (id, uid, us, _, _) => Ev(uid, id, ts(us)) }
+    val out = StreamOps.statefulSessionize(ms.toDS(), gap)
+    val q = out.writeStream.format("memory").queryName("st_spec_sessions")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(evs)
+    q.processAllAvailable()
+    // A far-future sentinel advances the watermark past every session's
+    // timeout so all sessions flush (the sentinel's own session stays
+    // open — expected).
+    ms.addData(Ev(99L, 999L, ts(B + 100L * H)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st_spec_sessions")
+      .orderBy("user_id", "session_id")
+      .collect().toSeq.map(_.toSeq)
+    val want = Events.sessionize(eventsDf(rows), gap)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us",
+        "duration_us")
+      .orderBy("user_id", "session_id").collect().toSeq.map(_.toSeq)
+    assert(got == want)
+  }
+
+  test("session_window agg matches gap-derived sessions (batch mode)") {
+    val got = StreamOps.sessionWindowAgg(eventsDf(rows), 1800L)
+      .orderBy("user_id", "start_us").collect().toSeq
+    // user 1: events at B, B+10s (one session), B+H+1 (second session)
+    // user 2: B+H/2; B+2H+5us; B+2H+1900s (1900s > gap → own session)
+    assert(got.size == 5)
+    val u1 = got.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+    assert(u1.head.getAs[Long]("start_us") == B)
+    assert(u1.head.getAs[Long]("end_us") ==
+      B + 10L * 1000000L + 1800L * 1000000L)
+    // streaming run of the same session_window plan agrees
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = StreamOps.sessionWindowAgg(streamDf, 1800L)
+      .writeStream.format("memory").queryName("st_spec_sw")
+      .outputMode(OutputMode.Complete).start()
+    ms.addData(rows); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st_spec_sw")
+      .orderBy("user_id", "start_us").collect().toSeq
+    assert(streamed.map(_.toSeq) == got.map(_.toSeq))
+  }
+
+  test("file-stream rollup over the fixture == batch oracle shape") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamOps.runToCompletion(spark,
+      Tables.loadStream(spark, dir, "events"),
+      StreamOps.hourlyRollupStream)
+      .orderBy("hour", "event_type").collect().toSeq
+    val want = Events.hourlyRollup(Tables.load(spark, dir, "events"))
+      .select("hour", "event_type", "n_events", "n_users", "value_micros",
+        "value_sum")
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
+}
