@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads carried as
+  * opaque `binary` columns with a typed metadata struct, plus the
+  * decode / feature-extract / frame-sample operators a training-data
+  * pipeline runs over them.
+  *
+  * The container has no image/audio codecs, so the codec itself is a
+  * clearly-marked deterministic STUB ([[FakeCodec]]); everything
+  * Spark-side is real and tested: the binary schema, the metadata
+  * struct, the batched per-partition decode (the Scala analog of a
+  * batched `mapInPandas` decode), and the codegen-friendly
+  * expression-only paths (metadata, frame sampling).
+  *
+  * Scale notes: payload columns are large — every operator here prunes
+  * to (id, payload) before touching bytes, keeps per-row work linear in
+  * payload size, and never shuffles payloads (all transforms are
+  * narrow; only the small feature/meta outputs flow onward).
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a real media codec. A production build
+    * replaces `decode` with an actual image/audio decoder (the
+    * signature — bytes in, fixed-width feature vector out — is the
+    * contract the pipeline tests). */
+  object FakeCodec {
+    /** STUB: "decodes" a payload into byte statistics
+      * (n_bytes, sum, min, max) — deterministic, codec-shaped. */
+    def decode(payload: Array[Byte]): (Long, Long, Long, Long) = {
+      var i = 0; var sum = 0L; var mn = 256L; var mx = -1L
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        sum += b; if (b < mn) mn = b; if (b > mx) mx = b
+        i += 1
+      }
+      (payload.length.toLong, sum, if (mn == 256L) 0L else mn,
+        if (mx == -1L) 0L else mx)
+    }
+  }
+
+  /** Ingest shape: attach a binary payload (UTF-8 bytes of `textCol` —
+    * the fixture stand-in for real media bytes) and a typed metadata
+    * struct derived deterministically from the id. */
+  def asBinaryPayload(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val id = col(idCol)
+    df.select(id,
+      col(textCol).cast(BinaryType).as("payload"),
+      struct(
+        expr(s"element_at(array('png','jpeg','webp'), " +
+          s"CAST($idCol % 3 AS INT) + 1)").as("format"),
+        (lit(64) + (id % 32) * 16).cast(LongType).as("width"),
+        (lit(64) + (id % 24) * 16).cast(LongType).as("height"))
+        .as("meta"))
+  }
+
+  /** Metadata / fingerprint extraction — pure codegen expressions over
+    * the binary column: byte length, md5, magic-prefix hex. */
+  def extractMeta(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      col("meta.format").as("format"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      length(col("payload")).cast(LongType).as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      lower(hex(substring(col("payload"), 1, 4))).as("magic_hex"))
+
+  /** Batched decode: one [[FakeCodec.decode]] call per payload, executed
+    * per partition (the batch boundary a real vectorized decoder needs).
+    * Output is the small feature frame; payloads do not flow past this
+    * operator. */
+  def decodeFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // the per-partition batch boundary: a real vectorized codec
+        // would ship the whole iterator's payloads to native code here
+        it.map { case (id, bytes) =>
+          val (n, s, mn, mx) = FakeCodec.decode(bytes)
+          (id, n, s, mn, mx)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "byte_sum", "byte_min", "byte_max")
+  }
+
+  /** Frame sampling ("video" payloads): one 16-byte frame every
+    * `stride` bytes, fingerprinted with md5 — expression-only
+    * (`sequence` + `transform` higher-order functions, whole-stage
+    * codegen). */
+  def frameSample(df: DataFrame, stride: Int = 64): DataFrame = {
+    val nFrames = floor((length(col("payload")) - 1) / stride)
+    df.select(col("doc_id"),
+      (nFrames + 1).cast(LongType).as("n_frames"),
+      transform(sequence(lit(0L), nFrames),
+        i => md5(substring(col("payload"),
+          (i * stride + 1).cast(IntegerType), lit(16))))
+        .as("frame_md5s"))
+  }
+}

@@ -78,6 +78,30 @@ object Similarity {
       .select("query_id", "cand_id", "dot", "cosine", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: every vector is keyed by
+    * its hyperplane bucket; only within-bucket pairs (a < b) are scored
+    * and pairs with cosine ≥ `threshold` survive. The bucket join is
+    * the scale path — no O(n²) cross join; at 100 TB the shuffle is on
+    * the short bucket key and pair work is O(bucket²) per bucket. */
+  def embedNearDupPairs(emb: DataFrame, threshold: Double,
+                        numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+      .withColumn("bucket", lshBucket(col("q"), ps))
+    val a = q.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+      col("nq").as("na"), col("bucket"))
+    val b = q.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+      col("nq").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .withColumn("cosine", col("dot").cast(DoubleType) /
+        (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      .where(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "bucket", "dot", "cosine")
+  }
+
   /** LSH-bucketed approximate top-k: both sides are keyed by the
     * hyperplane bucket; candidates are only scored within the query's
     * bucket. Recall trades off against `numPlanes` (bucket granularity). */

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Multimodal binary-column plumbing: payload/metadata schema, batched
+  * stub decode, frame sampling — including true byte (not char)
+  * semantics for multi-byte UTF-8. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("payload schema: binary + typed metadata struct") {
+    val df = Multimodal.asBinaryPayload(docs(0L -> "abc", 5L -> "xyz"),
+      "doc_id", "text")
+    assert(df.schema("payload").dataType.typeName == "binary")
+    val r = df.orderBy("doc_id").collect()
+    assert(r(0).getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("format") == "png")
+    assert(r(1).getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("format") == "webp") // 5 % 3 = 2 → third entry
+    assert(r(1).getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Long]("width") == 64 + 5 * 16)
+  }
+
+  test("extractMeta counts BYTES, not chars (UTF-8 multi-byte)") {
+    val df = Multimodal.extractMeta(
+      Multimodal.asBinaryPayload(docs(1L -> "café"), "doc_id", "text"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_bytes") == 5L) // é is 2 bytes
+    // first 4 BYTES: 'c','a','f', then é's lead byte 0xc3
+    assert(r.getAs[String]("magic_hex") == "636166c3")
+  }
+
+  test("FakeCodec decode: deterministic byte stats") {
+    assert(Multimodal.FakeCodec.decode("abc".getBytes("UTF-8")) ==
+      (3L, 97L + 98L + 99L, 97L, 99L))
+    assert(Multimodal.FakeCodec.decode(Array.emptyByteArray) ==
+      (0L, 0L, 0L, 0L))
+  }
+
+  test("decodeFeatures matches single-node decode over every row") {
+    val data = docs(1L -> "hello", 2L -> "Spark!", 3L -> "café au lait")
+    val got = Multimodal.decodeFeatures(
+      Multimodal.asBinaryPayload(data, "doc_id", "text"))
+      .orderBy("doc_id").collect()
+    val want = Seq("hello", "Spark!", "café au lait")
+      .map(s => Multimodal.FakeCodec.decode(s.getBytes("UTF-8")))
+    got.zip(want).foreach { case (r, (n, s, mn, mx)) =>
+      assert(r.getAs[Long]("n_bytes") == n)
+      assert(r.getAs[Long]("byte_sum") == s)
+      assert(r.getAs[Long]("byte_min") == mn)
+      assert(r.getAs[Long]("byte_max") == mx)
+    }
+  }
+
+  test("frameSample: stride boundaries and md5 stability") {
+    val text = "x" * 130 // 130 bytes → frames at 0, 64, 128 → 3 frames
+    val df = Multimodal.frameSample(
+      Multimodal.asBinaryPayload(docs(1L -> text, 2L -> "short"),
+        "doc_id", "text"))
+    val r = df.orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_frames") == 3L)
+    assert(r(1).getAs[Long]("n_frames") == 1L)
+    val frames = r(0).getSeq[String](2)
+    assert(frames.size == 3)
+    // frame 0 and 1 are identical 16-x slices; frame 2 is the 2-byte tail
+    assert(frames(0) == frames(1))
+    assert(frames(2) != frames(0))
+    // md5 of "x"*16 — fixed expected value guards the hash plumbing
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = md.digest(("x" * 16).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(frames(0) == exp)
+  }
+}
