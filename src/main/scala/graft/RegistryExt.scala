@@ -51,9 +51,13 @@ object RegistryExt {
        |                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |  ELSE CAST([] AS VARCHAR[]) END)) AS shingle FROM w)""".stripMargin
 
+  /** Generated from the SAME permutation constants as the Spark plan
+    * (Dedup.minhashParams) — one md5 per shingle, k affine permutations. */
   private val mhSelects: String =
-    (0 until NumHashes).map(j => s"min(md5('$j:' || shingle)) AS mh$j")
-      .mkString(", ")
+    Dedup.minhashParams(NumHashes).zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) + $b) " +
+        s"% ${Dedup.MinhashPrime}) AS mh$j"
+    }.mkString(", ")
 
   /** Exact BIGINT dot product of two list columns (len = Dim). */
   private def dotSql(a: String, b: String): String =
