@@ -16,6 +16,7 @@ object Sessions {
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Join kernel.
   *
@@ -25,5 +26,27 @@ object Joins {
                       dimCols: Seq[String]): DataFrame = {
     val proj = dim.select(dimCols.head, dimCols.tail: _*)
     fact.join(broadcast(proj), Seq(key), "left_outer")
+  }
+
+  /** Skew-busting salted inner equi-join for when the dim is too big to
+    * broadcast AND the fact key is skewed: the fact side gets a
+    * DETERMINISTIC salt (hash of all fact columns mod `salts` — never
+    * `rand()`, which breaks retry/replay), the dim side is replicated
+    * `salts` ways, and the join key becomes (key, salt). A hot fact key
+    * now spreads over `salts` reducers instead of one.
+    *
+    * AQE's skew-join split handles most cases at runtime; explicit
+    * salting remains the tool when a single key exceeds what one task
+    * can hold even after splitting, or when AQE is unavailable
+    * (streaming joins). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val factSalted = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(c => col(s"`$c`")): _*), lit(salts))
+        .cast(IntegerType))
+    val dimSalted = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast(IntegerType))
+    factSalted.join(dimSalted, Seq(key, "__salt")).drop("__salt")
   }
 }

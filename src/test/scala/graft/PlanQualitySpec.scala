@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** Plan-quality guards: these assert the PHYSICAL plan properties the
+  * 100 TB design depends on — filter pushdown into the parquet scan,
+  * column pruning, broadcast joins for small dims, and exchange reuse in
+  * self-joins. A regression here means a query still returns correct
+  * rows but would fall over at scale. */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val plan = planString(Registry.queries("q1_agg")(spark, dir))
+    assert(plan.contains("PushedFilters: ["),
+      "scan should carry pushed filters")
+    assert(plan.contains("l_shipdate"), "shipdate must reach the scan")
+    assert(!plan.toLowerCase.contains("pushedfilters: []"),
+      "pushed filter list must be non-empty")
+  }
+
+  test("p2_projection prunes the scan to exactly the projected columns") {
+    val plan = planString(Registry.queries("p2_projection")(spark, dir))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_custkey") &&
+      readSchema.contains("c_name") && readSchema.contains("c_mktsegment"))
+    assert(!readSchema.contains("c_acctbal") &&
+      !readSchema.contains("c_nationkey"),
+      s"unused columns must not be read: $readSchema")
+  }
+
+  test("J1 and the E1 filer join broadcast the small side") {
+    val j1 = planString(Registry.queries("j1_filer_join")(spark, dir))
+    assert(j1.contains("BroadcastHashJoin"), "J1 must broadcast the dim")
+    val e1 = planString(Registry.queries("e1_schedule_d")(spark, dir))
+    assert(e1.contains("BroadcastHashJoin"),
+      "E1 filer join must broadcast the cover projection")
+    assert(!j1.contains("SortMergeJoin"))
+  }
+
+  test("LSH band self-join reuses one exchange for both branches") {
+    val plan = planString(Registry.queries("dd_lsh_pairs")(spark, dir))
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("TableCacheQueryStage"),
+      "signature computation must not run once per join branch")
+  }
+
+  test("ascii_backslash is callable from plain SQL (extension injection)") {
+    val r = spark.sql("SELECT ascii_backslash('café') AS e")
+      .collect().head.getString(0)
+    assert(r == "caf\\xe9")
+  }
+
+  test("saltedJoin: equal to plain join, hot key spread across salts") {
+    import spark.implicits._
+    // skewed fact: one hot key with 1000 rows
+    val fact = ((1 to 1000).map(i => (7L, i.toLong)) ++
+      Seq((1L, 1L), (2L, 2L))).toDF("k", "payload")
+    val dim = Seq((7L, "hot"), (1L, "a"), (2L, "b"), (9L, "unmatched"))
+      .toDF("k", "name")
+    val salted = Joins.saltedJoin(fact, dim, "k", salts = 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.orderBy("k", "payload").collect().toSeq ==
+      plain.orderBy("k", "payload").collect().toSeq)
+    // the hot key's rows must occupy several salt partitions
+    val spread = fact
+      .withColumn("__salt",
+        pmod(hash(fact.columns.map(col): _*), lit(8)))
+      .where($"k" === 7L).select("__salt").distinct().count()
+    assert(spread >= 4, s"salt spread too low: $spread")
+  }
+}
