@@ -28,16 +28,19 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Word n-shingles of a text column, distinct, deterministic.
-    * Spark's `sequence(a, b)` DESCENDS when a > b (DuckDB's
+  /** Word n-shingles of a text column, deterministic (distinct by
+    * default). Spark's `sequence(a, b)` DESCENDS when a > b (DuckDB's
     * generate_series is empty instead), so short texts are guarded
-    * explicitly. */
-  def shingles(textCol: Column, n: Int = 3): Column = {
+    * explicitly. `distinct = false` skips the dedup pass — correct for
+    * duplicate-insensitive consumers like minhash `min`. */
+  def shingles(textCol: Column, n: Int = 3,
+               distinct: Boolean = true): Column = {
     val w = split(trim(textCol), "\\s+")
     val sh = transform(sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
-    array_distinct(
-      when(size(w) >= n, sh).otherwise(array().cast(ArrayType(StringType))))
+      i => array_join(slice(w, i, lit(n)), " "))
+    val guarded =
+      when(size(w) >= n, sh).otherwise(array().cast(ArrayType(StringType)))
+    if (distinct) array_distinct(guarded) else guarded
   }
 
   /** Exact dedup: keep the lowest-id row per duplicate group, carrying the
@@ -86,7 +89,8 @@ object Dedup {
     * shuffle here is k small longs per doc, negligible.) */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
+    val sh = df.select(col(idCol),
+      explode(shingles(col(textCol), distinct = false)).as("shingle"))
     val h = conv(substring(md5(col("shingle")), 1, 8), 16, 10)
       .cast(LongType)
     val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
