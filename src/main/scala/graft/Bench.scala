@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get("graft-bench")
+    // Warmup: absorb JVM/codegen/scan-setup cost so per-query numbers
+    // reflect steady state rather than first-query initialization.
+    try Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -213,6 +213,20 @@ object Form700Pipeline {
     }
   }
 
+  /** Both privacy variants — the reference runs the whole pipeline
+    * twice, `isRedacted` False then True (Form700.py:714-718), against
+    * the same endpoints with the `IsRedacted` request flag; redaction
+    * happens SERVER-side (SURVEY.md §1.4), so here the flag selects a
+    * source directory and suffixes every table name `_redacted`
+    * (Form700.py:99,170). 16 logical tables total. */
+  def runBoth(spark: SparkSession, pagesRoot: String,
+              redactedPagesRoot: String,
+              doublesByTable: Option[Map[String, Set[String]]] = None)
+      : Map[String, DataFrame] =
+    run(spark, pagesRoot, doublesByTable) ++
+      run(spark, redactedPagesRoot, doublesByTable)
+        .map { case (n, df) => s"${n}_redacted" -> df }
+
   // ------------------------------------------------------------------
   // Sink + audit (K1–K5 — Form700.py:439-506; O5/A1 — :588-655)
   // ------------------------------------------------------------------
@@ -230,13 +244,17 @@ object Form700Pipeline {
   def writeAll(spark: SparkSession, tables: Map[String, DataFrame],
                outDir: String): DataFrame = {
     val report = tables.toSeq.sortBy(_._1).map { case (name, df) =>
-      val prepared = prepareForSink(df)
-      val expected = prepared.count()
-      val path = s"$outDir/$name"
-      prepared.write.mode("overwrite").parquet(path)
-      val written = spark.read.parquet(path).count()
-      Row(name, expected, written,
-        if (written == expected) "SUCCESS" else "FAILURE")
+      // persist: the audit needs both a pre-sink count and the write —
+      // without it the whole upstream pipeline executes twice per table.
+      val prepared = prepareForSink(df).persist()
+      try {
+        val expected = prepared.count()
+        val path = s"$outDir/$name"
+        prepared.write.mode("overwrite").parquet(path)
+        val written = spark.read.parquet(path).count()
+        Row(name, expected, written,
+          if (written == expected) "SUCCESS" else "FAILURE")
+      } finally prepared.unpersist()
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(report, 1),

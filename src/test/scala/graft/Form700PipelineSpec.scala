@@ -120,6 +120,17 @@ class Form700PipelineSpec extends AnyFunSuite {
     assert(e.map(_.getAs[Long]("amount")).toSet == Set(300L, 120L))
   }
 
+  test("runBoth: 16 logical tables, _redacted suffix applied") {
+    // the redacted variant reads its own source dir (server-side
+    // redaction); same fixture pages stand in for both endpoints here
+    val root = Form700Pipeline.defaultPagesRoot
+    val both = Form700Pipeline.runBoth(spark, root, root,
+      Some(Form700Pipeline.fixtureDoubles))
+    assert(both.size == 16)
+    assert(both.keySet.count(_.endsWith("_redacted")) == 8)
+    assert(both("scheduleD_redacted").count() == both("scheduleD").count())
+  }
+
   test("K sink + O5 audit: write all tables, counts match") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_e1_sink").toString
