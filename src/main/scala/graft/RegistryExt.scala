@@ -179,6 +179,9 @@ object RegistryExt {
   // Similarity search
   // ---------------------------------------------------------------------
 
+  private val NumCentroids = 16
+  private val NumProbes = 2
+
   private val similarity: Map[String, Q] = Map(
     "sim_brute_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), NumQueries, TopK)
@@ -186,6 +189,10 @@ object RegistryExt {
     "sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumPlanes, Dim)
+        .orderBy("query_id", "rank")),
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), NumQueries, TopK,
+        NumCentroids, NumProbes)
         .orderBy("query_id", "rank"))
   )
 
@@ -229,7 +236,40 @@ object RegistryExt {
          |  FROM sc)
          |SELECT query_id, cand_id, bucket, dot, cosine, "rank"
          |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
-    }
+    },
+    "sim_ivf_topk" ->
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n WHERE vec_id < $NumCentroids),
+         |sc AS (
+         |  SELECT n.vec_id, c.cid,
+         |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
+         |  FROM n CROSS JOIN c),
+         |best AS (
+         |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
+         |  FROM sc GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
+         |    FROM sc WHERE vec_id < $NumQueries)
+         |  WHERE pr <= $NumProbes),
+         |cand AS (SELECT n.*, b.cid FROM n JOIN best b USING (vec_id)),
+         |qs AS (
+         |  SELECT n.vec_id AS query_id, n.q AS qv, n.nq AS nqq, p.cid
+         |  FROM n JOIN probes p ON n.vec_id = p.query_id),
+         |pairs AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id, c.cid,
+         |    ${dotSql("q.qv", "c.q")} AS dot, q.nqq, c.nq AS nqc
+         |  FROM cand c JOIN qs q ON c.cid = q.cid
+         |  WHERE c.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, cand_id, cid, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM pairs)
+         |SELECT query_id, cand_id, cid, dot, cosine, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
   )
 
   // ---------------------------------------------------------------------

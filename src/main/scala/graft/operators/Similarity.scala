@@ -78,6 +78,57 @@ object Similarity {
       .select("query_id", "cand_id", "dot", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the second ANN scale path
+    * next to [[lshTopK]]: vectors are coarse-quantized to their nearest
+    * of `numCentroids` deterministic centroids (the first C vectors by
+    * id — a stand-in for trained k-means centroids; the *plumbing* is
+    * the contract), and each query probes only its `numProbes` nearest
+    * centroid lists.
+    *
+    * Scale shape: the C centroids broadcast to every executor; coarse
+    * assignment is a broadcast nested-loop + map-side-combined argmax
+    * (max over a (score, cid) struct — lexicographic, tie → larger cid,
+    * identical semantics in the DuckDB oracle); the probe join shuffles
+    * on the centroid id, so per-query work drops from O(n) to
+    * O(probed lists). */
+  def ivfTopK(emb: DataFrame, numQueries: Long, k: Int,
+              numCentroids: Int = 16, numProbes: Int = 2): DataFrame = {
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    val cents = v.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cv"),
+        col("nq").as("nc"))
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("score", dotQ(col("q"), col("cv")).cast(DoubleType) /
+        sqrt(col("nc").cast(DoubleType)))
+      .select("vec_id", "cid", "score")
+    val best = scored.groupBy("vec_id")
+      .agg(max(struct(col("score"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val assigned = v.join(best, "vec_id")
+    val pw = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("cid").desc)
+    val probes = scored.where(col("vec_id") < numQueries)
+      .withColumn("pr", row_number().over(pw))
+      .where(col("pr") <= numProbes)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val queries = v.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nq").as("nqq"))
+      .join(probes, Seq("query_id"))
+    val pairs = assigned.join(broadcast(queries), Seq("cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("dot", dotQ(col("qv"), col("q")))
+      .withColumn("cosine", col("dot").cast(DoubleType) /
+        (sqrt(col("nqq").cast(DoubleType)) * sqrt(col("nq").cast(DoubleType))))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(rw).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cid"),
+        col("dot"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: every vector is keyed by
     * its hyperplane bucket; only within-bucket pairs (a < b) are scored
     * and pairs with cosine ≥ `threshold` survive. The bucket join is

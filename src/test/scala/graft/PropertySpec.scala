@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleaning, Dedup, Restructure, SchemaBootstrap}
+import graft.functions.AsciiBackslash
+
+/** Property tests (SURVEY.md §5.4): algebraic invariants of the
+  * cleaning/restructuring kernels that golden tests cannot sweep —
+  * idempotence, row-count laws, round-trips — checked over generated
+  * inputs (scalacheck Gen, fixed seed, sampled directly — the
+  * scalatest bridge artifact is not on the offline classpath). Scalar
+  * properties run against the Catalyst expressions via one batched
+  * DataFrame evaluation per property (not one job per sample). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic sampling: n draws from the generator. */
+  private def forAll[A](gen: Gen[A], n: Int = 8)(f: A => Unit): Unit = {
+    var s = org.scalacheck.rng.Seed(42L)
+    (0 until n).foreach { _ =>
+      f(gen.pureApply(Gen.Parameters.default, s))
+      s = s.next
+    }
+  }
+
+  /** One deterministic draw. */
+  private def draw[A](gen: Gen[A], seed: Long = 7L): A =
+    gen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+
+  private val texts: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)), Gen.const("12%"), Gen.const(""),
+    Gen.const("a\nb"), Gen.const("café"), Gen.const("Ÿ水"),
+    Gen.const(" x  y "))).map(_.mkString(" ")).map(_.take(200))
+
+  /** Evaluate a Column fn over many strings in ONE Spark job. */
+  private def evalBatch(inputs: Seq[String],
+                        f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[String] = {
+    import spark.implicits._
+    inputs.toDF("s").select(f(col("s")).as("r")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+  }
+
+  test("ascii escape is idempotent: escape(escape(x)) == escape(x)") {
+    val samples = draw(Gen.listOfN(200, texts))
+    val once = evalBatch(samples, AsciiBackslash.asciiBackslash)
+    val twice = evalBatch(once, AsciiBackslash.asciiBackslash)
+    assert(twice == once)
+    // and always pure ASCII
+    assert(once.forall(_.forall(_ < 0x80)))
+  }
+
+  test("number sanitize is idempotent and kills every [a-zA-Z%]") {
+    val samples = draw(Gen.listOfN(200, texts))
+    val once = evalBatch(samples, Cleaning.sanitizeNumber)
+    val twice = evalBatch(once, Cleaning.sanitizeNumber)
+    assert(twice == once)
+    assert(once.forall(s => !s.exists(c => c.isLetter && c < 0x80) &&
+      !s.contains('%')))
+  }
+
+  test("removeNewLines: idempotent, length-preserving minus newlines") {
+    import spark.implicits._
+    val samples = draw(Gen.listOfN(200, texts))
+    val df = samples.toDF("s")
+    val once = Cleaning.removeNewLines(df).as[String].collect().toSeq
+    val twice = Cleaning.removeNewLines(once.toDF("s"))
+      .as[String].collect().toSeq
+    assert(twice == once)
+    samples.zip(once).foreach { case (in, out) =>
+      assert(out.length == in.length - in.count(_ == '\n'))
+    }
+  }
+
+  test("explode row-count law: rows == Σ max(1, arrayLen)") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60,
+      Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.alphaStr.map(_.take(4)))))
+    forAll(gen) { arrays =>
+      val df = arrays.zipWithIndex
+        .map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "arr")
+        .select(col("id"), col("arr").cast("array<struct<k:bigint,v:string>>"))
+      val exploded = Restructure.explodeStructArray(df, "arr")
+      val want = arrays.map(a => math.max(1, a.size).toLong).sum
+      assert(exploded.count() == want)
+    }
+  }
+
+  test("serialize struct-array: struct count == pipe-segments") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40,
+      Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.alphaStr.map(_.take(4)))))
+    forAll(gen) { arrays =>
+      val df = arrays.zipWithIndex
+        .map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "arr")
+        .select(col("id"), col("arr").cast("array<struct<k:bigint,v:string>>"))
+      val out = Restructure.serializeStructArray(df, "arr")
+        .orderBy("id").collect()
+      out.zip(arrays).foreach { case (r, a) =>
+        val s = r.getAs[String]("arr")
+        val segs = if (s.isEmpty) 0 else s.split("\\|", -1).length
+        assert(segs == a.size)
+        // each segment carries both field names
+        if (a.nonEmpty) assert(s.split("\\|", -1)
+          .forall(seg => seg.startsWith("k:") && seg.contains(",v:")))
+      }
+    }
+  }
+
+  test("shingles: count law |max(0, words-2)| distinct-bounded") {
+    import spark.implicits._
+    forAll(Gen.listOfN(50, Gen.choose(0, 30))) { sizes =>
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(k => s"w${k % 7}").mkString(" "))
+      }
+      val df = docs.toDF("id", "text")
+        .select(col("id"), size(Dedup.shingles(col("text"))).as("n"),
+          size(Dedup.shingles(col("text"), distinct = false)).as("nAll"))
+      df.collect().foreach { r =>
+        val id = r.getAs[Long]("id")
+        val words = sizes(id.toInt)
+        val full = math.max(0, words - 2)
+        assert(r.getAs[Int]("nAll") == full)
+        assert(r.getAs[Int]("n") <= full)
+      }
+    }
+  }
+
+  test("toSinkName: idempotent and parquet-safe (no dots, lower)") {
+    forAll(Gen.listOfN(100, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(10)),
+      Gen.const("loan.highestBalance"), Gen.const("filerName"),
+      Gen.const("ABCDef"), Gen.const("a.b.c")))) { names =>
+      names.filter(_.nonEmpty).foreach { n =>
+        val s = Restructure.toSinkName(n)
+        assert(Restructure.toSinkName(s) == s)
+        assert(!s.contains('.') && s == s.toLowerCase)
+      }
+    }
+  }
+
+  test("titleize is stable on its own output's fieldName form") {
+    forAll(Gen.listOfN(50, Gen.alphaNumStr.map(_.take(12)))) { names =>
+      names.filter(_.nonEmpty).foreach { n =>
+        val t = SchemaBootstrap.titleize(n)
+        // titleizing a Title Case string must be a no-op
+        assert(SchemaBootstrap.titleize(t.replace(" ", "_")) == t)
+      }
+    }
+  }
+}

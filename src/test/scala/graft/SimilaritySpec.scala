@@ -54,4 +54,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.contains((0L, 1L)))
     assert(!out.contains((0L, 2L)))
   }
+
+  test("ivfTopK: probed lists find the near neighbor, skip far lists") {
+    // centroids = vec 0 and 1 (numCentroids = 2): two opposite lists
+    val df = emb(
+      (0L, Seq(1f, 1f, 1f, 1f)),     // centroid/list A (also the query)
+      (1L, Seq(-1f, -1f, -1f, -1f)), // centroid/list B
+      (2L, Seq(1f, 1f, 1f, 0.5f)),   // assigned to A — must be found
+      (3L, Seq(-1f, -1f, -1f, -0.5f))) // assigned to B
+    val out = Similarity.ivfTopK(df, 1L, 10, numCentroids = 2,
+        numProbes = 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 2L)))
+    assert(!out.contains((0L, 3L)), "far list must not be probed")
+    // with numProbes = 2 every list is probed → the far vector appears
+    val all = Similarity.ivfTopK(df, 1L, 10, numCentroids = 2,
+        numProbes = 2)
+      .select("cand_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L))
+  }
+
+  test("ivfTopK recovers an exact duplicate at rank 1") {
+    val base = Seq.tabulate(8)(i => (i.toFloat + 1) / 8f)
+    val df = emb(
+      (0L, base), (1L, base.map(-_)), // two centroids
+      (5L, Seq.fill(8)(0.3f)), (6L, base))
+    val top = Similarity.ivfTopK(df, 1L, 1, numCentroids = 2,
+        numProbes = 1)
+      .select("query_id", "cand_id", "cosine")
+      .as[(Long, Long, Double)].collect().head
+    assert(top._1 == 0L && top._2 == 6L)
+    assert(math.abs(top._3 - 1.0) < 1e-9)
+  }
 }
