@@ -35,6 +35,7 @@ object RegistryExt {
   private val NumQueries = 8L
   private val TopK = 5
   private val NumPlanes = 4
+  private val NeardupPlanes = 8
   private val Dim = 64
   private val SessionGapSeconds = 1800L
   private val IdShift = 1000000L
@@ -445,11 +446,14 @@ object RegistryExt {
     // Embedding-cosine near-dup: exact duplicates are synthesized under
     // shifted ids (the fixture's random vectors are near-orthogonal), so
     // the LSH-bucketed pair pass must recover exactly those pairs.
+    // More planes than the top-k queries: pair work is O(n²/buckets), so
+    // bucket granularity is the scale lever (identical vectors always
+    // share a bucket regardless).
     "dd_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val doubled = e.unionAll(e.select(
         (col("vec_id") + IdShift).as("vec_id"), col("embedding")))
-      Similarity.embedNearDupPairs(doubled, 0.999, NumPlanes, Dim)
+      Similarity.embedNearDupPairs(doubled, 0.999, NeardupPlanes, Dim)
         .orderBy("vec_a", "vec_b")
     })
   )
@@ -482,7 +486,7 @@ object RegistryExt {
         |    i -> md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 16))), '|') AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dd_embed_neardup" -> {
-      val planes = Similarity.planes(NumPlanes, Dim)
+      val planes = Similarity.planes(NeardupPlanes, Dim)
       val bucket = planes.map(p =>
         s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
         .mkString(" || ")

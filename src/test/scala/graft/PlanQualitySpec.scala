@@ -62,6 +62,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(r == "caf\\xe9")
   }
 
+  test("optimizer rule collapses nested ascii_backslash (injected Rule)") {
+    import graft.functions.AsciiBackslash.asciiBackslash
+    import spark.implicits._
+    val df = Seq("café").toDF("s")
+      .select(asciiBackslash(asciiBackslash(col("s"))).as("e"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("ascii_?backslash".r.findAllIn(optimized.toLowerCase).size <= 1,
+      s"nested escape should collapse to one:\n$optimized")
+    assert(df.collect().head.getString(0) == "caf\\xe9")
+  }
+
   test("saltedJoin: equal to plain join, hot key spread across salts") {
     import spark.implicits._
     // skewed fact: one hot key with 1000 rows
