@@ -44,20 +44,31 @@ object RegistryExt {
   // Oracle SQL builders (DuckDB dialect)
   // ---------------------------------------------------------------------
 
-  /** Word 3-shingle CTEs over a relation with (doc_id, text). */
-  private def shingleCtes(src: String): String =
+  /** Word 3-shingle CTEs over a relation with (doc_id, text), ending in
+    * `shh(doc_id, h)` — h is the polynomial shingle hash (base 257 mod
+    * 2^32, list_reduce over codepoints), computed once per shingle and
+    * shared by all k permutations. Same arithmetic as
+    * graft.functions.MinhashSig. */
+  private def shingleCtes(src: String): String = {
+    val B = graft.functions.RollingHash.Base
     s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src),
-       |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+       |sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
        |  THEN list_transform(generate_series(1, len(w) - 2),
        |                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-       |  ELSE CAST([] AS VARCHAR[]) END)) AS shingle FROM w)""".stripMargin
+       |  ELSE CAST([] AS VARCHAR[]) END) AS shingle FROM w),
+       |shh AS (SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(shingle) + 1),
+       |                     i -> CAST(unicode(shingle[i:i]) AS BIGINT))),
+       |    (x, y) -> (x * $B + y) % 4294967296) AS h FROM sh)""".stripMargin
+  }
 
   /** Generated from the SAME permutation constants as the Spark plan
-    * (Dedup.minhashParams) — one md5 per shingle, k affine permutations. */
+    * (Dedup.minhashParams) — k affine permutations of the shared
+    * shingle hash. */
   private val mhSelects: String =
     Dedup.minhashParams(NumHashes).zipWithIndex.map { case ((a, b), j) =>
-      s"min(($a * CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) + $b) " +
-        s"% ${Dedup.MinhashPrime}) AS mh$j"
+      s"min(($a * h + $b) % ${Dedup.MinhashPrime}) AS mh$j"
     }.mkString(", ")
 
   /** Exact BIGINT dot product of two list columns (len = Dim). */
@@ -123,7 +134,7 @@ object RegistryExt {
     "dd_minhash_sig" ->
       s"""WITH ${shingleCtes("documents")}
          |SELECT doc_id, $mhSelects
-         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM shh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_lsh_pairs" -> {
       val rows = NumHashes / Bands
       val bandSelects = (0 until Bands).map { b =>
@@ -134,7 +145,7 @@ object RegistryExt {
       s"""WITH d AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz' FROM documents),
          |${shingleCtes("d")},
-         |mh AS (SELECT doc_id, $mhSelects FROM sh GROUP BY doc_id),
+         |mh AS (SELECT doc_id, $mhSelects FROM shh GROUP BY doc_id),
          |bands AS (
          |  $bandSelects)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -526,7 +537,21 @@ object RegistryExt {
     "st_session_window" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionWindowAgg(
         t(s, dir, "events"), SessionGapSeconds)
-        .orderBy("user_id", "start_us"))
+        .orderBy("user_id", "start_us")),
+
+    // Streaming exact dedup: the same file streamed twice (UNION ALL of
+    // two identical sources), deduplicated on event_id with watermarked
+    // state — each event must be emitted exactly once.
+    "st_stream_dedup" -> ((s, dir) => {
+      val src = Tables.loadStream(s, dir, "events")
+        .unionAll(Tables.loadStream(s, dir, "events"))
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        df => df.withWatermark("ts", "1 hour")
+          .dropDuplicates("event_id")
+          .select("event_id", "user_id", "event_type"),
+        outputMode = "append")
+        .orderBy("event_id")
+    })
   )
 
   private val streamingOracles: Map[String, String] = Map(
@@ -557,7 +582,10 @@ object RegistryExt {
          |  count(*) AS n_events,
          |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
          |FROM s GROUP BY user_id, sid
-         |ORDER BY user_id, start_us""".stripMargin
+         |ORDER BY user_id, start_us""".stripMargin,
+    "st_stream_dedup" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin
   )
 
   val queries: Map[String, Q] =

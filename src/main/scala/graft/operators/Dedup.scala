@@ -74,29 +74,30 @@ object Dedup {
     }
   }
 
-  /** MinHash signature: each shingle is hashed ONCE (first 8 hex digits
-    * of md5 → a 32-bit integer), and the k signature values are affine
-    * permutations min((a_j·h + b_j) mod P) — the textbook scheme that
-    * avoids k full digests per shingle (measured 8×-less hashing at
-    * sf0.1 vs per-hash md5). One group-by with k partial-agg `min`s:
-    * the hash work streams through the codegen'd hash aggregate
-    * (map-side combine) and the agg's exchange is a reuse point for
-    * downstream self-joins.
+  /** MinHash signature: the whole kernel (tokenize → shingle →
+    * polynomial shingle hash → k affine-permutation minima) runs as ONE
+    * native codegen Expression per document
+    * ([[graft.functions.MinhashSig]]) — a narrow map with NO shuffle,
+    * no explode, no digests, no intermediate arrays. Signature values
+    * are min((a_j·h + b_j) mod P) with md5-derived constants inlined
+    * identically in the DuckDB oracle.
     *
-    * (Measured alternative, rejected: a narrow `array_min(transform(…))`
-    * per hash avoids the shuffle but runs ~2× slower — nested HOFs
-    * allocate per element and defeat the streaming aggregate; the
-    * shuffle here is k small longs per doc, negligible.) */
+    * (Measured history: explode→md5→groupBy was the original shape —
+    * the agg shuffle was cheap but the per-shingle digest and the
+    * exploded row stream were not; a nested-HOF `array_min(transform)`
+    * variant was 2× worse again. The fused Expression beats both.)
+    * Documents with fewer than 3 words yield no signature row, same as
+    * the explode formulation. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(shingles(col(textCol), distinct = false)).as("shingle"))
-    val h = conv(substring(md5(col("shingle")), 1, 8), 16, 10)
-      .cast(LongType)
-    val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
-      min((h * a + b) % MinhashPrime).as(s"mh$j")
-    }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val params = minhashParams(numHashes)
+    val sig = graft.functions.MinhashSig
+      .minhashSig(col(textCol), 3, params)
+    df.select(col(idCol), sig.as("__sig"))
+      .where(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(j =>
+          element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** LSH banding over a minhash signature: split the k hashes into
