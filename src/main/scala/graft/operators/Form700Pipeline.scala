@@ -243,19 +243,28 @@ object Form700Pipeline {
     * email. */
   def writeAll(spark: SparkSession, tables: Map[String, DataFrame],
                outDir: String): DataFrame = {
-    val report = tables.toSeq.sortBy(_._1).map { case (name, df) =>
-      // persist: the audit needs both a pre-sink count and the write —
-      // without it the whole upstream pipeline executes twice per table.
-      val prepared = prepareForSink(df).persist()
-      try {
-        val expected = prepared.count()
-        val path = s"$outDir/$name"
-        prepared.write.mode("overwrite").parquet(path)
-        val written = spark.read.parquet(path).count()
-        Row(name, expected, written,
-          if (written == expected) "SUCCESS" else "FAILURE")
-      } finally prepared.unpersist()
+    // Tables are independent → submit their jobs concurrently (Spark's
+    // scheduler interleaves them); wall time is the slowest table, not
+    // the sum of eight small write+audit round trips.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      Future {
+        // persist: the audit needs both a pre-sink count and the write —
+        // without it the whole upstream pipeline executes twice.
+        val prepared = prepareForSink(df).persist()
+        try {
+          val expected = prepared.count()
+          val path = s"$outDir/$name"
+          prepared.write.mode("overwrite").parquet(path)
+          val written = spark.read.parquet(path).count()
+          Row(name, expected, written,
+            if (written == expected) "SUCCESS" else "FAILURE")
+        } finally prepared.unpersist()
+      }
     }
+    val report = futures.map(Await.result(_, Duration.Inf))
     spark.createDataFrame(
       spark.sparkContext.parallelize(report, 1),
       StructType(Seq(

@@ -49,6 +49,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!j1.contains("SortMergeJoin"))
   }
 
+  test("minhash signature plan is shuffle-free (fused Expression)") {
+    // the raw operator, without the registry's final ORDER BY (which
+    // legitimately range-partitions)
+    val df = graft.operators.Dedup.minhashSignature(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", 8)
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"),
+      s"signature computation must be a narrow map:\n$plan")
+  }
+
   test("LSH band self-join reuses one exchange for both branches") {
     val plan = planString(Registry.queries("dd_lsh_pairs")(spark, dir))
     assert(plan.contains("ReusedExchange") ||

@@ -83,4 +83,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("abc"), 8) ==
       direct("abc", 3))
   }
+
+  test("fused minhash signature matches a reference implementation") {
+    import graft.functions.MinhashSig
+    import graft.operators.Dedup
+    val params = Dedup.minhashParams(8)
+    def ref(text: String): Option[Seq[Long]] = {
+      val words = text.trim.split("\\s+")
+      if (words.length < 3) return None
+      val hashes = (0 to words.length - 3).map { i =>
+        words.slice(i, i + 3).mkString(" ").codePoints().toArray
+          .foldLeft(0L)((h, c) => (h * 257 + c) & 0xFFFFFFFFL)
+      }
+      Some(params.map { case (a, b) =>
+        hashes.map(h => (a * h + b) % Dedup.MinhashPrime).min
+      })
+    }
+    for (t <- Seq("one two three four five", "a b c",
+                  "  spaced   out   tokens here  ", "too few")) {
+      val got = Option(MinhashSig.sig(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 3,
+        params.map(_._1).toArray, params.map(_._2).toArray))
+        .map(_.toLongArray().toSeq)
+      assert(got == ref(t), s"mismatch for '$t'")
+    }
+  }
 }
