@@ -101,6 +101,42 @@ object Registry {
         .orderBy("o_orderkey")
     }),
 
+    // Multi-join analytic query (TPC-H q3 shape): 3-table join chain
+    // with filters on both dims, aggregation, total order, LIMIT.
+    // Catalyst gets to reorder the joins and broadcast the pruned
+    // customer side; the date filters push into the scans.
+    "q3_shipping" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast(TimestampType))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast(TimestampType))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast(StringType).as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(asDouble(sum(dec2("l_extendedprice") *
+          (one - col("l_discount").cast(DecimalType(4, 2)))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Corpus-level vocabulary statistics: global 3-gram frequencies,
+    // top 20 — the one heavy text AGGREGATION next to the per-document
+    // text operators (shuffle on the shingle, map-side combine).
+    "tx_ngram_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(Dedup.shingles(col("text"))).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shingle"))
+        .limit(20)),
+
     // K-family sink format coverage: write-then-read roundtrips through
     // other columnar/text formats must be lossless — the oracle is the
     // original table itself.
@@ -162,6 +198,27 @@ object Registry {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'
         |) ORDER BY o_orderkey""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l.l_orderkey,
+        |  CAST(o.o_orderdate AS VARCHAR) AS o_orderdate, o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "tx_ngram_freq" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |  THEN list_transform(generate_series(1, len(w) - 2),
+        |                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS shingle FROM w)
+        |SELECT shingle, count(*) AS n FROM sh
+        |GROUP BY shingle ORDER BY n DESC, shingle LIMIT 20""".stripMargin,
     "k_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k_orc_roundtrip" ->
