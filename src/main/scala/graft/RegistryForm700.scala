@@ -53,8 +53,9 @@ object RegistryForm700 {
     s"COALESCE(TRY_CAST(regexp_replace(CAST($c AS VARCHAR), '[a-zA-Z%]', '0', 'g') AS $t), $z) AS \"$as\""
   }
 
-  private def checkboxSql(c: String): String =
-    s"COALESCE($c, false) AS \"$c\""
+  private def checkboxSql(c: String): String = checkboxSql(c, c)
+  private def checkboxSql(c: String, as: String): String =
+    s"COALESCE($c, false) AS \"$as\""
 
   /** X1 serialize of an array-of-struct column, explicit field order
     * (matches Spark's alphabetical JSON struct inference). */
@@ -108,6 +109,30 @@ object RegistryForm700 {
     "e1_schedule_a2" -> ((s, _) =>
       tables(s)("scheduleA2").na.fill("")
         .orderBy(col("id"), col("realPropertyParcelAddress"))),
+
+    // scheduleA1: the no-list-column clean path — S5 pluck, J1 join,
+    // P2 project, F2/F4 number cast (fairMarketValue), F9 date
+    // pass-through (dateAcquired). Covers Form700.py:678's clean of the
+    // simplest schedule shape.
+    "e1_schedule_a1" -> ((s, _) =>
+      tables(s)("scheduleA1").na.fill("").orderBy("id")),
+
+    // scheduleC: X1 serialize of incomeSources WITHOUT any explode —
+    // the serialize-only dispatch branch (Form700.py:325-334) that
+    // scheduleA2/D don't isolate. Also the empty-page case (page_2's
+    // scheduleC array is empty → chain over an empty list).
+    "e1_schedule_c" -> ((s, _) =>
+      tables(s)("scheduleC").na.fill("").orderBy("id")),
+
+    // scheduleE: the checkbox-heavy table — F3 null→false on two
+    // checkbox columns plus a string-typed number column ("300") through
+    // the F2 sanitize + F4 long cast.
+    "e1_schedule_e" -> ((s, _) =>
+      tables(s)("scheduleE").na.fill("").orderBy("id")),
+
+    // comments: the F1 newline-strip table (fixture comment embeds \n).
+    "e1_comments" -> ((s, _) =>
+      tables(s)("comments").na.fill("").orderBy("id")),
 
     // scheduleB through the K2 sink boundary: dotted loan.* columns
     // renamed snake_case, string nulls filled — the exact frame the
