@@ -213,6 +213,97 @@ object RegistryForm700 {
          |ORDER BY id, "realPropertyParcelAddress"""".stripMargin
     },
 
+    // scheduleA1: simplest clean shape — no list columns, one number
+    // (BIGINT path) and the date pass-through.
+    "e1_schedule_a1" ->
+      s"""WITH $coverCte,
+         |a0 AS (
+         |  SELECT unnest(scheduleA1) AS r
+         |  FROM read_json_auto('$OraclePages/schedules/*.json')
+         |), a1 AS (
+         |  SELECT r.filingId AS filingId, r.id AS id,
+         |    r.nameOfBusinessEntity AS nameOfBusinessEntity,
+         |    r.fairMarketValue AS fairMarketValue,
+         |    r.fairMarketValueAsRange AS fairMarketValueAsRange,
+         |    r.natureOfInvestment AS natureOfInvestment,
+         |    r.dateAcquired AS dateAcquired,
+         |    r.transactionType AS transactionType
+         |  FROM a0
+         |)
+         |SELECT ${textSql("a1.filingId", "filingId")}, ${textSql("a1.id", "id")},
+         |  ${textSql("a1.nameOfBusinessEntity", "nameOfBusinessEntity")},
+         |  ${numSql("a1.fairMarketValue", "fairMarketValue")},
+         |  ${textSql("a1.fairMarketValueAsRange", "fairMarketValueAsRange")},
+         |  ${textSql("a1.natureOfInvestment", "natureOfInvestment")},
+         |  COALESCE(a1.dateAcquired, '') AS "dateAcquired",
+         |  ${textSql("a1.transactionType", "transactionType")},
+         |  ${filerSelect("c")}
+         |FROM a1 LEFT JOIN cser c ON a1.filingId = c.filingId
+         |ORDER BY id""".stripMargin,
+
+    // scheduleC: X1 serialize-only dispatch (no explode) + the
+    // empty-page case (page_2's scheduleC is []).
+    "e1_schedule_c" ->
+      s"""WITH $coverCte,
+         |c0 AS (
+         |  SELECT unnest(scheduleC) AS r
+         |  FROM read_json_auto('$OraclePages/schedules/*.json')
+         |), c1 AS (
+         |  SELECT r.filingId AS filingId, r.id AS id,
+         |    r.nameOfIncomeSource AS nameOfIncomeSource,
+         |    r.incomeGrossIncome AS incomeGrossIncome,
+         |    ${serSql("r.incomeSources", Seq("address", "name"))} AS incomeSources
+         |  FROM c0
+         |)
+         |SELECT ${textSql("c1.filingId", "filingId")}, ${textSql("c1.id", "id")},
+         |  ${textSql("c1.nameOfIncomeSource", "nameOfIncomeSource")},
+         |  ${numSql("c1.incomeGrossIncome", "incomeGrossIncome")},
+         |  ${textSql("c1.incomeSources", "incomeSources")},
+         |  ${filerSelect("c")}
+         |FROM c1 LEFT JOIN cser c ON c1.filingId = c.filingId
+         |ORDER BY id""".stripMargin,
+
+    // scheduleE: checkbox defaults (F3 null→false) + the string-typed
+    // number column ("300") through F2 sanitize + F4 long cast.
+    "e1_schedule_e" ->
+      s"""WITH $coverCte,
+         |e0 AS (
+         |  SELECT unnest(scheduleE) AS r
+         |  FROM read_json_auto('$OraclePages/schedules/*.json')
+         |), e1 AS (
+         |  SELECT r.filingId AS filingId, r.id AS id,
+         |    r.nameOfSource AS nameOfSource, r.amount AS amount,
+         |    r.isNonprofit AS isNonprofit, r.madeSpeech AS madeSpeech,
+         |    r.startDate AS startDate, r.endDate AS endDate
+         |  FROM e0
+         |)
+         |SELECT ${textSql("e1.filingId", "filingId")}, ${textSql("e1.id", "id")},
+         |  ${textSql("e1.nameOfSource", "nameOfSource")},
+         |  ${numSql("e1.amount", "amount")},
+         |  ${checkboxSql("e1.isNonprofit", "isNonprofit")},
+         |  ${checkboxSql("e1.madeSpeech", "madeSpeech")},
+         |  COALESCE(e1.startDate, '') AS "startDate",
+         |  COALESCE(e1.endDate, '') AS "endDate",
+         |  ${filerSelect("c")}
+         |FROM e1 LEFT JOIN cser c ON e1.filingId = c.filingId
+         |ORDER BY id""".stripMargin,
+
+    // comments: the F1 newline-strip table (fixture comment embeds \n).
+    "e1_comments" ->
+      s"""WITH $coverCte,
+         |m0 AS (
+         |  SELECT unnest(comments) AS r
+         |  FROM read_json_auto('$OraclePages/schedules/*.json')
+         |), m1 AS (
+         |  SELECT r.filingId AS filingId, r.id AS id, r.comment AS comment
+         |  FROM m0
+         |)
+         |SELECT ${textSql("m1.filingId", "filingId")}, ${textSql("m1.id", "id")},
+         |  ${textSql("m1.comment", "comment")},
+         |  ${filerSelect("c")}
+         |FROM m1 LEFT JOIN cser c ON m1.filingId = c.filingId
+         |ORDER BY id""".stripMargin,
+
     "e1_schedule_b_sink" -> {
       def snake(n: String) = Restructure.toSinkName(n)
       s"""WITH $coverCte,
