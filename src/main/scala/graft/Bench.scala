@@ -1,27 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Each query runs `SPARK_GRAFT_BENCH_REPS` times
+  * (default 3) and reports the MEDIAN — a single-run bench swings 3-5×
+  * per query under host contention (observed r1→r2), which no 2×
+  * acceptance bar can survive. Failures are never silently timed: a
+  * failed query reports -1 and lands in the `errors` map.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = Sessions.get("graft-bench")
     // Warmup: absorb JVM/codegen/scan-setup cost so per-query numbers
     // reflect steady state rather than first-query initialization.
     try Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY output column. A count() here
-      // would let Catalyst prune projections entirely and time only the
-      // scan for map-only queries.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: materializes EVERY output column. A count() here
+        // would let Catalyst prune projections entirely and time only
+        // the scan for map-only queries.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            None
+        }
+      }
+      // -1 marks a query that failed every rep — a sentinel, not a time.
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
+    val ok = results.values.filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
