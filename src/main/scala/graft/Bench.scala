@@ -23,7 +23,11 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional args = query-name filter, for timing one query while
+    // iterating. The driver passes no args → full suite.
+    val selected = if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column. A count() here
