@@ -540,15 +540,14 @@ object RegistryExt {
         .orderBy("user_id", "start_us")),
 
     // Streaming exact dedup: the same file streamed twice (UNION ALL of
-    // two identical sources), deduplicated on event_id with watermarked
-    // state — each event must be emitted exactly once.
+    // two identical sources), deduplicated on event_id with watermarked,
+    // BOUNDED state (dropDuplicatesWithinWatermark — state evicts once
+    // the watermark passes ts + delay) — each event emitted exactly once.
     "st_stream_dedup" -> ((s, dir) => {
       val src = Tables.loadStream(s, dir, "events")
         .unionAll(Tables.loadStream(s, dir, "events"))
       graft.streaming.StreamOps.runToCompletion(s, src,
-        df => df.withWatermark("ts", "1 hour")
-          .dropDuplicates("event_id")
-          .select("event_id", "user_id", "event_type"),
+        graft.streaming.StreamOps.streamDedup(_),
         outputMode = "append")
         .orderBy("event_id")
     })

@@ -59,6 +59,21 @@ object StreamOps {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"), col("value_micros"))
 
+  /** Streaming exact dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * keeps a key's state only until the watermark passes `ts + delay`,
+    * then evicts it — unlike `dropDuplicates(keys)` without the event-time
+    * column, whose state grows forever (one row per distinct key seen) and
+    * OOMs a real 100 TB stream. The contract is the one real dedup
+    * pipelines want: duplicates arrive within the delay of the original
+    * (retries, at-least-once sources); an event older than the watermark
+    * is dropped as late data anyway, so post-eviction re-emission cannot
+    * happen. */
+  def streamDedup(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type")
+
   // ------------------------------------------------------------------
   // Arbitrary-state sessionization (flatMapGroupsWithState)
   // ------------------------------------------------------------------

@@ -113,6 +113,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq) == got.map(_.toSeq))
   }
 
+  test("stream dedup suppresses dups, drops late ones, and purges state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = StreamOps.streamDedup(streamDf)
+      .writeStream.format("memory").queryName("st_spec_dedup")
+      .outputMode(OutputMode.Append).start()
+    // Batch 1: two events plus an in-batch duplicate of event 1.
+    ms.addData(Seq((1L, 1L, B, "view", 1.0), (1L, 1L, B, "view", 1.0),
+      (2L, 2L, B + 1000000L, "click", 2.0)))
+    q.processAllAvailable()
+    // Batch 2: watermark is B+1s−1h (< B), so a replay of event 1 is not
+    // late yet — dedup state must suppress it. Event 3, 10 h ahead,
+    // advances the watermark for the next batch.
+    ms.addData(Seq((1L, 1L, B, "view", 1.0),
+      (3L, 3L, B + 10 * H, "view", 3.0)))
+    q.processAllAvailable()
+    // Batch 3: watermark is now B+9h. Events 1 and 2 (state expires at
+    // ts+1h) are evicted; another replay of event 1 is dropped as LATE
+    // data (ts < watermark), so eviction cannot cause re-emission.
+    ms.addData(Seq((1L, 1L, B, "view", 1.0),
+      (4L, 4L, B + 10 * H + 1000000L, "view", 4.0)))
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+    q.stop()
+    val got = spark.table("st_spec_dedup").orderBy("event_id")
+      .select("event_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L)) // each id exactly once, no re-emit
+    // 4 distinct keys seen; unbounded dropDuplicates would hold 4 state
+    // rows forever. WithinWatermark keeps only the 2 unexpired ones.
+    assert(stateRows <= 2, s"state not purged: $stateRows rows")
+  }
+
   test("file-stream rollup over the fixture == batch oracle shape") {
     val dir = "/root/testdata/sf0.001"
     val got = StreamOps.runToCompletion(spark,
