@@ -91,14 +91,20 @@ object Multimodal {
   /** Frame sampling ("video" payloads): one 16-byte frame every
     * `stride` bytes, fingerprinted with md5 — expression-only
     * (`sequence` + `transform` higher-order functions, whole-stage
-    * codegen). */
+    * codegen). Empty payloads are guarded explicitly: Spark's
+    * `sequence(a, b)` DESCENDS when a > b (here `sequence(0, -1)` would
+    * yield two bogus frames, where the oracle's `range(0, 0)` yields
+    * none) — the same guard as [[Dedup.shingles]]. */
   def frameSample(df: DataFrame, stride: Int = 64): DataFrame = {
-    val nFrames = floor((length(col("payload")) - 1) / stride)
+    val nFrames = greatest(lit(0L),
+      (floor((length(col("payload")) - 1) / stride) + 1).cast(LongType))
     df.select(col("doc_id"),
-      (nFrames + 1).cast(LongType).as("n_frames"),
-      transform(sequence(lit(0L), nFrames),
-        i => md5(substring(col("payload"),
-          (i * stride + 1).cast(IntegerType), lit(16))))
+      nFrames.as("n_frames"),
+      when(nFrames > 0,
+        transform(sequence(lit(0L), nFrames - 1),
+          i => md5(substring(col("payload"),
+            (i * stride + 1).cast(IntegerType), lit(16)))))
+        .otherwise(array().cast(ArrayType(StringType)))
         .as("frame_md5s"))
   }
 }

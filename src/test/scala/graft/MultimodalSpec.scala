@@ -79,4 +79,15 @@ class MultimodalSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     assert(frames(0) == exp)
   }
+
+  test("frameSample: empty payload yields 0 frames, not sequence(0,-1)") {
+    val r = Multimodal.frameSample(
+      Multimodal.asBinaryPayload(docs(1L -> "", 2L -> "a"),
+        "doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_frames") == 0L)
+    assert(r(0).getSeq[String](2).isEmpty) // oracle range(0,0) parity
+    assert(r(1).getAs[Long]("n_frames") == 1L)
+    assert(r(1).getSeq[String](2).size == 1)
+  }
 }
