@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
   * (default 3) and reports the MEDIAN — a single-run bench swings 3-5×
   * per query under host contention (observed r1→r2), which no 2×
   * acceptance bar can survive. Failures are never silently timed: a
-  * failed query reports -1 and lands in the `errors` map.
+  * query that fails every rep is OMITTED from `queries` and enumerated
+  * in the `errors` map instead.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -43,14 +44,16 @@ object Bench {
             None
         }
       }
-      // -1 marks a query that failed every rep — a sentinel, not a time.
-      name -> (if (times.isEmpty) -1.0 else median(times))
+      // None marks a query that failed every rep; it is reported ONLY in
+      // `errors`, never in `queries` — no sentinel can leak into a
+      // consumer that sums or compares per-query times.
+      name -> (if (times.isEmpty) None else Some(median(times)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
-    val ok = results.values.filter(_ >= 0)
+    val ok = results.values.flatten
     val total = if (ok.nonEmpty) ok.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -26,7 +26,10 @@ object StopwordCounts {
   def counts(u: UTF8String, lookup: java.util.HashMap[String, Array[Int]],
              k: Int): ArrayData = {
     val out = new Array[Long](k)
-    val words = u.toString.trim.split("\\s+")
+    // No .trim here: Java's String.trim strips all chars <= U+0020
+    // (wider than the \s+ / oracle space semantics). Leading whitespace
+    // just yields one "" token, which never matches the lookup map.
+    val words = u.toString.split("\\s+")
     var i = 0
     while (i < words.length) {
       val hit = lookup.get(words(i))
@@ -53,9 +56,12 @@ case class StopwordCountsExpr(child: Expression, lists: Array[Array[String]])
   /** token → indices of every language list containing it. */
   @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
     val m = new java.util.HashMap[String, Array[Int]]()
-    for ((ws, i) <- lists.zipWithIndex; w <- ws) {
+    // distinct per list: a word duplicated WITHIN one language's list
+    // must still count each matching token once (IN semantics), not twice.
+    for ((ws, i) <- lists.zipWithIndex; w <- ws.distinct) {
       val prev = m.get(w)
-      m.put(w, if (prev == null) Array(i) else prev :+ i)
+      m.put(w, if (prev == null) Array(i)
+               else if (prev.contains(i)) prev else prev :+ i)
     }
     m
   }
@@ -65,8 +71,10 @@ case class StopwordCountsExpr(child: Expression, lists: Array[Array[String]])
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
+    // Raw type: Janino's generics handling is parse-and-erase tolerance,
+    // not support — the raw spelling is the robust one (cf. MinhashSig).
     val mapRef = ctx.addReferenceObj("swLookup", lookup,
-      "java.util.HashMap<String, int[]>")
+      "java.util.HashMap")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.StopwordCounts.counts($c, $mapRef, ${lists.length});")
   }
