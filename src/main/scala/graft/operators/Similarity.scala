@@ -57,8 +57,14 @@ object Similarity {
 
   /** Brute-force top-k by quantized dot product (cosine carried along),
     * for queries `vec_id < numQueries` against all other vectors.
-    * The query side is broadcast; ranking is a per-query window with a
-    * total tiebreak (dot desc, cand_id asc). */
+    * The query side is broadcast; ranking is TWO-PHASE exact top-k via
+    * [[graft.functions.TopKByDot]]: each map task reduces its slice of
+    * scored rows to a ≤ k-entry heap per query (partial
+    * ObjectHashAggregate), then only those bounded buffers shuffle on
+    * `query_id` and merge. A `row_number` window here would instead
+    * shuffle ALL n·q scored rows into q reducer partitions — the
+    * exactness baseline must not die at scale either. Tiebreak is
+    * identical (dot desc, cand_id asc; rank = 1-based position). */
   def bruteForceTopK(emb: DataFrame, numQueries: Long, k: Int): DataFrame = {
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
@@ -71,11 +77,14 @@ object Similarity {
       .withColumn("dot", dotQ(col("qv"), col("cv")))
       .withColumn("cosine", col("dot").cast(DoubleType) /
         (sqrt(col("nqq").cast(DoubleType)) * sqrt(col("nqc").cast(DoubleType))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("dot").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select("query_id", "cand_id", "dot", "cosine", "rank")
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByDot.topK(k)(
+        col("dot"), col("cand_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cand_id").as("cand_id"),
+        col("c.dot").as("dot"), col("c.cosine").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
   }
 
   /** IVF (inverted-file) approximate top-k — the second ANN scale path

@@ -66,6 +66,25 @@ class PlanQualitySpec extends AnyFunSuite {
       "signature computation must not run once per join branch")
   }
 
+  test("sim_brute_topk shuffles bounded heaps, not all scored rows") {
+    val df = graft.operators.Similarity.bruteForceTopK(
+      Tables.load(spark, dir, "embeddings"), numQueries = 8, k = 5)
+    val plan = planString(df)
+    // The old shape — row_number over Window.partitionBy(query_id) —
+    // funnels every scored row through one exchange into q partitions.
+    assert(!plan.contains("Window"),
+      s"no global window rank over the scored corpus:\n$plan")
+    // The two-phase shape: a partial ObjectHashAggregate FEEDS the
+    // query_id exchange, so the exchange input is per-map-task ≤k heaps.
+    // The tree prints root-first, so the exchange's child (the partial
+    // aggregate) appears on a LATER line than the exchange itself.
+    val lines = plan.linesIterator.toVector
+    val exI = lines.indexWhere(_.contains("Exchange hashpartitioning(query_id"))
+    assert(exI >= 0, s"expected a query_id exchange:\n$plan")
+    assert(lines.drop(exI + 1).exists(_.contains("ObjectHashAggregate")),
+      s"exchange must consume partial aggregates, not scored rows:\n$plan")
+  }
+
   test("ascii_backslash is callable from plain SQL (extension injection)") {
     val r = spark.sql("SELECT ascii_backslash('café') AS e")
       .collect().head.getString(0)
