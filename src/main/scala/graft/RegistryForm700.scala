@@ -21,9 +21,17 @@ object RegistryForm700 {
     * machine; content is byte-identical to the classpath copy Spark
     * reads). */
   private val OraclePages = "/root/repo/src/main/resources/form700/pages"
+  private val OracleRedactedPages =
+    "/root/repo/src/main/resources/form700/pages_redacted"
 
   private def tables(s: SparkSession): Map[String, DataFrame] =
     P.run(s, P.defaultPagesRoot, Some(P.fixtureDoubles))
+
+  /** The full 16-table dual pipeline (reference runs everything twice,
+    * IsRedacted False then True — Form700.py:714-718). */
+  private def tablesBoth(s: SparkSession): Map[String, DataFrame] =
+    P.runBoth(s, P.defaultPagesRoot, P.defaultRedactedPagesRoot,
+      Some(P.fixtureDoubles))
 
   // ------------------------------------------------------------------
   // Oracle SQL builders (DuckDB dialect) — one per clean rule.
@@ -67,14 +75,32 @@ object RegistryForm700 {
   }
 
   /** Cover CTEs: flattened filings + serialized offices, shared by every
-    * oracle (the filer side of J1). */
-  private val coverCte =
+    * oracle (the filer side of J1). Parameterized by the pages root so
+    * the redacted variant reuses the identical clean semantics. */
+  private def coverCteFor(root: String): String =
     s"""cf AS (
        |  SELECT unnest(filings, recursive := true)
-       |  FROM read_json_auto('$OraclePages/cover/*.json')
+       |  FROM read_json_auto('$root/cover/*.json')
        |), cser AS (
        |  SELECT * REPLACE (${serSql("offices", Seq("code", "title"))} AS offices) FROM cf
        |)""".stripMargin
+  private val coverCte = coverCteFor(OraclePages)
+
+  /** The full cleaned-cover oracle over a given cover CTE — shared
+    * verbatim by the base and redacted variants (identical clean
+    * semantics, different source root). */
+  private def coverCleanSql(cte: String): String =
+    s"""WITH $cte
+       |SELECT ${textSql("filingId")}, ${textSql("filerId")}, ${textSql("filerName")},
+       |  ${textSql("departmentName")}, ${textSql("positionName")}, ${textSql("offices")},
+       |  COALESCE(periodStart, '') AS periodStart,
+       |  COALESCE(periodEnd, '') AS periodEnd,
+       |  COALESCE(filingDate, '') AS filingDate,
+       |  ${textSql("agency")}, ${checkboxSql("isAnnual")}, ${checkboxSql("isCandidate")},
+       |  ${numSql("scheduleA1Count", "scheduleA1Count")}, ${numSql("scheduleDCount", "scheduleDCount")},
+       |  ${numSql("commentCount", "commentCount")},
+       |  ${textSql("transactionType")}, ${textSql("id")}
+       |FROM cser ORDER BY filingId""".stripMargin
 
   private val filerTextCols =
     Seq("filerName", "departmentName", "positionName", "offices")
@@ -97,6 +123,12 @@ object RegistryForm700 {
     // are pass-through text and may be null pre-sink).
     "e1_cover_clean" -> ((s, _) =>
       tables(s)("cover").na.fill("").orderBy("filingId")),
+
+    // The REDACTED pipeline variant through runBoth: same clean rules
+    // over the redacted endpoint's pages (masked filer identity) —
+    // the dual-pipeline path a reference user runs twice a day.
+    "e1_cover_redacted" -> ((s, _) =>
+      tablesBoth(s)("cover_redacted").na.fill("").orderBy("filingId")),
 
     // scheduleD: S5 pluck, J1 broadcast filer join, X2 outer explode of
     // gifts, cleaning with the float-fallback amount column.
@@ -147,22 +179,28 @@ object RegistryForm700 {
       val out = java.nio.file.Files
         .createTempDirectory("graft_e1_audit").toString
       P.writeAll(s, tables(s), out).orderBy("table_name")
+    }),
+
+    // K5 incremental load: the cover table as two page-chunks — page 1
+    // REPLACES the sink (overwrite), page 2 APPENDS (the reference's
+    // chunk[1:] upsert loop, Form700.py:498-502) — and the audit checks
+    // the COMBINED count. Rows-only check (side-effecting sink).
+    "e1_audit_incremental" -> ((s, _) => {
+      val root = P.defaultPagesRoot
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_e1_inc").toString
+      val chunks = Seq("page_1.json", "page_2.json").map { p =>
+        P.clean(graft.sources.Form700Source.cover(
+          graft.sources.Form700Source.readPages(s, s"$root/cover/$p")),
+          P.catalog("cover"), Some(Set.empty))
+      }
+      P.writeIncremental(s, "cover", chunks, out).orderBy("table_name")
     })
   )
 
   val oracles: Map[String, String] = Map(
-    "e1_cover_clean" ->
-      s"""WITH $coverCte
-         |SELECT ${textSql("filingId")}, ${textSql("filerId")}, ${textSql("filerName")},
-         |  ${textSql("departmentName")}, ${textSql("positionName")}, ${textSql("offices")},
-         |  COALESCE(periodStart, '') AS periodStart,
-         |  COALESCE(periodEnd, '') AS periodEnd,
-         |  COALESCE(filingDate, '') AS filingDate,
-         |  ${textSql("agency")}, ${checkboxSql("isAnnual")}, ${checkboxSql("isCandidate")},
-         |  ${numSql("scheduleA1Count", "scheduleA1Count")}, ${numSql("scheduleDCount", "scheduleDCount")},
-         |  ${numSql("commentCount", "commentCount")},
-         |  ${textSql("transactionType")}, ${textSql("id")}
-         |FROM cser ORDER BY filingId""".stripMargin,
+    "e1_cover_clean" -> coverCleanSql(coverCte),
+    "e1_cover_redacted" -> coverCleanSql(coverCteFor(OracleRedactedPages)),
 
     "e1_schedule_d" ->
       s"""WITH $coverCte,
@@ -338,6 +376,7 @@ object RegistryForm700 {
          |  COALESCE(bj.filingDate, '') AS "filing_date"
          |FROM bj ORDER BY id""".stripMargin
     }
-    // e1_audit: no oracle (side-effecting sink) → driver rows-only check.
+    // e1_audit, e1_audit_incremental: no oracle (side-effecting sinks)
+    // → driver rows-only check.
   )
 }

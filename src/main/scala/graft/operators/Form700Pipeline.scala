@@ -28,9 +28,18 @@ object Form700Pipeline {
 
   final case class FieldSpec(dataType: String, fieldName: String,
                              displayName: String)
-  final case class TableSpec(name: String, listColumns: Seq[String],
+  /** One catalog row (K1/K6 — the reference's form700_tables.csv
+    * header: df_name, dataset_name, category, description, tags,
+    * list_columns, FourByFour, redacted). `fourByFour == "0"` marks a
+    * dataset not yet created in the sink catalog — the K1
+    * create-vs-replace branch (Form700.py:439-454). */
+  final case class TableSpec(name: String, datasetName: String,
+                             category: String, description: String,
+                             tags: Seq[String], listColumns: Seq[String],
+                             fourByFour: String, redacted: Boolean,
                              fields: Seq[FieldSpec]) {
     def fieldNames: Seq[String] = fields.map(_.fieldName)
+    def needsCreate: Boolean = fourByFour == "0"
   }
 
   /** Columns that explode to child rows (X2) rather than serialize to a
@@ -47,36 +56,43 @@ object Form700Pipeline {
     finally in.close()
   }
 
-  /** K6 analog (Form700.py:402-404) — the table catalog, loaded once. */
+  /** K6 analog (Form700.py:402-404) — the table catalog, loaded once.
+    * 16 rows: 8 base tables + their `_redacted` variants (same field
+    * schema, own dataset metadata — Form700.py:99). */
   lazy val catalog: Map[String, TableSpec] =
     resourceLines("/form700/tables.csv").drop(1).map { line =>
-      val Array(name, listCols) = line.split(",", -1)
-      val fields = resourceLines(s"/form700/schema/form700_${name}_schema.csv")
+      val Array(name, dsName, category, desc, tags, listCols, fxf, red) =
+        line.split(",", -1)
+      val base = name.stripSuffix("_redacted")
+      val fields = resourceLines(s"/form700/schema/form700_${base}_schema.csv")
         .drop(1).map { l =>
           val Array(t, f, d) = l.split(",", -1)
           FieldSpec(t, f, d)
         }
-      name -> TableSpec(name, listCols.split(":").toIndexedSeq.filter(_.nonEmpty),
-        fields)
+      name -> TableSpec(name, dsName, category, desc,
+        tags.split(":").toIndexedSeq.filter(_.nonEmpty),
+        listCols.split(":").toIndexedSeq.filter(_.nonEmpty),
+        fxf, red.equalsIgnoreCase("true"), fields)
     }.toMap
 
-  /** Known fixture page files (FIXTURES.md §B). */
+  /** Known fixture page files (FIXTURES.md §B) — same layout under the
+    * base and redacted roots. */
   private val pageFiles = Seq(
     "cover/page_1.json", "cover/page_2.json",
     "schedules/page_1.json", "schedules/page_2.json")
 
-  /** Location of the page fixtures as a `file:`-readable directory.
+  /** Location of a page-fixture root as a `file:`-readable directory.
     * When the classpath copy sits on disk we use it directly; when it is
     * packaged inside a jar (sbt runMain), the files are extracted once
     * to a temp dir — Hadoop's FileSystem cannot read `jar:` URIs. */
-  lazy val defaultPagesRoot: String = {
-    val url = getClass.getResource("/form700/pages")
+  private def fixtureRoot(resRoot: String): String = {
+    val url = getClass.getResource(resRoot)
     if (url != null && url.getProtocol == "file") url.toString
     else {
       val tmp = java.nio.file.Files.createTempDirectory("graft_f700_pages")
       pageFiles.foreach { rel =>
-        val in = getClass.getResourceAsStream(s"/form700/pages/$rel")
-        require(in != null, s"missing resource /form700/pages/$rel")
+        val in = getClass.getResourceAsStream(s"$resRoot/$rel")
+        require(in != null, s"missing resource $resRoot/$rel")
         val dst = tmp.resolve(rel)
         java.nio.file.Files.createDirectories(dst.getParent)
         try java.nio.file.Files.copy(in, dst) finally in.close()
@@ -84,6 +100,14 @@ object Form700Pipeline {
       tmp.toUri.toString
     }
   }
+
+  lazy val defaultPagesRoot: String = fixtureRoot("/form700/pages")
+
+  /** The redacted endpoint's pages (IsRedacted=True — server-side
+    * masking of filer identity; Form700.py:121): same layout, masked
+    * values. */
+  lazy val defaultRedactedPagesRoot: String =
+    fixtureRoot("/form700/pages_redacted")
 
   // ------------------------------------------------------------------
   // J1 — joinFilerToSchedule (Form700.py:346-352)
@@ -236,11 +260,29 @@ object Form700Pipeline {
   def prepareForSink(df: DataFrame): DataFrame =
     Restructure.renameForSink(df).na.fill("")
 
-  /** Write every table (truncate-and-load ≙ overwrite; the reference's
-    * chunked upsert + retry collapses into Spark's task-level writes and
-    * retries), then audit written counts against expected — the O5
-    * SUCCESS/FAILURE check, returned as a report DataFrame instead of an
-    * email. */
+  /** Deterministic stand-in for the sink catalog's assigned dataset id
+    * (the reference gets a fresh FourByFour back from dataset creation,
+    * Form700.py:443-446): first 8 md5 hex digits of the dataset name,
+    * formatted xxxx-xxxx — stable across runs and engines. */
+  def assignFourByFour(datasetName: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(datasetName.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    s"${hex.take(4)}-${hex.drop(4)}"
+  }
+
+  /** Write every table, then audit written counts against expected —
+    * the O5 SUCCESS/FAILURE check, returned as a report DataFrame
+    * instead of an email.
+    *
+    * K1 create-vs-replace (Form700.py:439-454): a table whose catalog
+    * row carries `FourByFour == 0` does not exist in the sink yet — it
+    * is CREATED (write fails if the path already exists) and assigned a
+    * deterministic id; every other table is REPLACED (truncate-and-load
+    * overwrite, K4; the reference's chunked upsert + retry collapses
+    * into Spark's task-level writes and retries). The report carries the
+    * catalog metadata (dataset_name, four_by_four, mode) so the audit
+    * is checkable against the catalog. */
   def writeAll(spark: SparkSession, tables: Map[String, DataFrame],
                outDir: String): DataFrame = {
     // Tables are independent → submit their jobs concurrently (Spark's
@@ -251,26 +293,81 @@ object Form700Pipeline {
     import scala.concurrent.ExecutionContext.Implicits.global
     val futures = tables.toSeq.sortBy(_._1).map { case (name, df) =>
       Future {
+        val spec = catalog.get(name)
+        val create = spec.exists(_.needsCreate)
+        val fxf = spec.map(s =>
+          if (s.needsCreate) assignFourByFour(s.datasetName)
+          else s.fourByFour).getOrElse("")
         // persist: the audit needs both a pre-sink count and the write —
         // without it the whole upstream pipeline executes twice.
         val prepared = prepareForSink(df).persist()
+        val dsName = spec.map(_.datasetName).getOrElse(name)
+        val mode = if (create) "create" else "replace"
         try {
           val expected = prepared.count()
           val path = s"$outDir/$name"
-          prepared.write.mode("overwrite").parquet(path)
-          val written = spark.read.parquet(path).count()
-          Row(name, expected, written,
-            if (written == expected) "SUCCESS" else "FAILURE")
+          try {
+            prepared.write
+              .mode(if (create) "errorifexists" else "overwrite")
+              .parquet(path)
+            val written = spark.read.parquet(path).count()
+            Row(name, dsName, fxf, mode, expected, written,
+              if (written == expected) "SUCCESS" else "FAILURE")
+          } catch {
+            // reference parity: a failed create is reported, not thrown
+            // (Form700.py:447-452 prints the error and carries on)
+            case _: org.apache.spark.sql.AnalysisException =>
+              Row(name, dsName, fxf, mode, expected, 0L, "FAILURE")
+          }
         } finally prepared.unpersist()
       }
     }
     val report = futures.map(Await.result(_, Duration.Inf))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(report, 1),
-      StructType(Seq(
-        StructField("table_name", StringType, nullable = false),
-        StructField("rows_expected", LongType, nullable = false),
-        StructField("rows_written", LongType, nullable = false),
-        StructField("status", StringType, nullable = false))))
+    auditFrame(spark, report)
+  }
+
+  private val auditSchema = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("dataset_name", StringType, nullable = false),
+    StructField("four_by_four", StringType, nullable = false),
+    StructField("mode", StringType, nullable = false),
+    StructField("rows_expected", LongType, nullable = false),
+    StructField("rows_written", LongType, nullable = false),
+    StructField("status", StringType, nullable = false)))
+
+  private def auditFrame(spark: SparkSession, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      auditSchema)
+
+  /** K5 incremental load (Form700.py:493-502): the reference REPLACES
+    * the dataset with the first chunk and UPSERTS every later chunk.
+    * The Spark analog takes the chunks as DataFrames (e.g. one per
+    * source page): the head chunk writes mode=overwrite
+    * (truncate-and-load), tail chunks mode=append; the reference's
+    * per-chunk `@retry` collapses into Spark's task-level retries. The
+    * audit compares the summed chunk counts against the combined
+    * read-back count — same report shape as [[writeAll]]. */
+  def writeIncremental(spark: SparkSession, name: String,
+                       chunks: Seq[DataFrame], outDir: String): DataFrame = {
+    require(chunks.nonEmpty, s"writeIncremental($name): no chunks")
+    val spec = catalog.get(name)
+    val fxf = spec.map(s =>
+      if (s.needsCreate) assignFourByFour(s.datasetName)
+      else s.fourByFour).getOrElse("")
+    val path = s"$outDir/$name"
+    var expected = 0L
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val prepared = prepareForSink(c).persist()
+      try {
+        expected += prepared.count()
+        prepared.write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(path)
+      } finally prepared.unpersist()
+    }
+    val written = spark.read.parquet(path).count()
+    auditFrame(spark, Seq(Row(name,
+      spec.map(_.datasetName).getOrElse(name), fxf,
+      s"replace+append:${chunks.size - 1}", expected, written,
+      if (written == expected) "SUCCESS" else "FAILURE")))
   }
 }

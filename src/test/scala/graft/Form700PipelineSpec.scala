@@ -120,28 +120,94 @@ class Form700PipelineSpec extends AnyFunSuite {
     assert(e.map(_.getAs[Long]("amount")).toSet == Set(300L, 120L))
   }
 
-  test("runBoth: 16 logical tables, _redacted suffix applied") {
-    // the redacted variant reads its own source dir (server-side
-    // redaction); same fixture pages stand in for both endpoints here
-    val root = Form700Pipeline.defaultPagesRoot
-    val both = Form700Pipeline.runBoth(spark, root, root,
+  test("runBoth: 16 logical tables, redacted source genuinely masked") {
+    import org.apache.spark.sql.functions.col
+    // the redacted variant reads its own source dir — server-side
+    // redaction (IsRedacted=True) masks filer identity at the endpoint
+    val both = Form700Pipeline.runBoth(spark,
+      Form700Pipeline.defaultPagesRoot,
+      Form700Pipeline.defaultRedactedPagesRoot,
       Some(Form700Pipeline.fixtureDoubles))
     assert(both.size == 16)
     assert(both.keySet.count(_.endsWith("_redacted")) == 8)
+    // same row universe, masked content
     assert(both("scheduleD_redacted").count() == both("scheduleD").count())
+    assert(both("cover").where(col("filerName") =!= "").count() == 3)
+    assert(both("cover_redacted")
+      .where(col("filerName") =!= "").count() == 0)
   }
 
   test("K sink + O5 audit: write all tables, counts match") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_e1_sink").toString
     val report = Form700Pipeline.writeAll(spark, tables, out)
-      .collect().map(r => r.getAs[String]("table_name") ->
-        r.getAs[String]("status")).toMap
+      .collect().map(r => r.getAs[String]("table_name") -> r).toMap
     assert(report.size == 8)
-    assert(report.values.forall(_ == "SUCCESS"))
+    assert(report.values.forall(_.getAs[String]("status") == "SUCCESS"))
     // K2/F7: sink columns are dot-stripped snake_case
     val sunk = spark.read.parquet(s"$out/scheduleB")
     assert(sunk.columns.contains("loanname_of_lender") ||
       sunk.columns.contains("loan_name_of_lender"))
+    // K1 metadata round-trip: catalog metadata lands in the audit report
+    assert(report("cover").getAs[String]("dataset_name") ==
+      "Form 700 Cover Page Private")
+    assert(report("cover").getAs[String]("four_by_four") == "g4ft-c0v1")
+    assert(report("cover").getAs[String]("mode") == "replace")
+    // K1 create branch: FourByFour == 0 → create + assigned id
+    assert(report("comments").getAs[String]("mode") == "create")
+    assert(report("comments").getAs[String]("four_by_four") ==
+      Form700Pipeline.assignFourByFour("Form 700 Comments Private"))
+  }
+
+  test("K1 catalog: 16 rows of dataset metadata, redacted shares schema") {
+    val cat = Form700Pipeline.catalog
+    assert(cat.size == 16)
+    assert(cat.keySet.count(_.endsWith("_redacted")) == 8)
+    val cover = cat("cover")
+    assert(cover.category == "City Management and Ethics")
+    assert(cover.tags == Seq("ethics", "form700"))
+    assert(!cover.redacted && !cover.needsCreate)
+    val red = cat("cover_redacted")
+    assert(red.redacted)
+    assert(red.datasetName == "Form 700 Cover Page") // no Private suffix
+    assert(red.fieldNames == cover.fieldNames) // same field contract
+    assert(cat("comments").needsCreate) // FourByFour == 0
+  }
+
+  test("K1 create branch fails visibly when the dataset already exists") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_e1_create").toString
+    val one = Map("comments" -> tables("comments"))
+    val first = Form700Pipeline.writeAll(spark, one, out).collect().head
+    assert(first.getAs[String]("mode") == "create" &&
+      first.getAs[String]("status") == "SUCCESS")
+    // a second CREATE of the same dataset must fail the audit, not
+    // silently clobber the existing data (reference: client.create of an
+    // existing name would mint a duplicate; our sink refuses instead)
+    val second = Form700Pipeline.writeAll(spark, one, out).collect().head
+    assert(second.getAs[String]("status") == "FAILURE")
+    assert(second.getAs[Long]("rows_written") == 0L)
+  }
+
+  test("K5 incremental: page-1 replace + page-2 append, combined audit") {
+    val root = Form700Pipeline.defaultPagesRoot
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_e1_incr").toString
+    def chunk(p: String) = Form700Pipeline.clean(
+      graft.sources.Form700Source.cover(
+        graft.sources.Form700Source.readPages(spark, s"$root/cover/$p")),
+      Form700Pipeline.catalog("cover"), Some(Set.empty))
+    val chunks = Seq(chunk("page_1.json"), chunk("page_2.json"))
+    val r = Form700Pipeline.writeIncremental(spark, "cover", chunks, out)
+      .collect().head
+    assert(r.getAs[String]("status") == "SUCCESS")
+    assert(r.getAs[Long]("rows_written") == tables("cover").count())
+    assert(r.getAs[String]("mode") == "replace+append:1")
+    // re-running the incremental load must NOT double the data: the
+    // first chunk truncates (overwrite) before the appends
+    val r2 = Form700Pipeline.writeIncremental(spark, "cover", chunks, out)
+      .collect().head
+    assert(r2.getAs[Long]("rows_written") == tables("cover").count())
+    assert(r2.getAs[String]("status") == "SUCCESS")
   }
 }
