@@ -71,6 +71,27 @@ object RegistryExt {
       s"min(($a * h + $b) % ${Dedup.MinhashPrime}) AS mh$j"
     }.mkString(", ")
 
+  /** Near-dup corpus (each doc + a copy gaining 3 trailing tokens),
+    * minhash signatures, band explode, and the candidate-pair bucket
+    * join — shared by the dd_lsh_pairs and dd_jaccard_lsh oracles. */
+  private lazy val lshCandCtes: String = {
+    val rows = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { b =>
+      val sig = (0 until rows).map(r => s"mh${b * rows + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""d AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz' FROM documents),
+       |${shingleCtes("d")},
+       |mh AS (SELECT doc_id, $mhSelects FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** Exact BIGINT dot product of two list columns (len = Dim). */
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
@@ -122,7 +143,23 @@ object RegistryExt {
     "dd_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         JaccardMaxId, JaccardThreshold)
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // LSH → exact-Jaccard COMPOSITION: candidates from the banded
+    // bucket join, verified by intersecting only the candidates' token
+    // arrays — the scale path with no id-range crutch (contrast
+    // dd_jaccard, the bounded posting-list baseline).
+    "dd_jaccard_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val near = d.unionAll(d.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text")))
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(near, "doc_id", "text", NumHashes),
+        "doc_id", NumHashes, Bands)
+      Dedup.jaccardOfPairs(near, cands, "doc_id", "text", JaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   private val dedupOracles: Map[String, String] = Map(
@@ -135,24 +172,25 @@ object RegistryExt {
       s"""WITH ${shingleCtes("documents")}
          |SELECT doc_id, $mhSelects
          |FROM shh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "dd_lsh_pairs" -> {
-      val rows = NumHashes / Bands
-      val bandSelects = (0 until Bands).map { b =>
-        val sig = (0 until rows).map(r => s"mh${b * rows + r}")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH d AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz' FROM documents),
-         |${shingleCtes("d")},
-         |mh AS (SELECT doc_id, $mhSelects FROM shh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         |WHERE a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "dd_lsh_pairs" ->
+      s"""WITH $lshCandCtes
+         |SELECT doc_a, doc_b FROM cand
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_jaccard_lsh" ->
+      s"""WITH $lshCandCtes,
+         |tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM d),
+         |j AS (SELECT doc_a, doc_b,
+         |    CAST(length(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_inter,
+         |    CAST(length(ta.toks) AS BIGINT) + CAST(length(tb.toks) AS BIGINT) AS n_both
+         |  FROM cand
+         |  JOIN tok ta ON ta.doc_id = doc_a
+         |  JOIN tok tb ON tb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, n_inter,
+         |  n_both - n_inter AS n_union,
+         |  CAST(n_inter AS DOUBLE) / (n_both - n_inter) AS jaccard
+         |FROM j
+         |WHERE CAST(n_inter AS DOUBLE) / (n_both - n_inter) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_simhash" -> {
       val sums = (0 until 32).map { b =>
         val pos = 1 + b / 4
@@ -399,6 +437,10 @@ object RegistryExt {
         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Gap boundary PINNED to strictly-> on both sides (see
+    // Events.sessionize scaladoc): exactly-gap distance continues the
+    // session. Flipping either side to >= breaks the EventsSpec
+    // boundary test and this oracle's hash match.
     "ev_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
          |b AS (SELECT user_id, event_id, us,

@@ -174,4 +174,31 @@ object Dedup {
     j.where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
   }
+
+  /** Exact Jaccard verification over CANDIDATE pairs — the composition
+    * a real pipeline runs at 100 TB: [[lshCandidatePairs]] proposes a
+    * sparse candidate set (banded bucket join, never all-pairs), then
+    * ONLY those pairs fetch their two distinct-token arrays and
+    * intersect. No id-range crutch: total work is
+    * O(candidates · doc length), independent of corpus pair count.
+    * The two joins shuffle (pairs + token arrays) on the doc ids —
+    * each document's tokens ship only to the pairs that need them. */
+  def jaccardOfPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+                     textCol: String, threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+      array_distinct(split(trim(col(textCol)), "\\s+")).as("toks"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+      .withColumn("n_union",
+        (size(col("ta")) + size(col("tb"))).cast(LongType) - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / col("n_union"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+  }
 }

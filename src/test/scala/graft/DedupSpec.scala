@@ -68,4 +68,23 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 2L, 3L, 5L, 0.6)))
   }
+
+  test("jaccardOfPairs verifies exactly the candidate pairs") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),   // |∩|=3 |∪|=5 → 0.6
+      (3L, "a b c d"),   // identical to 1 → 1.0
+      (4L, "x y z"))
+      .toDF("id", "text")
+    // candidates: the real pair, an identical pair, and a FALSE POSITIVE
+    // (1,4) that exact verification must reject below threshold
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.jaccardOfPairs(df, cands, "id", "text", 0.5)
+      .orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 3L, 5L, 0.6), (1L, 3L, 4L, 4L, 1.0)))
+    // non-candidate pair (2,3) is never scored even though it overlaps
+    assert(!out.exists(p => p._1 == 2L && p._2 == 3L))
+  }
 }
