@@ -17,8 +17,15 @@ import org.apache.spark.sql.types._
   *
   * Scale: one shuffle per group-by/window partition key (hour bucket,
   * user). Sessionization partitions by user — the classic skew risk is a
-  * hot user, which AQE skew-join/partition-split handles; the window
-  * itself is a linear scan per user after the shuffle sort.
+  * hot user. NOTE: AQE's skew splitting applies to joins (and, behind a
+  * flag, shuffled aggregations) but NOT to window-function exchanges — a
+  * hot `user_id` still lands on one task here. The real mitigations are
+  * (a) two-level sessionization: pre-segment each user's stream by a
+  * coarse time bucket `(user_id, day)`, sessionize within buckets, then
+  * merge only the bucket-boundary sessions — bounding any task at one
+  * user-day; or (b) route known hot keys (bots, service accounts)
+  * through a dedicated pre-aggregated path. At fixture scale the plain
+  * per-user window is correct and fastest, so that is what runs here.
   */
 object Events {
 
@@ -38,7 +45,17 @@ object Events {
 
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Session ids are per-user running counts of
-    * session breaks (1-based). */
+    * session breaks (1-based).
+    *
+    * Boundary semantics — PINNED: the break comparison is STRICTLY `>`
+    * (`gap > gapSeconds`), so an event arriving at exactly the gap
+    * distance CONTINUES the session. The DuckDB oracle
+    * (RegistryExt "ev_sessionize": `us - lag(us) OVER w > gap`), the
+    * streaming dual ([[graft.streaming.StreamOps.statefulSessionize]]:
+    * `us - s.endUs > gapUs`), and `session_window` (whose window is
+    * `[first, last + gap)`, half-open) all use the same convention; an
+    * `EventsSpec` test sits at exactly-gap distance so a refactor
+    * flipping any side to `>=` fails loudly. */
   def sessionize(df: DataFrame, gapSeconds: Long): DataFrame = {
     val us = unix_micros(col("ts"))
     val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))

@@ -39,6 +39,39 @@ class EventsSpec extends AnyFunSuite {
       (9L, 1L, 1L, 0L)))
   }
 
+  test("sessionize boundary: exactly-gap distance CONTINUES the session") {
+    // gap = 1800 s. Events at 10:00, 10:30 (exactly gap apart → same
+    // session, strictly-> semantics), 11:00:00.000001 (gap + 1 µs →
+    // break). All three sides (batch window, oracle SQL, streaming
+    // stateful dual) pin this convention — see Events.sessionize doc.
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 7L, "click", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 11:00:00.000001"), 7L,
+        "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.sessionize(e, 1800L)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((7L, 1L, 2L), (7L, 2L, 1L)))
+    // the streaming stateful dual agrees at the same boundary
+    import graft.streaming.StreamOps
+    val evs = e.select("user_id", "event_id", "ts").as[StreamOps.Ev]
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.Ev]
+    val q = StreamOps.statefulSessionize(ms.toDS(), 1800L)
+      .writeStream.format("memory").queryName("ev_spec_boundary")
+      .outputMode("append").start()
+    ms.addData(evs.collect().toSeq)
+    ms.addData(StreamOps.Ev(99L, 999L, ts("2024-01-05 00:00:00")))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ev_spec_boundary")
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == Set((7L, 1L, 2L), (7L, 2L, 1L)))
+  }
+
   test("topNPerUser ranks by value desc") {
     val out = Events.topNPerUser(events, 1)
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet
