@@ -92,6 +92,19 @@ object RegistryExt {
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** [[lshCandCtes]] plus exact-Jaccard verification of the candidates
+    * (distinct-token arrays, intersection counts) — shared by
+    * dd_jaccard_lsh and dd_near_dedup. */
+  private lazy val lshVerifyCtes: String =
+    s"""$lshCandCtes,
+       |tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM d),
+       |j AS (SELECT doc_a, doc_b,
+       |    CAST(length(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_inter,
+       |    CAST(length(ta.toks) AS BIGINT) + CAST(length(tb.toks) AS BIGINT) AS n_both
+       |  FROM cand
+       |  JOIN tok ta ON ta.doc_id = doc_a
+       |  JOIN tok tb ON tb.doc_id = doc_b)""".stripMargin
+
   /** Exact BIGINT dot product of two list columns (len = Dim). */
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
@@ -159,6 +172,24 @@ object RegistryExt {
         "doc_id", NumHashes, Bands)
       Dedup.jaccardOfPairs(near, cands, "doc_id", "text", JaccardThreshold)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // The full dedup pipeline END-TO-END: LSH candidates → exact
+    // verification → near-dup REMOVAL (drop the greater id of every
+    // verified pair; every planted near-dup copy vanishes, originals
+    // survive).
+    "dd_near_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val near = d.unionAll(d.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text")))
+      val verified = Dedup.jaccardOfPairs(near,
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignature(near, "doc_id", "text", NumHashes),
+          "doc_id", NumHashes, Bands),
+        "doc_id", "text", JaccardThreshold)
+      Dedup.dropNearDuplicates(near, verified, "doc_id")
+        .select("doc_id").orderBy("doc_id")
     })
   )
 
@@ -177,20 +208,20 @@ object RegistryExt {
          |SELECT doc_a, doc_b FROM cand
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_jaccard_lsh" ->
-      s"""WITH $lshCandCtes,
-         |tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM d),
-         |j AS (SELECT doc_a, doc_b,
-         |    CAST(length(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_inter,
-         |    CAST(length(ta.toks) AS BIGINT) + CAST(length(tb.toks) AS BIGINT) AS n_both
-         |  FROM cand
-         |  JOIN tok ta ON ta.doc_id = doc_a
-         |  JOIN tok tb ON tb.doc_id = doc_b)
+      s"""WITH $lshVerifyCtes
          |SELECT doc_a, doc_b, n_inter,
          |  n_both - n_inter AS n_union,
          |  CAST(n_inter AS DOUBLE) / (n_both - n_inter) AS jaccard
          |FROM j
          |WHERE CAST(n_inter AS DOUBLE) / (n_both - n_inter) >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_near_dedup" ->
+      s"""WITH $lshVerifyCtes,
+         |dropped AS (SELECT DISTINCT doc_b FROM j
+         |  WHERE CAST(n_inter AS DOUBLE) / (n_both - n_inter) >= $JaccardThreshold)
+         |SELECT doc_id FROM d
+         |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
     "dd_simhash" -> {
       val sums = (0 until 32).map { b =>
         val pos = 1 + b / 4

@@ -201,4 +201,18 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
   }
+
+  /** Near-duplicate REMOVAL — the materialization step that ends a
+    * dedup pipeline: given verified duplicate pairs (doc_a < doc_b),
+    * drop every document that appears as the GREATER id of any pair.
+    * Single-pass and deterministic (no iterative connected components:
+    * within an LSH-banded candidate set the lower-id member of every
+    * pair always survives, so each dup group keeps at least its minimal
+    * element). One left-anti hash join against the distinct doc_b side
+    * — at 100 TB the pair set is sparse, so the anti-join's build side
+    * is small relative to the corpus scan. */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame,
+                         idCol: String): DataFrame =
+    df.join(pairs.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

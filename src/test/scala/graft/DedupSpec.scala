@@ -87,4 +87,13 @@ class DedupSpec extends AnyFunSuite {
     // non-candidate pair (2,3) is never scored even though it overlaps
     assert(!out.exists(p => p._1 == 2L && p._2 == 3L))
   }
+
+  test("dropNearDuplicates removes the greater id of every pair") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
+      .toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dropNearDuplicates(df, pairs, "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // 2 and 4 dropped; low ids survive
+  }
 }
