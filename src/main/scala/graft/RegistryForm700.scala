@@ -61,9 +61,13 @@ object RegistryForm700 {
     s"COALESCE(TRY_CAST(regexp_replace(CAST($c AS VARCHAR), '[a-zA-Z%]', '0', 'g') AS $t), $z) AS \"$as\""
   }
 
+  // The explicit BOOLEAN cast matters for single-page readings where a
+  // column is all-null: read_json_auto infers it as the JSON null type,
+  // and a later UNION ALL against a BOOLEAN reading would otherwise
+  // coerce both sides to VARCHAR ('true' strings).
   private def checkboxSql(c: String): String = checkboxSql(c, c)
   private def checkboxSql(c: String, as: String): String =
-    s"COALESCE($c, false) AS \"$as\""
+    s"COALESCE(CAST($c AS BOOLEAN), false) AS \"$as\""
 
   /** X1 serialize of an array-of-struct column, explicit field order
     * (matches Spark's alphabetical JSON struct inference). */
@@ -75,31 +79,43 @@ object RegistryForm700 {
   }
 
   /** Cover CTEs: flattened filings + serialized offices, shared by every
-    * oracle (the filer side of J1). Parameterized by the pages root so
-    * the redacted variant reuses the identical clean semantics. */
-  private def coverCteFor(root: String): String =
-    s"""cf AS (
+    * oracle (the filer side of J1). Parameterized by the page-file glob
+    * and CTE names so the redacted variant AND the upsert oracle (which
+    * needs TWO cover readings in one query) reuse the identical clean
+    * semantics. */
+  private def coverCtesNamed(glob: String, cf: String,
+                             cser: String): String =
+    s"""$cf AS (
        |  SELECT unnest(filings, recursive := true)
-       |  FROM read_json_auto('$root/cover/*.json')
-       |), cser AS (
-       |  SELECT * REPLACE (${serSql("offices", Seq("code", "title"))} AS offices) FROM cf
+       |  FROM read_json_auto('$glob')
+       |), $cser AS (
+       |  SELECT * REPLACE (${serSql("offices", Seq("code", "title"))} AS offices) FROM $cf
        |)""".stripMargin
+  private def coverCteFor(root: String): String =
+    coverCtesNamed(s"$root/cover/*.json", "cf", "cser")
   private val coverCte = coverCteFor(OraclePages)
+
+  /** The cleaned-cover select list, with output names mapped through
+    * `alias` (identity for the camelCase queries, the K2 snake_case
+    * rename for sink-boundary queries). */
+  private def coverSelectList(alias: String => String): String = {
+    def t(c: String) = textSql(c, alias(c))
+    def d(c: String) = s"""COALESCE($c, '') AS "${alias(c)}""""
+    def n(c: String) = numSql(c, alias(c))
+    def cb(c: String) = checkboxSql(c, alias(c))
+    Seq(t("filingId"), t("filerId"), t("filerName"), t("departmentName"),
+      t("positionName"), t("offices"), d("periodStart"), d("periodEnd"),
+      d("filingDate"), t("agency"), cb("isAnnual"), cb("isCandidate"),
+      n("scheduleA1Count"), n("scheduleDCount"), n("commentCount"),
+      t("transactionType"), t("id")).mkString(",\n  ")
+  }
 
   /** The full cleaned-cover oracle over a given cover CTE — shared
     * verbatim by the base and redacted variants (identical clean
     * semantics, different source root). */
   private def coverCleanSql(cte: String): String =
     s"""WITH $cte
-       |SELECT ${textSql("filingId")}, ${textSql("filerId")}, ${textSql("filerName")},
-       |  ${textSql("departmentName")}, ${textSql("positionName")}, ${textSql("offices")},
-       |  COALESCE(periodStart, '') AS periodStart,
-       |  COALESCE(periodEnd, '') AS periodEnd,
-       |  COALESCE(filingDate, '') AS filingDate,
-       |  ${textSql("agency")}, ${checkboxSql("isAnnual")}, ${checkboxSql("isCandidate")},
-       |  ${numSql("scheduleA1Count", "scheduleA1Count")}, ${numSql("scheduleDCount", "scheduleDCount")},
-       |  ${numSql("commentCount", "commentCount")},
-       |  ${textSql("transactionType")}, ${textSql("id")}
+       |SELECT ${coverSelectList(identity)}
        |FROM cser ORDER BY filingId""".stripMargin
 
   private val filerTextCols =
@@ -195,6 +211,29 @@ object RegistryForm700 {
           P.catalog("cover"), Some(Set.empty))
       }
       P.writeIncremental(s, "cover", chunks, out).orderBy("table_name")
+    }),
+
+    // K5 keyed UPSERT (Form700.py:498-502 — client.upsert by row
+    // identity): chunk 0 = the FULL cover load, chunk 1 = page 2
+    // re-loaded as a correction, so its filings OVERLAP chunk 0. The
+    // merged table must carry exactly one row per filingId with the
+    // overlapping rows showing src_chunk = 1 (latest wins) — checked
+    // value-for-value by a dedup-on-key oracle over the same two
+    // readings (this one IS oracle-expressible, unlike the append
+    // audits).
+    "e1_audit_upsert" -> ((s, _) => {
+      val root = P.defaultPagesRoot
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_e1_upsert").toString
+      def coverOf(path: String) =
+        P.clean(graft.sources.Form700Source.cover(
+          graft.sources.Form700Source.readPages(s, path)),
+          P.catalog("cover"), Some(Set.empty))
+      val chunks = Seq(coverOf(s"$root/cover"),
+        coverOf(s"$root/cover/page_2.json"))
+      P.writeUpsert(s, "cover", chunks, "filing_id", out,
+        graft.operators.RetryPolicy.NoWait)
+      P.upsertedTable(s, "cover", out, chunks.size).orderBy("filing_id")
     })
   )
 
@@ -375,6 +414,23 @@ object RegistryForm700 {
          |  COALESCE(bj.periodEnd, '') AS "period_end",
          |  COALESCE(bj.filingDate, '') AS "filing_date"
          |FROM bj ORDER BY id""".stripMargin
+    },
+
+    // Latest-chunk-wins dedup on the key over the same two cover
+    // readings the Spark side merges: full load as chunk 0, page-2
+    // correction as chunk 1.
+    "e1_audit_upsert" -> {
+      val snake = (n: String) => Restructure.toSinkName(n)
+      s"""WITH ${coverCtesNamed(s"$OraclePages/cover/*.json", "cf", "cser")},
+         |${coverCtesNamed(s"$OraclePages/cover/page_2.json", "cf2", "cser2")},
+         |u AS (
+         |  SELECT ${coverSelectList(snake)}, 0 AS src_chunk FROM cser
+         |  UNION ALL
+         |  SELECT ${coverSelectList(snake)}, 1 AS src_chunk FROM cser2
+         |)
+         |SELECT * FROM u
+         |QUALIFY row_number() OVER (PARTITION BY filing_id ORDER BY src_chunk DESC) = 1
+         |ORDER BY filing_id""".stripMargin
     }
     // e1_audit, e1_audit_incremental: no oracle (side-effecting sinks)
     // → driver rows-only check.

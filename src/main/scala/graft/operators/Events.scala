@@ -20,12 +20,14 @@ import org.apache.spark.sql.types._
   * hot user. NOTE: AQE's skew splitting applies to joins (and, behind a
   * flag, shuffled aggregations) but NOT to window-function exchanges — a
   * hot `user_id` still lands on one task here. The real mitigations are
-  * (a) two-level sessionization: pre-segment each user's stream by a
-  * coarse time bucket `(user_id, day)`, sessionize within buckets, then
-  * merge only the bucket-boundary sessions — bounding any task at one
-  * user-day; or (b) route known hot keys (bots, service accounts)
-  * through a dedicated pre-aggregated path. At fixture scale the plain
-  * per-user window is correct and fastest, so that is what runs here.
+  * (a) two-level sessionization — IMPLEMENTED as [[sessionize2Level]]:
+  * pre-segment each user's stream by a coarse time bucket
+  * `(user_id, day)`, sessionize within buckets, then merge only the
+  * bucket-boundary sessions — bounding any task at one user-day; or
+  * (b) route known hot keys (bots, service accounts) through a
+  * dedicated pre-aggregated path. At fixture scale the plain per-user
+  * window is fastest; at 100 TB run the two-level form (same output,
+  * proven by the shared ev_sessionize oracle).
   */
 object Events {
 
@@ -69,6 +71,60 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"),
         max(col("us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** TWO-LEVEL sessionization — the hot-key mitigation the plain
+    * [[sessionize]] scaladoc names: identical output, bounded task size.
+    *
+    * Level 1 partitions the window by `(user_id, time bucket)` (default
+    * one day), so the largest task holds one user-DAY of events — a bot
+    * with years of traffic no longer lands on one task (AQE cannot split
+    * window exchanges, so the key itself must bound the partition).
+    * Level 2 then repairs the bucket boundaries on SESSION SUMMARIES
+    * (thousands× smaller than events): adjacent sessions of one user
+    * merge iff the idle gap between them is within `gapSeconds`.
+    *
+    * Exactly reproduces [[sessionize]] by construction: inside a bucket
+    * the level-1 breaks are the global breaks; consecutive level-1
+    * sessions within a bucket are > gap apart so level 2 re-breaks them;
+    * at a bucket boundary level 1 always breaks and level 2 merges iff
+    * the global pass would NOT have broken (strictly-`>` convention on
+    * both levels — see the PINNED boundary note on [[sessionize]]).
+    * Session ids stay 1-based per user in time order (the level-2
+    * running sum). Verified value-for-value against the ev_sessionize
+    * oracle (registry `ev_sessionize_2level`) and by an EventsSpec
+    * hot-user test. */
+  def sessionize2Level(df: DataFrame, gapSeconds: Long,
+                       bucketSeconds: Long = 86400L): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val bucketUs = bucketSeconds * 1000000L
+    val withUs = df.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("bucket", floor(col("us") / bucketUs))
+    val order1 = Window.partitionBy("user_id", "bucket")
+      .orderBy(col("us"), col("event_id"))
+    val gap1 = col("us") - lag(col("us"), 1).over(order1)
+    val brk1 = when(gap1.isNull || gap1 > gapUs, 1).otherwise(0)
+    val sub = withUs
+      .withColumn("sid1", sum(brk1).over(
+        order1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "bucket", "sid1")
+      .agg(count(lit(1)).as("n1"),
+        min(col("us")).as("s1"), max(col("us")).as("e1"))
+    // Boundary repair over per-user session summaries. Sessions of one
+    // user are disjoint, time-ordered intervals, so lag(end) under an
+    // ORDER BY start is the true previous idle boundary.
+    val order2 = Window.partitionBy("user_id").orderBy(col("s1"), col("e1"))
+    val gap2 = col("s1") - lag(col("e1"), 1).over(order2)
+    val brk2 = when(gap2.isNull || gap2 > gapUs, 1).otherwise(0)
+    sub
+      .withColumn("session_id", sum(brk2).over(
+          order2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(LongType))
+      .groupBy("user_id", "session_id")
+      .agg(sum(col("n1")).as("n_events"),
+        min(col("s1")).as("start_us"), max(col("e1")).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 

@@ -61,13 +61,18 @@ object Form700Pipeline {
     * schema, own dataset metadata — Form700.py:99). */
   lazy val catalog: Map[String, TableSpec] =
     resourceLines("/form700/tables.csv").drop(1).map { line =>
-      val Array(name, dsName, category, desc, tags, listCols, fxf, red) =
-        line.split(",", -1)
+      val cols = line.split(",", -1)
+      require(cols.length == 8,
+        s"bad catalog row (expected 8 comma-separated fields, " +
+          s"got ${cols.length}): $line")
+      val Array(name, dsName, category, desc, tags, listCols, fxf, red) = cols
       val base = name.stripSuffix("_redacted")
       val fields = resourceLines(s"/form700/schema/form700_${base}_schema.csv")
         .drop(1).map { l =>
-          val Array(t, f, d) = l.split(",", -1)
-          FieldSpec(t, f, d)
+          val fc = l.split(",", -1)
+          require(fc.length == 3,
+            s"bad schema row for $name (expected 3 fields): $l")
+          FieldSpec(fc(0), fc(1), fc(2))
         }
       name -> TableSpec(name, dsName, category, desc,
         tags.split(":").toIndexedSeq.filter(_.nonEmpty),
@@ -343,8 +348,14 @@ object Form700Pipeline {
     * the dataset with the first chunk and UPSERTS every later chunk.
     * The Spark analog takes the chunks as DataFrames (e.g. one per
     * source page): the head chunk writes mode=overwrite
-    * (truncate-and-load), tail chunks mode=append; the reference's
-    * per-chunk `@retry` collapses into Spark's task-level retries. The
+    * (truncate-and-load), tail chunks mode=append.
+    *
+    * NOTE: append ≙ the reference's upsert ONLY for key-disjoint chunks
+    * (true for page-chunked loads, where each row identity appears in
+    * exactly one page); overlapping chunks would double rows here where
+    * the reference updates in place — use [[writeUpsert]] for that case.
+    * The reference's per-chunk `@retry` policy is surfaced on
+    * [[writeUpsert]] and collapses into Spark task retries here. The
     * audit compares the summed chunk counts against the combined
     * read-back count — same report shape as [[writeAll]]. */
   def writeIncremental(spark: SparkSession, name: String,
@@ -370,4 +381,70 @@ object Form700Pipeline {
       s"replace+append:${chunks.size - 1}", expected, written,
       if (written == expected) "SUCCESS" else "FAILURE")))
   }
+
+  /** K5 keyed UPSERT — the reference's true chunk[1:] semantics
+    * (Form700.py:498-502: `client.upsert` inserts-or-updates by row
+    * identity): chunk 0 replaces the dataset; each later chunk merges
+    * latest-chunk-wins on `key`. Re-loading a correction chunk with
+    * overlapping keys UPDATES those rows instead of duplicating them
+    * (contrast [[writeIncremental]], which is append-only and correct
+    * only for key-disjoint chunks).
+    *
+    * Layout: immutable GENERATION directories (`gen_0`, `gen_1`, …) —
+    * each merge reads generation i-1 and writes generation i, so no
+    * read-modify-overwrite of a path Spark is still lazily reading (the
+    * same write-new-files-then-advance discipline table formats like
+    * Iceberg/Delta use for their merge). The merge itself is one window
+    * dedup per chunk: shuffle on `key`, keep the row with the highest
+    * source-chunk index. Rows carry their `src_chunk` lineage so
+    * latest-wins is observable (and oracle-checkable) in the output.
+    *
+    * Preconditions: `key` is unique WITHIN each chunk (the reference's
+    * row-identity assumption). `retry` surfaces the reference's
+    * tries/delay/backoff/rate-limit constants ([[RetryPolicy.Reference]])
+    * around each chunk's write job. */
+  def writeUpsert(spark: SparkSession, name: String, chunks: Seq[DataFrame],
+                  key: String, outDir: String,
+                  retry: RetryPolicy = RetryPolicy.Reference): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunks.nonEmpty, s"writeUpsert($name): no chunks")
+    val spec = catalog.get(name)
+    val fxf = spec.map(s =>
+      if (s.needsCreate) assignFourByFour(s.datasetName)
+      else s.fourByFour).getOrElse("")
+    val base = s"$outDir/$name"
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val incoming = prepareForSink(c).withColumn("src_chunk", lit(i))
+      val merged =
+        if (i == 0) incoming
+        else {
+          val prev = spark.read.parquet(s"$base/gen_${i - 1}")
+          val w = Window.partitionBy(col(s"`$key`"))
+            .orderBy(col("src_chunk").desc)
+          prev.unionByName(incoming)
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+            .drop("__rn")
+        }
+      Retry.withRetry(retry) {
+        merged.write.mode("overwrite").parquet(s"$base/gen_$i")
+      }
+      if (i < chunks.size - 1) Retry.rateLimit(retry)
+    }
+    val finalDf = upsertedTable(spark, name, outDir, chunks.size)
+    val written = finalDf.count()
+    // expected = distinct key count across all chunks (every identity
+    // appears exactly once after the merge).
+    val expected = chunks.map(c => prepareForSink(c).select(col(s"`$key`")))
+      .reduce(_.unionAll(_)).distinct().count()
+    auditFrame(spark, Seq(Row(name,
+      spec.map(_.datasetName).getOrElse(name), fxf,
+      s"upsert:${chunks.size}", expected, written,
+      if (written == expected) "SUCCESS" else "FAILURE")))
+  }
+
+  /** The current state of an upserted table: its latest generation. */
+  def upsertedTable(spark: SparkSession, name: String, outDir: String,
+                    nChunks: Int): DataFrame =
+    spark.read.parquet(s"$outDir/$name/gen_${nChunks - 1}")
 }

@@ -115,6 +115,9 @@ object Similarity {
       .agg(max(struct(col("score"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
     val assigned = v.join(best, "vec_id")
+    // Probe-list selection may stay a window: its partition is one
+    // query's CENTROID scores — ≤ numCentroids rows regardless of corpus
+    // size — unlike the candidate ranking below, which is corpus-bound.
     val pw = Window.partitionBy("vec_id")
       .orderBy(col("score").desc, col("cid").desc)
     val probes = scored.where(col("vec_id") < numQueries)
@@ -130,12 +133,22 @@ object Similarity {
       .withColumn("dot", dotQ(col("qv"), col("q")))
       .withColumn("cosine", col("dot").cast(DoubleType) /
         (sqrt(col("nqq").cast(DoubleType)) * sqrt(col("nq").cast(DoubleType))))
-    val rw = Window.partitionBy("query_id")
-      .orderBy(col("dot").desc, col("vec_id"))
-    pairs.withColumn("rank", row_number().over(rw).cast(LongType))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("cand_id"), col("cid"),
-        col("dot"), col("cosine"), col("rank"))
+    // Final rank via the bounded-heap two-phase aggregate (same as
+    // bruteForceTopK): a probed IVF list is O(n·probes/centroids) rows —
+    // a per-query row_number window would funnel all of them into one
+    // task per query; the partial ObjectHashAggregate caps the exchange
+    // at ≤k entries per map task. The candidate's centroid id rides
+    // along as the aggregate's tag. Ordering identical: dot desc,
+    // cand_id asc.
+    pairs
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByDotTag.topK(k)(
+        col("dot"), col("vec_id"), col("cosine"), col("cid")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cand_id").as("cand_id"),
+        col("c.tag").as("cid"), col("c.dot").as("dot"),
+        col("c.cosine").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs: every vector is keyed by
@@ -185,10 +198,19 @@ object Similarity {
       .withColumn("dot", dotQ(col("qv"), col("cv")))
       .withColumn("cosine", col("dot").cast(DoubleType) /
         (sqrt(col("nqq").cast(DoubleType)) * sqrt(col("nqc").cast(DoubleType))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("dot").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
-      .select("query_id", "cand_id", "bucket", "dot", "cosine", "rank")
+    // Bounded-heap rank, not a per-query row_number window: a hot LSH
+    // bucket can hold millions of candidates at 100 TB, and a window
+    // would push all of them through one task per query. The bucket is a
+    // function of the query vector, so grouping by (query_id, bucket)
+    // keeps the same group cardinality while carrying it to the output.
+    scored
+      .groupBy("query_id", "bucket")
+      .agg(graft.functions.TopKByDot.topK(k)(
+        col("dot"), col("cand_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), col("bucket"),
+        posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cand_id").as("cand_id"), col("bucket"),
+        col("c.dot").as("dot"), col("c.cosine").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
   }
 }

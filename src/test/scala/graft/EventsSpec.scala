@@ -72,6 +72,42 @@ class EventsSpec extends AnyFunSuite {
     assert(streamed == Set((7L, 1L, 2L), (7L, 2L, 1L)))
   }
 
+  test("sessionize2Level equals sessionize, including across bucket cuts") {
+    // A synthetic hot user (7) whose events straddle a day boundary:
+    // sessions that SPAN the midnight bucket cut must be stitched back,
+    // sessions split inside one bucket must stay split, and a quiet
+    // user's sessions must be untouched.
+    val e = Seq(
+      // day 1, session 1
+      (1L, ts("2024-01-01 23:30:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 23:50:00"), 7L, "click", 1.0, "{}"),
+      // crosses midnight WITHIN the gap → same session after repair
+      (3L, ts("2024-01-02 00:10:00"), 7L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-02 00:20:00"), 7L, "click", 1.0, "{}"),
+      // > gap inside day 2 → new session
+      (5L, ts("2024-01-02 09:00:00"), 7L, "click", 1.0, "{}"),
+      // crosses midnight at MORE than the gap → stays two sessions
+      (6L, ts("2024-01-02 23:40:00"), 7L, "click", 1.0, "{}"),
+      (7L, ts("2024-01-03 00:40:01"), 7L, "click", 1.0, "{}"),
+      // exactly-gap from the previous → continues (strictly-> pinned)
+      (8L, ts("2024-01-03 01:10:01"), 7L, "click", 1.0, "{}"),
+      (9L, ts("2024-01-05 12:00:00"), 9L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cols = Seq("user_id", "session_id", "n_events", "start_us",
+      "end_us", "duration_us")
+    val plain = Events.sessionize(e, 1800L)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val two = Events.sessionize2Level(e, 1800L)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(two == plain)
+    // sanity on the interesting stitches: 4 sessions for the hot user
+    assert(plain.count(_._1 == 7L) == 4)
+    assert(plain.exists(s => s._1 == 7L && s._3 == 4L)) // stitched 1-4
+    assert(plain.exists(s => s._1 == 7L && s._3 == 2L)) // 7+8 exact-gap
+  }
+
   test("topNPerUser ranks by value desc") {
     val out = Events.topNPerUser(events, 1)
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet

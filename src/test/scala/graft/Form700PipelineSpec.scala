@@ -210,4 +210,59 @@ class Form700PipelineSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("rows_written") == tables("cover").count())
     assert(r2.getAs[String]("status") == "SUCCESS")
   }
+
+  test("K5 upsert: overlapping chunks merge latest-wins on the key") {
+    import graft.operators.RetryPolicy
+    val root = Form700Pipeline.defaultPagesRoot
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_e1_upsert").toString
+    def coverOf(path: String) = Form700Pipeline.clean(
+      graft.sources.Form700Source.cover(
+        graft.sources.Form700Source.readPages(spark, path)),
+      Form700Pipeline.catalog("cover"), Some(Set.empty))
+    // chunk 0 = full load (3 filings), chunk 1 = page 2 re-loaded (its
+    // 1 filing OVERLAPS chunk 0) — append would yield 4 rows, upsert 3.
+    val chunks = Seq(coverOf(s"$root/cover"),
+      coverOf(s"$root/cover/page_2.json"))
+    val audit = Form700Pipeline.writeUpsert(spark, "cover", chunks,
+      "filing_id", out, RetryPolicy.NoWait).collect().head
+    assert(audit.getAs[String]("status") == "SUCCESS")
+    assert(audit.getAs[String]("mode") == "upsert:2")
+    assert(audit.getAs[Long]("rows_written") == 3L)
+    val merged = Form700Pipeline
+      .upsertedTable(spark, "cover", out, chunks.size)
+      .collect().map(r => r.getAs[String]("filing_id") -> r).toMap
+    assert(merged.size == 3)
+    // latest wins: the overlapping filing carries chunk-1 lineage, the
+    // page-1-only filings keep chunk 0
+    assert(merged("F003").getAs[Int]("src_chunk") == 1)
+    assert(merged("F001").getAs[Int]("src_chunk") == 0)
+    assert(merged("F002").getAs[Int]("src_chunk") == 0)
+  }
+
+  test("retry policy: backoff schedule, reference constants, give-up") {
+    import graft.operators.{Retry, RetryPolicy}
+    // reference parity: @retry(tries=10, delay=1, backoff=2) + 0.25 s
+    // rate limit (Form700.py:491-502)
+    assert(RetryPolicy.Reference ==
+      RetryPolicy(tries = 10, delayMs = 1000, backoff = 2.0,
+        rateLimitMs = 250))
+    // a block failing twice then succeeding: 3 attempts, sleeps 1s, 2s
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val got = Retry.withRetry(RetryPolicy.Reference, sleeps.append(_)) {
+      calls += 1
+      if (calls < 3) sys.error("transient") else 42
+    }
+    assert(got == 42 && calls == 3)
+    assert(sleeps.toSeq == Seq(1000L, 2000L))
+    // a block that never succeeds exhausts tries and rethrows
+    var attempts = 0
+    val e = intercept[RuntimeException] {
+      Retry.withRetry(RetryPolicy(tries = 4, delayMs = 0), _ => ()) {
+        attempts += 1; sys.error("down")
+      }
+    }
+    assert(e.getMessage == "down" && attempts == 4)
+  }
 }

@@ -85,6 +85,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"exchange must consume partial aggregates, not scored rows:\n$plan")
   }
 
+  test("sim_lsh_topk and sim_ivf_topk rank via bounded heaps, no query window") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val lsh = planString(graft.operators.Similarity.lshTopK(
+      emb, numQueries = 8, k = 5, numPlanes = 4, dim = 64))
+    // lshTopK has no window at all — candidate ranking is the two-phase
+    // aggregate keyed on (query_id, bucket).
+    assert(!lsh.contains("Window"),
+      s"lshTopK must not rank scored rows through a window:\n$lsh")
+    assert(lsh.contains("ObjectHashAggregate"),
+      s"lshTopK must rank via the bounded-heap aggregate:\n$lsh")
+    val ivf = planString(graft.operators.Similarity.ivfTopK(
+      emb, numQueries = 8, k = 5))
+    // ivfTopK keeps one window for PROBE selection (≤ numCentroids rows
+    // per query — corpus-independent); the corpus-bound candidate
+    // ranking must not be a query_id window.
+    val windows = ivf.linesIterator.filter(_.contains("Window")).toSeq
+    assert(!windows.exists(_.contains("query_id")),
+      s"ivfTopK must not rank candidates through a query_id window:\n$ivf")
+    assert(ivf.contains("ObjectHashAggregate"),
+      s"ivfTopK must rank via the bounded-heap aggregate:\n$ivf")
+  }
+
   test("ascii_backslash is callable from plain SQL (extension injection)") {
     val r = spark.sql("SELECT ascii_backslash('café') AS e")
       .collect().head.getString(0)
