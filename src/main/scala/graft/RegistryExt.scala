@@ -30,7 +30,6 @@ object RegistryExt {
   // Shared constants — referenced by BOTH plans and oracle SQL.
   private val NumHashes = 8
   private val Bands = 4
-  private val JaccardMaxId = 40L
   private val JaccardThreshold = 0.5
   private val NumQueries = 8L
   private val TopK = 5
@@ -153,10 +152,12 @@ object RegistryExt {
       Dedup.simhash32(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    "dd_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        JaccardMaxId, JaccardThreshold)
-        .orderBy("doc_a", "doc_b")),
+    // NOTE: the id-bounded all-pairs Jaccard baseline (Dedup.jaccardPairs)
+    // is deliberately NOT registered — its posting-list self-join is
+    // quadratic per token and survives only behind an id-range crutch,
+    // and the registry should contain nothing that could not run at
+    // 100×. It stays spec-tested (DedupSpec "jaccardPairs computes exact
+    // set overlap"); the scale path is the composition below.
 
     // LSH → exact-Jaccard COMPOSITION: candidates from the banded
     // bucket join, verified by intersecting only the candidates' token
@@ -190,6 +191,24 @@ object RegistryExt {
         "doc_id", "text", JaccardThreshold)
       Dedup.dropNearDuplicates(near, verified, "doc_id")
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Duplicate-cluster GROUPING: connected components over the verified
+    // pair graph — every doc labeled with its cluster's min id + the
+    // cluster size (what a 100 TB dedup reports). Oracle = DuckDB
+    // recursive transitive closure over the same verified pairs.
+    "dd_components" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val near = d.unionAll(d.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text")))
+      val verified = Dedup.jaccardOfPairs(near,
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignature(near, "doc_id", "text", NumHashes),
+          "doc_id", NumHashes, Bands),
+        "doc_id", "text", JaccardThreshold)
+      Dedup.connectedComponents(near, verified, "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -222,6 +241,25 @@ object RegistryExt {
          |SELECT doc_id FROM d
          |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+    "dd_components" ->
+      s"""WITH RECURSIVE $lshVerifyCtes,
+         |vp AS (SELECT doc_a, doc_b FROM j
+         |  WHERE CAST(n_inter AS DOUBLE) / (n_both - n_inter) >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |  UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |nodes AS (SELECT doc_id, COALESCE(l.cluster_id, doc_id) AS cluster_id
+         |  FROM d LEFT JOIN lbl l ON d.doc_id = l.node),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |  FROM nodes GROUP BY cluster_id)
+         |SELECT n.doc_id, n.cluster_id, s.cluster_size
+         |FROM nodes n JOIN sz s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "dd_simhash" -> {
       val sums = (0 until 32).map { b =>
         val pos = 1 + b / 4
@@ -237,23 +275,7 @@ object RegistryExt {
          |FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
          |FROM s ORDER BY doc_id""".stripMargin
-    },
-    "dd_jaccard" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
-         |  FROM documents WHERE doc_id < $JaccardMaxId),
-         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-         |  FROM tok a JOIN tok b ON a.t = b.t
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, n_inter,
-         |  sa.n + sb.n - n_inter AS n_union,
-         |  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
-         |FROM inter
-         |JOIN sz sa ON sa.doc_id = doc_a
-         |JOIN sz sb ON sb.doc_id = doc_b
-         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= $JaccardThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 
   // ---------------------------------------------------------------------
@@ -451,15 +473,53 @@ object RegistryExt {
     "ev_sessionize" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"), SessionGapSeconds)
         .orderBy("user_id", "session_id")),
+    // The hot-key-safe two-level form — SAME oracle as ev_sessionize:
+    // the value-for-value match IS the proof the bucket-cut repair
+    // reproduces plain sessionization exactly.
+    "ev_sessionize_2level" -> ((s, dir) =>
+      Events.sessionize2Level(t(s, dir, "events"), SessionGapSeconds)
+        .orderBy("user_id", "session_id")),
+    // HLL scale variant: approx_count_distinct instead of the exact
+    // two-phase distinct (bounded sketch state — what the 100 TB rollup
+    // actually runs). Approximate ⇒ no hash oracle (driver rows-only);
+    // the error bound vs the exact count is asserted in EventsSpec.
+    "ev_hourly_rollup_approx" -> ((s, dir) =>
+      Events.hourlyRollupApprox(t(s, dir, "events"))
+        .orderBy("hour", "event_type")),
     "ev_top_n" -> ((s, dir) =>
       Events.topNPerUser(t(s, dir, "events"), 3).orderBy("user_id", "rank")),
     "ev_moving_sum" -> ((s, dir) =>
       Events.movingSum(t(s, dir, "events")).orderBy("user_id", "event_id"))
   )
 
+  // Gap boundary PINNED to strictly-> on both sides (see
+  // Events.sessionize scaladoc): exactly-gap distance continues the
+  // session. Flipping either side to >= breaks the EventsSpec
+  // boundary test and this oracle's hash match. Shared verbatim by
+  // ev_sessionize, ev_sessionize_2level, and st_stateful_sessions —
+  // three implementations, one contract.
+  private lazy val sessionizeOracleSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |b AS (SELECT user_id, event_id, us,
+       |  CASE WHEN lag(us) OVER w IS NULL
+       |         OR us - lag(us) OVER w > ${SessionGapSeconds * 1000000L}
+       |       THEN 1 ELSE 0 END AS brk
+       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (SELECT user_id, us,
+       |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |FROM b)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |  min(us) AS start_us, max(us) AS end_us,
+       |  max(us) - min(us) AS duration_us
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
   // events.ts is TIMESTAMP(NANOS) in the parquet; Spark-side we truncate
   // to microseconds (Tables.load), so every oracle goes through
   // epoch_us(CAST(ts AS TIMESTAMP)) — the same floor-to-micros.
+  // ev_hourly_rollup_approx has NO oracle (approximate results cannot
+  // hash-match) → driver rows-only; the error bound is spec-checked.
   private val eventsOracles: Map[String, String] = Map(
     "ev_hourly_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
@@ -468,26 +528,8 @@ object RegistryExt {
         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
-    // Gap boundary PINNED to strictly-> on both sides (see
-    // Events.sessionize scaladoc): exactly-gap distance continues the
-    // session. Flipping either side to >= breaks the EventsSpec
-    // boundary test and this oracle's hash match.
-    "ev_sessionize" ->
-      s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-         |b AS (SELECT user_id, event_id, us,
-         |  CASE WHEN lag(us) OVER w IS NULL
-         |         OR us - lag(us) OVER w > ${SessionGapSeconds * 1000000L}
-         |       THEN 1 ELSE 0 END AS brk
-         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-         |s AS (SELECT user_id, us,
-         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-         |FROM b)
-         |SELECT user_id, session_id, count(*) AS n_events,
-         |  min(us) AS start_us, max(us) AS end_us,
-         |  max(us) - min(us) AS duration_us
-         |FROM s GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin,
+    "ev_sessionize" -> sessionizeOracleSql,
+    "ev_sessionize_2level" -> sessionizeOracleSql,
     "ev_top_n" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS "rank"
@@ -623,6 +665,38 @@ object RegistryExt {
         graft.streaming.StreamOps.streamDedup(_),
         outputMode = "append")
         .orderBy("event_id")
+    }),
+
+    // ARBITRARY-STATE sessionization (flatMapGroupsWithState, event-time
+    // timeout) run as a real stream and checked against the SAME oracle
+    // as the batch window and the two-level form — the third stream/
+    // batch parity proof, this one for custom state. A sentinel event
+    // (user −1) past every session's timeout is appended so the final
+    // watermark closes each real user's last open session before the
+    // stream drains; the sentinel's own session stays open and is
+    // filtered out.
+    "st_stateful_sessions" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      import s.implicits._
+      val batch = t(s, dir, "events")
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + (SessionGapSeconds + 3600) * 1000L)
+      val sentinelDir = java.nio.file.Files
+        .createTempDirectory("graft_st_sentinel").toString
+      Seq((-1L, -1L, sentinelTs)).toDF("user_id", "event_id", "ts")
+        .write.mode("overwrite").parquet(sentinelDir)
+      val evStream = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "ts")
+      val src = evStream.unionAll(
+        s.readStream.schema(s.read.parquet(sentinelDir).schema)
+          .parquet(sentinelDir))
+      StreamOps.runToCompletion(s, src,
+        df => StreamOps.statefulSessionize(
+          df.as[StreamOps.Ev], SessionGapSeconds).toDF(),
+        outputMode = "append")
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -657,7 +731,10 @@ object RegistryExt {
          |ORDER BY user_id, start_us""".stripMargin,
     "st_stream_dedup" ->
       """SELECT event_id, user_id, event_type
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Identical to the batch sessionize oracle: custom streaming state
+    // must agree with the window formulation bit-for-bit.
+    "st_stateful_sessions" -> sessionizeOracleSql
   )
 
   val queries: Map[String, Q] =

@@ -202,6 +202,69 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
   }
 
+  /** Connected components over the verified duplicate-pair graph —
+    * what a production dedup REPORTS: every document labeled with its
+    * duplicate cluster (the component's minimum id) plus the cluster
+    * size. [[dropNearDuplicates]] is the removal step; this is the
+    * grouping step that makes cluster statistics (size, canonical doc)
+    * possible.
+    *
+    * Algorithm: iterative min-label propagation — labels start as own
+    * id; each round every node takes the min of its own and its
+    * neighbors' labels; stop when a round changes nothing. Each round is
+    * one shuffle join (edges × labels) plus a map-side-combined min
+    * aggregate, and the round count is the graph DIAMETER — small by
+    * construction for near-dup clusters (a dup cluster is a dense blob
+    * around its original, not a long chain). At extreme scale the
+    * large-star/small-star reformulation (Kiveris et al., "Connected
+    * Components in MapReduce") halves the round count by rewiring edges
+    * toward component minima each round; the per-round plan here is the
+    * same join+min shape, so swapping the rewiring in is local. The
+    * driver-side loop holds only the convergence COUNT (one scalar per
+    * round — no data collect), and each round's result is
+    * `localCheckpoint`ed so lineage stays flat.
+    *
+    * Determinism: min-labels over an id set — order-independent. */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame, idCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src").as("nb_node"))
+        .agg(min(col("label")).as("nb_label"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("nb_node"),
+          "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nb_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .where(col("label") =!= col("prev"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents: not converged in $maxIter " +
+      "rounds — graph diameter exceeds the bound; raise maxIter or use " +
+      "large-star/small-star rewiring")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as(idCol), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   /** Near-duplicate REMOVAL — the materialization step that ends a
     * dedup pipeline: given verified duplicate pairs (doc_a < doc_b),
     * drop every document that appears as the GREATER id of any pair.

@@ -45,6 +45,22 @@ object Events {
         sum(micros(col("value"))).as("value_micros"))
       .withColumn("value_sum", col("value_micros").cast(DoubleType) / 1000000)
 
+  /** [[hourlyRollup]] with HLL distincts — the 100 TB form. The exact
+    * `countDistinct` expands to a TWO-phase aggregation (first on
+    * (group, user), then on group: every distinct pair shuffles);
+    * `approx_count_distinct` keeps ONE shuffle whose state per group is
+    * a fixed-size HyperLogLog++ sketch (rsd 2.3%), so memory is bounded
+    * no matter how many distinct users an hour has. Approximate ⇒
+    * checked rows-only by the driver + an error-bound EventsSpec test. */
+  def hourlyRollupApprox(df: DataFrame): DataFrame =
+    df.groupBy(
+        date_trunc("hour", col("ts")).cast(StringType).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        sum(micros(col("value"))).as("value_micros"))
+      .withColumn("value_sum", col("value_micros").cast(DoubleType) / 1000000)
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Session ids are per-user running counts of
     * session breaks (1-based).

@@ -23,10 +23,20 @@ object Form700Source {
     "scheduleA1", "scheduleA2", "scheduleB", "scheduleC",
     "scheduleD", "scheduleE", "comments")
 
-  /** Read a directory of page files (one JSON object per file —
-    * `multiLine` exactly like the API's one-object-per-response). */
-  def readPages(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "true").json(path)
+  /** Read a paged source (S2/S3): page bodies come through the
+    * [[PagedJsonSource]] DataSourceV2 connector — one task per page,
+    * pluggable fetcher (file-backed here; an HTTP deployment registers
+    * its client as a [[PageFetcher]]) — and the one-object-per-response
+    * bodies decode through Spark's JSON reader with inferred schema,
+    * exactly as `spark.read.json` on files would. */
+  def readPages(spark: SparkSession, path: String): DataFrame = {
+    val bodies = spark.read
+      .format("graft.sources.PagedJsonSource")
+      .option("path", path).load()
+      .select("body")
+      .as(org.apache.spark.sql.Encoders.STRING)
+    spark.read.json(bodies)
+  }
 
   /** S4 (Form700.py:146-158): pluck the `filings` array from every cover
     * page, concat across pages, flatten nested structs to dotted

@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** How a page body is obtained. The reference's ingest loop
+  * (Form700.py:107-144) authenticates, fetches page 1, reads the
+  * total-page bound from the response, then loops
+  * `while current_page <= total_pages` — the FETCHER abstracts exactly
+  * that surface: a page-count bound and a page body per index. An HTTP
+  * deployment implements it with its client (auth = construction —
+  * S1/F8); the offline sandbox uses [[FilePageFetcher]]. Instances ship
+  * to executors (one page is read INSIDE its task, not on the driver),
+  * so implementations must be serializable. */
+trait PageFetcher extends Serializable {
+  /** The page-count bound (the reference re-reads it from each response;
+    * one planning-time read is the batch equivalent). */
+  def totalPages(): Int
+  /** The raw JSON body of 1-based page `page`. */
+  def fetchPage(page: Int): String
+}
+
+/** File-backed fetcher: a directory of `page_N.json` files (one API
+  * response object per file) or a single page file. Paths go through the
+  * Hadoop FileSystem API, so `file:`, HDFS, and object-store URIs all
+  * work — the same substrate the rest of the library reads through. */
+final class FilePageFetcher(path: String) extends PageFetcher {
+  // Resolved lazily and NOT serialized: each executor re-lists against
+  // its own FileSystem handle.
+  @transient private lazy val files: IndexedSeq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val st = fs.getFileStatus(p)
+    if (st.isFile) IndexedSeq(p.toString)
+    else fs.listStatus(p).toIndexedSeq
+      .map(_.getPath)
+      .filter(_.getName.matches("page_\\d+\\.json"))
+      .sortBy(f => f.getName.stripPrefix("page_").stripSuffix(".json").toInt)
+      .map(_.toString)
+  }
+
+  override def totalPages(): Int = files.size
+
+  override def fetchPage(page: Int): String = {
+    val p = new Path(files(page - 1))
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => out.write(buf, 0, n))
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+}
+
+/** DataSourceV2 paged-JSON source (S1–S3 as a first-class connector):
+  * `spark.read.format("graft.sources.PagedJsonSource")` with either
+  * `.option("path", dir)` (file-backed) or `.option("fetcher", name)`
+  * (a programmatically registered [[PageFetcher]] — the HTTP plug
+  * point). Schema is fixed — one row per page, `(page INT, body
+  * STRING)` — and `planInputPartitions` emits ONE PARTITION PER PAGE,
+  * so the reference's sequential `while current_page <= total_pages`
+  * loop becomes an embarrassingly parallel scan: at 1000 executors,
+  * 1000 pages fetch concurrently, and the JSON decode happens
+  * downstream of a body column like any other projection. */
+class PagedJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedJsonSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagedJsonTable(PagedJsonSource.fetcherFor(properties.asScala.toMap))
+}
+
+object PagedJsonSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("body", StringType, nullable = true)))
+
+  // Programmatic fetcher plug point (options are string-only, so
+  // non-file fetchers register by name; registration is driver-side,
+  // the INSTANCE serializes into each partition).
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, PageFetcher]()
+
+  def registerFetcher(name: String, fetcher: PageFetcher): Unit =
+    registry.put(name, fetcher)
+
+  private[sources] def fetcherFor(opts: Map[String, String]): PageFetcher =
+    opts.get("fetcher") match {
+      case Some(name) =>
+        val f = registry.get(name)
+        require(f != null, s"no registered PageFetcher named '$name'")
+        f
+      case None =>
+        val path = opts.getOrElse("path",
+          sys.error("PagedJsonSource needs .option(\"path\", ...) or " +
+            ".option(\"fetcher\", <registered name>)"))
+        new FilePageFetcher(path)
+    }
+}
+
+final class PagedJsonTable(fetcher: PageFetcher)
+    extends Table with SupportsRead {
+  override def name(): String = "paged_json"
+  override def schema(): StructType = PagedJsonSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = PagedJsonSource.Schema
+      override def toBatch: Batch = this
+      // The paging loop, parallelized: read the bound once, emit one
+      // partition per page.
+      override def planInputPartitions(): Array[InputPartition] =
+        (1 to fetcher.totalPages())
+          .map(PagedJsonPartition(_, fetcher): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PagedJsonReaderFactory
+    }
+}
+
+private final case class PagedJsonPartition(page: Int, fetcher: PageFetcher)
+    extends InputPartition
+
+private final class PagedJsonReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[PagedJsonPartition]
+      private var emitted = false
+      override def next(): Boolean = !emitted
+      override def get(): InternalRow = {
+        emitted = true
+        new GenericInternalRow(Array[Any](p.page,
+          UTF8String.fromString(p.fetcher.fetchPage(p.page))))
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -88,6 +88,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 2L && p._2 == 3L))
   }
 
+  test("connectedComponents: transitive chains, singletons, cluster sizes") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+      (9L, "lonely")).toDF("id", "text")
+    // chain 1-2, 2-3 (3 reaches 1 only transitively) + pair 4-5;
+    // 9 touches no pair and must label itself as a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(docs, pairs, "id")
+      .select("id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L),
+      (9L, 9L, 1L)))
+  }
+
   test("dropNearDuplicates removes the greater id of every pair") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
       .toDF("id", "text")

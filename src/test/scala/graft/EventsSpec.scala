@@ -108,6 +108,26 @@ class EventsSpec extends AnyFunSuite {
     assert(plain.exists(s => s._1 == 7L && s._3 == 2L)) // 7+8 exact-gap
   }
 
+  test("hourlyRollupApprox: exact groups/sums, HLL distinct within 5%") {
+    val df = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val exact = Events.hourlyRollup(df)
+      .select("hour", "event_type", "n_events", "n_users")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val approx = Events.hourlyRollupApprox(df)
+      .select("hour", "event_type", "n_events", "n_users_approx")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (n, users)) =>
+      val (en, eu) = exact(k)
+      assert(n == en, s"group counts must be exact at $k")
+      // default rsd = 0.023; 5% absolute bar leaves slack for small sets
+      assert(math.abs(users - eu) <= math.max(1L, (eu * 0.05).toLong),
+        s"HLL estimate $users too far from exact $eu at $k")
+    }
+  }
+
   test("topNPerUser ranks by value desc") {
     val out = Events.topNPerUser(events, 1)
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet
