@@ -240,18 +240,20 @@ object Dedup {
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("nb_node"))
         .agg(min(col("label")).as("nb_label"))
+      // One materialization per round: the new label AND its changed
+      // flag are checkpointed together, so the convergence count reads
+      // cached blocks instead of re-joining old vs new labels.
       val updated = labels
         .join(neighborMin, labels("node") === neighborMin("nb_node"),
           "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("nb_label"), col("label")))
-            .as("label"))
+            .as("next"),
+          col("label").as("prev"))
+        .withColumn("changed", col("next") =!= col("prev"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .where(col("label") =!= col("prev"))
-        .count()
-      labels = updated
+      val changed = updated.where(col("changed")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
       converged = changed == 0
       iter += 1
     }

@@ -447,4 +447,35 @@ object Form700Pipeline {
   def upsertedTable(spark: SparkSession, name: String, outDir: String,
                     nChunks: Int): DataFrame =
     spark.read.parquet(s"$outDir/$name/gen_${nChunks - 1}")
+
+  // ------------------------------------------------------------------
+  // O4 — job report artifact (Form700.py:520-583 builds a per-table
+  // CSV report + subject line; :638-655 emails it). SMTP itself is a
+  // side channel outside the dataflow; the ARTIFACT — the report CSV
+  // and its SUCCESS/FAILURE subject — is modeled here so a deployment
+  // can attach any transport to it.
+  // ------------------------------------------------------------------
+
+  /** The reference's email subject: overall status + table tally
+    * (Form700.py:520-529 — FAILURE if any table failed). Derived from
+    * the audit report frame; the collect is 1 row per table (bounded by
+    * the catalog, never by data). */
+  def jobReportSubject(audit: DataFrame): String = {
+    val counts = audit.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("status") === "SUCCESS", 1).otherwise(0)).as("ok"))
+      .head()
+    val (n, ok) = (counts.getAs[Long]("n"), counts.getAs[Long]("ok"))
+    val status = if (ok == n) "SUCCESS" else "FAILURE"
+    s"Form700 ETL $status: $ok/$n tables loaded"
+  }
+
+  /** Write the audit report as ONE csv file with a header — the email
+    * attachment analog (Form700.py:571-583 writes the report CSV before
+    * sending). Returns the subject line for the caller's transport. */
+  def writeJobReport(audit: DataFrame, path: String): String = {
+    audit.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+    jobReportSubject(audit)
+  }
 }

@@ -240,6 +240,26 @@ class Form700PipelineSpec extends AnyFunSuite {
     assert(merged("F002").getAs[Int]("src_chunk") == 0)
   }
 
+  test("O4 job report: CSV artifact + SUCCESS/FAILURE subject line") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_e1_report").toString
+    val audit = Form700Pipeline.writeAll(spark,
+      Map("cover" -> tables("cover"), "comments" -> tables("comments")),
+      s"$out/sink")
+    val subject = Form700Pipeline.writeJobReport(audit, s"$out/report")
+    assert(subject == "Form700 ETL SUCCESS: 2/2 tables loaded")
+    val back = spark.read.option("header", "true").csv(s"$out/report")
+    assert(back.count() == 2)
+    assert(back.columns.contains("status") &&
+      back.columns.contains("rows_written"))
+    // FAILURE propagates to the subject (reference: any failed table
+    // flips the email subject, Form700.py:520-529)
+    val failed = audit.withColumn("status",
+      org.apache.spark.sql.functions.lit("FAILURE"))
+    assert(Form700Pipeline.jobReportSubject(failed)
+      == "Form700 ETL FAILURE: 0/2 tables loaded")
+  }
+
   test("retry policy: backoff schedule, reference constants, give-up") {
     import graft.operators.{Retry, RetryPolicy}
     // reference parity: @retry(tries=10, delay=1, backoff=2) + 0.25 s
