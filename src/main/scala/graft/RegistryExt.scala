@@ -376,6 +376,78 @@ object RegistryExt {
   )
 
   // ---------------------------------------------------------------------
+  // Training-corpus prep (TrainPrep): deterministic-hash sampling,
+  // weighted corpus mixing, per-shard sequence packing — the stage
+  // between a cleaned corpus and a training stream. All decisions are
+  // pure functions of the row id, so the DuckDB oracles replay them
+  // bit-for-bit.
+  // ---------------------------------------------------------------------
+
+  private val SamplePct = 20
+  private val MixWeightA = 80
+  private val PackBudget = 256
+
+  /** The SAME bucket construction as TrainPrep.hashBucket, in DuckDB. */
+  private def hashBucketSql(x: String): String =
+    s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+  private val trainprep: Map[String, Q] = Map(
+    "tp_sample_hash" -> ((s, dir) =>
+      TrainPrep.sampleByHash(t(s, dir, "documents"), "doc_id", SamplePct)
+        .select("doc_id", "bucket")
+        .orderBy("doc_id")),
+
+    // Two corpora (the fixture + a shifted-id copy standing in for a
+    // second source) mixed 80/20: each source keeps its own hash-space
+    // slice, tagged with source_id.
+    "tp_mix_weighted" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"))
+      val b = d.select((col("doc_id") + IdShift).as("doc_id"))
+      TrainPrep.mixWeighted(Seq((a, MixWeightA), (b, 100 - MixWeightA)),
+          "doc_id")
+        .select("doc_id", "bucket", "source_id")
+        .orderBy("doc_id")
+    }),
+
+    "tp_pack_sequences" -> ((s, dir) =>
+      TrainPrep.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        "lang", PackBudget)
+        .orderBy("doc_id"))
+  )
+
+  private val trainprepOracles: Map[String, String] = Map(
+    "tp_sample_hash" ->
+      s"""WITH b AS (SELECT doc_id, ${hashBucketSql("doc_id")} AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket FROM b
+         |WHERE bucket < $SamplePct ORDER BY doc_id""".stripMargin,
+    "tp_mix_weighted" ->
+      s"""WITH a AS (SELECT doc_id FROM documents),
+         |b AS (SELECT doc_id + $IdShift AS doc_id FROM documents),
+         |ah AS (SELECT doc_id, ${hashBucketSql("doc_id")} AS bucket FROM a),
+         |bh AS (SELECT doc_id, ${hashBucketSql("doc_id")} AS bucket FROM b),
+         |u AS (
+         |  SELECT doc_id, bucket, 0 AS source_id FROM ah
+         |    WHERE bucket >= 0 AND bucket < $MixWeightA
+         |  UNION ALL
+         |  SELECT doc_id, bucket, 1 AS source_id FROM bh
+         |    WHERE bucket >= $MixWeightA AND bucket < 100)
+         |SELECT doc_id, bucket, source_id FROM u ORDER BY doc_id""".stripMargin,
+    "tp_pack_sequences" ->
+      s"""WITH n AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tokens_before
+         |  FROM n)
+         |SELECT doc_id, lang, n_tokens, tokens_before,
+         |  CAST(floor(tokens_before / $PackBudget) AS BIGINT) AS bin
+         |FROM c ORDER BY doc_id""".stripMargin
+  )
+
+  // ---------------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------------
 
@@ -738,8 +810,9 @@ object RegistryExt {
   )
 
   val queries: Map[String, Q] =
-    dedup ++ similarity ++ text ++ events ++ streaming ++ multimodal
+    dedup ++ similarity ++ text ++ events ++ streaming ++ multimodal ++
+      trainprep
   val oracles: Map[String, String] =
     dedupOracles ++ similarityOracles ++ textOracles ++ eventsOracles ++
-      streamingOracles ++ multimodalOracles
+      streamingOracles ++ multimodalOracles ++ trainprepOracles
 }

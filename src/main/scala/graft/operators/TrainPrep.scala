@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-corpus preparation operators — the sampling / mixing /
+  * packing trio that sits next to dedup in a large-scale LLM data
+  * pipeline (the stage that turns a cleaned corpus into a training
+  * stream).
+  *
+  * Everything is DETERMINISTIC BY HASH, never `rand()`: a sample/mix
+  * decision is a pure function of the row's id, so runs replay
+  * identically across engines, retries, and partitionings (the same
+  * property the dedup kernel pins), and the DuckDB oracles reproduce
+  * every decision bit-for-bit.
+  *
+  * Scale posture:
+  *  - [[hashBucket]] / [[sampleByHash]] are narrow maps — no shuffle,
+  *    no sort, pushdown-friendly (the filter sits right above the
+  *    scan);
+  *  - [[mixWeighted]] is a union of narrow-filtered sources — each
+  *    source is scanned once with its own bucket predicate;
+  *  - [[packSequences]] windows per SHARD: the running token sum that
+  *    assigns bin ids partitions on the shard key, so no global-order
+  *    bottleneck — exactly how packing runs in production (bins never
+  *    span shards; each shard's stream packs independently).
+  */
+object TrainPrep {
+
+  /** Deterministic per-row bucket in [0, 100): first 8 md5 hex digits
+    * of the id rendered as a string, mod 100. Same construction inlines
+    * into DuckDB SQL (`('0x' || substr(md5(...), 1, 8))::BIGINT`). */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType), lit(buckets.toLong))
+
+  /** Keep ~`pct`% of rows, chosen by [[hashBucket]] on `idCol` — a
+    * reproducible corpus sample (re-runs and backfills select the SAME
+    * rows; adjacent percentages nest: pct=20 ⊃ pct=10). */
+  def sampleByHash(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.withColumn("bucket", hashBucket(col(idCol)))
+      .where(col("bucket") < pct)
+
+  /** Weighted corpus mix: each source keeps the slice of its OWN hash
+    * space proportional to its weight (weights sum to 100), then the
+    * slices union into one stream tagged with `source_id`. The split
+    * points are cumulative weights, so a source's kept set is stable
+    * under reweighting of the others. All sources must share the
+    * projected column set. */
+  def mixWeighted(sources: Seq[(DataFrame, Int)], idCol: String): DataFrame = {
+    require(sources.map(_._2).sum == 100, "weights must sum to 100")
+    val lows = sources.map(_._2).scanLeft(0)(_ + _)
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      df.withColumn("bucket", hashBucket(col(idCol)))
+        .where(col("bucket") >= lows(i) && col("bucket") < lows(i) + w)
+        .withColumn("source_id", lit(i).cast(IntegerType))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Greedy sequence packing: within each shard (`shardCol`), documents
+    * in id order accumulate whitespace-token counts, and a document's
+    * bin is `floor(tokens_before_it / budget)` — the standard
+    * no-document-splitting approximation (a bin may overrun the budget
+    * by at most one document). One window per shard; bins are contiguous
+    * id ranges within their shard by construction. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, budgetTokens: Int): DataFrame = {
+    val nTokens = size(split(trim(col(textCol)), "\\s+")).cast(LongType)
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+    df.select(col(idCol), col(shardCol), nTokens.as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin",
+        floor(col("tokens_before") / budgetTokens).cast(LongType))
+  }
+}

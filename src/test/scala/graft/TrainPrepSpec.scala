@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainPrep
+
+/** Sampling / mixing / packing: decisions must be pure functions of the
+  * row id (replayable), slices must nest and partition the hash space,
+  * and packing must respect shard boundaries with no document splits. */
+class TrainPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = (0L until 200L).map(i =>
+    (i, if (i % 3 == 0) "en" else "de",
+      Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
+    .toDF("doc_id", "lang", "text")
+
+  test("sampleByHash: deterministic, nested percentages, sane rate") {
+    val s20 = TrainPrep.sampleByHash(docs, "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    val s20again = TrainPrep.sampleByHash(docs, "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20 == s20again)
+    // nesting: the 10% sample is a subset of the 20% sample
+    val s10 = TrainPrep.sampleByHash(docs, "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s20))
+    // ~20% of 200 rows, generous bounds for hash variance
+    assert(s20.size > 20 && s20.size < 80)
+  }
+
+  test("mixWeighted: slices are disjoint hash ranges tagged by source") {
+    val a = docs.select($"doc_id")
+    val b = docs.select(($"doc_id" + 1000L).as("doc_id"))
+    val mixed = TrainPrep.mixWeighted(Seq((a, 80), (b, 20)), "doc_id")
+      .select("doc_id", "bucket", "source_id")
+      .as[(Long, Long, Int)].collect()
+    assert(mixed.forall { case (_, bk, src) =>
+      if (src == 0) bk >= 0 && bk < 80 else bk >= 80 && bk < 100 })
+    // weights bite: source 0 keeps ~4× more of its corpus than source 1
+    val bySrc = mixed.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySrc(0) > 2 * bySrc(1))
+    // bad weights refused
+    intercept[IllegalArgumentException] {
+      TrainPrep.mixWeighted(Seq((a, 50), (b, 20)), "doc_id")
+    }
+  }
+
+  test("packSequences: per-shard running bins, no document splitting") {
+    val packed = TrainPrep.packSequences(docs, "doc_id", "text", "lang", 10)
+      .select("doc_id", "lang", "n_tokens", "tokens_before", "bin")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // bin is exactly floor(tokens_before / budget)
+    assert(packed.forall(r => r._5 == r._4 / 10))
+    // running sum restarts per shard and is consistent within it
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      assert(ordered.head._4 == 0L)
+      ordered.sliding(2).foreach {
+        case Array(p, n) => assert(n._4 == p._4 + p._3)
+        case _ => ()
+      }
+    }
+    // shards pack independently: both langs start at bin 0
+    assert(packed.filter(_._2 == "en").map(_._5).min == 0L)
+    assert(packed.filter(_._2 == "de").map(_._5).min == 0L)
+  }
+}
