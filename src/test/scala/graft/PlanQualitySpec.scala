@@ -107,6 +107,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"ivfTopK must rank via the bounded-heap aggregate:\n$ivf")
   }
 
+  test("TrainPrep: sample/mix are narrow maps; packing shuffles once per shard") {
+    import graft.operators.TrainPrep
+    val docs = Tables.load(spark, dir, "documents")
+    // sampling and mixing must not shuffle — they are scan-side filters
+    val sample = planString(TrainPrep.sampleByHash(docs, "doc_id", 20))
+    assert(!sample.contains("Exchange"),
+      s"hash sampling must be a narrow map:\n$sample")
+    val mix = planString(TrainPrep.mixWeighted(Seq(
+      (docs.select(col("doc_id")), 80),
+      (docs.select((col("doc_id") + 1000L).as("doc_id")), 20)), "doc_id"))
+    assert(!mix.contains("Exchange"),
+      s"weighted mix must be filters + union, no shuffle:\n$mix")
+    // packing windows per shard: exactly one hash exchange, on the shard
+    val packFull = planString(TrainPrep.packSequences(
+      docs, "doc_id", "text", "lang", 256))
+    // AQE's toString echoes the pre-adaptive plan after "Initial Plan" —
+    // audit only the final executed plan.
+    val pack = packFull.split("== Initial Plan ==").head
+    val exchanges = pack.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("lang"),
+      s"packing must shuffle once on the shard key:\n$pack")
+  }
+
   test("ascii_backslash is callable from plain SQL (extension injection)") {
     val r = spark.sql("SELECT ascii_backslash('café') AS e")
       .collect().head.getString(0)
