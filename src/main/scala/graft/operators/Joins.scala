@@ -49,4 +49,22 @@ object Joins {
       .withColumn("__salt", col("__salt").cast(IntegerType))
     factSalted.join(dimSalted, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Persist a table BUCKETED (and sorted) by its join key — the
+    * co-location tool for big-to-big equi-joins that recur on the same
+    * key: two tables bucketed the same way join with NO exchange on
+    * either side (each task reads matching bucket files), which at
+    * 100 TB removes the single largest cost of a repeated fact-fact
+    * join. Bucketing goes through the session catalog (`saveAsTable` —
+    * bucket metadata lives in the table definition, not the files), so
+    * this is the ingest-side twin of [[saltedJoin]]'s read-side skew
+    * fix: pay one clustered write, then every later join is
+    * shuffle-free. A `PlanQualitySpec` test proves the join plan has no
+    * Exchange and one SortMergeJoin over bucketed scans. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -148,6 +148,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.collect().head.getString(0) == "caf\\xe9")
   }
 
+  test("bucketed tables co-locate: big-big equi-join runs with NO exchange") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Joins.writeBucketed(li, "pq_li_bucketed", "l_orderkey", 8)
+    Joins.writeBucketed(ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "pq_ord_bucketed", "l_orderkey", 8)
+    // force the non-broadcast path: the point is the exchange-free
+    // shuffle join, not a broadcast
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("pq_li_bucketed")
+        .join(spark.table("pq_ord_bucketed"), Seq("l_orderkey"))
+      val plan = planString(joined).split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() ==
+        li.join(ord, li("l_orderkey") === ord("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS pq_li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS pq_ord_bucketed")
+    }
+  }
+
   test("saltedJoin: equal to plain join, hot key spread across salts") {
     import spark.implicits._
     // skewed fact: one hot key with 1000 rows
