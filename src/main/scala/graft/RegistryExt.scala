@@ -561,7 +561,33 @@ object RegistryExt {
     "ev_top_n" -> ((s, dir) =>
       Events.topNPerUser(t(s, dir, "events"), 3).orderBy("user_id", "rank")),
     "ev_moving_sum" -> ((s, dir) =>
-      Events.movingSum(t(s, dir, "events")).orderBy("user_id", "event_id"))
+      Events.movingSum(t(s, dir, "events")).orderBy("user_id", "event_id")),
+
+    // Backward AS-OF join (Joins.asofJoin — union-and-carry, one shuffle
+    // on the key): every view event picks up the user's latest
+    // click-at-or-before it. The right side aggregates to one row per
+    // (user, time); unmatched views coalesce to -1. Oracle = DuckDB's
+    // native ASOF LEFT JOIN — an independent implementation of the same
+    // semantics.
+    "ev_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          Events.micros(col("value")).as("vm"))
+      val views = e.where(col("event_type") === "view")
+        .select("user_id", "event_id", "us")
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("click_us"))
+        .agg(max(col("vm")).as("click_vm"))
+        .select(col("user_id"), col("click_us").as("us"),
+          col("click_us"), col("click_vm"))
+      Joins.asofJoin(views, clicks, "user_id", "us",
+          Seq("click_us", "click_vm"))
+        .select(col("user_id"), col("event_id"), col("us"),
+          coalesce(col("click_us"), lit(-1L)).as("click_us"),
+          coalesce(col("click_vm"), lit(-1L)).as("click_vm"))
+        .orderBy("event_id")
+    })
   )
 
   // Gap boundary PINNED to strictly-> on both sides (see
@@ -602,6 +628,19 @@ object RegistryExt {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "ev_sessionize" -> sessionizeOracleSql,
     "ev_sessionize_2level" -> sessionizeOracleSql,
+    "ev_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS click_us, max(vm) AS click_vm FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id, us)
+        |SELECT v.user_id, v.event_id, v.us,
+        |  COALESCE(c.click_us, -1) AS click_us,
+        |  COALESCE(c.click_vm, -1) AS click_vm
+        |FROM v ASOF LEFT JOIN c
+        |  ON v.user_id = c.user_id AND v.us >= c.click_us
+        |ORDER BY event_id""".stripMargin,
     "ev_top_n" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS "rank"

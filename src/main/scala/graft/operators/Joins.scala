@@ -50,6 +50,55 @@ object Joins {
     factSalted.join(dimSalted, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Backward AS-OF join: each left row picks up the value columns of
+    * the LATEST right row with the same key and `right.time <= left.time`
+    * (inclusive) — the time-series join Spark lacks as a primitive
+    * (pandas `merge_asof` / kdb `aj`).
+    *
+    * Spark-first shape: NOT a range join (a `l.t >= r.t` theta-join is a
+    * per-key cross product — quadratic for hot keys and not hash-joinable)
+    * but the union-and-carry formulation: tag both sides, union them,
+    * sort each key's rows by (time, side) with right rows first at equal
+    * times, and carry the last non-null right value forward with a
+    * running `last(ignoreNulls)` window. ONE shuffle on the key, linear
+    * work per row — survives any key's row count (the window is the same
+    * per-user pattern as sessionization; pre-bucket by time for hot keys
+    * the way [[graft.operators.Events.sessionize2Level]] does).
+    *
+    * Preconditions: `valueCols` must not collide with left columns; the
+    * right side must be unique per (key, time) — aggregate it first (a
+    * duplicate would make "the" matched row ambiguous in any engine).
+    * Unmatched left rows carry nulls — coalesce downstream. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               timeCol: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(!leftCols.contains(_)),
+      "valueCols must not collide with left columns")
+    val rightProj = right.select(
+      (Seq(key, timeCol) ++ valueCols).map(c => col(s"`$c`")): _*)
+    val passCols = leftCols.filterNot(Seq(key, timeCol).contains)
+    val lTagged = left.select(
+      Seq(col(s"`$key`"), col(s"`$timeCol`"), lit(1).as("__side")) ++
+        passCols.map(c => col(s"`$c`")) ++
+        valueCols.map(c =>
+          lit(null).cast(rightProj.schema(c).dataType).as(c)): _*)
+    val rTagged = rightProj.select(
+      Seq(col(s"`$key`"), col(s"`$timeCol`"), lit(0).as("__side")) ++
+        passCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(s"`$c`")): _*)
+    // right rows (side 0) sort BEFORE left rows at the same timestamp →
+    // equal-time matches are included (backward-inclusive semantics,
+    // same as DuckDB ASOF JOIN's l.t >= r.t)
+    val w = Window.partitionBy(key).orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+        df.withColumn(c, last(col(s"`$c`"), ignoreNulls = true).over(w))
+      }
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+
   /** Persist a table BUCKETED (and sorted) by its join key — the
     * co-location tool for big-to-big equi-joins that recur on the same
     * key: two tables bucketed the same way join with NO exchange on

@@ -24,4 +24,54 @@ class JoinsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
   }
+
+  test("asofJoin: latest right row at-or-before each left time, per key") {
+    val left = Seq(("u1", 10L, "a"), ("u1", 25L, "b"), ("u1", 30L, "c"),
+        ("u2", 20L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq(("u1", 10L, 100L), ("u1", 20L, 200L), ("u2", 99L, 900L))
+      .toDF("k", "t", "v")
+    val got = Joins.asofJoin(left, right, "k", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("u1", 10L, "a", 100L),   // equal time matches (inclusive boundary)
+      ("u1", 25L, "b", 200L),   // latest at-or-before 25 is t=20
+      ("u1", 30L, "c", 200L),   // carried forward past the last right row
+      ("u2", 20L, "d", -1L)))   // u2's only right row is in the future
+  }
+
+  test("asofJoin: multiple value columns carried together; left cols kept") {
+    val left = Seq((1L, 5L, "keep")).toDF("k", "t", "note")
+    val right = Seq((1L, 3L, 7L, "x"), (1L, 4L, 8L, "y"))
+      .toDF("k", "t", "a", "b")
+    val got = Joins.asofJoin(left, right, "k", "t", Seq("a", "b")).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getString(byName("note")) == "keep")
+    assert(r.getLong(byName("a")) == 8L && r.getString(byName("b")) == "y")
+  }
+
+  test("asofJoin rejects value columns that collide with left columns") {
+    val df = Seq((1L, 1L)).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(df, df.withColumn("k2", $"k"), "k", "t", Seq("k"))
+    }
+  }
+
+  test("asofJoin plans ONE shuffle on the key (union-and-carry, no theta join)") {
+    val left = spark.range(100).selectExpr("id % 10 AS k", "id AS t")
+    val right = spark.range(50)
+      .selectExpr("id % 10 AS k", "id AS t", "id * 2 AS v")
+    val plan = Joins.asofJoin(left, right, "k", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val finalPlan = plan.split("\\+- == Initial Plan ==")(0)
+    assert(!finalPlan.contains("NestedLoop") && !finalPlan.contains("Cartesian"),
+      s"as-of must not plan as a theta/cross join:\n$finalPlan")
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(finalPlan).length
+    assert(shuffles <= 1, s"expected at most one key shuffle, got $shuffles:\n$finalPlan")
+  }
 }
