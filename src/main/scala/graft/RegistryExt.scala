@@ -37,6 +37,9 @@ object RegistryExt {
   private val NeardupPlanes = 8
   private val Dim = 64
   private val SessionGapSeconds = 1800L
+  // Attribution window for the stream-stream interval join (view→click).
+  // 6 h keeps the fixture's pair count substantive (~250 at sf0.01).
+  private val StreamJoinWindowSeconds = 21600L
   private val IdShift = 1000000L
 
   // ---------------------------------------------------------------------
@@ -587,6 +590,30 @@ object RegistryExt {
           coalesce(col("click_us"), lit(-1L)).as("click_us"),
           coalesce(col("click_vm"), lit(-1L)).as("click_vm"))
         .orderBy("event_id")
+    }),
+
+    // Interval-containment RANGE join (Joins.rangeJoin — bucket
+    // decomposition, hash join on the coarse bucket, never a nested
+    // loop): the 50 longest sessions become time intervals; every event
+    // in the table (any user) inside an interval counts toward it. The
+    // oracle is DuckDB's plain BETWEEN range join — an independent
+    // execution of the same predicate.
+    "ev_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val top = Events.sessionize(ev, SessionGapSeconds)
+        .orderBy(col("duration_us").desc, col("user_id"), col("session_id"))
+        .limit(50)
+        .select(col("user_id").as("iv_user_id"),
+          col("session_id").as("iv_session_id"),
+          col("start_us"), col("end_us"))
+      val pts = ev.select(col("user_id").as("p_user_id"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      Joins.rangeJoin(pts, "us", top, "start_us", "end_us",
+          bucketWidth = 3600L * 1000000L)
+        .groupBy("iv_user_id", "iv_session_id", "start_us", "end_us")
+        .agg(count(lit(1)).as("n_in"),
+          countDistinct(col("p_user_id")).as("n_users"))
+        .orderBy("iv_user_id", "iv_session_id")
     })
   )
 
@@ -641,6 +668,21 @@ object RegistryExt {
         |FROM v ASOF LEFT JOIN c
         |  ON v.user_id = c.user_id AND v.us >= c.click_us
         |ORDER BY event_id""".stripMargin,
+    // Plain BETWEEN range join over the same top-50 session intervals;
+    // the ORDER BY ... LIMIT tiebreak (duration DESC, user, session) is
+    // total, so both engines select the same 50 regardless of ties.
+    "ev_range_join" ->
+      s"""WITH sess AS ($sessionizeOracleSql),
+         |top AS (SELECT * FROM sess
+         |  ORDER BY duration_us DESC, user_id, session_id LIMIT 50),
+         |pts AS (SELECT user_id AS p_user_id, event_id,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+         |SELECT t.user_id AS iv_user_id, t.session_id AS iv_session_id,
+         |  t.start_us, t.end_us, count(*) AS n_in,
+         |  count(DISTINCT p_user_id) AS n_users
+         |FROM top t JOIN pts ON pts.us BETWEEN t.start_us AND t.end_us
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY iv_user_id, iv_session_id""".stripMargin,
     "ev_top_n" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS "rank"
@@ -808,6 +850,22 @@ object RegistryExt {
         outputMode = "append")
         .where(col("user_id") >= 0)
         .orderBy("user_id", "session_id")
+    }),
+
+    // Stream-stream watermarked interval join (views × clicks of the
+    // same user within the attribution window) — a genuinely streaming
+    // join with bounded state; one file stream forked into two sides
+    // (stream self-joins are supported for inner joins). Oracle = the
+    // batch BETWEEN range join in DuckDB.
+    "st_stream_join" -> ((s, dir) => {
+      val src = Tables.loadStream(s, dir, "events")
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        df => graft.streaming.StreamOps.streamIntervalJoin(
+          df.where(col("event_type") === "view"),
+          df.where(col("event_type") === "click"),
+          StreamJoinWindowSeconds),
+        outputMode = "append")
+        .orderBy("view_event_id", "click_event_id")
     })
   )
 
@@ -845,7 +903,23 @@ object RegistryExt {
         |FROM events ORDER BY event_id""".stripMargin,
     // Identical to the batch sessionize oracle: custom streaming state
     // must agree with the window formulation bit-for-bit.
-    "st_stateful_sessions" -> sessionizeOracleSql
+    "st_stateful_sessions" -> sessionizeOracleSql,
+    // Batch dual of the streaming interval join: inclusive BETWEEN on
+    // micros; (view_event_id, click_event_id) is a unique pair → total
+    // order, inner join → no nulls.
+    "st_stream_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |v AS (SELECT user_id, event_id AS view_event_id, us AS v_us
+         |  FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id AS c_user_id,
+         |  event_id AS click_event_id, us AS c_us
+         |  FROM e WHERE event_type = 'click')
+         |SELECT v.user_id, view_event_id, click_event_id, v_us, c_us
+         |FROM v JOIN c ON v.user_id = c_user_id
+         |  AND c_us >= v_us
+         |  AND c_us <= v_us + ${StreamJoinWindowSeconds * 1000000L}
+         |ORDER BY view_event_id, click_event_id""".stripMargin
   )
 
   val queries: Map[String, Q] =

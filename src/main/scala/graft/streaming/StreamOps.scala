@@ -74,6 +74,42 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id", "user_id", "event_type")
 
+  /** Stream-stream watermarked INTERVAL join: each view pairs with every
+    * click of the same user arriving within `[view.ts, view.ts +
+    * windowSeconds]` (inclusive) — the attribution join (impression ×
+    * conversion) that batch engines run as a range join and Structured
+    * Streaming runs incrementally.
+    *
+    * State boundedness — the part that matters at 100 TB: BOTH sides
+    * carry a watermark AND the join condition bounds event-time distance
+    * in both directions (`v_ts <= c_ts <= v_ts + window`), so the engine
+    * derives a state-eviction bound for each side: a buffered view is
+    * dropped once the click watermark passes `v_ts + window + delay`,
+    * and vice versa. Without the time-range conjunct the join state
+    * grows forever. The equi-conjunct on `user_id` keys the state store
+    * — each micro-batch shuffles both sides once on the user.
+    *
+    * Inner join ⇒ results emit as soon as both rows arrive (no
+    * watermark-wait); batch/stream parity holds value-for-value against
+    * the plain SQL range join (registry `st_stream_join` shares its
+    * oracle shape with the DuckDB BETWEEN formulation). */
+  def streamIntervalJoin(views: DataFrame, clicks: DataFrame,
+                         windowSeconds: Long,
+                         delay: String = "1 hour"): DataFrame = {
+    val v = views.select(col("user_id"),
+        col("event_id").as("view_event_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", delay)
+    val c = clicks.select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_event_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    v.join(c, col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("view_event_id"), col("click_event_id"),
+        unix_micros(col("v_ts")).as("v_us"),
+        unix_micros(col("c_ts")).as("c_us"))
+  }
+
   // ------------------------------------------------------------------
   // Arbitrary-state sessionization (flatMapGroupsWithState)
   // ------------------------------------------------------------------

@@ -61,6 +61,44 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin: inclusive containment; multi-bucket interval matches once") {
+    // bucket width 10: interval [5, 27] covers buckets 0..2
+    val intervals = Seq(("A", 5L, 27L), ("B", 28L, 30L)).toDF("iv", "s", "e")
+    val points = Seq((1L, 4L), (2L, 5L), (3L, 15L), (4L, 27L), (5L, 28L))
+      .toDF("pid", "t")
+    val got = Joins.rangeJoin(points, "t", intervals, "s", "e", 10L)
+      .select("pid", "iv").orderBy("pid", "iv").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (2L, "A"),    // start boundary inclusive
+      (3L, "A"),    // interior, middle bucket — exactly once despite 3 buckets
+      (4L, "A"),    // end boundary inclusive
+      (5L, "B")))   // second interval; pid=1 (t=4) matches nothing
+  }
+
+  test("rangeJoin drops empty intervals and rejects column collisions") {
+    val bad = Seq(("X", 9L, 3L)).toDF("iv", "s", "e")
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    assert(Joins.rangeJoin(pts, "t", bad, "s", "e", 10L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(pts, "t", bad.withColumnRenamed("iv", "pid"),
+        "s", "e", 10L)
+    }
+  }
+
+  test("rangeJoin plans a hash join on the bucket, never a nested loop") {
+    val intervals = spark.range(1000)
+      .selectExpr("id AS iv", "id * 100 AS s", "id * 100 + 250 AS e")
+    val points = spark.range(5000).selectExpr("id AS pid", "id * 20 AS t")
+    val plan = Joins.rangeJoin(points, "t", intervals, "s", "e", 100L)
+      .queryExecution.executedPlan.toString
+    val finalPlan = plan.split("\\+- == Initial Plan ==")(0)
+    assert(!finalPlan.contains("NestedLoop") && !finalPlan.contains("Cartesian"),
+      s"range join must not plan as a nested loop:\n$finalPlan")
+    assert(finalPlan.contains("Join") || finalPlan.contains("join"),
+      s"expected a join in:\n$finalPlan")
+  }
+
   test("asofJoin plans ONE shuffle on the key (union-and-carry, no theta join)") {
     val left = spark.range(100).selectExpr("id % 10 AS k", "id AS t")
     val right = spark.range(50)

@@ -150,6 +150,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows <= 2, s"state not purged: $stateRows rows")
   }
 
+  test("stream-stream interval join: inclusive window, per-user pairing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val W = 60L // seconds
+    val joinRows = Seq(
+      (10L, 1L, B, "view", 0.0),
+      (11L, 1L, B + W * 1000000L, "click", 0.0),        // exactly at bound: IN
+      (12L, 1L, B + W * 1000000L + 1L, "click", 0.0),   // 1 us past: OUT
+      (13L, 1L, B - 1L, "click", 0.0),                  // before the view: OUT
+      (14L, 2L, B + 1000000L, "click", 0.0),            // other user: OUT
+      (15L, 2L, B + 1000000L, "view", 0.0))             // pairs with 14
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = StreamOps.streamIntervalJoin(
+        streamDf.where(col("event_type") === "view"),
+        streamDf.where(col("event_type") === "click"), W)
+      .writeStream.format("memory").queryName("st_spec_ivjoin")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(joinRows.take(3)); q.processAllAvailable()
+    ms.addData(joinRows.drop(3)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st_spec_ivjoin")
+      .select("view_event_id", "click_event_id")
+      .orderBy("view_event_id", "click_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 11L), (15L, 14L)))
+  }
+
   test("file-stream rollup over the fixture == batch oracle shape") {
     val dir = "/root/testdata/sf0.001"
     val got = StreamOps.runToCompletion(spark,
