@@ -212,7 +212,16 @@ object RegistryExt {
         "doc_id", "text", JaccardThreshold)
       Dedup.connectedComponents(near, verified, "doc_id")
         .orderBy("doc_id")
-    })
+    }),
+
+    // Blocked edit-distance (fuzzy) pairing: prefix block → levenshtein
+    // only among block-mates (the Jaccard path's string-similarity
+    // dual). Fixture distances are bimodal (near-dups ≤ 4, unrelated
+    // ≥ 37) so the ≤ 20 cut is robustly inside the gap.
+    "dd_fuzzy_pairs" -> ((s, dir) =>
+      Dedup.fuzzyPairs(t(s, dir, "documents"), "doc_id", "text",
+          blockLen = 8, cmpLen = 80, maxDist = 20)
+        .orderBy("doc_a", "doc_b"))
   )
 
   private val dedupOracles: Map[String, String] = Map(
@@ -244,6 +253,17 @@ object RegistryExt {
          |SELECT doc_id FROM d
          |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+    "dd_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |  substr(regexp_replace(regexp_replace(trim(lower(text)),
+        |    '\s+', ' ', 'g'), '[^ -~]', '', 'g'), 1, 80) AS head
+        |  FROM documents),
+        |b AS (SELECT doc_id, head, substr(head, 1, 8) AS block FROM d)
+        |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+        |  levenshtein(a.head, bb.head) AS edit_dist
+        |FROM b a JOIN b bb ON a.block = bb.block AND a.doc_id < bb.doc_id
+        |WHERE levenshtein(a.head, bb.head) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_components" ->
       s"""WITH RECURSIVE $lshVerifyCtes,
          |vp AS (SELECT doc_a, doc_b FROM j
@@ -466,7 +486,13 @@ object RegistryExt {
         .orderBy("doc_id")),
     "tx_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // Fixed-point tf-idf ranking (integer score — ln's last-ulp
+    // divergence between JVM and libm would break hash parity).
+    "tx_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+          topN = 3)
+        .orderBy("doc_id", "rank"))
   )
 
   private def inList(words: Seq[String]): String =
@@ -535,7 +561,22 @@ object RegistryExt {
          |  CAST(list_min(list_transform(range(1, length(p) - 6),
          |    i -> ($terms) % 4294967296)) AS BIGINT) AS min_gram_hash
          |FROM pd ORDER BY doc_id""".stripMargin
-    }
+    },
+    // Integer floor-division score both sides (Spark `div`, DuckDB `//`);
+    // ASCII-only terms, lowercased after extraction (locale-free).
+    "tx_tfidf" ->
+      """WITH tok AS (SELECT doc_id, lower(t) AS term FROM
+        |  (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS t
+        |   FROM documents)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |  t.tf * 1000000 // d.df AS score_q,
+        |  CAST(row_number() OVER (PARTITION BY t.doc_id
+        |    ORDER BY t.tf * 1000000 // d.df DESC, t.term) AS BIGINT) AS "rank"
+        |  FROM tf t JOIN dfreq d USING (term))
+        |SELECT doc_id, term, tf, df, score_q, "rank"
+        |FROM sc WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin
   )
 
   // ---------------------------------------------------------------------
@@ -561,6 +602,13 @@ object RegistryExt {
     "ev_hourly_rollup_approx" -> ((s, dir) =>
       Events.hourlyRollupApprox(t(s, dir, "events"))
         .orderBy("hour", "event_type")),
+    // ROLLUP (multi-level subtotals in one shuffle) and pinned-values
+    // PIVOT — the grouping-analytics surface beyond plain GROUP BY.
+    // Rolled-up keys surface as '(all)'/-1 (no nulls in output).
+    "ev_type_rollup" -> ((s, dir) =>
+      Events.typeRollup(t(s, dir, "events")).orderBy("event_type", "hod")),
+    "ev_pivot" -> ((s, dir) =>
+      Events.typePivot(t(s, dir, "events")).orderBy("hod")),
     "ev_top_n" -> ((s, dir) =>
       Events.topNPerUser(t(s, dir, "events"), 3).orderBy("user_id", "rank")),
     "ev_moving_sum" -> ((s, dir) =>
@@ -683,6 +731,24 @@ object RegistryExt {
          |FROM top t JOIN pts ON pts.us BETWEEN t.start_us AND t.end_us
          |GROUP BY 1, 2, 3, 4
          |ORDER BY iv_user_id, iv_session_id""".stripMargin,
+    "ev_type_rollup" ->
+      """WITH e AS (SELECT event_type, hour(ts) AS hod,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events)
+        |SELECT COALESCE(event_type, '(all)') AS event_type,
+        |  COALESCE(hod, -1) AS hod,
+        |  count(*) AS n_events, sum(vm) AS value_micros
+        |FROM e GROUP BY ROLLUP(event_type, hod)
+        |ORDER BY event_type, hod""".stripMargin,
+    "ev_pivot" -> {
+      val cols = Events.EventTypes.map(et =>
+        s"COALESCE(sum(CASE WHEN event_type = '$et' THEN vm END), 0) AS $et")
+        .mkString(",\n  ")
+      s"""WITH e AS (SELECT hour(ts) AS hod, event_type,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events)
+         |SELECT hod,
+         |  $cols
+         |FROM e GROUP BY hod ORDER BY hod""".stripMargin
+    },
     "ev_top_n" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS "rank"

@@ -175,6 +175,38 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
   }
 
+  /** Blocked EDIT-DISTANCE (fuzzy) pairing — the string-similarity dual
+    * of the token-set Jaccard path: candidate pairs share a normalized
+    * text prefix (the BLOCK), and only block-mates pay the quadratic
+    * `levenshtein` comparison — the same sparse-candidates principle as
+    * LSH banding, with a prefix in place of a hash band. Work is
+    * Σ(block size²) · cmpLen², never corpus²; block skew is data skew
+    * (boilerplate openings) and AQE's skew-join split applies to the
+    * self-join's shuffle.
+    *
+    * Normalization: lowercase, whitespace-squeeze, then STRIP non-ASCII
+    * (`[^ -~]`) — Spark's levenshtein counts UTF-16 units while DuckDB's
+    * counts codepoints, so the cross-engine contract (and the oracle) is
+    * pinned on the ASCII projection where the two agree. Comparison is
+    * over the first `cmpLen` normalized chars (long documents differ
+    * early or are near-dups; the head is the standard cheap proxy). */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 blockLen: Int, cmpLen: Int, maxDist: Int): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " "),
+      "[^ -~]", "")
+    val d = df.select(col(idCol).as("doc_id"),
+        substring(clean, 1, cmpLen).as("head"))
+      .withColumn("block", substring(col("head"), 1, blockLen))
+    d.toDF("doc_a", "head_a", "block")
+      .join(d.toDF("doc_b", "head_b", "block"), Seq("block"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("head_a"), col("head_b")).cast(LongType))
+      .where(col("edit_dist") <= maxDist)
+      .select("doc_a", "doc_b", "edit_dist")
+  }
+
   /** Exact Jaccard verification over CANDIDATE pairs — the composition
     * a real pipeline runs at 100 TB: [[lshCandidatePairs]] proposes a
     * sparse candidate set (banded bucket join, never all-pairs), then

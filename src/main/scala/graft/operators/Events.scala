@@ -144,6 +144,38 @@ object Events {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** The event-type dictionary, pinned so [[typePivot]] never needs the
+    * extra distinct-values job (and so column order is deterministic). */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** ROLLUP over (event_type, hour-of-day): per-cell, per-type-subtotal
+    * and grand-total rows from ONE pass (Spark expands the rollup inside
+    * a single shuffle with partial aggregation — no re-scan per level).
+    * Rolled-up key positions surface as '(all)' / -1 instead of NULL
+    * (the oracle-compare contract forbids nulls; neither sentinel
+    * collides with real values). */
+  def typeRollup(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+        hour(col("ts")).cast(LongType).as("hod"),
+        micros(col("value")).as("vm"))
+      .rollup("event_type", "hod")
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("value_micros"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("hod"), lit(-1L)).as("hod"),
+        col("n_events"), col("value_micros"))
+
+  /** PIVOT event types into columns: one row per hour-of-day, one exact
+    * micro-sum column per type. The pinned [[EventTypes]] value list
+    * keeps it a single group-by (5 conditional aggregates, one shuffle);
+    * an unpinned pivot first runs a distinct-values job and produces
+    * nondeterministic column order. Missing cells fill 0, not null. */
+  def typePivot(df: DataFrame): DataFrame =
+    df.select(hour(col("ts")).cast(LongType).as("hod"),
+        col("event_type"), micros(col("value")).as("vm"))
+      .groupBy("hod").pivot("event_type", EventTypes).agg(sum(col("vm")))
+      .na.fill(0L, EventTypes)
+
   /** Top-N events per user by value (total tiebreak on event_id). */
   def topNPerUser(df: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("user_id")

@@ -96,6 +96,41 @@ object TextAnalysis {
     scored.withColumn("lang_guess", guess)
   }
 
+  /** TF-IDF-style term ranking: top-`topN` terms per document by a
+    * FIXED-POINT score `tf * 1e6 div df` (term frequency over corpus
+    * document frequency, integer floor-division). Monotone in
+    * (tf, 1/df) like tf·idf but free of transcendental math — `ln` is
+    * not correctly rounded and differs in the last ulp between JVM and
+    * C libm, which would break cross-engine hash parity; integer
+    * division is exact everywhere.
+    *
+    * Shape at scale: tokenize (narrow) → explode → ONE shuffle on
+    * (doc, term) for tf with map-side combine → ONE shuffle on term for
+    * df → shuffle join tf⋈df on term (the term dictionary is corpus-
+    * sized — never broadcast) → per-doc top-N window whose partition is
+    * one document's vocabulary (bounded by doc length, so no hot-key
+    * risk). Terms are ASCII letter runs (`[A-Za-z]+`) lowercased AFTER
+    * extraction — ASCII lowercasing is locale-free on both engines. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("doc_id"),
+        explode(transform(
+          regexp_extract_all(col(textCol), lit("[A-Za-z]+"), lit(0)),
+          t => lower(t))).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score_q", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= topN)
+      .select("doc_id", "term", "tf", "df", "score_q", "rank")
+  }
+
   /** Fingerprinting: md5 of whitespace-normalized text (exact content
     * identity) plus the minimum polynomial ROLLING hash over all 8-char
     * windows — a winnowing-style sketch that survives local edits.

@@ -103,6 +103,27 @@ class DedupSpec extends AnyFunSuite {
       (9L, 9L, 1L)))
   }
 
+  test("fuzzyPairs: block-mates within the edit budget; non-ASCII stripped") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "Thé quick brown fox jumps over the lazy dot"),  // é stripped → 'th' prefix differs? no: 'thé'→'th'
+      (3L, "The quick brown cat naps all day long"),        // same block, far
+      (4L, "Completely different opening line here")).toDF("id", "text")
+    val out = Dedup.fuzzyPairs(docs, "id", "text",
+        blockLen = 8, cmpLen = 80, maxDist = 5)
+      .select("doc_a", "doc_b", "edit_dist")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc2 normalizes to "th quick brown..." (é removed) — its BLOCK
+    // ("th quick") differs from doc1/doc3's ("the quic"), so it pairs
+    // with nothing; doc1/doc3 share a block but are 18 edits apart.
+    assert(out == Seq.empty)
+    val relaxed = Dedup.fuzzyPairs(docs, "id", "text",
+        blockLen = 8, cmpLen = 80, maxDist = 20)
+      .select("doc_a", "doc_b", "edit_dist")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(relaxed == Seq((1L, 3L, 18L)))
+  }
+
   test("dropNearDuplicates removes the greater id of every pair") {
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
       .toDF("id", "text")

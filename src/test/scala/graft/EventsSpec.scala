@@ -128,6 +128,27 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("typeRollup: cell, subtotal, and grand-total levels; no nulls") {
+    val out = Events.typeRollup(events)
+      .select("event_type", "hod", "n_events", "value_micros")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("click", 10L, 3L, 12000000L),
+      ("click", -1L, 3L, 12000000L),    // per-type subtotal
+      ("view", 11L, 1L, 4000000L),
+      ("view", -1L, 1L, 4000000L),
+      ("(all)", -1L, 4L, 16000000L)))   // grand total
+  }
+
+  test("typePivot: one column per pinned type, missing cells are 0") {
+    val out = Events.typePivot(events)
+      .select("hod", "click", "view", "error", "purchase", "signup")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (10L, 12000000L, 0L, 0L, 0L, 0L),
+      (11L, 0L, 4000000L, 0L, 0L, 0L)))
+  }
+
   test("topNPerUser ranks by value desc") {
     val out = Events.topNPerUser(events, 1)
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet

@@ -42,6 +42,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == "und")
   }
 
+  test("tfidfTopTerms: corpus-rare terms outrank corpus-common ones") {
+    val docs = Seq(
+      (1L, "apple banana apple"),   // apple tf=2 df=1; banana tf=1 df=3
+      (2L, "banana cherry"),
+      (3L, "banana date date")).toDF("id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "id", "text", topN = 2)
+      .select("doc_id", "term", "tf", "df", "score_q", "rank")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._6)).toSeq
+    assert(out == Seq(
+      (1L, "apple", 2L, 1L, 2000000L, 1L),
+      (1L, "banana", 1L, 3L, 333333L, 2L),
+      (2L, "cherry", 1L, 1L, 1000000L, 1L),
+      (2L, "banana", 1L, 3L, 333333L, 2L),
+      (3L, "date", 2L, 1L, 2000000L, 1L),
+      (3L, "banana", 1L, 3L, 333333L, 2L)))
+  }
+
   test("fingerprint is whitespace-insensitive on content_md5") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world"),
       (3L, "different text here")).toDF("id", "text")
