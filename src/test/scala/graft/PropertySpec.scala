@@ -153,4 +153,52 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("asofJoin == per-row brute-force reference on random data") {
+    import spark.implicits._
+    // Few keys + a tight time range force collisions, equal-timestamp
+    // boundaries, and unmatched lefts.
+    val rowGen = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 30L))
+    forAll(Gen.zip(Gen.listOfN(40, rowGen), Gen.listOfN(25, rowGen)),
+        n = 4) { case (ls, rsRaw) =>
+      // right side must be unique per (key, time) — the precondition
+      val rs = rsRaw.distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t, 1000L + i) }
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rs.toDF("k", "t", "v")
+      val got = graft.operators.Joins.asofJoin(left, right, "k", "t", Seq("v"))
+        .collect()
+        .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter(r => r._1 == k && r._2 <= t)
+        (i.toLong, if (m.isEmpty) -1L else m.maxBy(_._2)._3)
+      }.sortBy(_._1)
+      assert(got == want)
+    }
+  }
+
+  test("rangeJoin == naive theta-join reference on random intervals") {
+    import spark.implicits._
+    val ivGen = Gen.zip(Gen.choose(0L, 100L), Gen.choose(0L, 40L))
+      .map { case (s, len) => (s, s + len) }
+    forAll(Gen.zip(Gen.listOfN(20, ivGen), Gen.listOfN(60, Gen.choose(0L, 140L))),
+        n = 4) { case (ivs, pts) =>
+      val intervals = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("iv", "s", "e")
+      val points = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("pid", "t")
+      // bucket width deliberately unaligned with the value range
+      val got = graft.operators.Joins.rangeJoin(points, "t", intervals, "s", "e", 7L)
+        .select("pid", "iv").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        (t, pi) <- pts.zipWithIndex
+        ((s, e), ii) <- ivs.zipWithIndex
+        if t >= s && t <= e
+      } yield (pi.toLong, ii.toLong)).sorted
+      assert(got == want)
+    }
+  }
 }
