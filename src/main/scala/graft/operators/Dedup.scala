@@ -198,12 +198,16 @@ object Dedup {
     val d = df.select(col(idCol).as("doc_id"),
         substring(clean, 1, cmpLen).as("head"))
       .withColumn("block", substring(col("head"), 1, blockLen))
+    // Banded (threshold) levenshtein: O(maxDist·cmpLen) per pair instead
+    // of O(cmpLen²), exact for distances ≤ maxDist, -1 beyond — the
+    // beyond-band pairs are exactly the ones the filter drops.
     d.toDF("doc_a", "head_a", "block")
       .join(d.toDF("doc_b", "head_b", "block"), Seq("block"))
       .where(col("doc_a") < col("doc_b"))
       .withColumn("edit_dist",
-        levenshtein(col("head_a"), col("head_b")).cast(LongType))
-      .where(col("edit_dist") <= maxDist)
+        levenshtein(col("head_a"), col("head_b"), maxDist)
+          .cast(LongType))
+      .where(col("edit_dist") =!= -1L)
       .select("doc_a", "doc_b", "edit_dist")
   }
 

@@ -176,6 +176,36 @@ object Events {
       .groupBy("hod").pivot("event_type", EventTypes).agg(sum(col("vm")))
       .na.fill(0L, EventTypes)
 
+  /** Exact per-type value quantiles (p25/p50/p75). The probabilities are
+    * exact binary fractions and the inputs are integer micros, so the
+    * linear interpolation `lower + (upper-lower)·frac` is EXACT in
+    * double on every engine — no last-ulp divergence. Scale note: exact
+    * `percentile` buffers each group's values (sorted) — fine for a
+    * bounded type dictionary; for high-cardinality groups swap to
+    * `approx_percentile` (bounded sketch, but merge-order-sensitive, so
+    * it cannot be oracle-hashed). */
+  def valueQuantiles(df: DataFrame): DataFrame =
+    df.select(col("event_type"), micros(col("value")).as("vm"))
+      .groupBy("event_type")
+      .agg(percentile(col("vm"), lit(0.25)).as("p25"),
+        percentile(col("vm"), lit(0.5)).as("p50"),
+        percentile(col("vm"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+
+  /** Window-function breadth over the per-user timeline: lag/lead
+    * neighbors, quartile bucket (`ntile`), and `cume_dist` — one window
+    * partition per user, ordered by (ts, event_id). */
+  def timelineWindows(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    df.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"),
+        coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event"),
+        coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        cume_dist().over(w).as("cume"))
+  }
+
   /** Top-N events per user by value (total tiebreak on event_id). */
   def topNPerUser(df: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("user_id")

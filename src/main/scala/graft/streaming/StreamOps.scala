@@ -184,16 +184,31 @@ object StreamOps {
     * completion (Trigger.AvailableNow) and return the materialized
     * result — the bridge that lets the driver's batch-style oracle check
     * a genuinely streaming plan. `complete` mode keeps every group in
-    * the sink table. */
+    * the sink table.
+    *
+    * `shufflePartitions` pins the STATE partition count for this query
+    * (streaming plans snapshot the conf at start; the session value is
+    * restored after). Stateful operators pay per-partition state-store
+    * machinery every micro-batch — a stream-stream join keeps 4 stores
+    * per partition — so at local/fixture scale a small count wins
+    * (measured: the interval join drops 5.7 s → 2.3 s going 32 → 8).
+    * On a real cluster SIZE IT UP to the executor count: state
+    * partitioning is a throughput knob, not semantics. */
   def runToCompletion(spark: SparkSession, source: DataFrame,
                       transform: DataFrame => DataFrame,
-                      outputMode: String = "complete"): DataFrame = {
+                      outputMode: String = "complete",
+                      shufflePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
-    val q = transform(source)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    shufflePartitions.foreach(p => spark.conf.set(key, p.toString))
+    try {
+      val q = transform(source)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally shufflePartitions.foreach(_ => spark.conf.set(key, saved))
     spark.table(name)
   }
 }

@@ -149,6 +149,27 @@ class EventsSpec extends AnyFunSuite {
       (11L, 0L, 4000000L, 0L, 0L, 0L)))
   }
 
+  test("valueQuantiles: exact interpolated p25/p50/p75 per type") {
+    val out = Events.valueQuantiles(events)
+      .select("event_type", "p25", "p50", "p75", "n")
+      .as[(String, Double, Double, Double, Long)].collect().toSet
+    // click micros: [1500000, 2500000, 8000000]; p25 = 1.5M + 0.5M·0.5
+    assert(out == Set(
+      ("click", 2000000.0, 2500000.0, 5250000.0, 3L),
+      ("view", 4000000.0, 4000000.0, 4000000.0, 1L)))
+  }
+
+  test("timelineWindows: lag/lead chain, quartiles, cume_dist") {
+    val out = Events.timelineWindows(events)
+      .where($"user_id" === 7L)
+      .select("event_id", "prev_event", "next_event", "quartile", "cume")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, -1L, 2L, 1L, 1.0 / 3),
+      (2L, 1L, 3L, 2L, 2.0 / 3),
+      (3L, 2L, -1L, 3L, 1.0)))
+  }
+
   test("topNPerUser ranks by value desc") {
     val out = Events.topNPerUser(events, 1)
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet
