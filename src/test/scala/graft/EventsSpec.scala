@@ -170,6 +170,28 @@ class EventsSpec extends AnyFunSuite {
       (3L, 2L, -1L, 3L, 1.0)))
   }
 
+  test("approx_percentile stays within rank-error bound of exact quantiles") {
+    // The documented 100 TB swap for valueQuantiles: approx_percentile
+    // keeps a bounded sketch (vs a full sorted buffer) at the cost of
+    // rank error <= 1/accuracy — merge-order-sensitive, so spec-bounded
+    // here rather than oracle-hashed.
+    val n = 2000
+    val df = spark.range(n).selectExpr("'t' AS event_type",
+      "CAST(id * id AS DOUBLE) / 1000000 AS value") // skewed values
+    val acc = 100
+    val got = df.selectExpr(
+        s"approx_percentile(value, array(0.25, 0.5, 0.75), $acc) AS q")
+      .selectExpr("q[0]", "q[1]", "q[2]")
+      .as[(Double, Double, Double)].head()
+    val sorted = (0 until n).map(i => i.toDouble * i / 1000000)
+    def rankOf(v: Double) = sorted.count(_ <= v).toDouble / n
+    Seq(got._1 -> 0.25, got._2 -> 0.5, got._3 -> 0.75).foreach {
+      case (v, p) =>
+        assert(math.abs(rankOf(v) - p) <= 1.5 / acc,
+          s"approx p$p=$v has rank ${rankOf(v)}")
+    }
+  }
+
   test("topNPerUser ranks by value desc") {
     val out = Events.topNPerUser(events, 1)
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet
