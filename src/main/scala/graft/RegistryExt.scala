@@ -624,6 +624,16 @@ object RegistryExt {
     "ev_timeline_windows" -> ((s, dir) =>
       Events.timelineWindows(t(s, dir, "events"))
         .orderBy("user_id", "event_id")),
+    // Morton (Z-order) key derivation — the 2-D layout key behind
+    // Layout.clusterByZ; the oracle re-runs the same magic-number bit
+    // spread in DuckDB from shared constants.
+    "ev_zorder" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hour_idx"))
+      e.select(col("event_id"), col("user_id"), col("hour_idx"),
+          Layout.zValue(col("user_id"), col("hour_idx")).as("z"))
+        .orderBy("event_id")
+    }),
     "ev_top_n" -> ((s, dir) =>
       Events.topNPerUser(t(s, dir, "events"), 3).orderBy("user_id", "rank")),
     "ev_moving_sum" -> ((s, dir) =>
@@ -763,6 +773,25 @@ object RegistryExt {
          |SELECT hod,
          |  $cols
          |FROM e GROUP BY hod ORDER BY hod""".stripMargin
+    },
+    "ev_zorder" -> {
+      // CTE chain generated from Layout.ZSpreadSteps — identical
+      // shift/mask literals in both engines.
+      val steps = Layout.ZSpreadSteps.zipWithIndex.map {
+        case ((sh, m), i) =>
+          val prev = if (i == 0) "e0" else s"s${i - 1}"
+          s"""s$i AS (SELECT event_id, user_id, hour_idx,
+             |  ((a | (a << $sh)) & $m) AS a,
+             |  ((b | (b << $sh)) & $m) AS b FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT event_id, user_id,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx,
+         |  user_id & 2147483647 AS a,
+         |  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) & 2147483647 AS b
+         |FROM events),
+         |$steps
+         |SELECT event_id, user_id, hour_idx, (a | (b << 1)) AS z
+         |FROM s${Layout.ZSpreadSteps.size - 1} ORDER BY event_id""".stripMargin
     },
     "ev_quantiles" ->
       """WITH e AS (SELECT event_type,

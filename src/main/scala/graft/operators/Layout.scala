@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering for multi-
+  * dimensional scan pruning.
+  *
+  * Why it matters at 100 TB: parquet row-group min/max statistics prune
+  * scans only along the SORT dimension — a table sorted by `user_id`
+  * answers `user_id = ?` cheaply but scans everything for `ts BETWEEN`.
+  * Interleaving the bits of two dimensions into one Morton key and
+  * range-partitioning + sorting by it keeps row-group extents tight in
+  * BOTH dimensions at once, so predicates on either column (or both)
+  * skip most of the file footprint. This is the same layout idea behind
+  * Delta/Iceberg `ZORDER BY`, re-expressed with public Spark operators:
+  * a codegen'd bit-twiddle expression + `repartitionByRange` +
+  * `sortWithinPartitions` — no custom writer needed.
+  *
+  * The bit spread is the classic magic-number expansion (five
+  * shift-or-mask steps per operand, branch-free, fully inside
+  * whole-stage codegen — no UDF). Inputs are masked to 31 bits (the
+  * z-key is a LAYOUT key, not data: masking only perturbs clustering
+  * for out-of-range values, never correctness), so the interleaved
+  * result occupies 62 bits and no sign-bit edge exists in any engine's
+  * BIGINT.
+  */
+object Layout {
+
+  /** (shift, mask) steps of the 32→64-bit spread; shared with the
+    * DuckDB oracle generator so both engines inline identical
+    * constants. */
+  val ZSpreadSteps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL,
+    2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  /** Spread the low 31 bits of `c` so value bit i lands at result bit
+    * 2i (even positions). */
+  def spreadBits(c: Column): Column =
+    ZSpreadSteps.foldLeft(c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))) {
+      case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** 62-bit Morton key: bits of `a` on even positions, `b` on odd. */
+  def zValue(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Cluster rows for two-dimensional scan pruning: range-partition on
+    * the Morton key of (`colA`, `colB`), sort within partitions, drop
+    * the key. Written out, each file/row-group covers a compact 2-D
+    * tile, so parquet min/max stats prune on EITHER column. One shuffle
+    * (the range exchange samples the key distribution first). */
+  def clusterByZ(df: DataFrame, colA: String, colB: String,
+                 partitions: Int): DataFrame =
+    df.withColumn("__z", zValue(col(s"`$colA`"), col(s"`$colB`")))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+}

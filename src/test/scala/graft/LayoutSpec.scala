@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("zValue interleaves bits: a on even positions, b on odd") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L),
+        (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL), (5L, 6L))
+      .toDF("a", "b")
+      .select(Layout.zValue($"a", $"b")).as[Long].collect().toSeq
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    assert(got == Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L),
+      (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL), (5L, 6L)).map((ref _).tupled))
+  }
+
+  test("clusterByZ: disjoint partition key ranges, tight 2-D tiles") {
+    // A full 64×64 grid into 16 partitions: perfect z-tiles would be
+    // 16×16 blocks (extent 15 per dimension) vs the global extent 63.
+    val grid = spark.range(4096).selectExpr("id % 64 AS x", "id div 64 AS y")
+    val out = Layout.clusterByZ(grid, "x", "y", 16)
+    val stats = out
+      .withColumn("z", Layout.zValue(col("x"), col("y")))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("z").as("zlo"), max("z").as("zhi"),
+        (max("x") - min("x")).as("xext"), (max("y") - min("y")).as("yext"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // Range partitioning on z ⇒ partitions cover disjoint key intervals.
+    stats.sliding(2).foreach {
+      case Array((_, hi, _, _), (lo, _, _, _)) => assert(hi <= lo)
+      case _ =>
+    }
+    // Every partition's 2-D tile is far tighter than the global 63×63:
+    // that tightness is exactly what parquet min/max pruning exploits.
+    val (xAvg, yAvg) = (stats.map(_._3).sum / stats.length.toDouble,
+      stats.map(_._4).sum / stats.length.toDouble)
+    assert(xAvg <= 24 && yAvg <= 24, s"loose tiles: xAvg=$xAvg yAvg=$yAvg")
+    assert(stats.forall { case (_, _, xe, ye) => xe <= 48 && ye <= 48 })
+  }
+}
