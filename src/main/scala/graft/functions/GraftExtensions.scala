@@ -12,11 +12,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Registered functions:
   *  - `ascii_backslash(str)` — F5 (Form700.py:291-294), the native
   *    codegen Expression in [[AsciiBackslash]].
+  *
+  * Registered plan surface: the TopK-per-key pushdown
+  * ([[graft.plans.TopKPushdown]]) — optimizer Rule rewriting
+  * `filter(row_number <= k)` windows into a bounded-heap logical node,
+  * plus the planner Strategy with partial/final physical operators.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.asciiBackslashDescriptor)
     ext.injectOptimizerRule(CollapseIdempotent)
+    graft.plans.TopKPushdown.register(ext)
   }
 }
 
