@@ -20,12 +20,16 @@ import scala.collection.mutable
   *
   * The declarative formulation of "top k rows per key" —
   * `row_number().over(partitionBy(key).orderBy(...))` then
-  * `filter(rank <= k)` — plans as Exchange → FULL SORT of every key's
-  * every row → Window → Filter. The sort is the scale problem: at 100 TB
-  * a key's whole row set must materialize (and likely spill) just to
-  * discard all but k rows. Real engines (Trino's TopNRowNumberOperator,
-  * DuckDB's perfect-hash TopN) recognize the pattern and keep a BOUNDED
-  * per-key heap instead; this file is that optimization for Spark.
+  * `filter(rank <= k)` — plans in stock Spark 4 as Sort →
+  * WindowGroupLimit(Partial) → Exchange → Sort → WindowGroupLimit
+  * (Final) → Window → Filter (SPARK-37099 prunes rows past rank k
+  * early, a big improvement over pre-3.5). What remains expensive is
+  * the pair of FULL PARTITION SORTS: every input partition is sorted
+  * end-to-end (O(n log n), spillable) before its group limit can scan
+  * in order, and the shuffled side sorts again. A bounded per-key heap
+  * — Trino's TopNRowNumberOperator, DuckDB's perfect-hash TopN — does
+  * the same job in O(n log k) with O(keys × k) state and NO sort at
+  * all; this file is that operator for Spark.
   *
   * [[RewriteWindowTopK]] conservatively matches Filter-over-Window where
   * the window computes exactly one `row_number` and the predicate bounds
