@@ -498,7 +498,15 @@ object RegistryExt {
     "tx_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
           topN = 3)
-        .orderBy("doc_id", "rank"))
+        .orderBy("doc_id", "rank")),
+    // C4-style line cleaning. The fixture text is single-line, so the
+    // query first breaks sentences into lines ('. ' → '.\n') the same
+    // way on both sides — the cleaning then has real lines to judge.
+    "tx_c4_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "\\. ", ".\n").as("text"))
+      TextAnalysis.c4LineClean(docs, "doc_id", "text").orderBy("doc_id")
+    })
   )
 
   private def inList(words: Seq[String]): String =
@@ -582,7 +590,23 @@ object RegistryExt {
         |    ORDER BY t.tf * 1000000 // d.df DESC, t.term) AS BIGINT) AS "rank"
         |  FROM tf t JOIN dfreq d USING (term))
         |SELECT doc_id, term, tf, df, score_q, "rank"
-        |FROM sc WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin
+        |FROM sc WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+    "tx_c4_clean" ->
+      """WITH d AS (SELECT doc_id,
+        |  str_split(regexp_replace(text, '\. ', '.' || chr(10), 'g'),
+        |            chr(10)) AS lines FROM documents),
+        |k AS (SELECT doc_id, lines,
+        |  list_filter(lines, l ->
+        |    regexp_matches(trim(l), '[.!?"'']$')
+        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |    AND NOT contains(lower(trim(l)), 'javascript')
+        |    AND NOT contains(lower(trim(l)), 'cookie')
+        |    AND NOT contains(lower(trim(l)), '{')) AS keep FROM d)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(keep, chr(10)), '') AS clean_text,
+        |  CAST(len(keep) AS BIGINT) AS n_kept,
+        |  CAST(len(lines) - len(keep) AS BIGINT) AS n_dropped
+        |FROM k ORDER BY doc_id""".stripMargin
   )
 
   // ---------------------------------------------------------------------

@@ -96,6 +96,32 @@ object TextAnalysis {
     scored.withColumn("lang_guess", guess)
   }
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 heuristics,
+    * re-expressed as Catalyst HOFs): keep a line only if it ends in
+    * terminal punctuation, has at least `minWords` whitespace words,
+    * and is not a boilerplate line (contains "javascript", "cookie",
+    * or "{" — the lorem-ipsum/code tells). Emits the cleaned text plus
+    * kept/dropped line counts so the filter rate is auditable.
+    *
+    * Scale: split → filter → rejoin is one narrow codegen'd map over
+    * the text column — no explode, no shuffle, no UDF. */
+  def c4LineClean(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keep = filter(lines, l => {
+      val t = trim(l)
+      val lower = org.apache.spark.sql.functions.lower(t)
+      t.rlike("[.!?\"']$") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !lower.contains("javascript") && !lower.contains("cookie") &&
+        !lower.contains("{")
+    })
+    df.select(col(idCol),
+      array_join(keep, "\n").as("clean_text"),
+      size(keep).cast(LongType).as("n_kept"),
+      (size(lines) - size(keep)).cast(LongType).as("n_dropped"))
+  }
+
   /** TF-IDF-style term ranking: top-`topN` terms per document by a
     * FIXED-POINT score `tf * 1e6 div df` (term frequency over corpus
     * document frequency, integer floor-division). Monotone in

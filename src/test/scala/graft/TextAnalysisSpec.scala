@@ -42,6 +42,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == "und")
   }
 
+  test("c4LineClean applies each keep rule independently") {
+    val text = Seq(
+      "This line is kept just fine.",        // kept
+      "short one.",                          // < 3 words → dropped
+      "No terminal punctuation here at all", // no ./!/?/quote end → dropped
+      "Enable Javascript to continue now.",  // boilerplate word → dropped
+      "Accept our cookie policy please.",    // boilerplate word → dropped
+      "function f() { return 1; }",          // '{' → dropped
+      "Is this a kept question?"             // kept
+    ).mkString("\n")
+    val out = TextAnalysis.c4LineClean(
+        Seq((1L, text)).toDF("id", "text"), "id", "text")
+      .select("clean_text", "n_kept", "n_dropped")
+      .as[(String, Long, Long)].head()
+    assert(out == (("This line is kept just fine.\nIs this a kept question?",
+      2L, 5L)))
+  }
+
   test("tfidfTopTerms: corpus-rare terms outrank corpus-common ones") {
     val docs = Seq(
       (1L, "apple banana apple"),   // apple tf=2 df=1; banana tf=1 df=3
