@@ -127,6 +127,48 @@ object Registry {
         .limit(10)
     }),
 
+    // Six-table join chain (TPC-H q5 shape): the join-planning
+    // showcase. region/nation prune to tiny broadcast sides, the
+    // customer-nation = supplier-nation conjunct closes the cycle, and
+    // Catalyst + AQE pick the join order; date filters push to scans.
+    // (Date window 1996 — the synthetic data spans 1995-2001, not
+    // TPC-H's 1992-1998.)
+    "q5_local_supplier" -> ((s, dir) => {
+      val region = t(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(asDouble(sum(dec2("l_extendedprice") *
+          (one - col("l_discount").cast(DecimalType(4, 2)))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Single-pass filter-aggregate (TPC-H q6 shape): every predicate
+    // pushes to the parquet scan; the whole query is scan → one-row agg.
+    "q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(asDouble(sum(dec2("l_extendedprice") *
+          col("l_discount").cast(DecimalType(4, 2)))).as("revenue"),
+          count(lit(1)).as("n"))),
+
     // Corpus-level vocabulary statistics: global 3-gram frequencies,
     // top 20 — the one heavy text AGGREGATION next to the per-document
     // text operators (shuffle on the shingle, map-side combine).
@@ -211,6 +253,30 @@ object Registry {
         |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
     "tx_ngram_freq" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3

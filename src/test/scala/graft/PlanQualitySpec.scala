@@ -49,6 +49,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!j1.contains("SortMergeJoin"))
   }
 
+  test("q5 six-table join: all-broadcast at fixture scale, no cartesian") {
+    val plan = planString(
+      SparkEntry.queries("q5_local_supplier")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "pruned dims must broadcast")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"cycle-closing nation conjunct must stay an equi-join:\n$plan")
+  }
+
+  test("q6 filter-aggregate: every predicate reaches the parquet scan") {
+    val plan = planString(SparkEntry.queries("q6_forecast")(spark, dir))
+    val scanLine = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("l_shipdate") &&
+      scanLine.contains("l_discount") && scanLine.contains("l_quantity"),
+      s"all three predicates must push down: $scanLine")
+  }
+
   test("minhash signature plan is shuffle-free (fused Expression)") {
     // the raw operator, without the registry's final ORDER BY (which
     // legitimately range-partitions)
