@@ -1020,6 +1020,20 @@ object RegistryExt {
           StreamJoinWindowSeconds),
         outputMode = "append", shufflePartitions = StreamStateParts)
         .orderBy("view_event_id", "click_event_id")
+    }),
+
+    // Stream-STATIC enrichment: each streamed event picks up its user's
+    // total count from a batch-side dimension (broadcast — stateless,
+    // no watermark, no state store). Oracle = the same join in batch.
+    "st_static_enrich" -> ((s, dir) => {
+      val dim = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("user_events"))
+      val src = Tables.loadStream(s, dir, "events")
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        df => graft.streaming.StreamOps.enrichWithStatic(
+          df.select("event_id", "user_id"), dim, "user_id"),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .orderBy("event_id")
     })
   )
 
@@ -1073,7 +1087,13 @@ object RegistryExt {
          |FROM v JOIN c ON v.user_id = c_user_id
          |  AND c_us >= v_us
          |  AND c_us <= v_us + ${StreamJoinWindowSeconds * 1000000L}
-         |ORDER BY view_event_id, click_event_id""".stripMargin
+         |ORDER BY view_event_id, click_event_id""".stripMargin,
+    "st_static_enrich" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, d.user_events
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY event_id""".stripMargin
   )
 
   val queries: Map[String, Q] =

@@ -110,6 +110,19 @@ object StreamOps {
         unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** Stream-STATIC enrichment join: attach dimension attributes to each
+    * streaming row. Stateless — the static side is planned per
+    * micro-batch like any batch relation (broadcast here: a dimension
+    * small enough to broadcast costs no stream-side shuffle and no
+    * state store at all), so unlike the stream-stream join there is no
+    * watermark requirement and no buffered rows. The third point of the
+    * streaming-join triangle next to [[streamIntervalJoin]] (stream ×
+    * stream) and `dropDuplicatesWithinWatermark` (stream × own
+    * history). */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key))
+
   // ------------------------------------------------------------------
   // Arbitrary-state sessionization (flatMapGroupsWithState)
   // ------------------------------------------------------------------
