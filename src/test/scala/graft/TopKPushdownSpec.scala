@@ -49,6 +49,24 @@ class TopKPushdownSpec extends AnyFunSuite {
     assert(rows == (0L until 10L).map(k => (k, k)).toSeq)
   }
 
+  test("null order values rank identically to stock window semantics") {
+    val w = Window.partitionBy("key")
+      .orderBy(col("v").desc_nulls_last, col("id"))
+    def q = spark.range(200)
+      .selectExpr("id", "id % 5 AS key",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE (id * 13) % 50 END AS v")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 4)
+    val viaPushdown = q
+    assert(viaPushdown.queryExecution.executedPlan.toString
+      .contains("TopKPerKey "))
+    val got = viaPushdown.orderBy("key", "rank").collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      graft.plans.RewriteWindowTopK.ruleName)
+    try assert(got == q.orderBy("key", "rank").collect().map(_.toSeq).toSeq)
+    finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("non-matching shapes are left to stock planning") {
     // rank() (not row_number), multi-expression windows, non-literal k,
     // and predicates on other columns must NOT rewrite.
