@@ -669,25 +669,19 @@ object RegistryExt {
     // (user, time); unmatched views coalesce to -1. Oracle = DuckDB's
     // native ASOF LEFT JOIN — an independent implementation of the same
     // semantics.
-    "ev_asof_join" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"),
-          Events.micros(col("value")).as("vm"))
-      val views = e.where(col("event_type") === "view")
-        .select("user_id", "event_id", "us")
-      val clicks = e.where(col("event_type") === "click")
-        .groupBy(col("user_id"), col("us").as("click_us"))
-        .agg(max(col("vm")).as("click_vm"))
-        .select(col("user_id"), col("click_us").as("us"),
-          col("click_us"), col("click_vm"))
-      Joins.asofJoin(views, clicks, "user_id", "us",
+    "ev_asof_join" -> ((s, dir) =>
+      asofViewClick(s, dir) { (views, clicks) =>
+        Joins.asofJoin(views, clicks, "user_id", "us",
           Seq("click_us", "click_vm"))
-        .select(col("user_id"), col("event_id"), col("us"),
-          coalesce(col("click_us"), lit(-1L)).as("click_us"),
-          coalesce(col("click_vm"), lit(-1L)).as("click_vm"))
-        .orderBy("event_id")
-    }),
+      }),
+    // The hot-key-safe two-level form — SAME oracle as ev_asof_join
+    // (the value-for-value match proves the bucket-boundary repair
+    // reproduces the plain carry exactly). Day-sized buckets.
+    "ev_asof_join_2level" -> ((s, dir) =>
+      asofViewClick(s, dir) { (views, clicks) =>
+        Joins.asofJoin2Level(views, clicks, "user_id", "us",
+          Seq("click_us", "click_vm"), bucketWidth = 86400L * 1000000L)
+      }),
 
     // Interval-containment RANGE join (Joins.rangeJoin — bucket
     // decomposition, hash join on the coarse bucket, never a nested
@@ -713,6 +707,29 @@ object RegistryExt {
         .orderBy("iv_user_id", "iv_session_id")
     })
   )
+
+  // Shared input prep for the as-of variants: views = left rows,
+  // clicks aggregated to one row per (user, time) — the as-of
+  // uniqueness precondition; unmatched views coalesce to -1.
+  private def asofViewClick(s: SparkSession, dir: String)(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        Events.micros(col("value")).as("vm"))
+    val views = e.where(col("event_type") === "view")
+      .select("user_id", "event_id", "us")
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("vm")).as("click_vm"))
+      .select(col("user_id"), col("click_us").as("us"),
+        col("click_us"), col("click_vm"))
+    join(views, clicks)
+      .select(col("user_id"), col("event_id"), col("us"),
+        coalesce(col("click_us"), lit(-1L)).as("click_us"),
+        coalesce(col("click_vm"), lit(-1L)).as("click_vm"))
+      .orderBy("event_id")
+  }
 
   // Gap boundary PINNED to strictly-> on both sides (see
   // Events.sessionize scaladoc): exactly-gap distance continues the
@@ -753,6 +770,19 @@ object RegistryExt {
     "ev_sessionize" -> sessionizeOracleSql,
     "ev_sessionize_2level" -> sessionizeOracleSql,
     "ev_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS click_us, max(vm) AS click_vm FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id, us)
+        |SELECT v.user_id, v.event_id, v.us,
+        |  COALESCE(c.click_us, -1) AS click_us,
+        |  COALESCE(c.click_vm, -1) AS click_vm
+        |FROM v ASOF LEFT JOIN c
+        |  ON v.user_id = c.user_id AND v.us >= c.click_us
+        |ORDER BY event_id""".stripMargin,
+    "ev_asof_join_2level" -> // same contract as the plain form
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),

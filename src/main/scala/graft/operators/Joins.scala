@@ -72,6 +72,24 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                timeCol: String, valueCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // right rows (side 0) sort BEFORE left rows at the same timestamp →
+    // equal-time matches are included (backward-inclusive semantics,
+    // same as DuckDB ASOF JOIN's l.t >= r.t)
+    val w = Window.partitionBy(key).orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(asofTagged(left, right, key, timeCol, valueCols)) {
+        (df, c) =>
+      df.withColumn(c, last(col(s"`$c`"), ignoreNulls = true).over(w))
+      }
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Both sides tagged and unioned for the as-of carry: `__side` 0 =
+    * right (sorts first at equal times), 1 = left. */
+  private def asofTagged(left: DataFrame, right: DataFrame, key: String,
+                         timeCol: String,
+                         valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(valueCols.forall(!leftCols.contains(_)),
       "valueCols must not collide with left columns")
@@ -87,16 +105,76 @@ object Joins {
       Seq(col(s"`$key`"), col(s"`$timeCol`"), lit(0).as("__side")) ++
         passCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => col(s"`$c`")): _*)
-    // right rows (side 0) sort BEFORE left rows at the same timestamp →
-    // equal-time matches are included (backward-inclusive semantics,
-    // same as DuckDB ASOF JOIN's l.t >= r.t)
-    val w = Window.partitionBy(key).orderBy(col(timeCol), col("__side"))
+    lTagged.unionByName(rTagged)
+  }
+
+  /** TWO-LEVEL as-of join — the hot-key mitigation [[asofJoin]]'s
+    * scaladoc names, shipped (mirroring
+    * [[graft.operators.Events.sessionize2Level]]): identical output,
+    * bounded task size.
+    *
+    * Level 1 partitions the carry window by `(key, time bucket)`, so
+    * the largest task holds one key-BUCKET of rows — a hot key with
+    * years of history no longer lands on one task (AQE cannot split
+    * window exchanges; the key itself must bound the partition).
+    * Level 2 repairs bucket boundaries on per-bucket SUMMARIES
+    * (buckets × keys rows, orders of magnitude smaller): each bucket's
+    * last right-side value carries forward across buckets in one small
+    * per-key window — summaries sort AFTER that bucket's markers, so a
+    * bucket's carried-in value sees strictly-earlier buckets only
+    * (same-bucket matches are level 1's job) — and joins back on
+    * `(key, bucket)`. A left row's answer is its level-1 within-bucket
+    * carry, else the bucket's carried-in value.
+    *
+    * Verified value-for-value: registry `ev_asof_join_2level` shares
+    * `ev_asof_join`'s DuckDB ASOF JOIN oracle, and a property test
+    * compares both forms against a brute-force reference. */
+  def asofJoin2Level(left: DataFrame, right: DataFrame, key: String,
+                     timeCol: String, valueCols: Seq[String],
+                     bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val tagged = asofTagged(left, right, key, timeCol, valueCols)
+      .withColumn("__bucket",
+        ((col(s"`$timeCol`") - pmod(col(s"`$timeCol`"), lit(bucketWidth)))
+          / bucketWidth).cast("long"))
+    // Level 1: carry within (key, bucket) — bounded partitions.
+    val w1 = Window.partitionBy(col(s"`$key`"), col("__bucket"))
+      .orderBy(col(s"`$timeCol`"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-        df.withColumn(c, last(col(s"`$c`"), ignoreNulls = true).over(w))
+    val carried1 = valueCols.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"`$c`"), ignoreNulls = true).over(w1))
+    }
+    // Level 2: per-(key, bucket) last right value (right is unique per
+    // (key, time), so max(struct(time, values)) picks the latest), then
+    // carry ACROSS buckets. Bucket markers (kind 0) sort before that
+    // bucket's summary (kind 1), so a marker's carried-in value covers
+    // strictly-earlier buckets only.
+    val summaries = tagged.where(col("__side") === 0)
+      .groupBy(col(s"`$key`"), col("__bucket"))
+      .agg(max(struct(col(s"`$timeCol`") +:
+        valueCols.map(c => col(s"`$c`")): _*)).as("__s"))
+      .select(col(s"`$key`"), col("__bucket"), lit(1).as("__kind"),
+        col("__s"))
+    val markers = tagged.select(col(s"`$key`"), col("__bucket")).distinct()
+      .select(col(s"`$key`"), col("__bucket"), lit(0).as("__kind"),
+        lit(null).cast(summaries.schema("__s").dataType).as("__s"))
+    val w2 = Window.partitionBy(col(s"`$key`"))
+      .orderBy(col("__bucket"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carriedIn = markers.unionByName(summaries)
+      .withColumn("__in", last(col("__s"), ignoreNulls = true).over(w2))
+      .where(col("__kind") === 0)
+      .select(col(s"`$key`"), col("__bucket"), col("__in"))
+    // Stitch: within-bucket carry wins; else the bucket's carried-in.
+    val joined = carried1.join(carriedIn, Seq(key, "__bucket"), "left")
+    valueCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c,
+          coalesce(col(s"`__c_$c`"), col("__in").getField(c)))
       }
       .where(col("__side") === 1)
-      .drop("__side")
+      .drop(("__side" +: "__bucket" +: "__in" +:
+        valueCols.map(c => s"__c_$c")): _*)
   }
 
   /** Interval-containment RANGE join: every (point, interval) pair with

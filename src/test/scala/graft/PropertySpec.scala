@@ -167,15 +167,21 @@ class PropertySpec extends AnyFunSuite {
       val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
         .toDF("k", "t", "lid")
       val right = rs.toDF("k", "t", "v")
-      val got = graft.operators.Joins.asofJoin(left, right, "k", "t", Seq("v"))
-        .collect()
+      def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
         .sortBy(_._1).toSeq
+      val got = collect(
+        graft.operators.Joins.asofJoin(left, right, "k", "t", Seq("v")))
+      // bucket width 7 over times 0..30 → every draw crosses several
+      // bucket boundaries, exercising the level-2 repair
+      val got2 = collect(graft.operators.Joins.asofJoin2Level(
+        left, right, "k", "t", Seq("v"), bucketWidth = 7L))
       val want = ls.zipWithIndex.map { case ((k, t), i) =>
         val m = rs.filter(r => r._1 == k && r._2 <= t)
         (i.toLong, if (m.isEmpty) -1L else m.maxBy(_._2)._3)
       }.sortBy(_._1)
       assert(got == want)
+      assert(got2 == want, "2-level form diverged from the reference")
     }
   }
 
