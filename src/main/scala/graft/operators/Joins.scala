@@ -61,9 +61,10 @@ object Joins {
     * sort each key's rows by (time, side) with right rows first at equal
     * times, and carry the last non-null right value forward with a
     * running `last(ignoreNulls)` window. ONE shuffle on the key, linear
-    * work per row — survives any key's row count (the window is the same
-    * per-user pattern as sessionization; pre-bucket by time for hot keys
-    * the way [[graft.operators.Events.sessionize2Level]] does).
+    * work per row. The per-key window is the same pattern as
+    * sessionization, with the same hot-key caveat — [[asofJoin2Level]]
+    * is the bucket-bounded form for that case (identical output,
+    * oracle-shared).
     *
     * Preconditions: `valueCols` must not collide with left columns; the
     * right side must be unique per (key, time) — aggregate it first (a
