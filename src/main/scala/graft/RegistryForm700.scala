@@ -142,7 +142,11 @@ object RegistryForm700 {
 
     // The REDACTED pipeline variant through runBoth: same clean rules
     // over the redacted endpoint's pages (masked filer identity) —
-    // the dual-pipeline path a reference user runs twice a day.
+    // the dual-pipeline path a reference user runs twice a day. runBoth
+    // builds all 16 LAZY plans; selecting one table here executes only
+    // that plan (the other 15 DataFrames are never materialized — this
+    // query spot-checks the dual-run wiring, not all 16 outputs, which
+    // the other e1_* rows and Form700PipelineSpec cover).
     "e1_cover_redacted" -> ((s, _) =>
       tablesBoth(s)("cover_redacted").na.fill("").orderBy("filingId")),
 
