@@ -639,6 +639,16 @@ object RegistryExt {
       Events.typeRollup(t(s, dir, "events")).orderBy("event_type", "hod")),
     "ev_pivot" -> ((s, dir) =>
       Events.typePivot(t(s, dir, "events")).orderBy("hod")),
+    // UNPIVOT round-trip of the pivot (melt back to long form — zero
+    // cells survive as real rows) and a value-based rangeBetween frame
+    // (10-minute sliding sum; tie timestamps all included, so the
+    // result is deterministic without an intra-ts tiebreak).
+    "ev_unpivot" -> ((s, dir) =>
+      Events.typeUnpivot(Events.typePivot(t(s, dir, "events")))
+        .orderBy("hod", "event_type")),
+    "ev_sliding_sum" -> ((s, dir) =>
+      Events.slidingTimeSum(t(s, dir, "events"), 600L)
+        .orderBy("user_id", "event_id")),
     // Exact binary-fraction quantiles (interpolation exact in double on
     // both engines) and window-function breadth (lag/lead/ntile/
     // cume_dist — IEEE division is correctly rounded, so cume is
@@ -866,6 +876,30 @@ object RegistryExt {
         |  cume_dist() OVER w AS cume
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "ev_unpivot" -> {
+      val arms = Events.EventTypes.map(et =>
+        s"SELECT hod, '$et' AS event_type, $et AS value_micros FROM p")
+        .mkString("\nUNION ALL ")
+      val cols = Events.EventTypes.map(et =>
+        s"COALESCE(sum(CASE WHEN event_type = '$et' THEN vm END), 0) AS $et")
+        .mkString(",\n  ")
+      s"""WITH e AS (SELECT hour(ts) AS hod, event_type,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+         |p AS (SELECT hod,
+         |  $cols
+         |FROM e GROUP BY hod)
+         |$arms
+         |ORDER BY hod, event_type""".stripMargin
+    },
+    "ev_sliding_sum" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events)
+        |SELECT user_id, event_id, us,
+        |  CAST(sum(vm) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS win_micros
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     "ev_top_n" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS "rank"

@@ -206,6 +206,29 @@ object Events {
         cume_dist().over(w).as("cume"))
   }
 
+  /** UNPIVOT (melt) dual of [[typePivot]]: the wide per-type columns
+    * fold back to (hod, event_type, value_micros) rows — one narrow
+    * expand, no shuffle beyond the pivot's own. Zero cells survive
+    * (they are real data in the wide form). */
+  def typeUnpivot(wide: DataFrame): DataFrame =
+    wide.unpivot(Array(col("hod")),
+      EventTypes.map(c => col(s"`$c`")).toArray,
+      "event_type", "value_micros")
+
+  /** TIME-RANGE sliding sum: each event's total over the same user's
+    * events in `[ts - windowSeconds, ts]` — a `rangeBetween` frame
+    * (value-based, ties all included ⇒ deterministic under any sort
+    * order of equal timestamps), unlike [[movingSum]]'s row-count
+    * frame. */
+  def slidingTimeSum(df: DataFrame, windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-windowSeconds * 1000000L, 0)
+    df.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), micros(col("value")).as("vm"))
+      .withColumn("win_micros", sum(col("vm")).over(w))
+      .drop("vm")
+  }
+
   /** Top-N events per user by value (total tiebreak on event_id). */
   def topNPerUser(df: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("user_id")

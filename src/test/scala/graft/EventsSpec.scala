@@ -149,6 +149,26 @@ class EventsSpec extends AnyFunSuite {
       (11L, 0L, 4000000L, 0L, 0L, 0L)))
   }
 
+  test("typeUnpivot round-trips the pivot: 5 rows per hour, cells preserved") {
+    val long = Events.typeUnpivot(Events.typePivot(events))
+      .select("hod", "event_type", "value_micros")
+      .as[(Long, String, Long)].collect().toSet
+    assert(long.size == 2 * Events.EventTypes.size)
+    assert(long.contains((10L, "click", 12000000L)))
+    assert(long.contains((11L, "view", 4000000L)))
+    assert(long.contains((10L, "error", 0L)))  // zero cell survives
+  }
+
+  test("slidingTimeSum: value-based frame covers [ts - w, ts]") {
+    // user 7 events at 10:00, 10:10, 11:00 → 15-minute window sums:
+    // e1 alone, e2 covers e1+e2, e3 alone again (50 min gap).
+    val out = Events.slidingTimeSum(events, 900L)
+      .where($"user_id" === 7L)
+      .select("event_id", "win_micros")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1500000L), (2L, 4000000L), (3L, 4000000L)))
+  }
+
   test("valueQuantiles: exact interpolated p25/p50/p75 per type") {
     val out = Events.valueQuantiles(events)
       .select("event_type", "p25", "p50", "p75", "n")
