@@ -82,9 +82,16 @@ object TopKPushdown {
     val heaps =
       mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
     iter.foreach { row =>
+      // keyProj returns a reused buffer: look up with it (content hash),
+      // copy only when the key is first seen.
       val key = keyProj(row)
-      val buf = heaps.getOrElseUpdate(key.copy(),
-        new mutable.ArrayBuffer[InternalRow](k))
+      val buf = heaps.get(key) match {
+        case Some(b) => b
+        case None =>
+          val b = new mutable.ArrayBuffer[InternalRow](k)
+          heaps.put(key.copy(), b)
+          b
+      }
       boundedInsert(buf, row, k, ord)
     }
     heaps
