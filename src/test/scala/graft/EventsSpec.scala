@@ -212,6 +212,24 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketches merge across partial aggregates (Datasketches)") {
+    // The incremental-distinct pattern for 100 TB: per-slice sketches
+    // (here per event_type) persist as binary columns and UNION-merge
+    // later — re-aggregation without re-reading the raw data. Estimate
+    // must track the exact distinct count.
+    val n = 5000
+    val df = spark.range(n).selectExpr(
+      "CAST(id % 5 AS STRING) AS slice", "CAST(id % 1237 AS LONG) AS uid")
+    import org.apache.spark.sql.functions.expr
+    val partials = df.groupBy("slice")
+      .agg(expr("hll_sketch_agg(uid)").as("sk"))
+    val est = partials
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    assert(math.abs(est - 1237L) <= 1237 * 0.05,
+      s"merged HLL estimate $est too far from exact 1237")
+  }
+
   test("topNPerUser ranks by value desc") {
     val out = Events.topNPerUser(events, 1)
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet
