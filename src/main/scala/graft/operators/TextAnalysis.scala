@@ -54,14 +54,40 @@ object TextAnalysis {
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, and a
     * composite keep/drop flag — the standard cheap pre-filter before
-    * expensive dedup/similarity passes. */
+    * expensive dedup/similarity passes. All four counts come from ONE
+    * fused text pass ([[graft.functions.QualityCounts]], a native
+    * codegen Expression): the previous formulation paid a token split,
+    * a stopword HOF filter, and a full `regexp_replace` string rebuild
+    * — three walks over every document. Semantics (and the oracle) are
+    * unchanged; [[TextAnalysisSpec]] pins fused == unfused on the edge
+    * inputs (trailing tabs, all-space, unicode, empty). */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = graft.functions.QualityCounts
+      .qualityCounts(col(textCol), stopwords.toMap.apply("en"))
+    qualityFromCounts(df, idCol, c)
+  }
+
+  /** The ORIGINAL three-pass formulation, kept as the spec reference
+    * for the fused expression (not used by the registry). */
+  def qualityScoreUnfused(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     val w = toks(col(textCol))
-    val nTok = size(w).cast(LongType)
-    val nChars = length(col(textCol)).cast(LongType)
-    val nPunct = (length(col(textCol)) -
-      length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))).cast(LongType)
-    val nStop = countIn(w, stopwords.toMap.apply("en"))
+    val c = array(
+      length(col(textCol)).cast(LongType),
+      size(w).cast(LongType),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", "")))
+        .cast(LongType),
+      countIn(w, stopwords.toMap.apply("en")))
+    qualityFromCounts(df, idCol, c)
+  }
+
+  private def qualityFromCounts(df: DataFrame, idCol: String,
+                                c: Column): DataFrame = {
+    val nChars = c.getItem(0)
+    val nTok = c.getItem(1)
+    val nPunct = c.getItem(2)
+    val nStop = c.getItem(3)
     val punctRatio = when(nChars > 0, nPunct.cast(DoubleType) / nChars)
       .otherwise(lit(0.0))
     val stopRatio = when(nTok > 0, nStop.cast(DoubleType) / nTok)

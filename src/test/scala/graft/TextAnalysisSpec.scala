@@ -42,6 +42,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == "und")
   }
 
+  test("fused quality counts == unfused three-pass formulation on edges") {
+    val edges = Seq(
+      "the cat sat on the mat!",   // normal, stopwords, punct
+      "",                          // empty → one "" token
+      "   ",                       // all spaces → trim → "" token
+      "a\tb\t",                    // trailing tab: split -1 keeps "" token
+      "\ta b",                     // leading tab survives space-only trim
+      "café Ÿ水 ok.",              // non-ASCII codepoints count as punct
+      "the the the",               // repeated stopwords
+      "xy",                  // \x0B is regex \s: separator, not punct
+      "  the  mat  ").zipWithIndex.map(_.swap)
+    val df = edges.toDF("id", "text")
+    val cols = Seq("id", "n_chars", "n_tokens", "n_punct", "n_stopwords",
+      "punct_ratio", "stopword_ratio", "quality_keep")
+    val fused = TextAnalysis.qualityScore(df, "id", "text")
+      .select(cols.head, cols.tail: _*).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val unfused = TextAnalysis.qualityScoreUnfused(df, "id", "text")
+      .select(cols.head, cols.tail: _*).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(fused == unfused)
+  }
+
   test("c4LineClean applies each keep rule independently") {
     val text = Seq(
       "This line is kept just fine.",        // kept
