@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNo
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.execution.SparkStrategy
 
@@ -186,12 +187,21 @@ case class TopKPerKeyPartialExec(keys: Seq[Expression],
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: Nil
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext,
+      "number of local groups"))
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val (ks, os, kk) = (keys, order, k)
+    val (outRows, groups) = (longMetric("numOutputRows"),
+      longMetric("numGroups"))
     child.execute().mapPartitions({ iter =>
-      TopKPushdown.pruneToTopK(iter, ks, os, kk, schema)
-        .valuesIterator.flatMap(_.iterator)
+      val heaps = TopKPushdown.pruneToTopK(iter, ks, os, kk, schema)
+      groups += heaps.size
+      heaps.valuesIterator.flatMap(_.iterator)
+        .map { r => outRows += 1; r }
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan)
@@ -209,18 +219,27 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext,
+      "number of keys"))
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
     val outAttrs = output
     val (ks, os, kk) = (keys, order, k)
+    val (outRows, groups) = (longMetric("numOutputRows"),
+      longMetric("numGroups"))
     child.execute().mapPartitions({ iter =>
       val heaps = TopKPushdown.pruneToTopK(iter, ks, os, kk, schema)
+      groups += heaps.size
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       heaps.valuesIterator.flatMap { buf =>
         buf.iterator.zipWithIndex.map { case (row, i) =>
           rankRow.update(0, i + 1)
+          outRows += 1
           proj(joined(row, rankRow))
         }
       }
