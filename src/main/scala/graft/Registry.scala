@@ -72,6 +72,23 @@ object Registry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // Semi/anti join surface: customers WITH at least one order (semi —
+    // no duplication, unlike an inner join) and customers WITHOUT any
+    // (anti), tagged and unioned. Both plan as one hash join that
+    // probes-and-stops per key; the anti is the orphan-detection shape
+    // every audit pipeline runs.
+    "j2_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val ordKeys = t(s, dir, "orders").select("o_custkey")
+      val semi = cust.join(ordKeys,
+          cust("c_custkey") === ordKeys("o_custkey"), "left_semi")
+        .withColumn("has_orders", lit(true))
+      val anti = cust.join(ordKeys,
+          cust("c_custkey") === ordKeys("o_custkey"), "left_anti")
+        .withColumn("has_orders", lit(false))
+      semi.unionAll(anti).orderBy("c_custkey")
+    }),
+
     // P2 (Form700.py:249-253): schema projection — prune + reorder.
     "p2_projection" -> ((s, dir) =>
       Cleaning.projectToSchema(t(s, dir, "customer"),
@@ -222,6 +239,13 @@ object Registry {
         |  o.o_custkey, o.o_orderstatus, o.o_totalprice
         |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity""".stripMargin,
+    "j2_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment, TRUE AS has_orders
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, FALSE AS has_orders
+        |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
     "p2_projection" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
     "a2_group_counts" ->
