@@ -67,6 +67,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"all three predicates must push down: $scanLine")
   }
 
+  test("q5 and rangeJoin under DISABLED broadcasts: shuffle joins, no nested loop") {
+    // The 100 TB posture claim made concrete: when no side fits a
+    // broadcast (threshold -1 simulates big-big), every equi-join must
+    // degrade to a shuffle join — a plan that flips to
+    // BroadcastNestedLoop/Cartesian here would die at scale.
+    val conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q5 = planString(SparkEntry.queries("q5_local_supplier")(spark, dir))
+      assert(!q5.contains("Cartesian") && !q5.contains("NestedLoop"),
+        s"q5 must stay equi-joined without broadcasts:\n$q5")
+      assert(q5.contains("SortMergeJoin") || q5.contains("ShuffledHashJoin"),
+        "q5 should fall back to shuffle joins")
+      val rj = planString(Joins.rangeJoin(
+        spark.range(2000).selectExpr("id AS pid", "id * 3 AS t"),
+        "t",
+        spark.range(500).selectExpr("id AS iv", "id * 10 AS s", "id * 10 + 15 AS e"),
+        "s", "e", 20L))
+      assert(!rj.contains("Cartesian") && !rj.contains("NestedLoop"),
+        s"bucketed range join must stay hash-joinable without broadcasts:\n$rj")
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("minhash signature plan is shuffle-free (fused Expression)") {
     // the raw operator, without the registry's final ORDER BY (which
     // legitimately range-partitions)
