@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -37,9 +38,14 @@ trait PageFetcher extends Serializable {
   * Hadoop FileSystem API, so `file:`, HDFS, and object-store URIs all
   * work — the same substrate the rest of the library reads through. */
 final class FilePageFetcher(path: String) extends PageFetcher {
-  // Resolved lazily and NOT serialized: each executor re-lists against
-  // its own FileSystem handle.
-  @transient private lazy val files: IndexedSeq[String] = {
+  // Listed on demand and NOT serialized: each side re-lists against its
+  // own FileSystem handle. `totalPages` always RE-LISTS (it is the
+  // streaming offset bound — a growing page directory must advance it);
+  // `fetchPage` serves from a cached listing and refreshes only when
+  // asked for a page beyond it (a later micro-batch on a warm executor).
+  @transient private var cache: IndexedSeq[String] = _
+
+  private def listPages(): IndexedSeq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     val st = fs.getFileStatus(p)
@@ -51,10 +57,18 @@ final class FilePageFetcher(path: String) extends PageFetcher {
       .map(_.toString)
   }
 
-  override def totalPages(): Int = files.size
+  private def pagesAtLeast(n: Int): IndexedSeq[String] = {
+    if (cache == null || cache.size < n) cache = listPages()
+    cache
+  }
+
+  override def totalPages(): Int = {
+    cache = listPages()
+    cache.size
+  }
 
   override def fetchPage(page: Int): String = {
-    val p = new Path(files(page - 1))
+    val p = new Path(pagesAtLeast(page)(page - 1))
     val fs = p.getFileSystem(new Configuration())
     val in = fs.open(p)
     try {
@@ -119,7 +133,8 @@ final class PagedJsonTable(fetcher: PageFetcher)
   override def name(): String = "paged_json"
   override def schema(): StructType = PagedJsonSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -133,7 +148,42 @@ final class PagedJsonTable(fetcher: PageFetcher)
           .map(PagedJsonPartition(_, fetcher): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new PagedJsonReaderFactory
+      // STREAMING read: the page index IS the offset — each trigger
+      // plans the pages that appeared since the last committed bound
+      // (`readStream.format(...)`: tail the feed instead of re-reading
+      // it). The fetcher's page-count bound is re-read at every
+      // latestOffset call, so a growing page set streams incrementally;
+      // replay of a committed range re-fetches the same pages (pages
+      // are immutable in the reference's API — page N never changes,
+      // new filings append new pages).
+      override def toMicroBatchStream(loc: String): MicroBatchStream =
+        new PagedJsonMicroBatch(fetcher)
     }
+}
+
+/** Offset = "pages emitted so far". */
+private final case class PagedJsonOffset(page: Int) extends Offset {
+  override def json(): String = s"""{"page":$page}"""
+}
+
+private final class PagedJsonMicroBatch(fetcher: PageFetcher)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = PagedJsonOffset(0)
+  override def latestOffset(): Offset = PagedJsonOffset(fetcher.totalPages())
+  override def deserializeOffset(json: String): Offset =
+    PagedJsonOffset("\"page\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(json)
+      .getOrElse(sys.error(s"bad PagedJson offset: $json"))
+      .group(1).toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[PagedJsonOffset].page,
+      end.asInstanceOf[PagedJsonOffset].page)
+    ((s + 1) to e).map(PagedJsonPartition(_, fetcher): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedJsonReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private final case class PagedJsonPartition(page: Int, fetcher: PageFetcher)

@@ -53,4 +53,29 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(viaConnector.schema == direct.schema)
     assert(viaConnector.count() == direct.count())
   }
+
+  test("streaming read: page index as offset; new pages picked up incrementally") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_paged_stream").toString
+    def writePage(n: Int): Unit =
+      Files.writeString(Paths.get(s"$dir/page_$n.json"),
+        s"""{"filings": [{"filingId": "S$n"}]}""")
+    writePage(1); writePage(2)
+    val q = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("paged_stream_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("paged_stream_sink").count() == 2)
+      // the feed grows between triggers: only the NEW page is planned
+      // (offset advanced past 2), and the earlier rows are not re-emitted
+      writePage(3)
+      q.processAllAvailable()
+      val rows = spark.table("paged_stream_sink")
+        .orderBy("page").collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+      assert(rows.last.getString(1).contains("S3"))
+    } finally q.stop()
+  }
 }
