@@ -649,6 +649,10 @@ object RegistryExt {
     "ev_sliding_sum" -> ((s, dir) =>
       Events.slidingTimeSum(t(s, dir, "events"), 600L)
         .orderBy("user_id", "event_id")),
+    // Fixed-width histogram: integer floor-div binning (0.5-unit bins
+    // over micro-quantized values) — boundary-exact on both engines.
+    "ev_histogram" -> ((s, dir) =>
+      Events.valueHistogram(t(s, dir, "events"), 500000L).orderBy("bin")),
     // Exact binary-fraction quantiles (interpolation exact in double on
     // both engines) and window-function breadth (lag/lead/ntile/
     // cume_dist — IEEE division is correctly rounded, so cume is
@@ -891,6 +895,12 @@ object RegistryExt {
          |$arms
          |ORDER BY hod, event_type""".stripMargin
     },
+    "ev_histogram" ->
+      """WITH e AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT vm // 500000 AS bin, count(*) AS n,
+        |  sum(vm) AS sum_micros, (vm // 500000) * 500000 AS bin_lo
+        |FROM e GROUP BY 1 ORDER BY bin""".stripMargin,
     "ev_sliding_sum" ->
       """WITH e AS (SELECT user_id, event_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,

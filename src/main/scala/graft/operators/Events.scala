@@ -229,6 +229,17 @@ object Events {
       .drop("vm")
   }
 
+  /** Fixed-width value histogram: micro-quantized values bin by exact
+    * integer floor-division (`vm div binWidthMicros`) — no float edge
+    * ambiguity at bin boundaries, identical bins on every engine. One
+    * shuffle with map-side combine; empty bins are absent (counts-only
+    * semantics, same as SQL GROUP BY). */
+  def valueHistogram(df: DataFrame, binWidthMicros: Long): DataFrame =
+    df.select(micros(col("value")).as("vm"))
+      .groupBy(expr(s"vm div $binWidthMicros").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sum_micros"))
+      .withColumn("bin_lo", col("bin") * binWidthMicros)
+
   /** Top-N events per user by value (total tiebreak on event_id). */
   def topNPerUser(df: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("user_id")

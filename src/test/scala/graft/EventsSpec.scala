@@ -212,6 +212,18 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("valueHistogram bins by exact integer floor-division") {
+    // values 1.5, 2.5, 4.0, 8.0 with 2.0-unit bins → bins 0, 1, 2, 4
+    val out = Events.valueHistogram(events, 2000000L)
+      .select("bin", "n", "sum_micros", "bin_lo")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 1L, 1500000L, 0L),
+      (1L, 1L, 2500000L, 2000000L),
+      (2L, 1L, 4000000L, 4000000L),
+      (4L, 1L, 8000000L, 8000000L)))
+  }
+
   test("HLL sketches merge across partial aggregates (Datasketches)") {
     // The incremental-distinct pattern for 100 TB: per-slice sketches
     // (here per event_type) persist as binary columns and UNION-merge
