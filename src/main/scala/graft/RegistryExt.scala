@@ -829,12 +829,12 @@ object RegistryExt {
         |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events)
         |SELECT COALESCE(event_type, '(all)') AS event_type,
         |  COALESCE(hod, -1) AS hod,
-        |  count(*) AS n_events, sum(vm) AS value_micros
+        |  count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS value_micros
         |FROM e GROUP BY ROLLUP(event_type, hod)
         |ORDER BY event_type, hod""".stripMargin,
     "ev_pivot" -> {
       val cols = Events.EventTypes.map(et =>
-        s"COALESCE(sum(CASE WHEN event_type = '$et' THEN vm END), 0) AS $et")
+        s"CAST(COALESCE(sum(CASE WHEN event_type = '$et' THEN vm END), 0) AS BIGINT) AS $et")
         .mkString(",\n  ")
       s"""WITH e AS (SELECT hour(ts) AS hod, event_type,
          |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events)
@@ -885,7 +885,7 @@ object RegistryExt {
         s"SELECT hod, '$et' AS event_type, $et AS value_micros FROM p")
         .mkString("\nUNION ALL ")
       val cols = Events.EventTypes.map(et =>
-        s"COALESCE(sum(CASE WHEN event_type = '$et' THEN vm END), 0) AS $et")
+        s"CAST(COALESCE(sum(CASE WHEN event_type = '$et' THEN vm END), 0) AS BIGINT) AS $et")
         .mkString(",\n  ")
       s"""WITH e AS (SELECT hour(ts) AS hod, event_type,
          |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
@@ -899,7 +899,7 @@ object RegistryExt {
       """WITH e AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS vm
         |  FROM events)
         |SELECT vm // 500000 AS bin, count(*) AS n,
-        |  sum(vm) AS sum_micros, (vm // 500000) * 500000 AS bin_lo
+        |  CAST(sum(vm) AS BIGINT) AS sum_micros, (vm // 500000) * 500000 AS bin_lo
         |FROM e GROUP BY 1 ORDER BY bin""".stripMargin,
     "ev_sliding_sum" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -34,6 +34,12 @@ for name, sql in sorted(oracle.items()):
         fails += 1; continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
+    # driver hash is dtype-sensitive: DuckDB HUGEINT (uncast sum of BIGINT)
+    # lands as float64 and mismatches Spark's int64 even when values agree
+    dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+          if str(got[c].dtype) != str(exp[c].dtype)]
+    if dt:
+        print(f"FAIL {name}: dtype drift {dt}"); fails += 1; continue
     # exact value compare (hash analog), row order as produced
     bad = None
     for c in got.columns:
