@@ -55,7 +55,10 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.values.flatten
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"stat":"min","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Headline fields go LAST on the line: consumers that keep only a
+    // bounded tail of the output (log capture) must still see the total
+    // after the ~70-entry per-query map. JSON object order is free.
+    println(s"""{"queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"stat":"min","n_queries":${ok.size},"metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }
