@@ -47,6 +47,11 @@ object RegistryExt {
   // on the interval join). Size UP on a real cluster.
   private val StreamStateParts = Some(8)
   private val IdShift = 1000000L
+  // Decontamination: eval holdout = ids divisible by 50; word-3-grams
+  // (the fixture vocabulary is tiny, so 3-grams give a dense overlap
+  // signal; production suites use 8–13).
+  private val EvalHoldout = 50L
+  private val DecontamGram = 3
 
   // ---------------------------------------------------------------------
   // Oracle SQL builders (DuckDB dialect)
@@ -227,7 +232,21 @@ object RegistryExt {
     "dd_fuzzy_pairs" -> ((s, dir) =>
       Dedup.fuzzyPairs(t(s, dir, "documents"), "doc_id", "text",
           blockLen = 8, cmpLen = 80, maxDist = 20)
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // Benchmark DECONTAMINATION audit: docs at id % EvalHoldout == 0
+    // play the eval suite; every remaining (training) doc is labeled
+    // with its distinct overlapping word-3-gram count and the keep/drop
+    // verdict. Eval shingles broadcast (a benchmark suite is small by
+    // construction); the corpus side never shuffles its text.
+    "dd_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contaminationAudit(
+          d.where(col("doc_id") % EvalHoldout =!= 0),
+          d.where(col("doc_id") % EvalHoldout === 0),
+          "doc_id", "text", DecontamGram)
+        .orderBy("doc_id")
+    })
   )
 
   private val dedupOracles: Map[String, String] = Map(
@@ -304,7 +323,26 @@ object RegistryExt {
          |FROM tok GROUP BY doc_id)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
          |FROM s ORDER BY doc_id""".stripMargin
-    }
+    },
+    // Distinct per-doc 3-grams both sides (Spark `shingles` is distinct
+    // by default); eval = ids % EvalHoldout == 0; the audit covers every
+    // training doc including zero-hit ones.
+    "dd_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= $DecontamGram
+         |    THEN list_transform(generate_series(1, len(w) - ${DecontamGram - 1}),
+         |                        i -> array_to_string(w[i:i+${DecontamGram - 1}], ' '))
+         |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM w)),
+         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % $EvalHoldout = 0),
+         |hits AS (SELECT doc_id, count(*) AS n_hits
+         |  FROM sh JOIN ev USING (g)
+         |  WHERE doc_id % $EvalHoldout <> 0 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |  COALESCE(n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalHoldout <> 0) d
+         |LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 
   // ---------------------------------------------------------------------
@@ -506,7 +544,29 @@ object RegistryExt {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         regexp_replace(col("text"), "\\. ", ".\n").as("text"))
       TextAnalysis.c4LineClean(docs, "doc_id", "text").orderBy("doc_id")
-    })
+    }),
+    // PII scrub. The fixture text has no PII, so the query plants
+    // deterministic PII derived from real columns (same construction in
+    // the oracle): an email on 4 of 5 docs, an IPv4 on all, a phone on
+    // every third — zero-count paths stay covered.
+    "tx_pii_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.select(col("doc_id"), concat_ws(" ", col("text"),
+        when(col("doc_id") % 5 =!= 0,
+          concat(col("source"), lit("."), col("lang"), lit("@example.com"))),
+        concat(lit("10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("+1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
+        .as("text"))
+      TextAnalysis.piiScrub(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+    // Gopher-style repetition stats (integer ppm ratios — exact on both
+    // engines; bigram tiebreak is lexicographic max(struct)).
+    "tx_rep_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   private def inList(words: Seq[String]): String =
@@ -591,6 +651,48 @@ object RegistryExt {
         |  FROM tf t JOIN dfreq d USING (term))
         |SELECT doc_id, term, tf, df, score_q, "rank"
         |FROM sc WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+    "tx_pii_scrub" -> {
+      // Counts and the replace chain are generated from the SAME
+      // pattern list as the Spark plan (TextAnalysis.piiPatterns).
+      val counts = TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      val scrub = TextAnalysis.piiPatterns.foldLeft("text") {
+        case (c, (_, pat, token)) =>
+          s"regexp_replace($c, '$pat', '$token', 'g')"
+      }
+      s"""WITH p AS (SELECT doc_id, concat_ws(' ', text,
+         |  CASE WHEN doc_id % 5 <> 0 THEN source || '.' || lang || '@example.com' END,
+         |  '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR),
+         |  CASE WHEN doc_id % 3 = 0 THEN '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END
+         |) AS text FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  $scrub AS scrubbed
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "tx_rep_stats" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+        |wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_tokens
+        |  FROM wc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(generate_series(1, len(w) - 1),
+        |                      i -> w[i] || ' ' || w[i+1])
+        |  ELSE CAST([] AS VARCHAR[]) END) AS g FROM w),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |bt AS (SELECT doc_id, max(struct_pack(c := c, g := g)) AS top
+        |  FROM bc GROUP BY doc_id)
+        |SELECT a.doc_id, n_words, n_distinct, n_dup_tokens,
+        |  n_dup_tokens * 1000000 // n_words AS dup_frac_ppm,
+        |  COALESCE(top.g, '') AS top_bigram,
+        |  CAST(COALESCE(top.c, 0) AS BIGINT) AS top_bigram_n,
+        |  CAST(COALESCE(top.c * 2000000 // n_words, 0) AS BIGINT) AS top_bigram_ppm
+        |FROM wa a LEFT JOIN bt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "tx_c4_clean" ->
       """WITH d AS (SELECT doc_id,
         |  str_split(regexp_replace(text, '\. ', '.' || chr(10), 'g'),

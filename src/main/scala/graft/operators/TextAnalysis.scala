@@ -148,6 +148,85 @@ object TextAnalysis {
       (size(lines) - size(keep)).cast(LongType).as("n_dropped"))
   }
 
+  /** PII patterns shared by [[piiScrub]] and its oracle. RE2 (DuckDB)
+    * and java.util.regex agree on this subset: character classes,
+    * bounded/unbounded repetition, grouping — no backreferences, no
+    * lookaround, no `\b` (word-boundary semantics differ at string
+    * edges between the engines). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "[IP]"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "[PHONE]"))
+
+  /** PII scrubbing — the redaction pass every shareable training corpus
+    * runs (emails, IPv4 addresses, phone numbers → typed placeholder
+    * tokens), with per-document match counts so the redaction rate is
+    * auditable. One narrow codegen map: `regexp_extract_all` counts +
+    * chained `regexp_replace`, no UDF, no shuffle; at 100 TB this is a
+    * pure map stage over the scan.
+    *
+    * Replacement order is the [[piiPatterns]] list order; the patterns
+    * are mutually exclusive on any input (an email match consumes its
+    * text before the IP pattern could see digits-and-dots inside it,
+    * and placeholders contain no pattern-matchable characters). */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast(LongType).as(s"n_$name")
+    }
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    df.select(col(idCol) +: counts :+ scrubbed.as("scrubbed"): _*)
+  }
+
+  /** Repetition statistics (Gopher-style, Rae et al. 2021 Table A1):
+    * the within-document repetition signals used to drop low-quality
+    * machine-generated text — fraction of tokens belonging to words
+    * that repeat, and the share of the document covered by its most
+    * frequent word bigram. Ratios are integer parts-per-million
+    * (`x * 1e6 div n`) so results are exact on every engine.
+    *
+    * Shape at scale: tokenize (narrow) → explode → count per (doc,
+    * word) and (doc, bigram) with map-side combine → per-doc re-agg →
+    * one join on doc_id. Both shuffles key on doc-scoped grams, so
+    * partition counts stay proportional to corpus size; the per-doc
+    * partitions are bounded by document length (no hot keys). The
+    * bigram tiebreak is `max(struct(count, gram))` — lexicographic max,
+    * identical to DuckDB's struct `max()`. */
+  def repetitionStats(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("w"))
+    val wordAgg = words.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+          .as("n_dup_tokens"))
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), 2, distinct = false)).as("g"))
+    val gramAgg = grams.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("c"), col("g"))).as("top"))
+      .select(col("doc_id"), col("top.c").as("top_bigram_n"),
+        col("top.g").as("top_bigram"))
+    // Left join: a one-word document has no bigram (empty-string /
+    // zero sentinels — the output contract forbids nulls).
+    wordAgg.join(gramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("n_dup_tokens"),
+        expr("n_dup_tokens * 1000000 div n_words").as("dup_frac_ppm"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        // a bigram covers 2 tokens; report its token share as
+        // 2·n / n_words ppm
+        coalesce(expr("top_bigram_n * 2000000 div n_words"), lit(0L))
+          .as("top_bigram_ppm"))
+  }
+
   /** TF-IDF-style term ranking: top-`topN` terms per document by a
     * FIXED-POINT score `tf * 1e6 div df` (term frequency over corpus
     * document frequency, integer floor-division). Monotone in

@@ -132,4 +132,23 @@ class DedupSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L)) // 2 and 4 dropped; low ids survive
   }
+
+  test("contaminationAudit counts distinct eval-overlapping n-grams") {
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val train = Seq(
+      // shares 'alpha beta gamma' AND 'beta gamma delta' (2 hits),
+      // the repeat of the window counts once (distinct per doc)
+      (1L, "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "alpha beta gamma zzz"), // 1 hit
+      (3L, "zzz yyy xxx www"),      // clean
+      (4L, "a b")                   // too short for any 3-gram
+    ).toDF("id", "text")
+    val out = Dedup.contaminationAudit(train, eval, "id", "text", 3)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (2L, true))
+    assert(out(2L) == (1L, true))
+    assert(out(3L) == (0L, false))
+    assert(out(4L) == (0L, false)) // zero-shingle docs still audited
+  }
 }

@@ -240,4 +240,11 @@ class PlanQualitySpec extends AnyFunSuite {
       .where($"k" === 7L).select("__salt").distinct().count()
     assert(spread >= 4, s"salt spread too low: $spread")
   }
+
+  test("dd_decontaminate broadcasts the eval shingle set") {
+    val plan = planString(
+      SparkEntry.queries("dd_decontaminate")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side must broadcast — the corpus must not shuffle:\n$plan")
+  }
 }

@@ -143,6 +143,45 @@ class TextAnalysisSpec extends AnyFunSuite {
       direct("abc", 3))
   }
 
+  test("piiScrub redacts emails, IPs, phones and counts matches") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@mail.co and 192.168.0.1 call +1-555-0199"),
+      (2L, "two mails a@b.io c@d.org one ip 10.0.0.255"),
+      (3L, "nothing to redact here")).toDF("id", "text")
+    val out = TextAnalysis.piiScrub(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") == 1L)
+    assert(out(1L).getAs[Long]("n_ip") == 1L)
+    assert(out(1L).getAs[Long]("n_phone") == 1L)
+    assert(out(1L).getAs[String]("scrubbed") ==
+      "mail [EMAIL] and [IP] call [PHONE]")
+    assert(out(2L).getAs[Long]("n_email") == 2L)
+    assert(out(2L).getAs[Long]("n_ip") == 1L)
+    assert(out(2L).getAs[Long]("n_phone") == 0L)
+    assert(out(3L).getAs[String]("scrubbed") == "nothing to redact here")
+  }
+
+  test("repetitionStats: dup fractions and top bigram with tiebreak") {
+    // "a b a b a" → words: a×3, b×2 (all duplicated → dup 5/5);
+    // bigrams: "a b"×2, "b a"×2 → tie on count, max gram "b a" wins
+    val df = Seq((1L, "a b a b a"), (2L, "u v w x y"), (3L, "solo"))
+      .toDF("id", "text")
+    val out = TextAnalysis.repetitionStats(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_words") == 5L)
+    assert(out(1L).getAs[Long]("n_distinct") == 2L)
+    assert(out(1L).getAs[Long]("n_dup_tokens") == 5L)
+    assert(out(1L).getAs[Long]("dup_frac_ppm") == 1000000L)
+    assert(out(1L).getAs[String]("top_bigram") == "b a")
+    assert(out(1L).getAs[Long]("top_bigram_n") == 2L)
+    assert(out(1L).getAs[Long]("top_bigram_ppm") == 800000L) // 2*2/5
+    assert(out(2L).getAs[Long]("n_dup_tokens") == 0L)
+    assert(out(2L).getAs[Long]("dup_frac_ppm") == 0L)
+    // single-word doc: no bigram — sentinels, not nulls
+    assert(out(3L).getAs[String]("top_bigram") == "")
+    assert(out(3L).getAs[Long]("top_bigram_n") == 0L)
+  }
+
   test("fused minhash signature matches a reference implementation") {
     import graft.functions.MinhashSig
     import graft.operators.Dedup
