@@ -238,6 +238,32 @@ object RegistryForm700 {
       P.writeUpsert(s, "cover", chunks, "filing_id", out,
         graft.operators.RetryPolicy.NoWait)
       P.upsertedTable(s, "cover", out, chunks.size).orderBy("filing_id")
+    }),
+
+    // The STREAMING dual of e1_audit_upsert: the cover feed tails
+    // through the paged DSv2 source one page per micro-batch
+    // (maxPagesPerTrigger=1, AvailableNow draining to a snapshotted
+    // bound), and every batch upserts into the generation table keyed
+    // on filing_id — the reference's fetch-page/upsert-chunk loop
+    // (Form700.py:107-144 + 498-502) as one streaming query. Pages
+    // carry disjoint filings, so the merged table is both pages'
+    // cleaned rows, each stamped with the batch (= page index) that
+    // loaded it.
+    "st_page_upsert" -> ((s, _) => {
+      val root = s"${P.defaultPagesRoot}/cover"
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_st_upsert").toString
+      val stream = s.readStream.format("graft.sources.PagedJsonSource")
+        .option("path", root).option("maxPagesPerTrigger", 1).load()
+      val perBatch: DataFrame => DataFrame = b =>
+        P.prepareForSink(P.clean(
+          graft.sources.Form700Source.cover(
+            s.read.json(b.select("body")
+              .as(org.apache.spark.sql.Encoders.STRING))),
+          P.catalog("cover"), Some(Set.empty)))
+      graft.streaming.StreamOps
+        .runUpsertToCompletion(s, stream, perBatch, "filing_id", out)
+        .orderBy("filing_id")
     })
   )
 
@@ -434,6 +460,23 @@ object RegistryForm700 {
          |)
          |SELECT * FROM u
          |QUALIFY row_number() OVER (PARTITION BY filing_id ORDER BY src_chunk DESC) = 1
+         |ORDER BY filing_id""".stripMargin
+    },
+
+    // One page per micro-batch, in page order: src_batch = page - 1.
+    // Disjoint filings make the QUALIFY a no-op — kept so the oracle
+    // states the merge contract, not just the union.
+    "st_page_upsert" -> {
+      val snake = (n: String) => Restructure.toSinkName(n)
+      s"""WITH ${coverCtesNamed(s"$OraclePages/cover/page_1.json", "cf1", "cser1")},
+         |${coverCtesNamed(s"$OraclePages/cover/page_2.json", "cf2", "cser2")},
+         |u AS (
+         |  SELECT ${coverSelectList(snake)}, CAST(0 AS BIGINT) AS src_batch FROM cser1
+         |  UNION ALL
+         |  SELECT ${coverSelectList(snake)}, CAST(1 AS BIGINT) AS src_batch FROM cser2
+         |)
+         |SELECT * FROM u
+         |QUALIFY row_number() OVER (PARTITION BY filing_id ORDER BY src_batch DESC) = 1
          |ORDER BY filing_id""".stripMargin
     }
     // e1_audit, e1_audit_incremental: no oracle (side-effecting sinks)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -155,9 +155,13 @@ final class PagedJsonTable(fetcher: PageFetcher)
       // latestOffset call, so a growing page set streams incrementally;
       // replay of a committed range re-fetches the same pages (pages
       // are immutable in the reference's API — page N never changes,
-      // new filings append new pages).
+      // new filings append new pages). `maxPagesPerTrigger` caps the
+      // pages admitted per micro-batch (the reference's one-page-per-
+      // request loop as a rate limit); under Trigger.AvailableNow the
+      // bound is SNAPSHOTTED at start and drained across batches.
       override def toMicroBatchStream(loc: String): MicroBatchStream =
-        new PagedJsonMicroBatch(fetcher)
+        new PagedJsonMicroBatch(fetcher,
+          Option(options.get("maxPagesPerTrigger")).map(_.toInt))
     }
 }
 
@@ -166,10 +170,41 @@ private final case class PagedJsonOffset(page: Int) extends Offset {
   override def json(): String = s"""{"page":$page}"""
 }
 
-private final class PagedJsonMicroBatch(fetcher: PageFetcher)
-    extends MicroBatchStream {
+private final class PagedJsonMicroBatch(fetcher: PageFetcher,
+                                        maxPagesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // Set by prepareForTriggerAvailableNow: AvailableNow must drain to a
+  // bound SNAPSHOTTED at query start (pages appearing mid-run belong to
+  // the next invocation), while an unbounded trigger re-reads the live
+  // bound every batch.
+  @volatile private var pinnedBound: Option[Int] = None
+  private def bound(): Int = pinnedBound.getOrElse(fetcher.totalPages())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedBound = Some(fetcher.totalPages())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPagesPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  // Admission control: one page == one row, so ReadMaxRows caps the
+  // page count a single micro-batch admits.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[PagedJsonOffset].page
+    val b = bound()
+    val e = limit match {
+      case r: ReadMaxRows => math.min(b.toLong, s + r.maxRows()).toInt
+      case _ => b
+    }
+    PagedJsonOffset(e)
+  }
+
+  override def reportLatestOffset(): Offset = PagedJsonOffset(bound())
+
   override def initialOffset(): Offset = PagedJsonOffset(0)
-  override def latestOffset(): Offset = PagedJsonOffset(fetcher.totalPages())
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit)")
   override def deserializeOffset(json: String): Offset =
     PagedJsonOffset("\"page\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(json)

@@ -207,6 +207,59 @@ object StreamOps {
     * (measured: the interval join drops 5.7 s → 2.3 s going 32 → 8).
     * On a real cluster SIZE IT UP to the executor count: state
     * partitioning is a throughput knob, not semantics. */
+  /** STREAMING KEYED UPSERT sink — the streaming dual of
+    * [[graft.operators.Form700Pipeline.writeUpsert]]: each micro-batch
+    * is one upsert chunk, merged latest-batch-wins on `key` into an
+    * immutable GENERATION directory (`gen_0`, `gen_1`, …; same
+    * write-new-files-then-advance discipline as the batch form — no
+    * read-modify-overwrite of a path a reader may hold open). Returns
+    * the final generation after the source drains.
+    *
+    * `perBatch` maps a raw micro-batch to the rows to merge (parse /
+    * clean / project — it runs in BATCH scope inside foreachBatch, so
+    * any batch-only construct, e.g. `spark.read.json` over the page
+    * bodies, is available). Precondition (same as the batch upsert):
+    * `key` is unique within each batch's output.
+    *
+    * Scale: the per-batch merge is one shuffle on `key` of previous ∪
+    * incoming. Rewriting the full table per batch is the parquet-level
+    * merge cost — a real deployment points the same foreachBatch body
+    * at a MERGE-capable table format and keeps the identical plan. */
+  def runUpsertToCompletion(spark: SparkSession, source: DataFrame,
+                            perBatch: DataFrame => DataFrame, key: String,
+                            path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val g = gen.get()
+          val incoming = perBatch(batch)
+            .withColumn("src_batch", lit(batchId))
+          val merged =
+            if (g < 0) incoming
+            else {
+              val prev = spark.read.parquet(s"$path/gen_$g")
+              val w = Window.partitionBy(col(s"`$key`"))
+                .orderBy(col("src_batch").desc)
+              prev.unionByName(incoming)
+                .withColumn("__rn", row_number().over(w))
+                .where(col("__rn") === 1)
+                .drop("__rn")
+            }
+          merged.write.mode("overwrite").parquet(s"$path/gen_${g + 1}")
+          gen.incrementAndGet()
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(gen.get() >= 0, "runUpsertToCompletion: source produced no rows")
+    spark.read.parquet(s"$path/gen_${gen.get()}")
+  }
+
   def runToCompletion(spark: SparkSession, source: DataFrame,
                       transform: DataFrame => DataFrame,
                       outputMode: String = "complete",

@@ -78,4 +78,31 @@ class PagedJsonSourceSpec extends AnyFunSuite {
       assert(rows.last.getString(1).contains("S3"))
     } finally q.stop()
   }
+
+  test("maxPagesPerTrigger=1: AvailableNow drains one page per batch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    class Api4 extends PageFetcher {
+      override def totalPages(): Int = 4
+      override def fetchPage(page: Int): String =
+        s"""{"filings": [{"filingId": "B$page"}]}"""
+    }
+    PagedJsonSource.registerFetcher("api4", new Api4)
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("fetcher", "api4").option("maxPagesPerTrigger", 1).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val n = b.count()
+        if (n > 0) perBatch.add(n)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 4 pages, cap 1 → four one-page batches, drained to the bound
+    // snapshotted at start
+    import scala.jdk.CollectionConverters._
+    assert(perBatch.asScala.toSeq == Seq(1L, 1L, 1L, 1L))
+  }
 }

@@ -192,4 +192,39 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("hour", "event_type").collect().toSeq
     assert(got.map(_.toSeq) == want.map(_.toSeq))
   }
+
+  test("streaming keyed upsert: later batches overwrite overlapping keys") {
+    import org.apache.spark.sql.DataFrame
+    import graft.sources.{PagedJsonSource, PageFetcher}
+    class OverlapApi extends PageFetcher {
+      override def totalPages(): Int = 3
+      override def fetchPage(page: Int): String = page match {
+        case 1 => """{"rows": [{"k": "a", "v": 1}, {"k": "b", "v": 1}]}"""
+        case 2 => """{"rows": [{"k": "b", "v": 2}, {"k": "c", "v": 2}]}"""
+        case _ => """{"rows": [{"k": "a", "v": 3}]}"""
+      }
+    }
+    PagedJsonSource.registerFetcher("overlap_api", new OverlapApi)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_upsert").toString
+    val stream = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("fetcher", "overlap_api").option("maxPagesPerTrigger", 1)
+      .load()
+    val perBatch: DataFrame => DataFrame = b =>
+      spark.read.json(b.select("body")
+          .as(org.apache.spark.sql.Encoders.STRING))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.k").as("k"), col("r.v").as("v"))
+    val fin = StreamOps.runUpsertToCompletion(spark, stream, perBatch,
+      "k", out)
+    val got = fin.select("k", "v", "src_batch").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a: batch 2 wins over batch 0; b: batch 1 wins; c: only batch 1
+    assert(got == Map("a" -> ((3L, 2L)), "b" -> ((2L, 1L)),
+      "c" -> ((2L, 1L))))
+    // generation history is immutable: gen_0..gen_2 all present
+    val gens = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("gen_")).sorted.toSeq
+    assert(gens == Seq("gen_0", "gen_1", "gen_2"))
+  }
 }
