@@ -52,6 +52,10 @@ object RegistryExt {
   // signal; production suites use 8–13).
   private val EvalHoldout = 50L
   private val DecontamGram = 3
+  // Corpus pipeline: language kept after the quality gate; shard count
+  // for the packing stage.
+  private val PipelineLang = "en"
+  private val PipelineShards = 4
 
   // ---------------------------------------------------------------------
   // Oracle SQL builders (DuckDB dialect)
@@ -84,19 +88,22 @@ object RegistryExt {
       s"min(($a * h + $b) % ${Dedup.MinhashPrime}) AS mh$j"
     }.mkString(", ")
 
-  /** Near-dup corpus (each doc + a copy gaining 3 trailing tokens),
-    * minhash signatures, band explode, and the candidate-pair bucket
-    * join — shared by the dd_lsh_pairs and dd_jaccard_lsh oracles. */
-  private lazy val lshCandCtes: String = {
+  /** The doubled near-dup corpus CTE (each doc + a copy gaining 3
+    * trailing tokens) used by the dd_* oracles. */
+  private lazy val doubledCte: String =
+    s"""d AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz' FROM documents)""".stripMargin
+
+  /** Minhash signatures, band explode, and the candidate-pair bucket
+    * join over ANY (doc_id, text) relation `src`. */
+  private def lshCandCtesOver(src: String): String = {
     val rows = NumHashes / Bands
     val bandSelects = (0 until Bands).map { b =>
       val sig = (0 until rows).map(r => s"mh${b * rows + r}")
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString("\n  UNION ALL ")
-    s"""d AS (SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz' FROM documents),
-       |${shingleCtes("d")},
+    s"""${shingleCtes(src)},
        |mh AS (SELECT doc_id, $mhSelects FROM shh GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
@@ -105,18 +112,23 @@ object RegistryExt {
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** [[lshCandCtes]] plus exact-Jaccard verification of the candidates
-    * (distinct-token arrays, intersection counts) — shared by
-    * dd_jaccard_lsh and dd_near_dedup. */
-  private lazy val lshVerifyCtes: String =
-    s"""$lshCandCtes,
-       |tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM d),
+  /** [[lshCandCtesOver]] plus exact-Jaccard verification of the
+    * candidates (distinct-token arrays, intersection counts). */
+  private def lshVerifyCtesOver(src: String): String =
+    s"""${lshCandCtesOver(src)},
+       |tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM $src),
        |j AS (SELECT doc_a, doc_b,
        |    CAST(length(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_inter,
        |    CAST(length(ta.toks) AS BIGINT) + CAST(length(tb.toks) AS BIGINT) AS n_both
        |  FROM cand
        |  JOIN tok ta ON ta.doc_id = doc_a
        |  JOIN tok tb ON tb.doc_id = doc_b)""".stripMargin
+
+  /** Doubled-corpus instantiations — shared by the dd_* oracles. */
+  private lazy val lshCandCtes: String =
+    s"$doubledCte,\n${lshCandCtesOver("d")}"
+  private lazy val lshVerifyCtes: String =
+    s"$doubledCte,\n${lshVerifyCtesOver("d")}"
 
   /** Exact BIGINT dot product of two list columns (len = Dim). */
   private def dotSql(a: String, b: String): String =
@@ -480,7 +492,21 @@ object RegistryExt {
     "tp_pack_sequences" -> ((s, dir) =>
       TrainPrep.packSequences(t(s, dir, "documents"), "doc_id", "text",
         "lang", PackBudget)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // The corpus-prep pipeline END-TO-END over the doubled (near-dup)
+    // corpus: quality filter → language filter → LSH near-dedup →
+    // per-shard packing, one declared plan, oracle-checked
+    // value-for-value through all four stages.
+    "tp_corpus_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = d.unionAll(d.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text")))
+      TrainPrep.corpusPipeline(doubled, "doc_id", "text", PipelineLang,
+          NumHashes, Bands, JaccardThreshold, PipelineShards, PackBudget)
+        .orderBy("doc_id")
+    })
   )
 
   private val trainprepOracles: Map[String, String] = Map(
@@ -511,7 +537,48 @@ object RegistryExt {
          |  FROM n)
          |SELECT doc_id, lang, n_tokens, tokens_before,
          |  CAST(floor(tokens_before / $PackBudget) AS BIGINT) AS bin
-         |FROM c ORDER BY doc_id""".stripMargin
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // The four-stage pipeline, stage by stage in SQL: quality + langid
+    // filters (same fragments as tx_quality / tx_langid), LSH-verified
+    // near-dedup (same CTEs as dd_near_dedup, instantiated over the
+    // FILTERED corpus q), per-shard packing (same window as
+    // tp_pack_sequences).
+    "tp_corpus_pipeline" -> {
+      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+        s"CAST(len(list_filter(w, t -> t IN (${inList(ws)}))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val best = TextAnalysis.stopwords.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val cases = TextAnalysis.stopwords.map { case (l, _) =>
+        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+      }.mkString("\n      ")
+      s"""WITH $doubledCte,
+         |lw AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM d),
+         |ls AS (SELECT doc_id, text,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         |  $scores
+         |FROM lw),
+         |q AS (SELECT doc_id, text FROM ls
+         |  WHERE n_tokens >= 5 AND n_tokens <= 100000
+         |    AND (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) < CAST(0.2 AS DOUBLE)
+         |    AND (CASE $cases ELSE 'und' END) = '$PipelineLang'),
+         |${lshVerifyCtesOver("q")},
+         |dropped AS (SELECT DISTINCT doc_b FROM j
+         |  WHERE CAST(n_inter AS DOUBLE) / (n_both - n_inter) >= $JaccardThreshold),
+         |kept AS (SELECT doc_id, text FROM q
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM dropped)),
+         |pk AS (SELECT doc_id, doc_id % $PipelineShards AS shard,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM kept),
+         |pc AS (SELECT doc_id, shard, n_tokens,
+         |  COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tokens_before
+         |  FROM pk)
+         |SELECT doc_id, shard, n_tokens, tokens_before,
+         |  CAST(floor(tokens_before / $PackBudget) AS BIGINT) AS bin
+         |FROM pc ORDER BY doc_id""".stripMargin
+    }
   )
 
   // ---------------------------------------------------------------------

@@ -122,6 +122,32 @@ object TextAnalysis {
     scored.withColumn("lang_guess", guess)
   }
 
+  /** The quality keep/drop decision as a standalone COLUMN — the same
+    * fused counts and thresholds as [[qualityScore]], usable as a bare
+    * `where` predicate (no join against a metrics frame). Codegen CSE
+    * dedupes the repeated fused-counts subexpression. */
+  def qualityKeepCol(textCol: Column): Column = {
+    val c = graft.functions.QualityCounts
+      .qualityCounts(textCol, stopwords.toMap.apply("en"))
+    val nChars = c.getItem(0)
+    val nTok = c.getItem(1)
+    val punctRatio = when(nChars > 0,
+      c.getItem(2).cast(DoubleType) / nChars).otherwise(lit(0.0))
+    nTok >= 5 && nTok <= 100000 && punctRatio < 0.2
+  }
+
+  /** The language guess as a standalone COLUMN — same fused counts,
+    * argmax, and first-match-in-list-order tiebreak as [[languageId]]. */
+  def langGuessCol(textCol: Column): Column = {
+    val c = graft.functions.StopwordCounts
+      .stopwordCounts(textCol, stopwords.map(_._2))
+    val best = greatest(stopwords.indices.map(i => c.getItem(i)): _*)
+    stopwords.zipWithIndex.foldRight(lit("und"): Column) {
+      case (((l, _), i), e) =>
+        when(c.getItem(i) === best && best > 0, lit(l)).otherwise(e)
+    }
+  }
+
   /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 heuristics,
     * re-expressed as Catalyst HOFs): keep a line only if it ends in
     * terminal punctuation, has at least `minWords` whitespace words,

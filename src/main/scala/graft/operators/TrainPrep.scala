@@ -76,4 +76,37 @@ object TrainPrep {
       .withColumn("bin",
         floor(col("tokens_before") / budgetTokens).cast(LongType))
   }
+
+  /** The corpus-prep pipeline END-TO-END — what a user actually runs
+    * over a raw crawl: cheap narrow filters first (quality heuristics,
+    * language ID — pure codegen maps sitting directly on the scan, so
+    * the expensive stages see only survivors), then MinHash/LSH
+    * near-dedup (banded candidates → exact-Jaccard verification →
+    * drop), then per-shard sequence packing. One declared plan:
+    * Catalyst pushes the filters to the scan, the dedup shuffles only
+    * the filtered corpus, and packing windows per shard — the stage
+    * order IS the scale design (each stage shrinks the data the next
+    * one pays for).
+    *
+    * Deterministic end to end (hash-based dedup, id-ordered packing) —
+    * the full composition is oracle-checked value-for-value as
+    * `tp_corpus_pipeline`. */
+  def corpusPipeline(docs: DataFrame, idCol: String, textCol: String,
+                     keepLang: String, numHashes: Int, bands: Int,
+                     threshold: Double, shards: Int,
+                     budgetTokens: Int): DataFrame = {
+    val kept = docs
+      .where(TextAnalysis.qualityKeepCol(col(textCol)))
+      .where(TextAnalysis.langGuessCol(col(textCol)) === keepLang)
+      .select(col(idCol), col(textCol))
+    val verified = Dedup.jaccardOfPairs(kept,
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(kept, idCol, textCol, numHashes),
+        idCol, numHashes, bands),
+      idCol, textCol, threshold)
+    val deduped = Dedup.dropNearDuplicates(kept, verified, idCol)
+    packSequences(
+      deduped.withColumn("shard", pmod(col(idCol), lit(shards.toLong))),
+      idCol, textCol, "shard", budgetTokens)
+  }
 }

@@ -68,4 +68,27 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(packed.filter(_._2 == "en").map(_._5).min == 0L)
     assert(packed.filter(_._2 == "de").map(_._5).min == 0L)
   }
+
+  test("corpusPipeline: each stage drops for its own reason") {
+    val en = "the cat is in the house and the dog is in the yard today"
+    val docs = Seq(
+      (1L, en),                                   // survives everything
+      (2L, en + " extra tail"),                   // near-dup of 1 → dedup drop
+      (3L, "der hund ist nicht hier und das war gut so heute morgen"), // de → lang drop
+      (4L, "!!! ??? *** !!!"),                    // punct ratio → quality drop
+      (5L, "the sun is up and the moon is down all day long again"),   // survives
+      (6L, "tiny a"))                             // < 5 tokens → quality drop
+      .toDF("doc_id", "text")
+    val out = TrainPrep.corpusPipeline(docs, "doc_id", "text", "en",
+        numHashes = 8, bands = 4, threshold = 0.5, shards = 2,
+        budgetTokens = 10)
+      .select("doc_id", "shard", "n_tokens", "tokens_before", "bin")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 5L))
+    // packing runs on survivors only, per shard (1 % 2 = 1, 5 % 2 = 1):
+    // doc 5 packs AFTER doc 1's 14 tokens → second bin at budget 10
+    assert(out.map(_._2).toSeq == Seq(1L, 1L))
+    assert(out.find(_._1 == 5L).get._4 == 14L)
+    assert(out.find(_._1 == 5L).get._5 == 1L)
+  }
 }
