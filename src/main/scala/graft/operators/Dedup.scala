@@ -29,12 +29,21 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Word n-shingles of a text column, deterministic (distinct by
-    * default). Spark's `sequence(a, b)` DESCENDS when a > b (DuckDB's
-    * generate_series is empty instead), so short texts are guarded
-    * explicitly. `distinct = false` skips the dedup pass — correct for
-    * duplicate-insensitive consumers like minhash `min`. */
+    * default; `distinct = false` skips the dedup pass — correct for
+    * duplicate-insensitive consumers like minhash `min`). Runs as ONE
+    * fused codegen pass ([[graft.functions.WordShingles]]); the
+    * original HOF formulation survives as [[shinglesHof]], spec-pinned
+    * equivalent. */
   def shingles(textCol: Column, n: Int = 3,
-               distinct: Boolean = true): Column = {
+               distinct: Boolean = true): Column =
+    graft.functions.WordShingles.wordShingles(textCol, n, distinct)
+
+  /** The HOF formulation (spec reference for the fused expression).
+    * Spark's `sequence(a, b)` DESCENDS when a > b (DuckDB's
+    * generate_series is empty instead), so short texts are guarded
+    * explicitly. */
+  def shinglesHof(textCol: Column, n: Int = 3,
+                  distinct: Boolean = true): Column = {
     val w = split(trim(textCol), "\\s+")
     val sh = transform(sequence(lit(1), size(w) - (n - 1)),
       i => array_join(slice(w, i, lit(n)), " "))
@@ -339,11 +348,13 @@ object Dedup {
       .select(explode(shingles(col(textCol), n)).as("g")).distinct()
     val trainGrams = train.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), n)).as("g"))
+    // INNER broadcast join: the aggregate sees only matching grams (a
+    // tiny fraction of the corpus); zero-hit docs re-enter via the
+    // audit's own left join below.
     val hits = trainGrams
-      .join(broadcast(evalGrams).withColumn("hit", lit(1L)),
-        Seq("g"), "left")
+      .join(broadcast(evalGrams), Seq("g"))
       .groupBy("doc_id")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
     train.select(col(idCol).as("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),

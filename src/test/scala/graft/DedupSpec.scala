@@ -133,6 +133,19 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L)) // 2 and 4 dropped; low ids survive
   }
 
+  test("fused shingles == HOF shingles on edge inputs") {
+    val df = Seq("one two three four", "a b", "", "  x   y  z ",
+      "dup dup dup dup", "t1\tt2\tt3 t4", "solo")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(2, 3); d <- Seq(true, false)) {
+      val fused = df.select(col("id"), Dedup.shingles(col("text"), n, d))
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val hof = df.select(col("id"), Dedup.shinglesHof(col("text"), n, d))
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(fused == hof, s"n=$n distinct=$d")
+    }
+  }
+
   test("contaminationAudit counts distinct eval-overlapping n-grams") {
     val eval = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
     val train = Seq(

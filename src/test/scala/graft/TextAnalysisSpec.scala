@@ -182,6 +182,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("top_bigram_n") == 0L)
   }
 
+  test("fused repetitionStats == unfused relational formulation on edges") {
+    val df = Seq(
+      (1L, "a b a b a"),             // tie bigrams
+      (2L, "solo"),                  // no bigram
+      (3L, ""),                      // empty → one "" token
+      (4L, "  x\ty  "),              // tab inside, spaces out
+      (5L, "z z z z z z"),           // one word, one bigram, max dup
+      (6L, "p q r p q r p q")).toDF("id", "text")
+    val fused = TextAnalysis.repetitionStats(df, "id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val unfused = TextAnalysis.repetitionStatsUnfused(df, "id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fused == unfused)
+  }
+
   test("fused minhash signature matches a reference implementation") {
     import graft.functions.MinhashSig
     import graft.operators.Dedup
