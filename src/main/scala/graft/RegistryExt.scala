@@ -124,6 +124,33 @@ object RegistryExt {
        |  JOIN tok ta ON ta.doc_id = doc_a
        |  JOIN tok tb ON tb.doc_id = doc_b)""".stripMargin
 
+  /** Quality + language-ID filter CTEs over a (doc_id, text) relation
+    * `src`, ending in `q(doc_id, text, n_tokens)` — the survivors of the
+    * SAME thresholds and argmax/tiebreak as
+    * `TextAnalysis.qualityKeepCol` / `langGuessCol`. Shared by the
+    * corpus-pipeline oracles (batch and streaming). */
+  private def qualityLangCtesOver(src: String, keepLang: String): String = {
+    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+      s"CAST(len(list_filter(w, t -> t IN (${inList(ws)}))) AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    val best = TextAnalysis.stopwords.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+    val cases = TextAnalysis.stopwords.map { case (l, _) =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString("\n      ")
+    s"""lw AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src),
+       |ls AS (SELECT doc_id, text,
+       |  CAST(len(text) AS BIGINT) AS n_chars,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |  $scores
+       |FROM lw),
+       |q AS (SELECT doc_id, text, n_tokens FROM ls
+       |  WHERE n_tokens >= 5 AND n_tokens <= 100000
+       |    AND (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) < CAST(0.2 AS DOUBLE)
+       |    AND (CASE $cases ELSE 'und' END) = '$keepLang')""".stripMargin
+  }
+
   /** Doubled-corpus instantiations — shared by the dd_* oracles. */
   private lazy val lshCandCtes: String =
     s"$doubledCte,\n${lshCandCtesOver("d")}"
@@ -544,26 +571,8 @@ object RegistryExt {
     // FILTERED corpus q), per-shard packing (same window as
     // tp_pack_sequences).
     "tp_corpus_pipeline" -> {
-      val scores = TextAnalysis.stopwords.map { case (l, ws) =>
-        s"CAST(len(list_filter(w, t -> t IN (${inList(ws)}))) AS BIGINT) AS s_$l"
-      }.mkString(",\n  ")
-      val best = TextAnalysis.stopwords.map { case (l, _) => s"s_$l" }
-        .mkString("greatest(", ", ", ")")
-      val cases = TextAnalysis.stopwords.map { case (l, _) =>
-        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
-      }.mkString("\n      ")
       s"""WITH $doubledCte,
-         |lw AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM d),
-         |ls AS (SELECT doc_id, text,
-         |  CAST(len(text) AS BIGINT) AS n_chars,
-         |  CAST(len(w) AS BIGINT) AS n_tokens,
-         |  CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
-         |  $scores
-         |FROM lw),
-         |q AS (SELECT doc_id, text FROM ls
-         |  WHERE n_tokens >= 5 AND n_tokens <= 100000
-         |    AND (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) < CAST(0.2 AS DOUBLE)
-         |    AND (CASE $cases ELSE 'und' END) = '$PipelineLang'),
+         |${qualityLangCtesOver("d", PipelineLang)},
          |${lshVerifyCtesOver("q")},
          |dropped AS (SELECT DISTINCT doc_b FROM j
          |  WHERE CAST(n_inter AS DOUBLE) / (n_both - n_inter) >= $JaccardThreshold),
@@ -1199,10 +1208,37 @@ object RegistryExt {
         graft.streaming.StreamOps.hourlyRollupStream,
         shufflePartitions = StreamStateParts)
         .orderBy("hour", "event_type")),
+    // The bounded-state form of the rollup: HLL sketch per (window,
+    // type) instead of collect_set — fixed state memory at any stream
+    // cardinality. Approximate ⇒ no hash oracle (driver rows-only);
+    // StreamingSpec bounds the estimate against the exact rollup.
+    "st_hourly_rollup_approx" -> ((s, dir) =>
+      graft.streaming.StreamOps.runToCompletion(
+        s, Tables.loadStream(s, dir, "events"),
+        graft.streaming.StreamOps.hourlyRollupApproxStream,
+        shufflePartitions = StreamStateParts)
+        .orderBy("hour", "event_type")),
     "st_session_window" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionWindowAgg(
         t(s, dir, "events"), SessionGapSeconds)
         .orderBy("user_id", "start_us")),
+
+    // Streaming corpus prep: the documents file streamed twice
+    // (at-least-once delivery), quality + language predicates as
+    // stateless filters on the scan, then watermark-bounded key dedup —
+    // the streaming dual of tp_corpus_pipeline's front half. Event time
+    // is synthesized deterministically from doc_id (positive epoch —
+    // rows at/below the engine's initial watermark would drop as late).
+    "st_corpus_prep" -> ((s, dir) => {
+      def docStream() = Tables.loadStream(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
+      graft.streaming.StreamOps.runToCompletion(s,
+        docStream().unionAll(docStream()),
+        graft.streaming.StreamOps.corpusPrepStream(_, PipelineLang),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .orderBy("doc_id")
+    }),
 
     // Streaming exact dedup: the same file streamed twice (UNION ALL of
     // two identical sources), deduplicated on event_id with watermarked,
@@ -1312,6 +1348,12 @@ object RegistryExt {
     "st_stream_dedup" ->
       """SELECT event_id, user_id, event_type
         |FROM events ORDER BY event_id""".stripMargin,
+    // Batch dual of the streaming corpus prep: the quality/langid
+    // survivors, each exactly once (st_hourly_rollup_approx has NO
+    // oracle — approximate results cannot hash-match).
+    "st_corpus_prep" ->
+      s"""WITH ${qualityLangCtesOver("documents", PipelineLang)}
+         |SELECT doc_id, n_tokens FROM q ORDER BY doc_id""".stripMargin,
     // Identical to the batch sessionize oracle: custom streaming state
     // must agree with the window formulation bit-for-bit.
     "st_stateful_sessions" -> sessionizeOracleSql,

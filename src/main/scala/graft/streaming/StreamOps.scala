@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
-import graft.operators.Events
+import graft.operators.{Events, TextAnalysis}
 
 /** Structured Streaming surface (SURVEY.md §7.2 M5: the `events`
   * streaming-shaped extensions; the reference itself is batch-only —
@@ -21,17 +21,22 @@ import graft.operators.Events
   * express).
   *
   * Scale: streaming aggs shuffle once on the group key per micro-batch;
-  * state lives in the state store keyed by (window, type) / user. The
-  * exact-distinct `collect_set` is fine at fixture scale; at 100 TB you
-  * would swap it for `approx_count_distinct` (HLL state, bounded
-  * memory) — noted inline.
+  * state lives in the state store keyed by (window, type) / user. Every
+  * stateful operator here carries a watermark bound; the one
+  * cardinality-shaped state structure (exact distinct users via
+  * `collect_set`) has its bounded HLL dual in
+  * [[hourlyRollupApproxStream]] — the form a 100 TB stream runs.
   */
 object StreamOps {
 
   /** Streaming dual of [[Events.hourlyRollup]]: tumbling 1-hour window
     * with a 2-hour watermark. `countDistinct` is unsupported in
-    * streaming, so exact distinct is `size(collect_set(...))` (swap for
-    * `approx_count_distinct` at scale). */
+    * streaming, so exact distinct is `size(collect_set(...))` — state
+    * per (window, type) grows with the distinct-user count, which is
+    * the ORACLE-PARITY form only: it hash-matches the batch rollup at
+    * fixture scale, and [[hourlyRollupApproxStream]] is the bounded-state
+    * form a 100 TB stream actually runs. Both stay registered so the
+    * exact/approx trade is a visible, tested pair. */
   def hourlyRollupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
@@ -42,6 +47,32 @@ object StreamOps {
       .select(
         col("window.start").cast(StringType).as("hour"),
         col("event_type"), col("n_events"), col("n_users"),
+        col("value_micros"),
+        (col("value_micros").cast(DoubleType) / 1000000).as("value_sum"))
+
+  /** BOUNDED-STATE streaming rollup — the scale form of
+    * [[hourlyRollupStream]]: `approx_count_distinct` keeps one
+    * fixed-size HLL sketch per (window, event_type) group instead of a
+    * `collect_set` that grows with the distinct-user count, so state
+    * memory is `O(groups × sketch)` regardless of stream cardinality —
+    * the difference between a rollup that survives a 100 TB stream and
+    * one that OOMs its state store. Sketches merge associatively, so
+    * partial aggregation and micro-batch incremental merge both work
+    * unchanged (same property the batch dual
+    * [[graft.operators.Events.hourlyRollupApprox]] exploits; its
+    * `EventsSpec` error-bound reasoning carries over — default rsd 5%).
+    * Approximate ⇒ no hash oracle; `StreamingSpec` bounds the estimate
+    * against the exact streaming rollup on the same data. */
+  def hourlyRollupApproxStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        sum(Events.micros(col("value"))).as("value_micros"))
+      .select(
+        col("window.start").cast(StringType).as("hour"),
+        col("event_type"), col("n_events"), col("n_users_approx"),
         col("value_micros"),
         (col("value_micros").cast(DoubleType) / 1000000).as("value_sum"))
 
@@ -73,6 +104,34 @@ object StreamOps {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id", "user_id", "event_type")
+
+  /** STREAMING CORPUS PREP — the streaming dual of
+    * [[graft.operators.TrainPrep.corpusPipeline]]'s filter/dedup front
+    * half: quality heuristics and language ID run as STATELESS narrow
+    * predicates directly on the scan (the same fused codegen columns the
+    * batch pipeline pushes down — [[TextAnalysis.qualityKeepCol]] /
+    * [[TextAnalysis.langGuessCol]]), and only the survivors reach the
+    * one stateful operator, `dropDuplicatesWithinWatermark` on the doc
+    * key. Stage order IS the scale design, same as batch: state pays
+    * only for documents that passed the cheap filters, and that state is
+    * watermark-BOUNDED (evicted once the watermark passes `ts + delay`)
+    * — the corpus-ingest shape that survives an unbounded crawl stream,
+    * where `dropDuplicates` without the event-time bound would
+    * accumulate one state row per distinct document forever.
+    *
+    * `docs` must carry (`doc_id`, `text`, event-time `ts`). Duplicate
+    * deliveries are byte-identical rows (re-crawl / at-least-once
+    * delivery), so every output column is survivor-independent and the
+    * result is deterministic. */
+  def corpusPrepStream(docs: DataFrame, keepLang: String,
+                       delay: String = "1 hour"): DataFrame =
+    docs
+      .where(TextAnalysis.qualityKeepCol(col("text")))
+      .where(TextAnalysis.langGuessCol(col("text")) === keepLang)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
 
   /** Stream-stream watermarked INTERVAL join: each view pairs with every
     * click of the same user arriving within `[view.ts, view.ts +

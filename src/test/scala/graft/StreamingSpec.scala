@@ -59,6 +59,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toSeq) == want.map(_.toSeq))
   }
 
+  test("streaming approx rollup: exact counts, HLL users within bound") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = StreamOps.hourlyRollupApproxStream(streamDf)
+      .writeStream.format("memory").queryName("st_spec_rollup_approx")
+      .outputMode(OutputMode.Complete).start()
+    ms.addData(rows.take(3)); q.processAllAvailable()
+    ms.addData(rows.drop(3)); q.processAllAvailable()
+    q.stop()
+    val approx = spark.table("st_spec_rollup_approx")
+      .select("hour", "event_type", "n_events", "n_users_approx",
+        "value_micros")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val exact = Events.hourlyRollup(eventsDf(rows))
+      .select("hour", "event_type", "n_events", "n_users", "value_micros")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (n, users, vm)) =>
+      val (en, eu, evm) = exact(k)
+      assert(n == en && vm == evm,
+        s"non-distinct aggregates must be exact at $k")
+      // same bar as the batch dual's EventsSpec bound (default rsd 5%)
+      assert(math.abs(users - eu) <= math.max(1L, (eu * 0.05).toLong),
+        s"HLL estimate $users too far from exact $eu at $k")
+    }
+  }
+
+  test("streaming corpus prep: filters drop, watermark dedup emits once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1000000L // positive epoch seconds: above initial watermark
+    val good = "the of and to in is it you that was " * 2 // en, 20 tokens
+    val docs = Seq(
+      (1L, good),                       // passes, duplicated delivery
+      (2L, "le la et les des du " * 4), // wrong language
+      (3L, "a b"),                      // too short (< 5 tokens)
+      (4L, good + "extra tail tokens")) // passes, single delivery
+    val ms = MemoryStream[(Long, String, Long)]
+    val streamDf = ms.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", expr("timestamp_seconds(sec)")).drop("sec")
+    val q = StreamOps.corpusPrepStream(streamDf, "en")
+      .writeStream.format("memory").queryName("st_spec_corpus")
+      .outputMode(OutputMode.Append).start()
+    val rows1 = docs.map { case (id, t) => (id, t, base + id) }
+    ms.addData(rows1); q.processAllAvailable()
+    // at-least-once redelivery of doc 1 within the watermark window
+    ms.addData(Seq((1L, good, base + 1L))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st_spec_corpus")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 20L), (4L, 23L)))
+  }
+
   test("stateful sessionize == batch sessionize after timeout flush") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
