@@ -254,58 +254,84 @@ object Dedup {
     * grouping step that makes cluster statistics (size, canonical doc)
     * possible.
     *
-    * Algorithm: iterative min-label propagation — labels start as own
-    * id; each round every node takes the min of its own and its
-    * neighbors' labels; stop when a round changes nothing. Each round is
-    * one shuffle join (edges × labels) plus a map-side-combined min
-    * aggregate, and the round count is the graph DIAMETER — small by
-    * construction for near-dup clusters (a dup cluster is a dense blob
-    * around its original, not a long chain). At extreme scale the
-    * large-star/small-star reformulation (Kiveris et al., "Connected
-    * Components in MapReduce") halves the round count by rewiring edges
-    * toward component minima each round; the per-round plan here is the
-    * same join+min shape, so swapping the rewiring in is local. The
-    * driver-side loop holds only the convergence COUNT (one scalar per
-    * round — no data collect), and each round's result is
-    * `localCheckpoint`ed so lineage stays flat.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR edge rewiring
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Each round rewires every node's neighborhood toward its
+    * local minimum — large-star hangs all strictly-larger neighbors of
+    * u off `min(Γ(u) ∪ {u})`, small-star then collapses the remaining
+    * smaller-side edges onto the same minimum — so component minima
+    * propagate along MANY hops per round, not one: round count is
+    * O(log n) in the component size, independent of graph DIAMETER.
+    * Plain min-label propagation (the previous formulation here) needs
+    * diameter-many rounds, which aborts on chain-shaped duplicate
+    * graphs — paraphrase chains A≈B≈C≈… produce exactly that shape.
+    * Each half-round is one shuffled min-aggregate on the node key plus
+    * a join back along the same key (the exchange is reusable), and the
+    * per-round edge set never exceeds the input edge count (large-star
+    * emits one edge per (u, larger-neighbor), small-star one per
+    * (u, smaller-neighbor) — no quadratic blow-up). The driver-side
+    * loop holds only the convergence COUNT (one scalar per round — no
+    * data collect), and each round's edges are `localCheckpoint`ed so
+    * lineage stays flat.
     *
-    * Determinism: min-labels over an id set — order-independent. */
+    * Determinism: min-rewiring over an id set — order-independent. */
   def connectedComponents(docs: DataFrame, pairs: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = docs.select(col(idCol).as("node"), col(idCol).as("label"))
+    // Canonical directed edges large→small; self-loops dropped.
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint()
-    var converged = false
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src").as("nb_node"))
-        .agg(min(col("label")).as("nb_label"))
-      // One materialization per round: the new label AND its changed
-      // flag are checkpointed together, so the convergence count reads
-      // cached blocks instead of re-joining old vs new labels.
-      val updated = labels
-        .join(neighborMin, labels("node") === neighborMin("nb_node"),
-          "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nb_label"), col("label")))
-            .as("next"),
-          col("label").as("prev"))
-        .withColumn("changed", col("next") =!= col("prev"))
+      // LARGE-STAR over the symmetric view: m(u) = min(Γ(u) ∪ {u});
+      // every neighbor v > u re-attaches as v→m(u). Since v > u ≥ m(u),
+      // output stays canonical (src > dst) with no self-loops.
+      val sym = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val largeMin = sym.groupBy("src")
+        .agg(min("dst").as("nbr_min"))
+        .select(col("src").as("u"),
+          least(col("src"), col("nbr_min")).as("m"))
+      val large = sym.join(largeMin, sym("src") === largeMin("u"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // SMALL-STAR on the canonical edges: every smaller neighbor of u
+      // (they all are, src > dst) plus u itself re-attaches to
+      // m = min(Γ_small(u)); (u, m) keeps u connected, (v, m) collapses
+      // the rest. m < src by construction; dst = m rows are self-loops
+      // and are dropped.
+      val smallMin = large.groupBy("src").agg(min("dst").as("m"))
+      val small = large.join(smallMin, "src")
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(smallMin.select(col("src"), col("m").as("dst")))
+        .distinct()
         .localCheckpoint()
-      val changed = updated.where(col("changed")).count()
-      labels = updated.select(col("node"), col("next").as("label"))
+      // Converged when the round was a no-op: symmetric difference of
+      // the (distinct) edge sets is empty — one aggregate job.
+      val changed = small.unionAll(edges)
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .where(col("c") === 1).count()
+      edges = small
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     require(converged, s"connectedComponents: not converged in $maxIter " +
-      "rounds — graph diameter exceeds the bound; raise maxIter or use " +
-      "large-star/small-star rewiring")
+      "rounds — at O(log n) rounds per component this means a component " +
+      s"of > 2^$maxIter nodes; raise maxIter")
+    // At the fixed point every component is a star rooted at its
+    // minimum: non-root nodes appear as src with their root as the one
+    // dst; roots and isolated docs label themselves.
+    val rooted = edges.groupBy("src").agg(min("dst").as("root"))
+    val labels = docs.select(col(idCol).as("node"))
+      .join(rooted.withColumnRenamed("src", "node"), Seq("node"),
+        "left_outer")
+      .select(col("node"), coalesce(col("root"), col("node")).as("label"))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as(idCol), col("label").as("cluster_id"),

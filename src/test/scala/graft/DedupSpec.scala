@@ -103,6 +103,23 @@ class DedupSpec extends AnyFunSuite {
       (9L, 9L, 1L)))
   }
 
+  test("connectedComponents: 200-node chain converges in O(log n) rounds") {
+    // A paraphrase chain A≈B≈C≈… — diameter 199, far past the round
+    // budget of plain min-label propagation (which needs diameter-many
+    // rounds and would abort at maxIter=20). Large-star/small-star must
+    // collapse it within the default bound. Ids descend so the minimum
+    // sits at the FAR end of the chain from the id order.
+    val n = 200
+    val docs = (1 to n).map(i => (i.toLong, s"d$i")).toDF("id", "text")
+    val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(docs, pairs, "id")
+      .select("id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == n)
+    assert(out.forall { case (_, cid, sz) => cid == 1L && sz == n.toLong })
+  }
+
   test("fuzzyPairs: block-mates within the edit budget; non-ASCII stripped") {
     val docs = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
