@@ -390,6 +390,12 @@ object RegistryExt {
 
   private val NumCentroids = 16
   private val NumProbes = 2
+  // OR-amplification width for sim_lsh_topk: 16 independent 4-plane
+  // tables. One sign-bucket table co-buckets a near-orthogonal true
+  // neighbor with probability ≈ 2^-NumPlanes; the 16-table union lifts
+  // recall@5 to ~0.7 at fixture scale (pinned by the SimilaritySpec
+  // recall contract against brute-force ground truth).
+  private val NumTables = 16
 
   private val similarity: Map[String, Q] = Map(
     "sim_brute_topk" -> ((s, dir) =>
@@ -397,7 +403,7 @@ object RegistryExt {
         .orderBy("query_id", "rank")),
     "sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), NumQueries, TopK,
-        NumPlanes, Dim)
+        NumPlanes, Dim, NumTables)
         .orderBy("query_id", "rank")),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), NumQueries, TopK,

@@ -38,15 +38,20 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Deterministic ±1 hyperplanes: plane j component i is +1 iff the
-    * first hex digit of md5("j:i") is < 8. Same construction is
-    * expressible in SQL for the oracle. */
-  def planes(numPlanes: Int, dim: Int): IndexedSeq[IndexedSeq[Long]] = {
+    * first hex digit of md5("j:i") is < 8 (seed 0; seeded tables prefix
+    * the key with "seed:" so every LSH table draws independent planes).
+    * Same construction is expressible in SQL for the oracle; the oracle
+    * builders embed these as literals, so only Scala computes md5. */
+  def planes(numPlanes: Int, dim: Int,
+             seed: Int = 0): IndexedSeq[IndexedSeq[Long]] = {
     val mdHex = (s: String) => {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
+    val key = (j: Int, i: Int) => if (seed == 0) s"$j:$i" else s"$seed:$j:$i"
     IndexedSeq.tabulate(numPlanes)(j =>
-      IndexedSeq.tabulate(dim)(i => if (mdHex(s"$j:$i").head <= '7') 1L else -1L))
+      IndexedSeq.tabulate(dim)(i =>
+        if (mdHex(key(j, i)).head <= '7') 1L else -1L))
   }
 
   /** LSH bucket key: the sign bits of the quantized vector against each
@@ -179,37 +184,59 @@ object Similarity {
       .select("vec_a", "vec_b", "bucket", "dot", "cosine")
   }
 
-  /** LSH-bucketed approximate top-k: both sides are keyed by the
-    * hyperplane bucket; candidates are only scored within the query's
-    * bucket. Recall trades off against `numPlanes` (bucket granularity). */
+  /** MULTI-TABLE LSH approximate top-k (OR-amplification): `numTables`
+    * independent hyperplane tables, each bucketing the corpus by its
+    * `numPlanes` sign bits; a candidate is scored when it shares a
+    * bucket with the query in ANY table. A single sign-bucket table has
+    * near-zero recall on near-orthogonal corpora — a true neighbor at
+    * angle θ co-buckets with probability (1−θ/π)^numPlanes ≈ 2^-numPlanes
+    * — and the union of L tables lifts that to 1−(1−p)^L, the standard
+    * recall/work dial (the SimilaritySpec recall contract pins the
+    * resulting quality against brute-force ground truth).
+    *
+    * Scale shape: each vector explodes to its L (table, bucket) keys —
+    * the corpus shuffles L× on short keys, never all-pairs. Ranking
+    * stays bounded end-to-end: a per-(query, table, bucket) bounded
+    * heap first (a hot bucket can hold millions of candidates at
+    * 100 TB; the partial ObjectHashAggregate caps every exchange at ≤ k
+    * entries per map task — a per-query row_number window would funnel
+    * them into one task), then cross-table dedup and the final heap
+    * both run over ≤ numTables·k rows per query. The union top-k is
+    * contained in the union of per-table top-ks, so the staging loses
+    * nothing. */
   def lshTopK(emb: DataFrame, numQueries: Long, k: Int,
-              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val ps = planes(numPlanes, dim)
+              numPlanes: Int = 8, dim: Int = 64,
+              numTables: Int = 1): DataFrame = {
+    val buckets = (0 until numTables).map(t =>
+      lshBucket(col("q"), planes(numPlanes, dim, t)))
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
-      .withColumn("bucket", lshBucket(col("q"), ps))
+      .select(col("vec_id"), col("q"), col("nq"),
+        posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
     val queries = q.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
-        col("nq").as("nqq"), col("bucket"))
+        col("nq").as("nqq"), col("tbl"), col("bucket"))
     val cands = q.select(col("vec_id").as("cand_id"), col("q").as("cv"),
-      col("nq").as("nqc"), col("bucket"))
-    val scored = cands.join(broadcast(queries), Seq("bucket"))
+      col("nq").as("nqc"), col("tbl"), col("bucket"))
+    val scored = cands.join(broadcast(queries), Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .withColumn("dot", dotQ(col("qv"), col("cv")))
       .withColumn("cosine", col("dot").cast(DoubleType) /
         (sqrt(col("nqq").cast(DoubleType)) * sqrt(col("nqc").cast(DoubleType))))
-    // Bounded-heap rank, not a per-query row_number window: a hot LSH
-    // bucket can hold millions of candidates at 100 TB, and a window
-    // would push all of them through one task per query. The bucket is a
-    // function of the query vector, so grouping by (query_id, bucket)
-    // keeps the same group cardinality while carrying it to the output.
     scored
-      .groupBy("query_id", "bucket")
+      .groupBy("query_id", "tbl", "bucket")
+      .agg(graft.functions.TopKByDot.topK(k)(
+        col("dot"), col("cand_id"), col("cosine")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      // cross-table dedup over ≤ numTables·k rows per query; a pair's
+      // score is table-independent, so min == the one computed value
+      .groupBy(col("query_id"), col("c.cand_id").as("cand_id"))
+      .agg(min(col("c.dot")).as("dot"), min(col("c.cosine")).as("cosine"))
+      .groupBy("query_id")
       .agg(graft.functions.TopKByDot.topK(k)(
         col("dot"), col("cand_id"), col("cosine")).as("topk"))
-      .select(col("query_id"), col("bucket"),
-        posexplode(col("topk")).as(Seq("pos", "c")))
-      .select(col("query_id"), col("c.cand_id").as("cand_id"), col("bucket"),
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cand_id").as("cand_id"),
         col("c.dot").as("dot"), col("c.cosine").as("cosine"),
         (col("pos") + 1).cast(LongType).as("rank"))
   }

@@ -86,4 +86,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top._1 == 0L && top._2 == 6L)
     assert(math.abs(top._3 - 1.0) < 1e-9)
   }
+
+  // ---- recall contract -------------------------------------------------
+  // The approximate paths are hash-matched against oracles that REPLAY
+  // the same approximation, which proves determinism but not quality.
+  // This pins recall@k against bruteForceTopK ground truth on the real
+  // fixture, at the registry's own parameters — approximation quality
+  // as a tested property, not a hope. Fixture and parameters are
+  // deterministic, so the measured recall is a constant; the bounds sit
+  // below it with margin but far above what a broken bucketing (e.g.
+  // scoring only one bucket, or probing zero lists) could reach.
+
+  private lazy val fixtureEmb =
+    Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  private def topkSets(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private lazy val bruteTruth = topkSets(
+    Similarity.bruteForceTopK(fixtureEmb, 8L, 5))
+
+  private def meanRecall(approx: Map[Long, Set[Long]]): Double = {
+    val per = bruteTruth.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty[Long]).count(truth).toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("recall contract: lshTopK recall@5 vs brute-force ground truth") {
+    // registry parameters: 8 queries, k=5, 4 planes, dim 64
+    val r = meanRecall(topkSets(Similarity.lshTopK(fixtureEmb, 8L, 5, 4, 64)))
+    info(f"lshTopK recall@5 = $r%.3f")
+    assert(r >= 0.5, f"lshTopK recall@5 $r%.3f below contract 0.5")
+  }
+
+  test("recall contract: ivfTopK recall@5 vs brute-force ground truth") {
+    // registry parameters: 8 queries, k=5, 16 centroids, 2 probes
+    val r = meanRecall(topkSets(Similarity.ivfTopK(fixtureEmb, 8L, 5, 16, 2)))
+    info(f"ivfTopK recall@5 = $r%.3f")
+    assert(r >= 0.5, f"ivfTopK recall@5 $r%.3f below contract 0.5")
+  }
+
+  test("recall contract: widening the search budget does not lose recall") {
+    // The approximation knobs must trade work for recall monotonically
+    // at fixture scale: more planes → smaller buckets is NOT monotone,
+    // but more IVF probes strictly widens the candidate set, so recall
+    // can only rise. This guards the probe-join plumbing (a probe list
+    // accidentally dropped would show here).
+    val r2 = meanRecall(topkSets(Similarity.ivfTopK(fixtureEmb, 8L, 5, 16, 2)))
+    val r4 = meanRecall(topkSets(Similarity.ivfTopK(fixtureEmb, 8L, 5, 16, 4)))
+    val r16 = meanRecall(topkSets(Similarity.ivfTopK(fixtureEmb, 8L, 5, 16, 16)))
+    info(f"ivfTopK recall@5: probes=2 $r2%.3f, probes=4 $r4%.3f, probes=16 $r16%.3f")
+    assert(r4 >= r2 && r16 >= r4)
+    // probing ALL lists is exhaustive search — recall must be exact
+    assert(r16 == 1.0, f"full-probe IVF must equal brute force, got $r16%.3f")
+  }
 }
