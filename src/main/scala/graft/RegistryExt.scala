@@ -432,24 +432,40 @@ object RegistryExt {
          |  FROM sc)
          |SELECT query_id, cand_id, dot, cosine, "rank"
          |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin,
+    // Multi-table OR-amplified LSH: a candidate is admitted when it
+    // shares a sign-bucket with the query in ANY of the NumTables
+    // independent plane tables (same seeded-planes construction as
+    // Similarity.planes). DISTINCT collapses multi-table co-hits before
+    // ranking — mirroring the Spark side's cross-table dedup stage.
     "sim_lsh_topk" -> {
-      val planes = Similarity.planes(NumPlanes, Dim)
-      val bucket = planes.map(p =>
-        s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
-        .mkString(" || ")
+      val bucketsByTable = (0 until NumTables).map { t =>
+        Similarity.planes(NumPlanes, Dim, t).map(p =>
+          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+      }
+      val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
+        s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
+      }.mkString("\nUNION ALL ")
       s"""WITH $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq, $bucket AS bucket FROM v),
-         |sc AS (
-         |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id, c.bucket,
-         |    ${dotSql("qq.q", "c.q")} AS dot, qq.nq AS nqq, c.nq AS nqc
-         |  FROM n c JOIN n qq ON c.bucket = qq.bucket
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |bk AS (
+         |$bk),
+         |cand AS (
+         |  SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM bk c JOIN bk qq ON c.tbl = qq.tbl AND c.bucket = qq.bucket
          |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |sc AS (
+         |  SELECT query_id, cand_id,
+         |    ${dotSql("qn.q", "cn.q")} AS dot, qn.nq AS nqq, cn.nq AS nqc
+         |  FROM cand
+         |  JOIN n qn ON qn.vec_id = cand.query_id
+         |  JOIN n cn ON cn.vec_id = cand.cand_id),
          |r AS (
-         |  SELECT query_id, cand_id, bucket, dot,
+         |  SELECT query_id, cand_id, dot,
          |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
          |  FROM sc)
-         |SELECT query_id, cand_id, bucket, dot, cosine, "rank"
+         |SELECT query_id, cand_id, dot, cosine, "rank"
          |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
     },
     "sim_ivf_topk" ->
