@@ -94,6 +94,40 @@ object RegistryExt {
     s"""d AS (SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz' FROM documents)""".stripMargin
 
+  /** Deterministic PII planting over the documents table (the fixture
+    * text has no real PII): an email on 4 of 5 docs, an IPv4 on all, a
+    * phone on every third — zero-count paths stay covered. Shared by
+    * tx_pii_scrub and the full corpus pipeline; [[plantPiiCte]] is the
+    * same construction as a DuckDB CTE `p(doc_id, text)`. */
+  private def plantPii(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), concat_ws(" ", col("text"),
+      when(col("doc_id") % 5 =!= 0,
+        concat(col("source"), lit("."), col("lang"), lit("@example.com"))),
+      concat(lit("10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("+1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
+      .as("text"))
+
+  private val plantPiiCte: String =
+    """p AS (SELECT doc_id, concat_ws(' ', text,
+      |  CASE WHEN doc_id % 5 <> 0 THEN source || '.' || lang || '@example.com' END,
+      |  '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR),
+      |  CASE WHEN doc_id % 3 = 0 THEN '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END
+      |) AS text FROM documents)""".stripMargin
+
+  /** Distinct word `DecontamGram`-grams of a (doc_id, text) relation —
+    * the same shingle construction as `Dedup.shingles` (and the
+    * dd_decontaminate oracle). Yields a CTE body selecting (doc_id, g). */
+  private def wordGramSelect(src: String): String =
+    s"""SELECT doc_id, unnest(CASE WHEN len(w) >= $DecontamGram
+       |    THEN list_transform(generate_series(1, len(w) - ${DecontamGram - 1}),
+       |                        i -> array_to_string(w[i:i+${DecontamGram - 1}], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS g
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src)""".stripMargin
+
   /** Minhash signatures, band explode, and the candidate-pair bucket
     * join over ANY (doc_id, text) relation `src`. */
   private def lshCandCtesOver(src: String): String = {
@@ -555,6 +589,28 @@ object RegistryExt {
       TrainPrep.corpusPipeline(doubled, "doc_id", "text", PipelineLang,
           NumHashes, Bands, JaccardThreshold, PipelineShards, PackBudget)
         .orderBy("doc_id")
+    }),
+
+    // The FULL production pipeline: quality → langid → near-dedup →
+    // benchmark decontamination → PII scrub → per-shard packing, in the
+    // order a released corpus actually runs them. Input is the doubled
+    // PII-planted corpus minus the eval holdout (docs at
+    // id % EvalHoldout == 0 — the same split dd_decontaminate audits);
+    // the holdout is the eval side the decontamination stage drops
+    // against. Every stage's effect is oracle-checked value-for-value
+    // through the composition.
+    "tp_corpus_pipeline_full" -> ((s, dir) => {
+      val p = plantPii(t(s, dir, "documents"))
+      val doubled = p.unionAll(p.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text")))
+      TrainPrep.corpusPipelineFull(
+          doubled.where(col("doc_id") % EvalHoldout =!= 0),
+          "doc_id", "text", PipelineLang, NumHashes, Bands,
+          JaccardThreshold,
+          p.where(col("doc_id") % EvalHoldout === 0),
+          DecontamGram, PipelineShards, PackBudget)
+        .orderBy("doc_id")
     })
   )
 
@@ -609,6 +665,50 @@ object RegistryExt {
          |SELECT doc_id, shard, n_tokens, tokens_before,
          |  CAST(floor(tokens_before / $PackBudget) AS BIGINT) AS bin
          |FROM pc ORDER BY doc_id""".stripMargin
+    },
+    // The six-stage composition: the four tp_corpus_pipeline stages plus
+    // decontamination (same gram construction as dd_decontaminate) and
+    // the PII scrub chain (same pattern list as tx_pii_scrub), packing
+    // on the SCRUBBED text.
+    "tp_corpus_pipeline_full" -> {
+      val counts = TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      val countCols = TextAnalysis.piiPatterns
+        .map { case (name, _, _) => s"n_$name" }.mkString(", ")
+      val scrub = TextAnalysis.piiPatterns.foldLeft("text") {
+        case (c, (_, pat, token)) =>
+          s"regexp_replace($c, '$pat', '$token', 'g')"
+      }
+      s"""WITH $plantPiiCte,
+         |d AS (SELECT doc_id, text FROM p
+         |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz' FROM p),
+         |dt AS (SELECT doc_id, text FROM d WHERE doc_id % $EvalHoldout <> 0),
+         |${qualityLangCtesOver("dt", PipelineLang)},
+         |${lshVerifyCtesOver("q")},
+         |dropped AS (SELECT DISTINCT doc_b FROM j
+         |  WHERE CAST(n_inter AS DOUBLE) / (n_both - n_inter) >= $JaccardThreshold),
+         |kept AS (SELECT doc_id, text FROM q
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM dropped)),
+         |ev AS (SELECT doc_id, text FROM p WHERE doc_id % $EvalHoldout = 0),
+         |evg AS (SELECT DISTINCT g FROM (${wordGramSelect("ev")})),
+         |hit AS (SELECT DISTINCT doc_id
+         |  FROM (${wordGramSelect("kept")}) kg JOIN evg USING (g)),
+         |clean AS (SELECT doc_id, text FROM kept
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |sc AS (SELECT doc_id,
+         |  $counts,
+         |  $scrub AS scrubbed FROM clean),
+         |pk AS (SELECT doc_id, doc_id % $PipelineShards AS shard, $countCols,
+         |  CAST(len(regexp_split_to_array(trim(scrubbed), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM sc),
+         |pc AS (SELECT doc_id, shard, $countCols, n_tokens,
+         |  COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tokens_before
+         |  FROM pk)
+         |SELECT doc_id, shard, $countCols, n_tokens, tokens_before,
+         |  CAST(floor(tokens_before / $PackBudget) AS BIGINT) AS bin
+         |FROM pc ORDER BY doc_id""".stripMargin
     }
   )
 
@@ -647,19 +747,9 @@ object RegistryExt {
     // deterministic PII derived from real columns (same construction in
     // the oracle): an email on 4 of 5 docs, an IPv4 on all, a phone on
     // every third — zero-count paths stay covered.
-    "tx_pii_scrub" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val planted = d.select(col("doc_id"), concat_ws(" ", col("text"),
-        when(col("doc_id") % 5 =!= 0,
-          concat(col("source"), lit("."), col("lang"), lit("@example.com"))),
-        concat(lit("10."), (col("doc_id") % 256).cast("string"),
-          lit(".0."), (col("doc_id") % 100).cast("string")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("+1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
-        .as("text"))
-      TextAnalysis.piiScrub(planted, "doc_id", "text").orderBy("doc_id")
-    }),
+    "tx_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(plantPii(t(s, dir, "documents")),
+        "doc_id", "text").orderBy("doc_id")),
     // Gopher-style repetition stats (integer ppm ratios — exact on both
     // engines; bigram tiebreak is lexicographic max(struct)).
     "tx_rep_stats" -> ((s, dir) =>

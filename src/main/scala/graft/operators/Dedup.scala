@@ -368,6 +368,23 @@ object Dedup {
     * about this plan changes when the training side grows 1000×. If
     * the eval set ever outgrew broadcast, the same plan degrades to a
     * shuffle join on the shingle — semantics identical. */
+  /** Benchmark DECONTAMINATION as a DROP (the enforcement twin of
+    * [[contaminationAudit]]): remove every training document sharing at
+    * least one distinct word `n`-gram with the eval corpus. Same plan
+    * shape as the audit — eval shingles broadcast, corpus explodes
+    * narrowly, hit ids collapse to a (tiny) distinct set — finished by
+    * one LEFT ANTI hash join, so the corpus itself never shuffles. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val evalGrams = eval
+      .select(explode(shingles(col(textCol), n)).as("g")).distinct()
+    val hitDocs = train
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(idCol).distinct()
+    train.join(hitDocs, Seq(idCol), "left_anti")
+  }
+
   def contaminationAudit(train: DataFrame, eval: DataFrame, idCol: String,
                          textCol: String, n: Int = 3): DataFrame = {
     val evalGrams = eval

@@ -109,4 +109,51 @@ object TrainPrep {
       deduped.withColumn("shard", pmod(col(idCol), lit(shards.toLong))),
       idCol, textCol, "shard", budgetTokens)
   }
+
+  /** The FULL production corpus-prep pipeline: [[corpusPipeline]]'s
+    * four stages plus the two release gates every shareable corpus runs
+    * between dedup and packing — benchmark decontamination
+    * ([[Dedup.decontaminate]]: drop documents sharing eval n-grams) and
+    * PII scrubbing ([[TextAnalysis.piiScrub]]: typed redaction with
+    * audit counts). Packing token counts come from the SCRUBBED text —
+    * what actually ships.
+    *
+    * Stage order is the scale argument: narrow scan-pushed filters
+    * first, then the only corpus shuffles (LSH dedup) over survivors,
+    * then two stages that never shuffle the corpus (broadcast anti-join
+    * + a pure map), then per-shard windows. Each stage shrinks what the
+    * next one pays for; the eval side stays broadcast-sized by
+    * assumption (a benchmark suite, not a second corpus). */
+  def corpusPipelineFull(docs: DataFrame, idCol: String, textCol: String,
+                         keepLang: String, numHashes: Int, bands: Int,
+                         threshold: Double, evalDocs: DataFrame,
+                         ngram: Int, shards: Int,
+                         budgetTokens: Int): DataFrame = {
+    val kept = docs
+      .where(TextAnalysis.qualityKeepCol(col(textCol)))
+      .where(TextAnalysis.langGuessCol(col(textCol)) === keepLang)
+      .select(col(idCol), col(textCol))
+    val verified = Dedup.jaccardOfPairs(kept,
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(kept, idCol, textCol, numHashes),
+        idCol, numHashes, bands),
+      idCol, textCol, threshold)
+    val deduped = Dedup.dropNearDuplicates(kept, verified, idCol)
+    val clean = Dedup.decontaminate(deduped, evalDocs, idCol, textCol, ngram)
+    val scrubbed = TextAnalysis.piiScrub(clean, idCol, textCol)
+      .withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+    val piiCols = TextAnalysis.piiPatterns.map { case (name, _, _) =>
+      col(s"n_$name")
+    }
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    scrubbed
+      .select(col(idCol) +: col("shard") +: piiCols :+
+        size(split(trim(col("scrubbed")), "\\s+")).cast(LongType)
+          .as("n_tokens"): _*)
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin",
+        floor(col("tokens_before") / budgetTokens).cast(LongType))
+  }
 }

@@ -91,4 +91,28 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.find(_._1 == 5L).get._4 == 14L)
     assert(out.find(_._1 == 5L).get._5 == 1L)
   }
+
+  test("corpusPipelineFull: decontamination and scrub stages compose") {
+    val en = "the cat is in the house and the dog is in the yard today"
+    val leak = "the sun is up and the moon is down all day long again"
+    val docs = Seq(
+      (1L, en),                                 // survives everything
+      (2L, en + " extra tail"),                 // near-dup of 1 → dedup drop
+      (3L, leak),                               // shares eval 3-grams → decontam drop
+      (5L, "you and me and you and me and a commodity price here today"),
+      (7L, "write to a.b@example.com and the story is nice and long today"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "he said the sun is up and left")).toDF("doc_id", "text")
+    val out = TrainPrep.corpusPipelineFull(docs, "doc_id", "text", "en",
+        numHashes = 8, bands = 4, threshold = 0.5, evalDocs = eval,
+        ngram = 3, shards = 2, budgetTokens = 10)
+      .select("doc_id", "n_email", "n_tokens", "bin")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 5L, 7L))
+    // doc 7's email was counted and scrubbed; [EMAIL] is still 1 token
+    assert(out.find(_._1 == 7L).get._2 == 1L)
+    assert(out.find(_._1 == 7L).get._3 == 11L)
+    // shard 1 = docs 1,5,7: doc 7 packs after 14+13=27 tokens → bin 2
+    assert(out.find(_._1 == 7L).get._4 == 2L)
+  }
 }
