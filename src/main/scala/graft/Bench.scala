@@ -47,18 +47,30 @@ object Bench {
       // None marks a query that failed every rep; it is reported ONLY in
       // `errors`, never in `queries` — no sentinel can leak into a
       // consumer that sums or compares per-query times.
-      name -> (if (times.isEmpty) None else Some(times.min))
+      name -> (if (times.isEmpty) None else Some((times.min, times.max)))
     }
-    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
+    // Milliseconds-precision rendering: the ~90-entry maps must fit a
+    // bounded log-tail capture; full-precision doubles overflowed it in
+    // round 8 (the driver recovered only because headline fields print
+    // last).
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results
+      .collect { case (k, Some((mn, _))) => s"\"" + k + "\":" + ms(mn) }
+      .mkString("{", ",", "}")
+    // Per-query rep spread (max - min): separates host contention from
+    // real regressions without a rerun — a large spread on a query whose
+    // min is flat round-over-round is noise, not a plan change.
+    val spreads = results
+      .collect { case (k, Some((mn, mx))) => s"\"" + k + "\":" + ms(mx - mn) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val ok = results.values.flatten
-    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val total = if (ok.nonEmpty) ok.map(_._1).sum else 0.0
     // Headline fields go LAST on the line: consumers that keep only a
     // bounded tail of the output (log capture) must still see the total
-    // after the ~70-entry per-query map. JSON object order is free.
-    println(s"""{"queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"stat":"min","n_queries":${ok.size},"metric":"total","unit":"sec","value":$total}""")
+    // after the ~90-entry per-query map. JSON object order is free.
+    println(s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir","reps":$reps,"stat":"min","n_queries":${ok.size},"metric":"total","unit":"sec","value":${ms(total)}}""")
     spark.stop()
   }
 }

@@ -203,8 +203,11 @@ object RegistryForm700 {
 
     // K5 incremental load: the cover table as two page-chunks — page 1
     // REPLACES the sink (overwrite), page 2 APPENDS (the reference's
-    // chunk[1:] upsert loop, Form700.py:498-502) — and the audit checks
-    // the COMBINED count. Rows-only check (side-effecting sink).
+    // chunk[1:] upsert loop, Form700.py:498-502). The query asserts the
+    // audit passed, then returns the SINK CONTENT read back from the
+    // written parquet — so the replace+append path is hash-matched
+    // against a union oracle over the same two page readings (pages
+    // carry disjoint filings, so append ≙ upsert here by construction).
     "e1_audit_incremental" -> ((s, _) => {
       val root = P.defaultPagesRoot
       val out = java.nio.file.Files
@@ -214,7 +217,10 @@ object RegistryForm700 {
           graft.sources.Form700Source.readPages(s, s"$root/cover/$p")),
           P.catalog("cover"), Some(Set.empty))
       }
-      P.writeIncremental(s, "cover", chunks, out).orderBy("table_name")
+      val audit = P.writeIncremental(s, "cover", chunks, out)
+      require(audit.where(col("status") === "SUCCESS").count() == 1,
+        "incremental audit reported FAILURE")
+      s.read.parquet(s"$out/cover").orderBy("filing_id")
     }),
 
     // K5 keyed UPSERT (Form700.py:498-502 — client.upsert by row
@@ -478,8 +484,19 @@ object RegistryForm700 {
          |SELECT * FROM u
          |QUALIFY row_number() OVER (PARTITION BY filing_id ORDER BY src_batch DESC) = 1
          |ORDER BY filing_id""".stripMargin
+    },
+    // Replace-then-append over disjoint pages = the plain union of both
+    // page readings in the sink frame.
+    "e1_audit_incremental" -> {
+      val snake = (n: String) => Restructure.toSinkName(n)
+      s"""WITH ${coverCtesNamed(s"$OraclePages/cover/page_1.json", "cf1", "cser1")},
+         |${coverCtesNamed(s"$OraclePages/cover/page_2.json", "cf2", "cser2")}
+         |SELECT ${coverSelectList(snake)} FROM cser1
+         |UNION ALL
+         |SELECT ${coverSelectList(snake)} FROM cser2
+         |ORDER BY filing_id""".stripMargin
     }
-    // e1_audit, e1_audit_incremental: no oracle (side-effecting sinks)
-    // → driver rows-only check.
+    // e1_audit: no oracle (side-effecting sink) → driver rows-only
+    // check.
   )
 }

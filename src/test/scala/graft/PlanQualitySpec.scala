@@ -247,4 +247,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval side must broadcast — the corpus must not shuffle:\n$plan")
   }
+
+  test("fuzzyPairs: AQE splits a hot prefix block in the self-join") {
+    import spark.implicits._
+    // One boilerplate block (same 4-char prefix, diverging tails so the
+    // banded levenshtein rejects most pairs) dominating a sea of
+    // singleton blocks — the skew shape the fuzzyPairs scaladoc claims
+    // AQE handles. Thresholds are lowered so test-scale bytes count as
+    // skewed; factor/advisory sizes chosen so only the hot block trips.
+    // Incompressible tails (md5 hex per row) keep the shuffle bytes
+    // honest — repetitive padding compresses below any skew threshold.
+    def hex(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes).map("%02x".format(_)).mkString
+    val hot = (0 until 3000).map(i =>
+      (i.toLong, s"zzzz ${hex(i)} ${hex(i + 100000L)}"))
+    val cold = (0 until 60).map(i =>
+      (100000L + i, s"${"%04d".format(i)} ${hex(i + 200000L)}"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      val pairs = graft.operators.Dedup.fuzzyPairs(
+        docs, "doc_id", "text", blockLen = 4, cmpLen = 24, maxDist = 3)
+      val plan = planString(pairs)
+      assert(plan.contains("skew=true"),
+        s"hot block must trigger AQE's skew-join split:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
