@@ -115,8 +115,12 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("recall contract: lshTopK recall@5 vs brute-force ground truth") {
-    // registry parameters: 8 queries, k=5, 4 planes, dim 64
-    val r = meanRecall(topkSets(Similarity.lshTopK(fixtureEmb, 8L, 5, 4, 64)))
+    // registry parameters: 8 queries, k=5, 4 planes, dim 64, 16 tables
+    // (the OR-amplification width is the recall dial: a single 4-plane
+    // sign table co-buckets a near-orthogonal true neighbor with
+    // probability ≈ 2^-4, far below any useful contract).
+    val r = meanRecall(topkSets(
+      Similarity.lshTopK(fixtureEmb, 8L, 5, 4, 64, numTables = 16)))
     info(f"lshTopK recall@5 = $r%.3f")
     assert(r >= 0.5, f"lshTopK recall@5 $r%.3f below contract 0.5")
   }
