@@ -207,12 +207,14 @@ object Similarity {
   def lshTopK(emb: DataFrame, numQueries: Long, k: Int,
               numPlanes: Int = 8, dim: Int = 64,
               numTables: Int = 1): DataFrame = {
-    val buckets = (0 until numTables).map(t =>
-      lshBucket(col("q"), planes(numPlanes, dim, t)))
+    // All numTables bucket keys from ONE fused codegen pass
+    // (functions/LshBuckets) — the array(lshBucket, ...) formulation
+    // paid numTables · numPlanes separate HOF dot products per row.
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("nq"),
-        posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+        posexplode(graft.functions.LshBuckets.lshBuckets(
+          col("q"), numTables, numPlanes, dim)).as(Seq("tbl", "bucket")))
     val queries = q.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nq").as("nqq"), col("tbl"), col("bucket"))

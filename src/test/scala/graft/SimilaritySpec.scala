@@ -55,6 +55,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("fused LshBuckets equals the per-table lshBucket formulation") {
+    // The fused kernel (one loop over a flattened plane array) is
+    // pinned against the compositional column formulation it replaced,
+    // on real fixture vectors across every table.
+    val (tables, planes, dim) = (16, 4, 64)
+    val q = fixtureEmb.limit(64)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val unfused = (0 until tables).map(t =>
+      Similarity.lshBucket(col("q"), Similarity.planes(planes, dim, t)))
+    val rows = q.select(
+        graft.functions.LshBuckets.lshBuckets(col("q"), tables, planes, dim)
+          .as("fused"),
+        array(unfused: _*).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (f, r) => assert(f == r) }
+  }
+
   test("ivfTopK: probed lists find the near neighbor, skip far lists") {
     // centroids = vec 0 and 1 (numCentroids = 2): two opposite lists
     val df = emb(
