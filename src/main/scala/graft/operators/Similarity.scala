@@ -34,7 +34,16 @@ object Similarity {
     transform(vec, x => floor(x.cast(DoubleType) * scale).cast(LongType))
 
   /** Exact BIGINT dot product of two array<bigint> columns. */
+  /** Exact BIGINT dot — fused native kernel ([[graft.functions
+    * .DotProduct]]); the HOF formulation below is its spec-pinned
+    * reference. One dot per candidate pair is the hot loop of every
+    * scorer here. */
   def dotQ(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotQ(a, b)
+
+  /** The original HOF formulation (spec reference for the fused
+    * expression — `aggregate` allocates a lambda frame per element). */
+  def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Deterministic ±1 hyperplanes: plane j component i is +1 iff the

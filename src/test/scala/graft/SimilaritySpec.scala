@@ -55,6 +55,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("fused DotProduct equals the HOF formulation on fixture vectors") {
+    val q = fixtureEmb.limit(64)
+      .select(Similarity.quantize(col("embedding")).as("q"))
+    val rows = q.select(
+        Similarity.dotQ(col("q"), col("q")).as("fused"),
+        Similarity.dotQHof(col("q"), col("q")).as("ref"))
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (f, r) => assert(f == r) }
+  }
+
   test("fused LshBuckets equals the per-table lshBucket formulation") {
     // The fused kernel (one loop over a flattened plane array) is
     // pinned against the compositional column formulation it replaced,
