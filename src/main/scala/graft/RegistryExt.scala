@@ -430,11 +430,19 @@ object RegistryExt {
   // recall@5 to ~0.7 at fixture scale (pinned by the SimilaritySpec
   // recall contract against brute-force ground truth).
   private val NumTables = 16
+  private val KMeansIter = 2
 
   private val similarity: Map[String, Q] = Map(
     "sim_brute_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), NumQueries, TopK)
         .orderBy("query_id", "rank")),
+    // Exact-integer Lloyd's training of the IVF codebook; the oracle
+    // unrolls both iterations as CTEs and replays the argmin and the
+    // truncating integer means bit-for-bit.
+    "sim_kmeans" -> ((s, dir) =>
+      Similarity.kMeans(t(s, dir, "embeddings"), NumCentroids, KMeansIter,
+        Dim)
+        .orderBy("cid", "i")),
     "sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumPlanes, Dim, NumTables)
@@ -450,7 +458,49 @@ object RegistryExt {
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
       |FROM embeddings)""".stripMargin
 
+  /** The unrolled k-means oracle: iteration t's CTEs are generated from
+    * the same constants as the Spark loop — assignment by
+    * row_number over (|v|²−2·v·c+|c|², cid), per-dim BIGINT sums,
+    * truncating `//` means (DuckDB `//` and Spark `div` both truncate
+    * toward zero on all signs), empty clusters keeping the previous
+    * centroid via the per-dim LEFT JOIN COALESCE. */
+  private lazy val kmeansOracle: String = {
+    def assign(cSrc: String, aName: String): String =
+      s"""${aName}s AS (
+         |  SELECT vn.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY vn.vec_id
+         |      ORDER BY vn.nq - 2 * ${dotSql("vn.q", "c.cv")} + c.nc, c.cid) AS rn
+         |  FROM vn CROSS JOIN
+         |    (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM $cSrc) c),
+         |$aName AS (SELECT vec_id, cid FROM ${aName}s WHERE rn = 1)""".stripMargin
+    val iters = (0 until KMeansIter).map { it =>
+      s"""${assign(s"c$it", s"a$it")},
+         |m$it AS (SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+         |  FROM a$it JOIN v USING (vec_id)
+         |  CROSS JOIN generate_series(1, $Dim) g(i)
+         |  GROUP BY cid, i),
+         |c${it + 1}d AS (SELECT p.cid, gi.i, COALESCE(m.s // m.n, p.cv[gi.i]) AS val
+         |  FROM c$it p CROSS JOIN generate_series(1, $Dim) gi(i)
+         |  LEFT JOIN m$it m ON m.cid = p.cid AND m.i = gi.i),
+         |c${it + 1} AS (SELECT cid, list(val ORDER BY i) AS cv
+         |  FROM c${it + 1}d GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantCte,
+       |vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+       |c0 AS (SELECT vec_id AS cid, q AS cv FROM v WHERE vec_id < $NumCentroids),
+       |$iters,
+       |${assign(s"c$KMeansIter", "af")},
+       |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM af GROUP BY cid)
+       |SELECT p.cid, CAST(gi.i AS BIGINT) AS i, p.cv[gi.i] AS c_val,
+       |  CAST(COALESCE(sz.cluster_size, 0) AS BIGINT) AS cluster_size
+       |FROM c$KMeansIter p CROSS JOIN generate_series(1, $Dim) gi(i)
+       |LEFT JOIN sz ON sz.cid = p.cid
+       |ORDER BY p.cid, gi.i""".stripMargin
+  }
+
   private val similarityOracles: Map[String, String] = Map(
+    "sim_kmeans" -> kmeansOracle,
     "sim_brute_topk" ->
       s"""WITH $quantCte,
          |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),

@@ -193,6 +193,73 @@ object Similarity {
       .select("vec_a", "vec_b", "bucket", "dot", "cosine")
   }
 
+  /** One Lloyd's assignment step: each vector to its L2-nearest
+    * centroid. Distance is exact BIGINT |v|² − 2·v·c + |c|² (== Σ(v−c)²
+    * — |v|² is per-vector constant but kept so the argmin key replays
+    * verbatim in SQL); argmin via `min(struct(dist, cid))` —
+    * lexicographic, tie → smaller cid, identical in DuckDB. */
+  private def assignStep(v: DataFrame, cents: DataFrame): DataFrame = {
+    val cn = cents.withColumn("nc", dotQ(col("cv"), col("cv")))
+    v.crossJoin(broadcast(cn))
+      .withColumn("dist",
+        col("nq") - lit(2L) * dotQ(col("q"), col("cv")) + col("nc"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+  }
+
+  /** Deterministic exact-integer Lloyd's k-means over the quantized
+    * vectors — the TRAINER behind [[ivfTopK]]'s coarse quantizer (whose
+    * scaladoc calls its first-C-vectors centroids "a stand-in for
+    * trained k-means centroids"; this is the training). Init =
+    * the first `numCentroids` vectors by id (deterministic, the same
+    * stand-in), then `numIter` rounds of: broadcast-assign every vector
+    * to its L2-nearest centroid, recompute each centroid as the
+    * per-dimension INTEGER mean (truncating `div` — Spark `div` and
+    * DuckDB `//` agree on all signs) of its members; a cluster left
+    * empty keeps its previous centroid. Everything is exact BIGINT, so
+    * the whole training loop replays bit-for-bit in SQL (the oracle
+    * unrolls the iterations as CTEs).
+    *
+    * Output: one row per (centroid, dimension) — `(cid, i, c_val,
+    * cluster_size)` — the trained codebook plus how many vectors chose
+    * each centroid in a final assignment pass.
+    *
+    * Scale shape: centroids never leave the DataFrame plane and never
+    * exceed k·dim scalars — each round is ONE broadcast nested-loop
+    * join (corpus × k, narrow) and ONE groupBy(cid) with map-side
+    * partial aggregation of k·(dim+1) counters; the corpus is scanned
+    * once per round and never shuffled (the exchange after the partial
+    * agg carries ≤ k·numPartitions rows). Lineage stays flat because
+    * `numIter` is a small constant (codebooks train in a handful of
+    * rounds; the knob is explicit, not data-dependent). */
+  def kMeans(emb: DataFrame, numCentroids: Int = 16, numIter: Int = 2,
+             dim: Int = 64): DataFrame = {
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    var cents: DataFrame = v.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cv"))
+    for (_ <- 0 until numIter) {
+      val assigned = v.join(assignStep(v, cents), "vec_id")
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("q"), i + 1)).as(s"s$i"))
+      val agg = assigned.groupBy("cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+      val mean = array((0 until dim).map(i =>
+        expr(s"s$i div n")): _*)
+      cents = cents.select(col("cid"), col("cv").as("pv"))
+        .join(agg.select(col("cid"), mean.as("nv")), Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("nv"), col("pv")).as("cv"))
+    }
+    val sizes = assignStep(v, cents).groupBy("cid")
+      .agg(count(lit(1)).as("cluster_size"))
+    cents.join(sizes, Seq("cid"), "left_outer")
+      .select(col("cid"), coalesce(col("cluster_size"), lit(0L))
+        .as("cluster_size"), posexplode(col("cv")).as(Seq("pos", "c_val")))
+      .select(col("cid"), (col("pos") + 1).cast(LongType).as("i"),
+        col("c_val"), col("cluster_size"))
+  }
+
   /** MULTI-TABLE LSH approximate top-k (OR-amplification): `numTables`
     * independent hyperplane tables, each bucketing the corpus by its
     * `numPlanes` sign bits; a candidate is scored when it shares a

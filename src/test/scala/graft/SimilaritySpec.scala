@@ -55,6 +55,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("kMeans: recovers separated clusters; centroids are integer means") {
+    // Two tight clusters around (+1000…) and (−1000…); seeds 0 and 1
+    // land one in each, so two rounds of Lloyd's must pull each
+    // centroid to its cluster's exact integer mean.
+    val dim = 4
+    val a = Seq(1.0f, 1.0f, 1.0f, 1.0f)
+    val b = Seq(-1.0f, -1.0f, -1.0f, -1.0f)
+    val df = emb(
+      (0L, a), (1L, b),
+      (2L, a.map(_ * 1.002f)), (3L, a.map(_ * 0.998f)),
+      (4L, b.map(_ * 1.002f)), (5L, b.map(_ * 0.998f)))
+    val out = Similarity.kMeans(df, numCentroids = 2, numIter = 2, dim = dim)
+      .select("cid", "i", "c_val", "cluster_size")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 2 * dim)
+    // float32 quantize: 1.002f≈1.00199997→1001, 0.998f≈0.99800003→998;
+    // mean (1000+1001+998) div 3 = 999
+    assert(out.filter(_._1 == 0L).map(_._3).toSeq == Seq.fill(dim)(999L))
+    // negatives floor AWAY from zero: −1000, −1002, −999 → −3001 div 3
+    // truncates toward zero = −1000
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq.fill(dim)(-1000L))
+    assert(out.forall(_._4 == 3L))
+  }
+
+  test("kMeans: an emptied cluster keeps its previous centroid") {
+    // All vectors quantize to the SAME point, so every round every
+    // vector ties between the two (identical) centroids and the
+    // tie-break (smaller cid) drains cluster 1 — its centroid must
+    // persist through both rounds, not null out.
+    val df = emb(
+      (0L, Seq(1f, 1f)), (1L, Seq(1.0004f, 1.0004f)),
+      (2L, Seq(1.0002f, 1.0002f)), (3L, Seq(1.0001f, 1.0001f)))
+    val out = Similarity.kMeans(df, numCentroids = 2, numIter = 2, dim = 2)
+      .select("cid", "i", "c_val", "cluster_size")
+      .as[(Long, Long, Long, Long)].collect()
+    val c1 = out.filter(_._1 == 1L)
+    assert(c1.map(_._3).toSeq == Seq(1000L, 1000L), s"got: ${c1.toSeq}")
+    assert(c1.forall(_._4 == 0L))
+    val c0 = out.filter(_._1 == 0L)
+    assert(c0.forall(_._4 == 4L))
+  }
+
   test("fused DotProduct equals the HOF formulation on fixture vectors") {
     val q = fixtureEmb.limit(64)
       .select(Similarity.quantize(col("embedding")).as("q"))
