@@ -431,6 +431,10 @@ object RegistryExt {
   // recall contract against brute-force ground truth).
   private val NumTables = 16
   private val KMeansIter = 2
+  // SemDeDup cosine cut: only exact/near-exact copies at fixture scale
+  // (random vectors are near-orthogonal); the literal appears verbatim
+  // in both the Spark call and the oracle SQL.
+  private val SemThreshold = 0.999
 
   private val similarity: Map[String, Q] = Map(
     "sim_brute_topk" -> ((s, dir) =>
@@ -450,7 +454,26 @@ object RegistryExt {
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumCentroids, NumProbes)
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+    // The train-then-serve ANN path: same probe machinery as
+    // sim_ivf_topk but over the Lloyd's-trained codebook. The oracle
+    // prepends the k-means CTE chain and swaps the centroid source.
+    "sim_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTopKTrained(t(s, dir, "embeddings"), NumQueries, TopK,
+        NumCentroids, NumProbes, KMeansIter, Dim)
+        .orderBy("query_id", "rank")),
+    // SemDeDup over the doubled fixture (exact dups under shifted ids,
+    // same synthesis as dd_embed_neardup): k-means clusters prune the
+    // pair space instead of LSH buckets; every shifted copy must be
+    // dropped, every original must survive.
+    "dd_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val doubled = e.unionAll(e.select(
+        (col("vec_id") + IdShift).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(doubled, SemThreshold, NumCentroids,
+        KMeansIter, Dim)
+        .orderBy("vec_id")
+    })
   )
 
   private val quantCte =
@@ -458,23 +481,30 @@ object RegistryExt {
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
       |FROM embeddings)""".stripMargin
 
-  /** The unrolled k-means oracle: iteration t's CTEs are generated from
-    * the same constants as the Spark loop — assignment by
-    * row_number over (|v|²−2·v·c+|c|², cid), per-dim BIGINT sums,
-    * truncating `//` means (DuckDB `//` and Spark `div` both truncate
-    * toward zero on all signs), empty clusters keeping the previous
-    * centroid via the per-dim LEFT JOIN COALESCE. */
-  private lazy val kmeansOracle: String = {
-    def assign(cSrc: String, aName: String): String =
-      s"""${aName}s AS (
-         |  SELECT vn.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY vn.vec_id
-         |      ORDER BY vn.nq - 2 * ${dotSql("vn.q", "c.cv")} + c.nc, c.cid) AS rn
-         |  FROM vn CROSS JOIN
-         |    (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM $cSrc) c),
-         |$aName AS (SELECT vec_id, cid FROM ${aName}s WHERE rn = 1)""".stripMargin
+  /** One unrolled Lloyd's assignment: every vector in `vn` to its
+    * L2-nearest centroid of `cSrc` — row_number over
+    * (|v|²−2·v·c+|c|², cid), the same lexicographic argmin as the Spark
+    * `min(struct(dist, cid))`. */
+  private def kmeansAssignCte(cSrc: String, aName: String): String =
+    s"""${aName}s AS (
+       |  SELECT vn.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY vn.vec_id
+       |      ORDER BY vn.nq - 2 * ${dotSql("vn.q", "c.cv")} + c.nc, c.cid) AS rn
+       |  FROM vn CROSS JOIN
+       |    (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM $cSrc) c),
+       |$aName AS (SELECT vec_id, cid FROM ${aName}s WHERE rn = 1)""".stripMargin
+
+  /** The unrolled k-means training chain, shared by every oracle that
+    * consumes the trained codebook (sim_kmeans, sim_ivf_trained,
+    * dd_semantic_dedup): expects a CTE `v(vec_id, q)` in scope, defines
+    * `vn` (with norms) and `c0`..`c$KMeansIter`, generated from the
+    * same constants as the Spark loop — per-dim BIGINT sums, truncating
+    * `//` means (DuckDB `//` and Spark `div` both truncate toward zero
+    * on all signs), empty clusters keeping the previous centroid via
+    * the per-dim LEFT JOIN COALESCE. */
+  private lazy val kmeansChainCtes: String = {
     val iters = (0 until KMeansIter).map { it =>
-      s"""${assign(s"c$it", s"a$it")},
+      s"""${kmeansAssignCte(s"c$it", s"a$it")},
          |m$it AS (SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
          |  FROM a$it JOIN v USING (vec_id)
          |  CROSS JOIN generate_series(1, $Dim) g(i)
@@ -485,11 +515,15 @@ object RegistryExt {
          |c${it + 1} AS (SELECT cid, list(val ORDER BY i) AS cv
          |  FROM c${it + 1}d GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $quantCte,
-       |vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+    s"""vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
        |c0 AS (SELECT vec_id AS cid, q AS cv FROM v WHERE vec_id < $NumCentroids),
-       |$iters,
-       |${assign(s"c$KMeansIter", "af")},
+       |$iters""".stripMargin
+  }
+
+  private lazy val kmeansOracle: String =
+    s"""WITH $quantCte,
+       |$kmeansChainCtes,
+       |${kmeansAssignCte(s"c$KMeansIter", "af")},
        |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
        |  FROM af GROUP BY cid)
        |SELECT p.cid, CAST(gi.i AS BIGINT) AS i, p.cv[gi.i] AS c_val,
@@ -497,7 +531,43 @@ object RegistryExt {
        |FROM c$KMeansIter p CROSS JOIN generate_series(1, $Dim) gi(i)
        |LEFT JOIN sz ON sz.cid = p.cid
        |ORDER BY p.cid, gi.i""".stripMargin
-  }
+
+  /** The IVF probe/score/rank tail, parameterized by the centroid
+    * source CTE body: expects `v` in scope, defines `n` and `c`,
+    * returns the final SELECT. Shared by sim_ivf_topk (first-C
+    * stand-in) and sim_ivf_trained (k-means chain). */
+  private def ivfOracleTail(centSelect: String): String =
+    s"""n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+       |c AS ($centSelect),
+       |sc AS (
+       |  SELECT n.vec_id, c.cid,
+       |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
+       |  FROM n CROSS JOIN c),
+       |best AS (
+       |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
+       |  FROM sc GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
+       |    FROM sc WHERE vec_id < $NumQueries)
+       |  WHERE pr <= $NumProbes),
+       |cand AS (SELECT n.*, b.cid FROM n JOIN best b USING (vec_id)),
+       |qs AS (
+       |  SELECT n.vec_id AS query_id, n.q AS qv, n.nq AS nqq, p.cid
+       |  FROM n JOIN probes p ON n.vec_id = p.query_id),
+       |pairs AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id, c.cid,
+       |    ${dotSql("q.qv", "c.q")} AS dot, q.nqq, c.nq AS nqc
+       |  FROM cand c JOIN qs q ON c.cid = q.cid
+       |  WHERE c.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, cand_id, cid, dot,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+       |  FROM pairs)
+       |SELECT query_id, cand_id, cid, dot, cosine, "rank"
+       |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
 
   private val similarityOracles: Map[String, String] = Map(
     "sim_kmeans" -> kmeansOracle,
@@ -554,37 +624,30 @@ object RegistryExt {
     },
     "sim_ivf_topk" ->
       s"""WITH $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n WHERE vec_id < $NumCentroids),
-         |sc AS (
-         |  SELECT n.vec_id, c.cid,
-         |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
-         |  FROM n CROSS JOIN c),
-         |best AS (
-         |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
-         |  FROM sc GROUP BY vec_id),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
-         |    FROM sc WHERE vec_id < $NumQueries)
-         |  WHERE pr <= $NumProbes),
-         |cand AS (SELECT n.*, b.cid FROM n JOIN best b USING (vec_id)),
-         |qs AS (
-         |  SELECT n.vec_id AS query_id, n.q AS qv, n.nq AS nqq, p.cid
-         |  FROM n JOIN probes p ON n.vec_id = p.query_id),
-         |pairs AS (
-         |  SELECT q.query_id, c.vec_id AS cand_id, c.cid,
-         |    ${dotSql("q.qv", "c.q")} AS dot, q.nqq, c.nq AS nqc
-         |  FROM cand c JOIN qs q ON c.cid = q.cid
-         |  WHERE c.vec_id <> q.query_id),
-         |r AS (
-         |  SELECT query_id, cand_id, cid, dot,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
-         |  FROM pairs)
-         |SELECT query_id, cand_id, cid, dot, cosine, "rank"
-         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+         |${ivfOracleTail(
+        s"SELECT vec_id AS cid, q AS cv, nq AS nc FROM n WHERE vec_id < $NumCentroids")}""".stripMargin,
+    "sim_ivf_trained" ->
+      s"""WITH $quantCte,
+         |$kmeansChainCtes,
+         |${ivfOracleTail(
+        s"""SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM c$KMeansIter""")}""".stripMargin,
+    "dd_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + $IdShift, embedding FROM embeddings),
+         |v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |FROM e),
+         |$kmeansChainCtes,
+         |${kmeansAssignCte(s"c$KMeansIter", "af")},
+         |mm AS (SELECT vn.vec_id, vn.q, vn.nq, af.cid
+         |  FROM vn JOIN af USING (vec_id)),
+         |rm AS (SELECT DISTINCT b.vec_id
+         |  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE) /
+         |    (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= $SemThreshold)
+         |SELECT m.vec_id, m.cid FROM mm m
+         |WHERE m.vec_id NOT IN (SELECT vec_id FROM rm)
+         |ORDER BY m.vec_id""".stripMargin
   )
 
   // ---------------------------------------------------------------------

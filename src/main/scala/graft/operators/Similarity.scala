@@ -121,6 +121,31 @@ object Similarity {
     val cents = v.where(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("q").as("cv"),
         col("nq").as("nc"))
+    ivfProbe(v, cents, numQueries, k, numProbes)
+  }
+
+  /** IVF top-k over a TRAINED codebook: identical probe machinery to
+    * [[ivfTopK]] but the coarse quantizer is the [[kMeansCentroids]]
+    * Lloyd's-trained codebook instead of the first-C-vectors stand-in —
+    * the full train-then-serve ANN path. Training cost is `numIter`
+    * broadcast passes (see [[kMeans]]); serving cost is unchanged. */
+  def ivfTopKTrained(emb: DataFrame, numQueries: Long, k: Int,
+                     numCentroids: Int = 16, numProbes: Int = 2,
+                     numIter: Int = 2, dim: Int = 64): DataFrame = {
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    val cents = kMeansCentroids(emb, numCentroids, numIter, dim)
+      .select(col("cid"), col("cv"), dotQ(col("cv"), col("cv")).as("nc"))
+    ivfProbe(v, cents, numQueries, k, numProbes)
+  }
+
+  /** The shared IVF probe path: coarse-assign every vector to its
+    * best-scoring centroid, pick each query's `numProbes` nearest
+    * lists, score only within probed lists, rank with the bounded
+    * two-phase top-k aggregate. `v` = (vec_id, q, nq); `cents` =
+    * (cid, cv, nc), always broadcast-sized. */
+  private def ivfProbe(v: DataFrame, cents: DataFrame, numQueries: Long,
+                       k: Int, numProbes: Int): DataFrame = {
     val scored = v.crossJoin(broadcast(cents))
       .withColumn("score", dotQ(col("q"), col("cv")).cast(DoubleType) /
         sqrt(col("nc").cast(DoubleType)))
@@ -233,8 +258,13 @@ object Similarity {
     * agg carries ≤ k·numPartitions rows). Lineage stays flat because
     * `numIter` is a small constant (codebooks train in a handful of
     * rounds; the knob is explicit, not data-dependent). */
-  def kMeans(emb: DataFrame, numCentroids: Int = 16, numIter: Int = 2,
-             dim: Int = 64): DataFrame = {
+  /** The trained codebook as arrays — `(cid, cv)` — for operators that
+    * serve from it ([[ivfTopKTrained]], [[semanticDedup]]); [[kMeans]]
+    * explodes the same codebook to per-dimension rows for the oracle. */
+  def kMeansCentroids(emb: DataFrame, numCentroids: Int = 16,
+                      numIter: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
     var cents: DataFrame = v.where(col("vec_id") < numCentroids)
@@ -247,10 +277,26 @@ object Similarity {
         .agg(count(lit(1)).as("n"), sums: _*)
       val mean = array((0 until dim).map(i =>
         expr(s"s$i div n")): _*)
-      cents = cents.select(col("cid"), col("cv").as("pv"))
+      val next = cents.select(col("cid"), col("cv").as("pv"))
         .join(agg.select(col("cid"), mean.as("nv")), Seq("cid"), "left_outer")
         .select(col("cid"), coalesce(col("nv"), col("pv")).as("cv"))
+      // The model is k·dim scalars — pull it to the driver and
+      // re-literal it (what MLlib's KMeans does with its centers):
+      // each Lloyd's round executes exactly ONCE, and every consumer
+      // of the codebook (the next round, IVF serving, SemDeDup
+      // clustering) broadcasts a LocalRelation instead of replaying
+      // the whole training lineage per use. Values are unchanged, so
+      // oracle parity is unaffected.
+      cents = next.as[(Long, Seq[Long])].collect().toSeq.toDF("cid", "cv")
     }
+    cents
+  }
+
+  def kMeans(emb: DataFrame, numCentroids: Int = 16, numIter: Int = 2,
+             dim: Int = 64): DataFrame = {
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    val cents = kMeansCentroids(emb, numCentroids, numIter, dim)
     val sizes = assignStep(v, cents).groupBy("cid")
       .agg(count(lit(1)).as("cluster_size"))
     cents.join(sizes, Seq("cid"), "left_outer")
@@ -258,6 +304,42 @@ object Similarity {
         .as("cluster_size"), posexplode(col("cv")).as(Seq("pos", "c_val")))
       .select(col("cid"), (col("pos") + 1).cast(LongType).as("i"),
         col("c_val"), col("cluster_size"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the
+    * [[kMeansCentroids]]-trained codebook, score cosine ONLY within
+    * each cluster, and drop every vector that has a lower-id near-dup
+    * (cosine ≥ `threshold`) in its cluster. Output: the survivors with
+    * their cluster id — `(vec_id, cid)`.
+    *
+    * Scale shape: clustering replaces the LSH bucket key of
+    * [[embedNearDupPairs]] as the pair-pruning partitioner — pair work
+    * is O(cluster²) per cluster, the SemDeDup design point (k chosen
+    * so clusters stay small; at 100 TB k is millions, here 16). The
+    * within-cluster self-join shuffles on `cid` and AQE splits hot
+    * clusters; removal is one left-anti join, never a driver loop.
+    * Identical vectors always co-cluster (same distance to every
+    * centroid, same argmin tie-break), so exact dups can never hide
+    * across a cluster boundary. */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+                    numCentroids: Int = 16, numIter: Int = 2,
+                    dim: Int = 64): DataFrame = {
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    val cents = kMeansCentroids(emb, numCentroids, numIter, dim)
+    val m = v.join(assignStep(v, cents), "vec_id")
+    val a = m.select(col("cid"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = m.select(col("cid"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("nq").as("nb"))
+    val removed = a.join(b, Seq("cid"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dotQ(col("qa"), col("qb")).cast(DoubleType) /
+        (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      .where(col("cosine") >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    m.join(removed, Seq("vec_id"), "left_anti").select("vec_id", "cid")
   }
 
   /** MULTI-TABLE LSH approximate top-k (OR-amplification): `numTables`

@@ -217,4 +217,46 @@ class SimilaritySpec extends AnyFunSuite {
     // probing ALL lists is exhaustive search — recall must be exact
     assert(r16 == 1.0, f"full-probe IVF must equal brute force, got $r16%.3f")
   }
+
+  test("semanticDedup drops within-cluster near-dups, keeps lowest id") {
+    // Two well-separated clusters; 4 and 5 duplicate 2 and 3. The dup
+    // of 2 sits in the +cluster, the dup of 3 in the −cluster — both
+    // must go; nothing may be dropped across the cluster boundary.
+    // NOT scalar multiples of the seeds: a uniformly scaled copy is
+    // parallel (cosine exactly 1.0) and would itself be deduped.
+    val a = Seq(1f, 1f, 1f, 1f)
+    val b = Seq(-1f, -1f, -1f, -1f)
+    val a2 = Seq(1.2f, 0.8f, 1.1f, 0.9f)   // cos(a, a2) ≈ 0.988
+    val b2 = a2.map(-_)
+    val df = emb(
+      (0L, a), (1L, b),
+      (2L, a2), (3L, b2),
+      (4L, a2), (5L, b2))
+    val out = Similarity.semanticDedup(df, 0.9999, numCentroids = 2,
+        numIter = 1, dim = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    // survivors carry their cluster assignment
+    assert(out(0L) == out(2L) && out(1L) == out(3L) && out(0L) != out(1L))
+  }
+
+  test("semanticDedup with no near-dups is the identity") {
+    val out = Similarity.semanticDedup(fixtureEmb, 0.999,
+        numCentroids = 16, numIter = 2)
+      .select("vec_id").as[Long].collect()
+    assert(out.length == fixtureEmb.count())
+  }
+
+  test("recall contract: trained-codebook IVF; full probe stays exact") {
+    // registry parameters: 16 centroids, 2 Lloyd's iterations, 2 probes
+    val r2 = meanRecall(topkSets(
+      Similarity.ivfTopKTrained(fixtureEmb, 8L, 5, 16, 2)))
+    info(f"ivfTopKTrained recall@5 = $r2%.3f")
+    assert(r2 >= 0.5, f"ivfTopKTrained recall@5 $r2%.3f below contract 0.5")
+    // probing every trained list is exhaustive regardless of how the
+    // training shaped the lists — the serving plumbing must be lossless
+    val r16 = meanRecall(topkSets(
+      Similarity.ivfTopKTrained(fixtureEmb, 8L, 5, 16, 16)))
+    assert(r16 == 1.0, f"full-probe trained IVF must be exact, got $r16%.3f")
+  }
 }
