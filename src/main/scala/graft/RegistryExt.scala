@@ -319,6 +319,20 @@ object RegistryExt {
           d.where(col("doc_id") % EvalHoldout === 0),
           "doc_id", "text", DecontamGram)
         .orderBy("doc_id")
+    }),
+
+    // Decontamination as a DROP with the bloom-prefiltered plan: the
+    // sketch prunes the corpus's exploded grams pre-exchange, the exact
+    // broadcast join kills false positives, so the output (and oracle)
+    // is exactly the exact path's surviving-document set.
+    "dd_decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+          d.where(col("doc_id") % EvalHoldout =!= 0),
+          d.where(col("doc_id") % EvalHoldout === 0),
+          "doc_id", "text", DecontamGram)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
   )
 
@@ -415,6 +429,19 @@ object RegistryExt {
          |  COALESCE(n_hits, 0) > 0 AS contaminated
          |FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalHoldout <> 0) d
          |LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // The bloom variant is result-identical to the exact drop: the
+    // oracle is the plain anti-join, no sketch anywhere in it.
+    "dd_decontaminate_bloom" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+         |  ${wordGramSelect("documents")})),
+         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % $EvalHoldout = 0),
+         |hits AS (SELECT DISTINCT doc_id FROM sh JOIN ev USING (g)
+         |  WHERE doc_id % $EvalHoldout <> 0)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % $EvalHoldout <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM hits)
          |ORDER BY doc_id""".stripMargin
   )
 

@@ -181,4 +181,43 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == (0L, false))
     assert(out(4L) == (0L, false)) // zero-shingle docs still audited
   }
+
+  test("decontaminateBloom == exact decontaminate (drop set identical)") {
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta alpha"), // contaminated
+      (2L, "alpha beta gamma zzz"),         // contaminated
+      (3L, "zzz yyy xxx www"),              // clean
+      (4L, "a b")                           // too short: clean
+    ).toDF("id", "text")
+    val exact = Dedup.decontaminate(train, eval, "id", "text", 3)
+      .select("id").as[Long].collect().sorted
+    val bloom = Dedup.decontaminateBloom(train, eval, "id", "text", 3)
+      .select("id").as[Long].collect().sorted
+    assert(exact.toSeq == Seq(3L, 4L))
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("decontaminateBloom: a saturated (high-fpp) sketch still yields " +
+       "the exact result — verify join kills every false positive") {
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val train = (1L to 40L).map(i =>
+      (i, s"tok$i tok${i + 1} tok${i + 2} tok${i + 3}"))
+      .toDF("id", "text")
+      .unionAll(Seq((99L, "alpha beta gamma x")).toDF("id", "text"))
+    // expectedItems=1 at fpp=0.5 → a tiny, heavily-overloaded bit array:
+    // most clean grams probe TRUE, so correctness rests on the verify join.
+    val out = Dedup.decontaminateBloom(train, eval, "id", "text", 3,
+        expectedEvalGrams = 1L, fpp = 0.5)
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == (1L to 40L))
+  }
+
+  test("BloomMightContainExpr: zero false negatives over inserted grams") {
+    import graft.functions.BloomMightContain._
+    val grams = (1 to 500).map(i => s"gram number $i").toDF("g")
+    val bytes = buildOverStrings(grams, "g", 500L, 0.03)
+    val misses = grams.filter(!bloomMightContain(bytes, col("g"))).count()
+    assert(misses == 0L) // bloom filters never false-negative
+  }
 }

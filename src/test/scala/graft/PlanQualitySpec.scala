@@ -248,6 +248,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"eval side must broadcast — the corpus must not shuffle:\n$plan")
   }
 
+  test("dd_decontaminate_bloom: codegen probe filters BELOW the verify " +
+       "broadcast join — pruned grams never reach the exchange") {
+    val df = SparkEntry.queries("dd_decontaminate_bloom")(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("bloommightcontainexpr") ||
+           plan.contains("BloomMightContain"),
+      s"bloom probe must appear in the physical plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"exact verify join must broadcast the eval shingles:\n$plan")
+    // the probe is a Filter operator, i.e. it runs in the scan stage,
+    // not after the join
+    val probeIdx = plan.toLowerCase.indexOf("bloommightcontain")
+    val bhjIdx = plan.indexOf("BroadcastHashJoin")
+    assert(probeIdx > bhjIdx, // plan prints top-down: deeper = later text
+      s"probe must sit below (after, in print order) the verify join:\n$plan")
+  }
+
   test("fuzzyPairs: AQE splits a hot prefix block in the self-join") {
     import spark.implicits._
     // One boilerplate block (same 4-char prefix, diverging tails so the
