@@ -1062,6 +1062,13 @@ object RegistryExt {
     "ev_hourly_rollup_approx" -> ((s, dir) =>
       Events.hourlyRollupApprox(t(s, dir, "events"))
         .orderBy("hour", "event_type")),
+    // Exact-AND-bounded distinct: paged-bitmap aggregation (ClickHouse
+    // groupBitmap analog). Hash-oracled against COUNT(DISTINCT) — the
+    // bitmap path is exact by construction, so the oracle is the plain
+    // SQL distinct.
+    "ev_bitmap_distinct" -> ((s, dir) =>
+      Events.bitmapDistinct(t(s, dir, "events"), "event_type", "user_id")
+        .orderBy("event_type")),
     // ROLLUP (multi-level subtotals in one shuffle) and pinned-values
     // PIVOT — the grouping-analytics surface beyond plain GROUP BY.
     // Rolled-up keys surface as '(all)'/-1 (no nulls in output).
@@ -1213,6 +1220,11 @@ object RegistryExt {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "ev_sessionize" -> sessionizeOracleSql,
     "ev_sessionize_2level" -> sessionizeOracleSql,
+    "ev_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,

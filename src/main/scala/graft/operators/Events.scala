@@ -257,4 +257,22 @@ object Events {
       sum(micros(col("value"))).over(w).as("mov_micros"))
       .withColumn("mov_sum", col("mov_micros").cast(DoubleType) / 1000000)
   }
+
+  /** EXACT distinct ids per key via paged bitmaps — the third point on
+    * the distinct-count design spectrum this engine offers:
+    * [[hourlyRollup]]'s `countDistinct` (exact, shuffles one row per
+    * distinct pair), [[hourlyRollupApprox]]'s HLL (bounded state, ~2%
+    * error), and this (exact AND bounded: repeats collapse map-side
+    * into 512-byte page bitmaps, so the exchange carries ~1 bit per
+    * candidate id — see [[graft.functions.BitmapDistinct]] for the
+    * full 100 TB argument). Nulls are excluded up front, matching
+    * `COUNT(DISTINCT ...)` semantics. */
+  def bitmapDistinct(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    import graft.functions.BitmapDistinct._
+    df.where(col(idCol).isNotNull)
+      .groupBy(col(keyCol), pageOf(col(idCol)).as("__page"))
+      .agg(pageDistinct(bitOf(col(idCol))).as("__page_distinct"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__page_distinct")).as("n_distinct"))
+  }
 }

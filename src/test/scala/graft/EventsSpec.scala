@@ -256,4 +256,42 @@ class EventsSpec extends AnyFunSuite {
     assert(out(3L) == 8.0)
     assert(out(4L) == 8.0)
   }
+
+  test("bitmapDistinct == countDistinct: dups, nulls, negatives, " +
+       "page-boundary ids") {
+    val ids: Seq[java.lang.Long] = Seq[java.lang.Long](
+      0L, 1L, 1L, 4095L, 4096L, 4097L,          // spans the page boundary
+      -1L, -4096L, -4097L,                       // negative pages
+      1L << 40, (1L << 40) + 1, null, null, 7L, 7L)
+    val df = ids.zipWithIndex.map { case (id, i) =>
+      (if (i % 2 == 0) "a" else "b", id)
+    }.toDF("k", "id")
+    val got = Events.bitmapDistinct(df, "k", "id")
+      .as[(String, Long)].collect().toMap
+    val want = df.where($"id".isNotNull).groupBy("k")
+      .agg(org.apache.spark.sql.functions.countDistinct($"id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("bitmapDistinct on the fixture matches countDistinct per type") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_type", $"user_id")
+    val got = Events.bitmapDistinct(ev, "event_type", "user_id")
+      .as[(String, Long)].collect().toMap
+    val want = ev.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bitmapDistinct plan: page bitmaps partial-aggregate map-side " +
+       "(ObjectHashAggregate), no groupBy(key,id) expand") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val df = Events.bitmapDistinct(ev, "event_type", "user_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"paged bitmap must run as ObjectHashAggregate partials:\n$plan")
+  }
 }
