@@ -1111,6 +1111,20 @@ object RegistryExt {
     }),
     "ev_top_n" -> ((s, dir) =>
       Events.topNPerUser(t(s, dir, "events"), 3).orderBy("user_id", "rank")),
+    // Hive-partitioned layout roundtrip: write one directory per
+    // event_type (pre-shuffled: few files per partition), read back one
+    // type — the scan's PartitionFilters answer the predicate from the
+    // directory listing (asserted in LayoutSpec); the rollup then runs
+    // over only that type's bytes. Oracle = the same rollup with a WHERE
+    // on the raw table.
+    "ev_partition_prune" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_part").toString
+      Layout.writePartitioned(t(s, dir, "events"), out, "event_type")
+      Events.hourlyRollup(
+          s.read.parquet(out).where(col("event_type") === "click"))
+        .orderBy("hour")
+    }),
     "ev_moving_sum" -> ((s, dir) =>
       Events.movingSum(t(s, dir, "events")).orderBy("user_id", "event_id")),
 
@@ -1225,6 +1239,14 @@ object RegistryExt {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_partition_prune" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY hour""".stripMargin,
     "ev_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -59,4 +59,24 @@ object Layout {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  /** Hive-style partitioned parquet layout — the coarse-grained
+    * complement to [[clusterByZ]]'s row-group clustering and the
+    * bucketed-table co-location in `Joins.writeBucketed`: one
+    * directory per distinct `partCol` value, so a reader's equality /
+    * IN predicate on that column is answered by LISTING, not scanning
+    * (`PartitionFilters` in the scan node; zero bytes read outside the
+    * selected directories). The write pre-shuffles on the partition
+    * column so each Hive partition is authored by few tasks — without
+    * it, every one of the N input tasks opens a file in every
+    * partition directory (N·P small files, the classic 100 TB
+    * partitioned-write failure). `partitionOverwriteMode=dynamic` is
+    * the production default this models: re-running a day replaces
+    * only that day's directory, never truncating the table. */
+  def writePartitioned(df: DataFrame, dir: String, partCol: String): Unit =
+    df.repartition(col(s"`$partCol`"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(dir)
 }

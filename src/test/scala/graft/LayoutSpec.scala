@@ -26,6 +26,41 @@ class LayoutSpec extends AnyFunSuite {
       (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL), (5L, 6L)).map((ref _).tupled))
   }
 
+  test("writePartitioned: pruned read lists directories, not data — " +
+       "PartitionFilters carry the predicate; few files per partition") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_part_spec").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"t${i % 4}", i * 1.5))
+      .toDF("id", "kind", "v")
+      .repartition(8) // many input tasks: the write must still coalesce
+    Layout.writePartitioned(df, out, "kind")
+
+    // one directory per kind; the pre-shuffle keeps files-per-dir low
+    // (not 8 per input task)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("kind="))
+    assert(dirs.length == 4)
+    dirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 2, s"${d.getName} has $files files — write blew up")
+    }
+
+    val read = spark.read.parquet(out).where($"kind" === "t1")
+    read.collect()
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+           scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+             .contains("kind"),
+      s"kind predicate must be a partition filter:\n$scan")
+    // and the values survive the roundtrip
+    val got = read.agg(sum($"v"), count(lit(1)))
+      .as[(Double, Long)].head()
+    val want = df.where($"kind" === "t1").agg(sum($"v"), count(lit(1)))
+      .as[(Double, Long)].head()
+    assert(got == want)
+  }
+
   test("clusterByZ: disjoint partition key ranges, tight 2-D tiles") {
     // A full 64×64 grid into 16 partitions: perfect z-tiles would be
     // 16×16 blocks (extent 15 per dimension) vs the global extent 63.
