@@ -116,12 +116,14 @@ object Similarity {
     * O(probed lists). */
   def ivfTopK(emb: DataFrame, numQueries: Long, k: Int,
               numCentroids: Int = 16, numProbes: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
-    val cents = v.where(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("q").as("cv"),
-        col("nq").as("nc"))
-    ivfProbe(v, cents, numQueries, k, numProbes)
+    val codebook = v.where(col("vec_id") < numCentroids)
+      .select(col("vec_id"), col("q"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    ivfProbe(v, codebook, numQueries, k, numProbes)
   }
 
   /** IVF top-k over a TRAINED codebook: identical probe machinery to
@@ -134,39 +136,46 @@ object Similarity {
                      numIter: Int = 2, dim: Int = 64): DataFrame = {
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
-    val cents = kMeansCentroids(emb, numCentroids, numIter, dim)
-      .select(col("cid"), col("cv"), dotQ(col("cv"), col("cv")).as("nc"))
-    ivfProbe(v, cents, numQueries, k, numProbes)
+    ivfProbe(v, kMeansCodebook(emb, numCentroids, numIter, dim),
+      numQueries, k, numProbes)
   }
+
+  /** Per-row array of `(score, cid)` structs against a driver-side
+    * codebook — the cosine twin of [[assignLit]]'s distance structs.
+    * `sqrt` is `java.lang.Math.sqrt` on both the driver and in Spark's
+    * SQRT, so the precomputed norm divides bit-identically. */
+  private def scoreLit(cents: Seq[(Long, Seq[Long])]): Column =
+    array(cents.sortBy(_._1).map { case (cid, cv) =>
+      val norm = math.sqrt(cv.map(x => x * x).sum.toDouble)
+      struct(
+        (dotQ(col("q"), array(cv.map(lit): _*)).cast(DoubleType) / lit(norm))
+          .as("score"),
+        lit(cid).as("cid"))
+    }: _*)
 
   /** The shared IVF probe path: coarse-assign every vector to its
     * best-scoring centroid, pick each query's `numProbes` nearest
     * lists, score only within probed lists, rank with the bounded
-    * two-phase top-k aggregate. `v` = (vec_id, q, nq); `cents` =
-    * (cid, cv, nc), always broadcast-sized. */
-  private def ivfProbe(v: DataFrame, cents: DataFrame, numQueries: Long,
-                       k: Int, numProbes: Int): DataFrame = {
-    val scored = v.crossJoin(broadcast(cents))
-      .withColumn("score", dotQ(col("q"), col("cv")).cast(DoubleType) /
-        sqrt(col("nc").cast(DoubleType)))
-      .select("vec_id", "cid", "score")
-    val best = scored.groupBy("vec_id")
-      .agg(max(struct(col("score"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
-    val assigned = v.join(best, "vec_id")
-    // Probe-list selection may stay a window: its partition is one
-    // query's CENTROID scores — ≤ numCentroids rows regardless of corpus
-    // size — unlike the candidate ranking below, which is corpus-bound.
-    val pw = Window.partitionBy("vec_id")
-      .orderBy(col("score").desc, col("cid").desc)
-    val probes = scored.where(col("vec_id") < numQueries)
-      .withColumn("pr", row_number().over(pw))
-      .where(col("pr") <= numProbes)
-      .select(col("vec_id").as("query_id"), col("cid"))
+    * two-phase top-k aggregate. `v` = (vec_id, q, nq); the codebook is
+    * driver-side (k·dim scalars), so BOTH the corpus assignment and
+    * the probe-list selection are narrow in-row operations on literal
+    * structs — `array_max` argmax for the list a vector joins (max
+    * score, tie → max cid: lexicographic struct max), sorted-slice for
+    * the lists a query probes — and the corpus reaches the candidate
+    * join with NO prior shuffle. */
+  private def ivfProbe(v: DataFrame, codebook: Seq[(Long, Seq[Long])],
+                       numQueries: Long, k: Int, numProbes: Int): DataFrame = {
+    val assigned = v.withColumn("cid",
+      array_max(scoreLit(codebook)).getField("cid"))
+    // reverse(array_sort(...)) orders (score desc, cid desc) — the same
+    // total order the former row_number window used
     val queries = v.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
-        col("nq").as("nqq"))
-      .join(probes, Seq("query_id"))
+        col("nq").as("nqq"),
+        explode(slice(reverse(array_sort(scoreLit(codebook))),
+          1, numProbes)).as("probe"))
+      .select(col("query_id"), col("qv"), col("nqq"),
+        col("probe.cid").as("cid"))
     val pairs = assigned.join(broadcast(queries), Seq("cid"))
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("dot", dotQ(col("qv"), col("q")))
@@ -223,14 +232,23 @@ object Similarity {
     * — |v|² is per-vector constant but kept so the argmin key replays
     * verbatim in SQL); argmin via `min(struct(dist, cid))` —
     * lexicographic, tie → smaller cid, identical in DuckDB. */
-  private def assignStep(v: DataFrame, cents: DataFrame): DataFrame = {
-    val cn = cents.withColumn("nc", dotQ(col("cv"), col("cv")))
-    v.crossJoin(broadcast(cn))
-      .withColumn("dist",
-        col("nq") - lit(2L) * dotQ(col("q"), col("cv")) + col("nc"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+  /** Narrow L2-argmin assignment against a DRIVER-SIDE codebook: one
+    * inline struct per centroid, `array_min` takes the lexicographic
+    * (dist, cid) minimum — the same argmin + tie-break as a
+    * crossJoin/groupBy formulation, but as a single codegen projection
+    * over the corpus: NO crossJoin row blow-up, NO groupBy(vec_id)
+    * shuffle, NO join-back. `nq` is constant per row across centroids,
+    * so the distance drops it: argmin(nc − 2·dot) ≡ argmin(nq − 2·dot
+    * + nc). The codebook is k·dim scalars — exactly what fits in a
+    * plan literal at any corpus scale. */
+  private def assignLit(cents: Seq[(Long, Seq[Long])]): Column = {
+    val entries = cents.sortBy(_._1).map { case (cid, cv) =>
+      val nc = cv.map(x => x * x).sum
+      struct(
+        (lit(nc) - lit(2L) * dotQ(col("q"), array(cv.map(lit): _*))).as("d"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(entries: _*)).getField("cid")
   }
 
   /** Deterministic exact-integer Lloyd's k-means over the quantized
@@ -246,60 +264,68 @@ object Similarity {
     * the whole training loop replays bit-for-bit in SQL (the oracle
     * unrolls the iterations as CTEs).
     *
-    * Output: one row per (centroid, dimension) — `(cid, i, c_val,
-    * cluster_size)` — the trained codebook plus how many vectors chose
-    * each centroid in a final assignment pass.
+    * [[kMeans]] explodes the result to per-dimension rows `(cid, i,
+    * c_val, cluster_size)` for the oracle; [[ivfTopKTrained]] and
+    * [[semanticDedup]] serve from the codebook directly.
     *
-    * Scale shape: centroids never leave the DataFrame plane and never
-    * exceed k·dim scalars — each round is ONE broadcast nested-loop
-    * join (corpus × k, narrow) and ONE groupBy(cid) with map-side
-    * partial aggregation of k·(dim+1) counters; the corpus is scanned
-    * once per round and never shuffled (the exchange after the partial
-    * agg carries ≤ k·numPartitions rows). Lineage stays flat because
-    * `numIter` is a small constant (codebooks train in a handful of
-    * rounds; the knob is explicit, not data-dependent). */
-  /** The trained codebook as arrays — `(cid, cv)` — for operators that
-    * serve from it ([[ivfTopKTrained]], [[semanticDedup]]); [[kMeans]]
-    * explodes the same codebook to per-dimension rows for the oracle. */
-  def kMeansCentroids(emb: DataFrame, numCentroids: Int = 16,
-                      numIter: Int = 2, dim: Int = 64): DataFrame = {
+    * Scale shape: each round is ONE corpus scan — [[assignLit]]'s
+    * narrow projection (no crossJoin blow-up, no groupBy(vec_id)
+    * shuffle, no join-back) feeding a groupBy(cid) whose map-side
+    * partials cap the exchange at ≤ k·(dim+2) counters per task.
+    * Lineage stays flat because the model round-trips through the
+    * driver each round — it's k·dim scalars regardless of corpus
+    * size — and `numIter` is a small explicit constant (codebooks
+    * train in a handful of rounds). */
+  def kMeansCodebook(emb: DataFrame, numCentroids: Int = 16,
+                     numIter: Int = 2, dim: Int = 64): Seq[(Long, Seq[Long])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("nq", dotQ(col("q"), col("q")))
-    var cents: DataFrame = v.where(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("q").as("cv"))
+    // The model is k·dim scalars — it LIVES on the driver (what
+    // MLlib's KMeans does with its centers): each Lloyd's round is ONE
+    // corpus scan — narrow literal-codebook assignment, then a
+    // groupBy(cid) whose map-side partials cap the exchange at
+    // ≤ k·(dim+2) counters per task — and every consumer (the next
+    // round, IVF serving, SemDeDup clustering) inlines the codebook as
+    // literals instead of replaying the training lineage per use.
+    var cents: Seq[(Long, Seq[Long])] = v
+      .where(col("vec_id") < numCentroids)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
     for (_ <- 0 until numIter) {
-      val assigned = v.join(assignStep(v, cents), "vec_id")
       val sums = (0 until dim).map(i =>
         sum(element_at(col("q"), i + 1)).as(s"s$i"))
-      val agg = assigned.groupBy("cid")
+      val agg = v.withColumn("cid", assignLit(cents))
+        .groupBy("cid")
         .agg(count(lit(1)).as("n"), sums: _*)
       val mean = array((0 until dim).map(i =>
         expr(s"s$i div n")): _*)
-      val next = cents.select(col("cid"), col("cv").as("pv"))
-        .join(agg.select(col("cid"), mean.as("nv")), Seq("cid"), "left_outer")
-        .select(col("cid"), coalesce(col("nv"), col("pv")).as("cv"))
-      // The model is k·dim scalars — pull it to the driver and
-      // re-literal it (what MLlib's KMeans does with its centers):
-      // each Lloyd's round executes exactly ONCE, and every consumer
-      // of the codebook (the next round, IVF serving, SemDeDup
-      // clustering) broadcasts a LocalRelation instead of replaying
-      // the whole training lineage per use. Values are unchanged, so
-      // oracle parity is unaffected.
-      cents = next.as[(Long, Seq[Long])].collect().toSeq.toDF("cid", "cv")
+      val next = agg.select(col("cid"), mean.as("nv"))
+        .as[(Long, Seq[Long])].collect().toMap
+      // a cluster left empty keeps its previous centroid
+      cents = cents.map { case (cid, pv) => (cid, next.getOrElse(cid, pv)) }
     }
     cents
   }
 
+  /** The trained codebook as a DataFrame — `(cid, cv)` — for operators
+    * that consume it relationally ([[ivfTopKTrained]]'s probe path). */
+  def kMeansCentroids(emb: DataFrame, numCentroids: Int = 16,
+                      numIter: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    kMeansCodebook(emb, numCentroids, numIter, dim).toDF("cid", "cv")
+  }
+
   def kMeans(emb: DataFrame, numCentroids: Int = 16, numIter: Int = 2,
              dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("nq", dotQ(col("q"), col("q")))
-    val cents = kMeansCentroids(emb, numCentroids, numIter, dim)
-    val sizes = assignStep(v, cents).groupBy("cid")
-      .agg(count(lit(1)).as("cluster_size"))
-    cents.join(sizes, Seq("cid"), "left_outer")
+    val codebook = kMeansCodebook(emb, numCentroids, numIter, dim)
+    val sizes = v.select(assignLit(codebook).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("cluster_size"))
+    codebook.toDF("cid", "cv")
+      .join(sizes, Seq("cid"), "left_outer")
       .select(col("cid"), coalesce(col("cluster_size"), lit(0L))
         .as("cluster_size"), posexplode(col("cv")).as(Seq("pos", "c_val")))
       .select(col("cid"), (col("pos") + 1).cast(LongType).as("i"),
@@ -327,8 +353,10 @@ object Similarity {
                     dim: Int = 64): DataFrame = {
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
-    val cents = kMeansCentroids(emb, numCentroids, numIter, dim)
-    val m = v.join(assignStep(v, cents), "vec_id")
+    val codebook = kMeansCodebook(emb, numCentroids, numIter, dim)
+    // narrow literal-codebook clustering: the corpus reaches the
+    // within-cluster self-join below with NO prior shuffle
+    val m = v.withColumn("cid", assignLit(codebook))
     val a = m.select(col("cid"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("nq").as("na"))
     val b = m.select(col("cid"), col("vec_id").as("vec_b"),
