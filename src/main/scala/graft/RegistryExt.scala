@@ -688,6 +688,8 @@ object RegistryExt {
   private val SamplePct = 20
   private val MixWeightA = 80
   private val PackBudget = 256
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
 
   /** The SAME bucket construction as TrainPrep.hashBucket, in DuckDB. */
   private def hashBucketSql(x: String): String =
@@ -716,6 +718,14 @@ object RegistryExt {
       TrainPrep.packSequences(t(s, dir, "documents"), "doc_id", "text",
         "lang", PackBudget)
         .orderBy("doc_id")),
+
+    // Sliding-window chunking (embedding/RAG prep): 32-word windows at
+    // stride 24 — a pure narrow explode, no shuffle (TrainPrepSpec
+    // asserts the plan is exchange-free).
+    "tp_chunk_windows" -> ((s, dir) =>
+      TrainPrep.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+          ChunkWindow, ChunkStride)
+        .orderBy("doc_id", "chunk_id")),
 
     // The corpus-prep pipeline END-TO-END over the doubled (near-dup)
     // corpus: quality filter → language filter → LSH near-dedup →
@@ -783,6 +793,18 @@ object RegistryExt {
          |SELECT doc_id, lang, n_tokens, tokens_before,
          |  CAST(floor(tokens_before / $PackBudget) AS BIGINT) AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
+    // DuckDB list slice w[a:b] is 1-based INCLUSIVE of both ends and
+    // clamps past-the-end, matching Spark slice(w, a, len) exactly.
+    "tp_chunk_windows" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |j AS (SELECT doc_id, w,
+         |  unnest(generate_series(0, greatest(len(w) - 1, 0) // $ChunkStride)) AS j
+         |  FROM w)
+         |SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+         |  array_to_string(w[j*$ChunkStride+1 : j*$ChunkStride+$ChunkWindow], ' ') AS chunk_text,
+         |  CAST(least($ChunkWindow, len(w) - j*$ChunkStride) AS BIGINT) AS n_words
+         |FROM j ORDER BY doc_id, chunk_id""".stripMargin,
     // The four-stage pipeline, stage by stage in SQL: quality + langid
     // filters (same fragments as tx_quality / tx_langid), LSH-verified
     // near-dedup (same CTEs as dd_near_dedup, instantiated over the

@@ -91,6 +91,38 @@ object TrainPrep {
     * Deterministic end to end (hash-based dedup, id-ordered packing) —
     * the full composition is oracle-checked value-for-value as
     * `tp_corpus_pipeline`. */
+  /** Sliding word-window CHUNKING — the embedding/RAG prep step that
+    * turns documents into model-window-sized pieces: one chunk per
+    * stride position `j` (start word `j·stride`, length ≤ `window`),
+    * covering every document in order, including a single chunk for
+    * docs shorter than the window. Tail chunks that start inside the
+    * last full window are emitted too (every stride position appears —
+    * the simple, engine-portable contract; callers wanting
+    * no-subset-tails filter on `n_words`).
+    *
+    * Scale shape: pure narrow explode — split once, slice per stride
+    * position inside one projection; NO shuffle anywhere (asserted in
+    * the spec), so it composes with a downstream embedding stage's own
+    * partitioning instead of imposing one. Chunk counts are
+    * data-proportional (≈ words/stride per doc), the same expansion an
+    * `explode` of any nested column costs. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window=$window stride=$stride")
+    val words = split(trim(col(textCol)), "\\s+")
+    val lastJ = greatest((size(words) - 1).cast(LongType), lit(0L))
+      .divide(lit(stride.toLong)).cast(LongType) // floor: both args ≥ 0
+    docs.select(col(idCol), words.as("__w"), lastJ.as("__jmax"))
+      .select(col(idCol), col("__w"),
+        explode(sequence(lit(0L), col("__jmax"))).as("j"))
+      .select(col(idCol), col("j").as("chunk_id"),
+        array_join(slice(col("__w"), (col("j") * stride + 1).cast("int"),
+          lit(window)), " ").as("chunk_text"),
+        least(lit(window.toLong),
+          size(col("__w")).cast(LongType) - col("j") * stride)
+          .as("n_words"))
+  }
+
   def corpusPipeline(docs: DataFrame, idCol: String, textCol: String,
                      keepLang: String, numHashes: Int, bands: Int,
                      threshold: Double, shards: Int,

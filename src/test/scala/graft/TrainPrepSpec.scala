@@ -92,6 +92,28 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.find(_._1 == 5L).get._5 == 1L)
   }
 
+  test("chunkWindows: stride positions, clamped tails, short docs; " +
+       "plan is shuffle-free") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 words, window 3 stride 2 → j=0..3
+      (2L, "x y"),           // shorter than window → one full-doc chunk... at stride starts
+      (3L, "solo")           // single word → one chunk
+    ).toDF("doc_id", "text")
+    val df = graft.operators.TrainPrep.chunkWindows(docs, "doc_id", "text", 3, 2)
+    val got = df.as[(Long, Long, String, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L),
+      (1L, 2L, "e f g", 3L), (1L, 3L, "g", 1L),
+      (2L, 0L, "x y", 2L),
+      (3L, 0L, "solo", 1L)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must be a narrow explode — no shuffle:\n$plan")
+  }
+
   test("corpusPipelineFull: decontamination and scrub stages compose") {
     val en = "the cat is in the house and the dog is in the yard today"
     val leak = "the sun is up and the moon is down all day long again"
