@@ -690,6 +690,7 @@ object RegistryExt {
   private val PackBudget = 256
   private val ChunkWindow = 32
   private val ChunkStride = 24
+  private val HeavyHittersK = 25
 
   /** The SAME bucket construction as TrainPrep.hashBucket, in DuckDB. */
   private def hashBucketSql(x: String): String =
@@ -891,6 +892,14 @@ object RegistryExt {
     "tx_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Sketch-prefiltered exact heavy hitters: Misra-Gries candidates
+    // (bounded map-side state at any vocabulary size) → exact count +
+    // rank of candidates only. Oracle = the plain exact top-k; equality
+    // holds whenever the k-th count clears the sketch error bound
+    // (trivially true at fixture vocabulary).
+    "tx_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), "text",
+        HeavyHittersK)),
     // Fixed-point tf-idf ranking (integer score — ln's last-ulp
     // divergence between JVM and libm would break hash parity).
     "tx_tfidf" -> ((s, dir) =>
@@ -986,6 +995,13 @@ object RegistryExt {
          |    i -> ($terms) % 4294967296)) AS BIGINT) AS min_gram_hash
          |FROM pd ORDER BY doc_id""".stripMargin
     },
+    // The heavy-hitters oracle is the PLAIN exact top-k — no sketch
+    // anywhere in it (the sketch only nominates candidates).
+    "tx_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM documents)
+         |SELECT token, count(*) AS n FROM tk
+         |GROUP BY token ORDER BY n DESC, token LIMIT $HeavyHittersK""".stripMargin,
     // Integer floor-division score both sides (Spark `div`, DuckDB `//`);
     // ASCII-only terms, lowercased after extraction (locale-free).
     "tx_tfidf" ->

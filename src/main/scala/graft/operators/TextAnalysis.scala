@@ -329,4 +329,38 @@ object TextAnalysis {
       graft.functions.RollingHash.minNgramHash(padded, 8)
         .as("min_gram_hash"))
   }
+
+  /** Exact top-`k` most frequent tokens via a SKETCH-PREFILTERED plan —
+    * the heavy-hitters dual of the bloom-prefiltered decontamination:
+    *
+    *   1. CANDIDATES: one pass builds a Misra-Gries frequent-items
+    *      sketch ([[graft.functions.FreqItemsSketchAgg]]); partials are
+    *      ≤ maxMapSize entries per task no matter how large the
+    *      vocabulary, and the merged candidate list (a driver-side
+    *      literal, like the IVF codebook) is guaranteed to contain
+    *      every token whose count clears the sketch error bound.
+    *   2. VERIFY: count ONLY candidate tokens exactly — the groupBy
+    *      shuffles the candidate subset of the token stream, not the
+    *      full vocabulary — and rank (count desc, token asc).
+    *
+    * The result equals the plain exact top-k whenever the k-th count
+    * exceeds the sketch's maximum error (≈ 3.5·n/maxMapSize) — the
+    * heavy-hitters regime this operator is named for; size maxMapSize
+    * to the tail you care about. Why not plain groupBy+limit at 100 TB:
+    * a web-scale vocabulary is billions of distinct tokens, so the
+    * exact plan's exchange carries the whole long tail; here the tail
+    * dies in the sketch's map-side partials. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int,
+                   maxMapSize: Int = 1024): DataFrame = {
+    import graft.functions.FreqItemsSketchAgg.freqItemCandidates
+    val toks = docs.select(
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val cands = toks
+      .agg(freqItemCandidates(col("token"), maxMapSize).as("c"))
+      .head().getSeq[String](0)
+    toks.where(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
 }

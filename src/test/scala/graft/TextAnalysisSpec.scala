@@ -221,4 +221,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got == ref(t), s"mismatch for '$t'")
     }
   }
+
+  test("heavyHitters == exact top-k when counts clear the sketch bound; " +
+       "partials merge across partitions") {
+    import org.apache.spark.sql.functions._
+    // skewed synthetic corpus over many partitions: token t_i appears
+    // ~1000/i times (Zipf-ish), so top counts far exceed the bound
+    val docs = spark.range(1000).repartition(16)
+      .select(concat_ws(" ",
+        lit("the"), lit("the"),
+        when(col("id") % 2 === 0, "of").otherwise("and"),
+        when(col("id") % 10 === 0, "rare").otherwise("mid"),
+        concat(lit("tail"), col("id"))).as("text"))
+    val got = TextAnalysis.heavyHitters(docs, "text", 5, maxMapSize = 64)
+      .as[(String, Long)].collect().toSeq
+    val want = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.head == (("the", 2000L))) // sanity: the skew is real
+  }
+
+  test("FreqItemsSketchAgg candidates: no false negatives above the " +
+       "error bound even with a tiny saturated map") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.FreqItemsSketchAgg.freqItemCandidates
+    val toks = spark.range(10000).repartition(8)
+      .select(when(col("id") % 2 === 0, "hot")
+        .otherwise(concat(lit("t"), col("id"))).as("token"))
+    val cands = toks.agg(freqItemCandidates(col("token"), 8).as("c"))
+      .head().getSeq[String](0)
+    // count('hot') = 5000 > the Misra-Gries error bound of a saturated
+    // 8-slot map over n=10000 (≈ n/maxMapSize), so NO_FALSE_NEGATIVES
+    // must surface it no matter how the 5000 singletons churn the map
+    assert(cands.contains("hot"), s"candidates were: $cands")
+  }
 }
