@@ -185,6 +185,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bitmapDistinct == countDistinct on random (key, id) multisets") {
+    import spark.implicits._
+    val rowGen = Gen.zip(Gen.choose(0, 3),
+      Gen.oneOf(Gen.choose(-5000L, 5000L),    // straddles page 0
+        Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))) // far pages
+    forAll(Gen.listOfN(300, rowGen), n = 4) { rows =>
+      val df = rows.map { case (k, id) => (s"k$k", id) }.toDF("k", "id")
+      val got = graft.operators.Events.bitmapDistinct(df, "k", "id")
+        .as[(String, Long)].collect().toMap
+      val want = df.groupBy("k").agg(countDistinct($"id").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(got == want, s"bitmap distinct diverged on $rows")
+    }
+  }
+
+  test("chunkWindows coverage law: chunks tile the words; overlap = " +
+       "window - stride; concat of stride-sized prefixes rebuilds the doc") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.choose(1, 40), Gen.choose(1, 6), Gen.choose(1, 6))
+    forAll(gen, n = 6) { case (nWords, window, stride0) =>
+      val stride = math.min(stride0, window) // stride ≤ window: overlapping
+      val words = (1 to nWords).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.operators.TrainPrep
+        .chunkWindows(df, "doc_id", "text", window, stride)
+        .orderBy("chunk_id")
+        .as[(Long, Long, String, Long)].collect().toSeq
+      // chunk j starts at word j·stride; n_words clamps at the tail
+      chunks.foreach { case (_, j, text, n) =>
+        val expect = words.slice((j * stride).toInt,
+          (j * stride).toInt + window)
+        assert(text == expect.mkString(" ") && n == expect.length)
+      }
+      // stride-sized prefixes of each chunk concatenate back to the doc
+      val rebuilt = chunks.flatMap { case (_, _, text, _) =>
+        text.split(" ").take(stride)
+      }
+      assert(rebuilt == words, s"tiling broke at $nWords/$window/$stride")
+    }
+  }
+
   test("rangeJoin == naive theta-join reference on random intervals") {
     import spark.implicits._
     val ivGen = Gen.zip(Gen.choose(0L, 100L), Gen.choose(0L, 40L))
