@@ -691,6 +691,8 @@ object RegistryExt {
   private val ChunkWindow = 32
   private val ChunkStride = 24
   private val HeavyHittersK = 25
+  private val SplitValPct = 10
+  private val SplitTestPct = 10
 
   /** The SAME bucket construction as TrainPrep.hashBucket, in DuckDB. */
   private def hashBucketSql(x: String): String =
@@ -718,6 +720,15 @@ object RegistryExt {
     "tp_pack_sequences" -> ((s, dir) =>
       TrainPrep.packSequences(t(s, dir, "documents"), "doc_id", "text",
         "lang", PackBudget)
+        .orderBy("doc_id")),
+
+    // Stratum-salted deterministic train/val/test split: each lang gets
+    // its own hash space, so per-stratum fractions hold independently
+    // and test membership is frozen under valPct growth.
+    "tp_stratified_split" -> ((s, dir) =>
+      TrainPrep.stratifiedSplit(t(s, dir, "documents"), "doc_id", "lang",
+          valPct = SplitValPct, testPct = SplitTestPct)
+        .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")),
 
     // Sliding-window chunking (embedding/RAG prep): 32-word windows at
@@ -794,6 +805,15 @@ object RegistryExt {
          |SELECT doc_id, lang, n_tokens, tokens_before,
          |  CAST(floor(tokens_before / $PackBudget) AS BIGINT) AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
+    "tp_stratified_split" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket,
+         |  CASE WHEN bucket < $SplitTestPct THEN 'test'
+         |       WHEN bucket < ${SplitTestPct + SplitValPct} THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     // DuckDB list slice w[a:b] is 1-based INCLUSIVE of both ends and
     // clamps past-the-end, matching Spark slice(w, a, len) exactly.
     "tp_chunk_windows" ->

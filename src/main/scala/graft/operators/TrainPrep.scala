@@ -43,6 +43,34 @@ object TrainPrep {
     df.withColumn("bucket", hashBucket(col(idCol)))
       .where(col("bucket") < pct)
 
+  /** Deterministic STRATIFIED train/val/test split: the [[hashBucket]]
+    * hash is salted with the stratum (`md5(stratum:id)`), so every
+    * stratum gets its own independent hash space — each stratum's
+    * val/test fractions hold individually (the point of
+    * stratification: a rare language still lands `testPct`% in test),
+    * and re-splitting never depends on which other strata exist.
+    * Split boundaries are cumulative, so growing `valPct` moves rows
+    * train→val only — test membership is frozen (the audit-friendly
+    * property: a test row can never silently become training data).
+    *
+    * Scale shape: a single narrow projection — one md5 per row, two
+    * comparisons; no shuffle, no per-stratum pass, composes with scan
+    * pushdown like every other hash decision in this file. */
+  def stratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+                      valPct: Int, testPct: Int): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"valPct=$valPct testPct=$testPct")
+    val salted = concat(col(stratumCol).cast(StringType), lit(":"),
+      col(idCol).cast(StringType))
+    val bucket = pmod(conv(substring(md5(salted), 1, 8), 16, 10)
+      .cast(LongType), lit(100L))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train"))
+  }
+
   /** Weighted corpus mix: each source keeps the slice of its OWN hash
     * space proportional to its weight (weights sum to 100), then the
     * slices union into one stream tagged with `source_id`. The split

@@ -92,6 +92,34 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.find(_._1 == 5L).get._5 == 1L)
   }
 
+  test("stratifiedSplit: per-stratum fractions, frozen test set under " +
+       "valPct growth, narrow plan") {
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i =>
+      (i, if (i % 10 == 0) "rare" else "common")).toDF("doc_id", "lang")
+    val s1 = graft.operators.TrainPrep
+      .stratifiedSplit(docs, "doc_id", "lang", valPct = 10, testPct = 10)
+    val byStratum = s1.groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> n }.toMap
+    // each stratum splits independently: the RARE stratum (200 rows)
+    // must itself land ~10% in test, not just the pooled corpus
+    val rareTest = byStratum.getOrElse(("rare", "test"), 0L)
+    assert(rareTest >= 10 && rareTest <= 40,
+      s"rare-stratum test count $rareTest implausible for 10% of 200")
+    // growing valPct moves rows train→val ONLY; test membership frozen
+    val s2 = graft.operators.TrainPrep
+      .stratifiedSplit(docs, "doc_id", "lang", valPct = 30, testPct = 10)
+    val test1 = s1.where($"split" === "test").select("doc_id")
+      .as[Long].collect().toSet
+    val test2 = s2.where($"split" === "test").select("doc_id")
+      .as[Long].collect().toSet
+    assert(test1 == test2, "test set must not move when valPct grows")
+    s1.collect()
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"),
+      "split must be a narrow projection")
+  }
+
   test("chunkWindows: stride positions, clamped tails, short docs; " +
        "plan is shuffle-free") {
     import spark.implicits._
