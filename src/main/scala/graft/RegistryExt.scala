@@ -37,6 +37,7 @@ object RegistryExt {
   private val NeardupPlanes = 8
   private val Dim = 64
   private val SessionGapSeconds = 1800L
+  private val FunnelSteps = Seq("view", "click", "purchase")
   // Attribution window for the stream-stream interval join (view→click).
   // 6 h keeps the fixture's pair count substantive (~250 at sf0.01).
   private val StreamJoinWindowSeconds = 21600L
@@ -1120,6 +1121,11 @@ object RegistryExt {
     "ev_hourly_rollup_approx" -> ((s, dir) =>
       Events.hourlyRollupApprox(t(s, dir, "events"))
         .orderBy("hour", "event_type")),
+    // Ordered funnel: users reaching view → click → purchase with each
+    // step strictly after the previous step's earliest completion.
+    "ev_funnel" -> ((s, dir) =>
+      Events.funnel(t(s, dir, "events"), FunnelSteps)
+        .orderBy("step_order")),
     // Exact-AND-bounded distinct: paged-bitmap aggregation (ClickHouse
     // groupBitmap analog). Hash-oracled against COUNT(DISTINCT) — the
     // bitmap path is exact by construction, so the oracle is the plain
@@ -1297,6 +1303,23 @@ object RegistryExt {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // epoch_us(CAST(... AS TIMESTAMP)) floors the nanos column to the
+    // same micros Spark compares on (the shared events-oracle pattern).
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_order, 'view' AS step,
+        |    CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step_order""".stripMargin,
     "ev_partition_prune" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
         |  count(*) AS n_events,

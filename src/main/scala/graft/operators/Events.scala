@@ -258,6 +258,39 @@ object Events {
       .withColumn("mov_sum", col("mov_micros").cast(DoubleType) / 1000000)
   }
 
+  /** Ordered FUNNEL analysis — how many users reach each step of an
+    * event sequence (view → click → purchase), where step i+1 counts
+    * only events STRICTLY AFTER the user's step-i completion time.
+    * Uses the greedy earliest-chain: the earliest qualifying event
+    * completes each step, which reaches step i iff ANY ordered chain
+    * of length i exists (the standard funnel semantics). Output: one
+    * row per step — `(step_order, step, n_users)`.
+    *
+    * Scale shape: stage k is a scan-pushed `event_type` filter, a join
+    * against the (user-cardinality) step-(k−1) table, and a
+    * groupBy(user_id) — every exchange in the chain hashes on
+    * `user_id`, so the sort-free aggregations and joins REUSE one
+    * partitioning end to end, and each stage's table only shrinks
+    * (funnels are monotone). The final counts are three scalar
+    * aggregates unioned into one action. */
+  def funnel(df: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val perStep = steps.tail.scanLeft(
+      df.where(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("ts")).as("t"))) {
+      case (prev, step) =>
+        df.where(col("event_type") === step)
+          .join(prev.select(col("user_id"), col("t").as("__pt")), "user_id")
+          .where(col("ts") > col("__pt"))
+          .groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    perStep.zip(steps).zipWithIndex.map { case ((d, step), i) =>
+      d.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast(LongType).as("step_order"),
+          lit(step).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
   /** EXACT distinct ids per key via paged bitmaps — the third point on
     * the distinct-count design spectrum this engine offers:
     * [[hourlyRollup]]'s `countDistinct` (exact, shuffles one row per

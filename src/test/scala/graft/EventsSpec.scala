@@ -257,6 +257,28 @@ class EventsSpec extends AnyFunSuite {
     assert(out(4L) == 8.0)
   }
 
+  test("funnel: strict ordering, missing steps, tie timestamps") {
+    val ev = Seq(
+      // user 7 completes the whole funnel in order
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:20:00"), 7L, "purchase", 0.0, "{}"),
+      // user 8 clicks BEFORE viewing: stuck at step 1
+      (4L, ts("2024-01-01 10:00:00"), 8L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:05:00"), 8L, "view", 0.0, "{}"),
+      // user 9 never clicks: purchase can't count
+      (6L, ts("2024-01-01 10:00:00"), 9L, "view", 0.0, "{}"),
+      (7L, ts("2024-01-01 10:05:00"), 9L, "purchase", 0.0, "{}"),
+      // user 10 clicks at the SAME instant as the view: strict > fails
+      (8L, ts("2024-01-01 10:00:00"), 10L, "view", 0.0, "{}"),
+      (9L, ts("2024-01-01 10:00:00"), 10L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.funnel(ev, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "view", 4L), (2L, "click", 1L),
+      (3L, "purchase", 1L)))
+  }
+
   test("bitmapDistinct == countDistinct: dups, nulls, negatives, " +
        "page-boundary ids") {
     val ids: Seq[java.lang.Long] = Seq[java.lang.Long](
