@@ -1126,6 +1126,12 @@ object RegistryExt {
     "ev_funnel" -> ((s, dir) =>
       Events.funnel(t(s, dir, "events"), FunnelSteps)
         .orderBy("step_order")),
+    // Cohort retention: users cohort by first-event date; each cell
+    // counts that cohort's actives day_offset days later.
+    "ev_retention" -> ((s, dir) =>
+      Events.retention(t(s, dir, "events"))
+        .withColumn("cohort_date", col("cohort_date").cast("string"))
+        .orderBy("cohort_date", "day_offset")),
     // Exact-AND-bounded distinct: paged-bitmap aggregation (ClickHouse
     // groupBitmap analog). Hash-oracled against COUNT(DISTINCT) — the
     // bitmap path is exact by construction, so the oracle is the plain
@@ -1303,6 +1309,17 @@ object RegistryExt {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Date truncation is nanos-insensitive, so the cohort oracle casts
+    // straight to DATE; DATE − DATE is integer days in DuckDB.
+    "ev_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_date FROM a GROUP BY user_id)
+        |SELECT CAST(cohort_date AS VARCHAR) AS cohort_date,
+        |  CAST(d - cohort_date AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY cohort_date, day_offset
+        |ORDER BY cohort_date, day_offset""".stripMargin,
     // epoch_us(CAST(... AS TIMESTAMP)) floors the nanos column to the
     // same micros Spark compares on (the shared events-oracle pattern).
     "ev_funnel" ->

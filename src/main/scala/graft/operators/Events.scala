@@ -291,6 +291,29 @@ object Events {
     }.reduce(_ unionAll _)
   }
 
+  /** COHORT RETENTION matrix — the second classic product-analytics
+    * rollup next to [[funnel]]: users cohort by the DATE of their first
+    * event; cell (cohort, day_offset) counts how many of that cohort
+    * were active day_offset days later. `n_users` at offset 0 is the
+    * cohort size, so rows read directly as retention curves.
+    *
+    * Scale shape: one (user, day) de-dup and one groupBy(user_id) for
+    * first-seen both hash on user_id (exchange reuse), the join is
+    * user-keyed on already-aggregated sides, and the final matrix agg
+    * is tiny (cohorts × offsets). Nothing rescans raw events twice at
+    * any corpus size. */
+  def retention(df: DataFrame): DataFrame = {
+    val activeDays = df.select(col("user_id"),
+      to_date(col("ts")).as("d")).distinct()
+    val cohorts = activeDays.groupBy("user_id")
+      .agg(min(col("d")).as("cohort_date"))
+    activeDays.join(cohorts, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast(LongType)
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** EXACT distinct ids per key via paged bitmaps — the third point on
     * the distinct-count design spectrum this engine offers:
     * [[hourlyRollup]]'s `countDistinct` (exact, shuffles one row per

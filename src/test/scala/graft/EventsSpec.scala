@@ -279,6 +279,28 @@ class EventsSpec extends AnyFunSuite {
       (3L, "purchase", 1L)))
   }
 
+  test("retention: cohorts by first-seen date, offset-0 is cohort size") {
+    val ev = Seq(
+      // user 7 first seen Jan 1, returns Jan 2 and Jan 4
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-02 09:00:00"), 7L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-02 23:00:00"), 7L, "view", 0.0, "{}"), // same day dedup
+      (4L, ts("2024-01-04 10:00:00"), 7L, "view", 0.0, "{}"),
+      // user 8 also cohorts Jan 1, never returns
+      (5L, ts("2024-01-01 11:00:00"), 8L, "view", 0.0, "{}"),
+      // user 9 cohorts Jan 2, returns Jan 3
+      (6L, ts("2024-01-02 10:00:00"), 9L, "view", 0.0, "{}"),
+      (7L, ts("2024-01-03 10:00:00"), 9L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.retention(ev)
+      .select($"cohort_date".cast("string"), $"day_offset", $"n_users")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-01", 3L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
+  }
+
   test("bitmapDistinct == countDistinct: dups, nulls, negatives, " +
        "page-boundary ids") {
     val ids: Seq[java.lang.Long] = Seq[java.lang.Long](
