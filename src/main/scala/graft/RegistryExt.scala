@@ -38,6 +38,7 @@ object RegistryExt {
   private val Dim = 64
   private val SessionGapSeconds = 1800L
   private val FunnelSteps = Seq("view", "click", "purchase")
+  private val PathTopK = 20
   // Attribution window for the stream-stream interval join (view→click).
   // 6 h keeps the fixture's pair count substantive (~250 at sf0.01).
   private val StreamJoinWindowSeconds = 21600L
@@ -1126,6 +1127,10 @@ object RegistryExt {
     "ev_funnel" -> ((s, dir) =>
       Events.funnel(t(s, dir, "events"), FunnelSteps)
         .orderBy("step_order")),
+    // Behavioral-graph edge weights: top (from, to) consecutive
+    // event-type pairs per user timeline, (ts, event_id)-total-ordered.
+    "ev_path_transitions" -> ((s, dir) =>
+      Events.pathTransitions(t(s, dir, "events"), PathTopK)),
     // Cohort retention: users cohort by first-event date; each cell
     // counts that cohort's actives day_offset days later.
     "ev_retention" -> ((s, dir) =>
@@ -1309,6 +1314,16 @@ object RegistryExt {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_path_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |p AS (SELECT event_type AS from_type,
+         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+         |  FROM e)
+         |SELECT from_type, to_type, count(*) AS n FROM p
+         |WHERE to_type IS NOT NULL
+         |GROUP BY from_type, to_type
+         |ORDER BY n DESC, from_type, to_type LIMIT $PathTopK""".stripMargin,
     // Date truncation is nanos-insensitive, so the cohort oracle casts
     // straight to DATE; DATE − DATE is integer days in DuckDB.
     "ev_retention" ->

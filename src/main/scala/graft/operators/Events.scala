@@ -291,6 +291,30 @@ object Events {
     }.reduce(_ unionAll _)
   }
 
+  /** PATH TRANSITIONS — the top `(from, to)` consecutive event-type
+    * pairs across user timelines (the edge weights of the behavioral
+    * Markov graph; with [[funnel]] and [[retention]] this completes
+    * the product-analytics trio). Consecutive = next event of the SAME
+    * user under the total order (ts, event_id) — event_id is unique,
+    * so ties in ts break deterministically and the oracle replays the
+    * exact same sequence.
+    *
+    * Scale shape: one window keyed on user_id (partition size = one
+    * user's history, never corpus-bound), one map-side-combining
+    * groupBy over a tiny (|types|²) key space, and a bounded global
+    * top-k — the final `orderBy.limit` plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). */
+  def pathTransitions(df: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    df.select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(topK)
+  }
+
   /** COHORT RETENTION matrix — the second classic product-analytics
     * rollup next to [[funnel]]: users cohort by the DATE of their first
     * event; cell (cohort, day_offset) counts how many of that cohort

@@ -279,6 +279,24 @@ class EventsSpec extends AnyFunSuite {
       (3L, "purchase", 1L)))
   }
 
+  test("pathTransitions: per-user consecutive pairs, ts ties broken " +
+       "by event_id, ranked by count") {
+    val ev = Seq(
+      // user 7: view → click → view  ⇒ (view,click), (click,view)
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 7L, "view", 0.0, "{}"),
+      // user 8: two events at the SAME ts — event_id orders them
+      (4L, ts("2024-01-01 10:00:00"), 8L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 8L, "click", 0.0, "{}"),
+      // user 9: single event — no transition
+      (6L, ts("2024-01-01 10:00:00"), 9L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.pathTransitions(ev, 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("view", "click", 2L), ("click", "view", 1L)))
+  }
+
   test("retention: cohorts by first-seen date, offset-0 is cohort size") {
     val ev = Seq(
       // user 7 first seen Jan 1, returns Jan 2 and Jan 4
