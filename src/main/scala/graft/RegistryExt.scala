@@ -1131,6 +1131,19 @@ object RegistryExt {
     // event-type pairs per user timeline, (ts, event_id)-total-ordered.
     "ev_path_transitions" -> ((s, dir) =>
       Events.pathTransitions(t(s, dir, "events"), PathTopK)),
+    // Full-walk sibling of ev_path_transitions: top-k complete session
+    // path strings (same gap convention as ev_sessionize).
+    "ev_session_paths" -> ((s, dir) =>
+      Events.sessionPaths(t(s, dir, "events"), SessionGapSeconds, PathTopK)),
+    // SCD type-2 intervals from the raw change stream: one row per run
+    // of consecutive equal event types, with validity bounds.
+    "ev_scd2" -> ((s, dir) =>
+      Events.scd2(t(s, dir, "events")).orderBy("user_id", "version")),
+    // ROLLUP grouping sets: leaf (type, day) cells + per-type subtotals
+    // + grand total in one Expand+aggregate pass.
+    "ev_rollup_multi" -> ((s, dir) =>
+      Events.rollupMulti(t(s, dir, "events"))
+        .orderBy("gid", "event_type", "day")),
     // Cohort retention: users cohort by first-event date; each cell
     // counts that cohort's actives day_offset days later.
     "ev_retention" -> ((s, dir) =>
@@ -1324,6 +1337,54 @@ object RegistryExt {
          |WHERE to_type IS NOT NULL
          |GROUP BY from_type, to_type
          |ORDER BY n DESC, from_type, to_type LIMIT $PathTopK""".stripMargin,
+    // Same session-break chain as sessionizeOracleSql (strictly-> gap),
+    // with event_type carried through; string_agg's ORDER BY replays
+    // the (us, event_id) total order the Spark array_sort restores.
+    "ev_session_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |b AS (SELECT user_id, event_id, event_type, us,
+         |  CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > ${SessionGapSeconds * 1000000L}
+         |       THEN 1 ELSE 0 END AS brk
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT user_id, event_id, event_type, us,
+         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |FROM b),
+         |p AS (SELECT string_agg(event_type, '>' ORDER BY us, event_id) AS path
+         |  FROM s GROUP BY user_id, session_id)
+         |SELECT path, count(*) AS n FROM p
+         |GROUP BY path ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin,
+    "ev_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type
+        |       THEN 1 ELSE 0 END AS chg
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (SELECT user_id, event_type, us,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |FROM b),
+        |g AS (SELECT user_id, version, min(event_type) AS state,
+        |  min(us) AS valid_from_us, count(*) AS n_events
+        |FROM r GROUP BY user_id, version)
+        |SELECT user_id, version, state, valid_from_us, n_events,
+        |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version),
+        |           9223372036854775807) AS valid_to_us
+        |FROM g ORDER BY user_id, version""".stripMargin,
+    "ev_rollup_multi" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events)
+        |SELECT coalesce(event_type, '(all)') AS event_type,
+        |  coalesce(day, '(all)') AS day,
+        |  CAST(grouping_id(event_type, day) AS BIGINT) AS gid,
+        |  count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS value_micros
+        |FROM e GROUP BY ROLLUP(event_type, day)
+        |ORDER BY gid, event_type, day""".stripMargin,
     // Date truncation is nanos-insensitive, so the cohort oracle casts
     // straight to DATE; DATE − DATE is integer days in DuckDB.
     "ev_retention" ->

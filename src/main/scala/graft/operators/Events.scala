@@ -74,20 +74,28 @@ object Events {
     * `[first, last + gap)`, half-open) all use the same convention; an
     * `EventsSpec` test sits at exactly-gap distance so a refactor
     * flipping any side to `>=` fails loudly. */
-  def sessionize(df: DataFrame, gapSeconds: Long): DataFrame = {
-    val us = unix_micros(col("ts"))
-    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val withUs = df.select(col("user_id"), col("event_id"), us.as("us"))
-    val gap = col("us") - lag(col("us"), 1).over(order)
-    val brk = when(gap.isNull || gap > gapSeconds * 1000000L, 1).otherwise(0)
-    val sid = sum(brk).over(order.rowsBetween(Window.unboundedPreceding,
-      Window.currentRow))
-    withUs.withColumn("session_id", sid.cast(LongType))
+  def sessionize(df: DataFrame, gapSeconds: Long): DataFrame =
+    withSessionIds(df, gapSeconds)
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"),
         max(col("us")).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  /** Per-EVENT session-id assignment — the break/running-sum core shared
+    * by [[sessionize]] and [[sessionPaths]] (one definition, one boundary
+    * convention). `extraCols` lets a caller carry payload columns through
+    * the window without [[sessionize]] paying their exchange bytes. */
+  private def withSessionIds(df: DataFrame, gapSeconds: Long,
+                             extraCols: Seq[String] = Nil): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val withUs = df.select(Seq(col("user_id"), col("event_id")) ++
+      extraCols.map(col) :+ unix_micros(col("ts")).as("us"): _*)
+    val gap = col("us") - lag(col("us"), 1).over(order)
+    val brk = when(gap.isNull || gap > gapSeconds * 1000000L, 1).otherwise(0)
+    val sid = sum(brk).over(order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow))
+    withUs.withColumn("session_id", sid.cast(LongType))
   }
 
   /** TWO-LEVEL sessionization — the hot-key mitigation the plain
@@ -355,4 +363,94 @@ object Events {
       .groupBy(col(keyCol))
       .agg(sum(col("__page_distinct")).as("n_distinct"))
   }
+
+  /** SESSION PATH MINING — the top-k complete event-type paths across
+    * sessions ([[pathTransitions]] gives the Markov EDGES; this gives
+    * the full WALKS, the "most common journeys" view). Sessions come
+    * from [[withSessionIds]] (same gap convention as [[sessionize]]);
+    * a session's path is its event types joined by `>` in (ts,
+    * event_id) order — a total order, so the string is deterministic
+    * and the oracle's `string_agg(... ORDER BY us, event_id)` replays
+    * it exactly.
+    *
+    * Scale shape: the per-session `collect_list` state is bounded by
+    * session LENGTH (minutes of one user's activity — never
+    * corpus-bound, unlike a per-user collect); `array_sort` restores
+    * determinism locally after the unordered collect. The path count
+    * is a map-side-combining groupBy on a short string key, and the
+    * final top-k plans as TakeOrderedAndProject (per-partition heaps,
+    * no global sort). */
+  def sessionPaths(df: DataFrame, gapSeconds: Long, topK: Int): DataFrame =
+    withSessionIds(df, gapSeconds, Seq("event_type"))
+      .groupBy("user_id", "session_id")
+      .agg(array_sort(collect_list(struct(col("us"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        transform(col("evs"), e => e.getField("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+
+  /** SCD TYPE-2 interval build — compress each user's event-type
+    * timeline into validity intervals: one row per RUN of consecutive
+    * equal states, with `valid_from_us` / `valid_to_us` (next run's
+    * start; the classic high-value sentinel `Long.MaxValue` = still
+    * current, keeping the output null-free) and 1-based `version`
+    * numbers. The
+    * classic warehouse dimension-history shape, derived here from the
+    * raw change stream in one pass.
+    *
+    * Determinism: runs are cut on the (ts, event_id) total order, so
+    * versions and interval bounds are engine-independent; `state` is
+    * constant within a run, so `min(state)` extracts it without a
+    * `first()` (whose result would be partition-order-dependent).
+    *
+    * Scale shape: one window exchange keyed on user_id (task size = one
+    * user's history), then the run compression is a map-side-combining
+    * groupBy on (user, version) — already co-partitioned by the window
+    * exchange, so no second shuffle — and the `valid_to_us` stitch runs
+    * over RUNS (≤ changes, typically ≪ events). */
+  def scd2(df: DataFrame): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val withUs = df.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val prev = lag(col("event_type"), 1).over(order)
+    val chg = when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0)
+    val ver = sum(chg).over(order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow))
+    val runs = withUs.withColumn("version", ver.cast(LongType))
+      .groupBy("user_id", "version")
+      .agg(min(col("event_type")).as("state"),
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val stitch = Window.partitionBy("user_id").orderBy(col("version"))
+    runs.withColumn("valid_to_us",
+      coalesce(lead(col("valid_from_us"), 1).over(stitch),
+        lit(Long.MaxValue)))
+  }
+
+  /** HIERARCHICAL ROLLUP — (event_type, day) aggregates plus per-type
+    * subtotals plus the grand total in ONE pass (`ROLLUP` grouping
+    * sets; `gid` is the standard SQL GROUPING_ID bitmask: 0 = leaf,
+    * 1 = type subtotal, 3 = grand total). Aggregated-away keys render
+    * as the `(all)` sentinel so the result needs no NULL-ordering
+    * convention to compare across engines.
+    *
+    * Scale shape: Catalyst plans ROLLUP as a single Expand + one
+    * hash aggregate — each input row expands to its 3 grouping-set
+    * rows map-side and partials combine before the one shuffle; sums
+    * stay in exact micro-units ([[micros]]) so subtotal and total
+    * are bit-identical to the leaves' sum at any partition order. */
+  def rollupMulti(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+        date_trunc("day", col("ts")).cast(StringType).as("day"),
+        micros(col("value")).as("vm"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("value_micros"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), lit("(all)")).as("day"),
+        col("gid").cast(LongType).as("gid"),
+        col("n_events"), col("value_micros"))
 }

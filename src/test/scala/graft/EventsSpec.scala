@@ -297,6 +297,62 @@ class EventsSpec extends AnyFunSuite {
     assert(out == Seq(("view", "click", 2L), ("click", "view", 1L)))
   }
 
+  test("sessionPaths: gap splits sessions, paths ranked, ties by path asc") {
+    val ev = Seq(
+      // user 7: view→click, then a >30 min gap, then view→click again
+      // ⇒ the path "view>click" twice from one user
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 7L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 12:05:00"), 7L, "click", 0.0, "{}"),
+      // user 8: one session, same-ts pair ordered by event_id
+      (5L, ts("2024-01-01 10:00:00"), 8L, "purchase", 0.0, "{}"),
+      (6L, ts("2024-01-01 10:00:00"), 8L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.sessionPaths(ev, 1800L, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("view>click", 2L), ("purchase>view", 1L)))
+  }
+
+  test("scd2: runs collapse to versioned intervals; last interval open") {
+    val ev = Seq(
+      // user 7: view, view, click, view ⇒ 3 runs
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 7L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:15:00"), 7L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def us(s: String) = ts(s).getTime * 1000L
+    val out = Events.scd2(ev).orderBy("user_id", "version")
+      .select("user_id", "version", "state", "valid_from_us", "n_events",
+        "valid_to_us")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (7L, 1L, "view", us("2024-01-01 10:00:00"), 2L,
+        us("2024-01-01 10:10:00")),
+      (7L, 2L, "click", us("2024-01-01 10:10:00"), 1L,
+        us("2024-01-01 10:15:00")),
+      (7L, 3L, "view", us("2024-01-01 10:15:00"), 1L, Long.MaxValue)))
+  }
+
+  test("rollupMulti: subtotals and grand total are exact sums of leaves") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.5, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 7L, "view", 2.25, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 8L, "click", 0.5, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.rollupMulti(ev)
+      .orderBy("gid", "event_type", "day")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("click", "2024-01-01 00:00:00", 0L, 1L, 500000L),
+      ("view", "2024-01-01 00:00:00", 0L, 1L, 1500000L),
+      ("view", "2024-01-02 00:00:00", 0L, 1L, 2250000L),
+      ("click", "(all)", 1L, 1L, 500000L),
+      ("view", "(all)", 1L, 2L, 3750000L),
+      ("(all)", "(all)", 3L, 3L, 4250000L)))
+  }
+
   test("retention: cohorts by first-seen date, offset-0 is cohort size") {
     val ev = Seq(
       // user 7 first seen Jan 1, returns Jan 2 and Jan 4
