@@ -300,6 +300,26 @@ object RegistryExt {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware dedup ending: same doubled corpus and verified-pair
+    // chain as dd_components, but electing each cluster's best copy by
+    // the fixture's n_chars score (shifted copies carry the SAME score,
+    // so the tie-break keeps the ORIGINAL id canonical — the outcome a
+    // production pipeline wants).
+    "dd_cluster_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val near = d.unionAll(d.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text"),
+        col("n_chars")))
+      val verified = Dedup.jaccardOfPairs(near,
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignature(near, "doc_id", "text", NumHashes),
+          "doc_id", NumHashes, Bands),
+        "doc_id", "text", JaccardThreshold)
+      Dedup.clusterCanonical(near, verified, "doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Blocked edit-distance (fuzzy) pairing: prefix block → levenshtein
     // only among block-mates (the Jaccard path's string-similarity
     // dual). Fixture distances are bimodal (near-dups ≤ 4, unrelated
@@ -396,6 +416,38 @@ object RegistryExt {
          |  FROM nodes GROUP BY cluster_id)
          |SELECT n.doc_id, n.cluster_id, s.cluster_size
          |FROM nodes n JOIN sz s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+    // dd_components' recursive-CTE chain plus the per-cluster election:
+    // row_number over (n_chars DESC, doc_id) replays the Spark side's
+    // max(struct(score, -id)) exactly. The doubled CTE carries the
+    // fixture n_chars through the shifted copies unchanged.
+    "dd_cluster_canonical" ->
+      s"""WITH RECURSIVE dsc AS (SELECT doc_id, text, n_chars FROM documents
+         |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz', n_chars FROM documents),
+         |${lshVerifyCtesOver("dsc")},
+         |vp AS (SELECT doc_a, doc_b FROM j
+         |  WHERE CAST(n_inter AS DOUBLE) / (n_both - n_inter) >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |  UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |nodes AS (SELECT doc_id, COALESCE(l.cluster_id, doc_id) AS cluster_id
+         |  FROM dsc LEFT JOIN lbl l ON dsc.doc_id = l.node),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |  FROM nodes GROUP BY cluster_id),
+         |best AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |  SELECT n.cluster_id, n.doc_id,
+         |    row_number() OVER (PARTITION BY n.cluster_id
+         |      ORDER BY d2.n_chars DESC, n.doc_id) AS rn
+         |  FROM nodes n JOIN dsc d2 USING (doc_id))
+         |  WHERE rn = 1)
+         |SELECT n.doc_id, n.cluster_id, s.cluster_size, b.canonical_id,
+         |  n.doc_id = b.canonical_id AS is_canonical
+         |FROM nodes n JOIN sz s USING (cluster_id) JOIN best b USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
     "dd_simhash" -> {
       val sums = (0 until 32).map { b =>

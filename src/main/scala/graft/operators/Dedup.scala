@@ -352,6 +352,38 @@ object Dedup {
     df.join(pairs.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** CANONICAL-REPRESENTATIVE selection — the quality-aware ending of
+    * a dedup pipeline: [[dropNearDuplicates]] keeps each dup group's
+    * arbitrary minimal id, but a production corpus wants the BEST copy
+    * (highest quality score, longest text, newest crawl…). Given
+    * verified duplicate pairs, this clusters them with
+    * [[connectedComponents]] and elects per cluster the doc maximizing
+    * `scoreCol` (tie → smallest id), emitting the full redirect map:
+    * `(id, cluster_id, cluster_size, canonical_id, is_canonical)` —
+    * filter `is_canonical` for the deduped corpus, or join
+    * `canonical_id` to rewrite references.
+    *
+    * Determinism: the election is `max(struct(score, -id))` — a single
+    * lexicographic max, order-independent, no `first()` anywhere.
+    *
+    * Scale shape: on top of the components' cost, one id-keyed join to
+    * attach scores, a map-side-combining per-cluster struct-max (state
+    * = one struct per cluster), and a join back on cluster_id. Scores
+    * ride as one extra column — the corpus text never shuffles. */
+  def clusterCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       scoreCol: String, maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(docs, pairs, idCol, maxIter)
+    val scored = comp.join(docs.select(col(idCol), col(scoreCol)), idCol)
+    val best = scored.groupBy("cluster_id")
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid")))
+        .as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("canonical_id"))
+    comp.join(best, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("is_canonical"))
+  }
+
   /** Benchmark DECONTAMINATION audit — the n-gram-overlap check every
     * serious training-data pipeline runs before release (e.g. GPT-3
     * App. C / PaLM §6.1: drop training documents sharing n-grams with

@@ -120,6 +120,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (_, cid, sz) => cid == 1L && sz == n.toLong })
   }
 
+  test("clusterCanonical: per-cluster score argmax, ties to smallest id, " +
+       "singleton is its own canonical") {
+    val docs = Seq(
+      // chain cluster {1,2,3}: 2 has the top score ⇒ canonical
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 20L),
+      // pair {4,5}: equal scores ⇒ tie-break keeps 4
+      (4L, "d", 7L), (5L, "e", 7L),
+      (9L, "lonely", 1L)).toDF("id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterCanonical(docs, pairs, "id", "score")
+      .select("id", "cluster_id", "cluster_size", "canonical_id",
+        "is_canonical")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 3L, 2L, false), (2L, 1L, 3L, 2L, true),
+      (3L, 1L, 3L, 2L, false),
+      (4L, 4L, 2L, 4L, true), (5L, 4L, 2L, 4L, false),
+      (9L, 9L, 1L, 9L, true)))
+  }
+
   test("fuzzyPairs: block-mates within the edit budget; non-ASCII stripped") {
     val docs = Seq(
       (1L, "The quick brown fox jumps over the lazy dog"),
