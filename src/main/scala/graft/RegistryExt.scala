@@ -747,6 +747,10 @@ object RegistryExt {
   private val HeavyHittersK = 25
   private val SplitValPct = 10
   private val SplitTestPct = 10
+  // Per-source token budget for tp_token_budget — ~45% of a fixture
+  // source's ~1300 tokens, so each source's selection boundary lands
+  // mid-catalog (both verdicts well-populated).
+  private val CurateBudget = 600L
 
   /** The SAME bucket construction as TrainPrep.hashBucket, in DuckDB. */
   private def hashBucketSql(x: String): String =
@@ -774,6 +778,14 @@ object RegistryExt {
     "tp_pack_sequences" -> ((s, dir) =>
       TrainPrep.packSequences(t(s, dir, "documents"), "doc_id", "text",
         "lang", PackBudget)
+        .orderBy("doc_id")),
+
+    // Token-budget curation: each source keeps its best docs (n_chars
+    // as the score stand-in, tie → id) until 600 tokens accumulate;
+    // every row carries its verdict.
+    "tp_token_budget" -> ((s, dir) =>
+      TrainPrep.tokenBudget(t(s, dir, "documents"), "doc_id", "text",
+          "source", "n_chars", CurateBudget)
         .orderBy("doc_id")),
 
     // Stratum-salted deterministic train/val/test split: each lang gets
@@ -848,6 +860,18 @@ object RegistryExt {
          |  SELECT doc_id, bucket, 1 AS source_id FROM bh
          |    WHERE bucket >= $MixWeightA AND bucket < 100)
          |SELECT doc_id, bucket, source_id FROM u ORDER BY doc_id""".stripMargin,
+    "tp_token_budget" ->
+      s"""WITH n AS (SELECT doc_id, source, n_chars,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_chars, n_tokens,
+         |  COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tokens_before
+         |  FROM n)
+         |SELECT doc_id, source, n_chars, n_tokens, tokens_before,
+         |  tokens_before < $CurateBudget AS selected
+         |FROM c ORDER BY doc_id""".stripMargin,
     "tp_pack_sequences" ->
       s"""WITH n AS (SELECT doc_id, lang,
          |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens

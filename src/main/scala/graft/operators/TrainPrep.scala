@@ -105,6 +105,38 @@ object TrainPrep {
         floor(col("tokens_before") / budgetTokens).cast(LongType))
   }
 
+  /** TOKEN-BUDGET curation — the data-mix step after scoring: each
+    * source contributes its BEST documents (by `scoreCol`, descending;
+    * tie → smallest id) until its token budget fills. A document is
+    * selected when the tokens accumulated BEFORE it are still under
+    * budget, so a source may overrun by at most its last document —
+    * the same no-document-splitting convention as [[packSequences]].
+    * Every row is emitted with its `selected` verdict (audit-friendly,
+    * like [[stratifiedSplit]]'s full-row output); filter `selected`
+    * for the curated corpus.
+    *
+    * Scale shape: one window exchange keyed on the source — partition
+    * size = one source's catalog of (id, score, count) TRIPLES, not
+    * its text (the projection drops `textCol` after the narrow token
+    * count, so document bodies never shuffle). A corpus with few giant
+    * sources should pre-split them into sub-sources upstream; at that
+    * point this is the same bounded per-key window as every other
+    * operator here. */
+  def tokenBudget(df: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, scoreCol: String,
+                  budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens")
+    val nTokens = size(split(trim(col(textCol)), "\\s+")).cast(LongType)
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.select(col(idCol), col(sourceCol), col(scoreCol),
+        nTokens.as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("selected", col("tokens_before") < budgetTokens)
+  }
+
   /** The corpus-prep pipeline END-TO-END — what a user actually runs
     * over a raw crawl: cheap narrow filters first (quality heuristics,
     * language ID — pure codegen maps sitting directly on the scan, so

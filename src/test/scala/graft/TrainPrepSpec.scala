@@ -69,6 +69,28 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(packed.filter(_._2 == "de").map(_._5).min == 0L)
   }
 
+  test("tokenBudget: best-score-first greedy fill, one-doc overrun, " +
+       "tie to smallest id, budgets independent per source") {
+    val d = Seq(
+      // srcA: scores pick order 2 (4 toks), 1 (3 toks), 3 (2 toks).
+      // budget 5: doc 2 (before=0) and doc 1 (before=4) selected —
+      // doc 1 overruns to 7, doc 3 (before=7) is out.
+      (1L, "srcA", 10L, "w w w"),
+      (2L, "srcA", 20L, "w w w w"),
+      (3L, "srcA", 5L, "w w"),
+      // srcB: equal scores ⇒ id order; budget admits only doc 4.
+      (4L, "srcB", 9L, "w w w w w"),
+      (5L, "srcB", 9L, "w")
+    ).toDF("doc_id", "source", "score", "text")
+    val out = TrainPrep.tokenBudget(d, "doc_id", "text", "source",
+        "score", 5L)
+      .select("doc_id", "n_tokens", "tokens_before", "selected")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 4L, true), (2L, 4L, 0L, true), (3L, 2L, 7L, false),
+      (4L, 5L, 0L, true), (5L, 1L, 5L, false)))
+  }
+
   test("corpusPipeline: each stage drops for its own reason") {
     val en = "the cat is in the house and the dog is in the yard today"
     val docs = Seq(
