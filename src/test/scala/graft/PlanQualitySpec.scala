@@ -176,6 +176,67 @@ class PlanQualitySpec extends AnyFunSuite {
       s"packing must shuffle once on the shard key:\n$pack")
   }
 
+  test("events path/scd2/rollup plans: bounded top-k, reused exchanges, " +
+       "one Expand pass") {
+    import graft.operators.Events
+    val ev = Tables.load(spark, dir, "events")
+    def finalPlan(p: String) = p.split("== Initial Plan ==").head
+    def hashExchanges(p: String) = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+
+    // pathTransitions / sessionPaths: global top-k must be a bounded
+    // heap (TakeOrderedAndProject), never a range-exchange global sort.
+    val pt = finalPlan(planString(Events.pathTransitions(ev, 20)))
+    assert(pt.contains("TakeOrderedAndProject"),
+      s"pathTransitions top-k must be TakeOrderedAndProject:\n$pt")
+    assert(!pt.contains("rangepartitioning"),
+      s"pathTransitions must not globally sort:\n$pt")
+    val sp = finalPlan(planString(Events.sessionPaths(ev, 1800L, 20)))
+    assert(sp.contains("TakeOrderedAndProject"),
+      s"sessionPaths top-k must be TakeOrderedAndProject:\n$sp")
+    // session window on user_id; the (user, session) collect reuses its
+    // partitioning (subset key), so only the path count re-shuffles.
+    assert(hashExchanges(sp).size == 2,
+      s"sessionPaths: window + path count = two hash exchanges:\n$sp")
+
+    // scd2: the run groupBy(user, version) and the stitch window are
+    // both satisfied by the session window's hashpartitioning(user_id)
+    // — the whole interval build rides ONE exchange (scaladoc claim).
+    val scd = finalPlan(planString(Events.scd2(ev)))
+    val scdEx = hashExchanges(scd)
+    assert(scdEx.size == 1 && scdEx.head.contains("user_id"),
+      s"scd2 must shuffle once, on user_id:\n$scd")
+
+    // rollupMulti: grouping sets = one Expand + one aggregate exchange.
+    val ru = finalPlan(planString(Events.rollupMulti(ev)))
+    assert(ru.contains("Expand"),
+      s"rollupMulti must plan ROLLUP as Expand:\n$ru")
+    assert(hashExchanges(ru).size == 1,
+      s"rollupMulti: one aggregate exchange:\n$ru")
+  }
+
+  test("tokenBudget shuffles catalogs, not text: one source-keyed " +
+       "exchange whose rows exclude the document body") {
+    import graft.operators.TrainPrep
+    val docs = Tables.load(spark, dir, "documents")
+    val df = TrainPrep.tokenBudget(docs, "doc_id", "text", "source",
+      "n_chars", 600L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("source"),
+      s"tokenBudget must shuffle once on the source key:\n$plan")
+    // the window input project computes n_tokens from text BELOW the
+    // exchange; text itself must not ride the shuffle
+    assert(!exchanges.head.contains("text"),
+      s"document text must not be a shuffle key:\n${exchanges.head}")
+    val windowLine = plan.linesIterator.find(_.contains("Window ["))
+    assert(windowLine.exists(!_.contains("text#")),
+      s"text must be projected away before the window:\n$windowLine")
+  }
+
   test("ascii_backslash is callable from plain SQL (extension injection)") {
     val r = spark.sql("SELECT ascii_backslash('café') AS e")
       .collect().head.getString(0)
