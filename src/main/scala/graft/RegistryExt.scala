@@ -1383,6 +1383,29 @@ object RegistryExt {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // SCD2 run compression — shared verbatim by the batch build (ev_scd2)
+  // and its streaming CDC dual (st_scd2): two implementations, one
+  // contract, including the Long.MaxValue "current" sentinel.
+  private lazy val scd2OracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |b AS (SELECT user_id, event_id, event_type, us,
+      |  CASE WHEN lag(event_type) OVER w IS NULL
+      |         OR lag(event_type) OVER w <> event_type
+      |       THEN 1 ELSE 0 END AS chg
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |r AS (SELECT user_id, event_type, us,
+      |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |FROM b),
+      |g AS (SELECT user_id, version, min(event_type) AS state,
+      |  min(us) AS valid_from_us, count(*) AS n_events
+      |FROM r GROUP BY user_id, version)
+      |SELECT user_id, version, state, valid_from_us, n_events,
+      |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version),
+      |           9223372036854775807) AS valid_to_us
+      |FROM g ORDER BY user_id, version""".stripMargin
+
   // events.ts is TIMESTAMP(NANOS) in the parquet; Spark-side we truncate
   // to microseconds (Tables.load), so every oracle goes through
   // epoch_us(CAST(ts AS TIMESTAMP)) — the same floor-to-micros.
@@ -1432,25 +1455,7 @@ object RegistryExt {
          |  FROM s GROUP BY user_id, session_id)
          |SELECT path, count(*) AS n FROM p
          |GROUP BY path ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin,
-    "ev_scd2" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |b AS (SELECT user_id, event_id, event_type, us,
-        |  CASE WHEN lag(event_type) OVER w IS NULL
-        |         OR lag(event_type) OVER w <> event_type
-        |       THEN 1 ELSE 0 END AS chg
-        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |r AS (SELECT user_id, event_type, us,
-        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
-        |FROM b),
-        |g AS (SELECT user_id, version, min(event_type) AS state,
-        |  min(us) AS valid_from_us, count(*) AS n_events
-        |FROM r GROUP BY user_id, version)
-        |SELECT user_id, version, state, valid_from_us, n_events,
-        |  coalesce(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version),
-        |           9223372036854775807) AS valid_to_us
-        |FROM g ORDER BY user_id, version""".stripMargin,
+    "ev_scd2" -> scd2OracleSql,
     "ev_rollup_multi" ->
       """WITH e AS (SELECT event_type,
         |  CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
@@ -1821,6 +1826,32 @@ object RegistryExt {
         .orderBy("user_id", "session_id")
     }),
 
+    // Streaming SCD2: incremental run compression with state-change
+    // emission; the beyond-horizon sentinel flushes open intervals so
+    // the drained stream equals the batch scd2 (same oracle).
+    "st_scd2" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      import s.implicits._
+      val batch = t(s, dir, "events")
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)
+      val sentinelDir = java.nio.file.Files
+        .createTempDirectory("graft_st_scd2_sentinel").toString
+      Seq((-1L, -1L, "flush", sentinelTs))
+        .toDF("user_id", "event_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(sentinelDir)
+      val evStream = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      val src = evStream.unionAll(
+        s.readStream.schema(s.read.parquet(sentinelDir).schema)
+          .parquet(sentinelDir))
+      StreamOps.runToCompletion(s, src,
+        df => StreamOps.statefulScd2(df.as[StreamOps.TypedEv]).toDF(),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "version")
+    }),
+
     // Stream-stream watermarked interval join (views × clicks of the
     // same user within the attribution window) — a genuinely streaming
     // join with bounded state; one file stream forked into two sides
@@ -1893,6 +1924,9 @@ object RegistryExt {
     // Identical to the batch sessionize oracle: custom streaming state
     // must agree with the window formulation bit-for-bit.
     "st_stateful_sessions" -> sessionizeOracleSql,
+    // The streaming CDC run compression must equal the batch interval
+    // build value-for-value once drained (sentinel-flushed).
+    "st_scd2" -> scd2OracleSql,
     // Batch dual of the streaming interval join: inclusive BETWEEN on
     // micros; (view_event_id, click_event_id) is a unique pair → total
     // order, inner join → no nulls.

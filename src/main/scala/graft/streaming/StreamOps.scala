@@ -246,6 +246,81 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class TypedEv(user_id: Long, event_id: Long, event_type: String,
+                           ts: java.sql.Timestamp)
+  final case class ScdState(version: Long, state: String, validFromUs: Long,
+                            n: Long, lastUs: Long)
+  final case class ScdOut(user_id: Long, version: Long, state: String,
+                          valid_from_us: Long, n_events: Long,
+                          valid_to_us: Long)
+
+  /** STREAMING SCD TYPE-2 — the CDC dual of [[graft.operators.Events
+    * .scd2]]: per-user run compression of the event-type stream into
+    * versioned validity intervals, emitted INCREMENTALLY. A state
+    * change closes the running interval (its `valid_to_us` = the new
+    * run's start) and emits it immediately; the still-open run lives in
+    * the group state and is emitted with the `Long.MaxValue` "current"
+    * sentinel when the user has been quiet past `flushAfterSeconds` of
+    * EVENT TIME (the end-of-stream flush horizon — an AvailableNow
+    * drain with a beyond-horizon sentinel event flushes everything, and
+    * the output then equals the batch scd2 value-for-value, same
+    * interval bounds, same versions). Set the horizon beyond the
+    * longest expected mid-stream quiet spell: a flushed user restarts
+    * at version 1, which is the documented trade of emitting "current"
+    * rows at all from an append-only stream.
+    *
+    * Scale shape: state per user is ONE fixed-size run summary (five
+    * scalars) — no per-event buffering; emission volume = state
+    * CHANGES, not events. Same one-shuffle-per-micro-batch profile as
+    * [[statefulSessionize]]. */
+  def statefulScd2(events: Dataset[TypedEv],
+                   flushAfterSeconds: Long = 3600L,
+                   watermarkDelay: String = "0 seconds")
+      : Dataset[ScdOut] = {
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, it: Iterator[TypedEv],
+               state: GroupState[ScdState]): Iterator[ScdOut] = {
+      var out = List.empty[ScdOut]
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          out ::= ScdOut(userId, s.version, s.state, s.validFromUs, s.n,
+            Long.MaxValue)
+        }
+        state.remove()
+      } else {
+        var cur = state.getOption.orNull
+        it.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+          val us = usOf(e.ts)
+          cur match {
+            case null =>
+              cur = ScdState(1L, e.event_type, us, 1L, us)
+            case s if s.state != e.event_type =>
+              out ::= ScdOut(userId, s.version, s.state, s.validFromUs,
+                s.n, us)
+              cur = ScdState(s.version + 1, e.event_type, us, 1L, us)
+            case s =>
+              cur = s.copy(n = s.n + 1, lastUs = math.max(s.lastUs, us))
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(
+            cur.lastUs / 1000L + flushAfterSeconds * 1000L)
+        }
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   // ------------------------------------------------------------------
   // Run-to-completion harness (file stream → memory sink)
   // ------------------------------------------------------------------

@@ -145,6 +145,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stateful scd2 == batch scd2 after sentinel flush; closed runs " +
+       "emit incrementally") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[StreamOps.TypedEv]
+    val evs = rows.map { case (id, uid, us, typ, _) =>
+      StreamOps.TypedEv(uid, id, typ, ts(us)) }
+    val out = StreamOps.statefulScd2(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("st_spec_scd2")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(evs)
+    q.processAllAvailable()
+    // user 2's click→view change closed a run in-stream: it must be
+    // visible BEFORE any flush sentinel arrives (incremental emission).
+    val early = spark.table("st_spec_scd2")
+      .as[StreamOps.ScdOut].collect()
+    assert(early.exists(r => r.user_id == 2L && r.state == "click" &&
+      r.valid_to_us != Long.MaxValue))
+    // A far-future sentinel advances the watermark past the flush
+    // horizon so every open run emits its "current" row.
+    ms.addData(StreamOps.TypedEv(99L, 999L, "flush", ts(B + 100L * H)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st_spec_scd2")
+      .where(col("user_id") =!= 99L)
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "state", "valid_from_us", "n_events",
+        "valid_to_us")
+      .collect().toSeq.map(_.toSeq)
+    val want = Events.scd2(eventsDf(rows))
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "state", "valid_from_us", "n_events",
+        "valid_to_us")
+      .collect().toSeq.map(_.toSeq)
+    assert(got == want)
+  }
+
   test("session_window agg matches gap-derived sessions (batch mode)") {
     val got = StreamOps.sessionWindowAgg(eventsDf(rows), 1800L)
       .orderBy("user_id", "start_us").collect().toSeq
