@@ -31,6 +31,10 @@ object RegistryExt {
   private val NumHashes = 8
   private val Bands = 4
   private val JaccardThreshold = 0.5
+  // Containment cut for dd_containment: admits the exact-subset
+  // direction (1.0) and rejects the reverse unless a doc has ≥ 99
+  // distinct tokens (fixture max is far below).
+  private val ContainThreshold = 0.99
   private val NumQueries = 8L
   private val TopK = 5
   private val NumPlanes = 4
@@ -300,6 +304,24 @@ object RegistryExt {
         .orderBy("doc_id")
     }),
 
+    // Directional containment over the LSH candidates of the doubled
+    // corpus: every original's token set ⊂ its zzz-suffixed copy, so
+    // original→copy scores exactly 1.0; the reverse direction crosses
+    // 0.99 only if the copy's sole extra token is within budget —
+    // orientation is the semantics under test.
+    "dd_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val near = d.unionAll(d.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text")))
+      Dedup.containmentOfPairs(near,
+        Dedup.lshCandidatePairs(
+          Dedup.minhashSignature(near, "doc_id", "text", NumHashes),
+          "doc_id", NumHashes, Bands),
+        "doc_id", "text", ContainThreshold)
+        .orderBy("contained_id", "container_id")
+    }),
+
     // Quality-aware dedup ending: same doubled corpus and verified-pair
     // chain as dd_components, but electing each cluster's best copy by
     // the fixture's n_chars score (shifted copies carry the SAME score,
@@ -417,6 +439,30 @@ object RegistryExt {
          |SELECT n.doc_id, n.cluster_id, s.cluster_size
          |FROM nodes n JOIN sz s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // Same candidate CTEs as the pair queries; both directions scored
+    // from one j, oriented rows unioned. Division of small BIGINTs is
+    // bit-deterministic IEEE on both engines.
+    "dd_containment" ->
+      s"""WITH $doubledCte,
+         |${lshCandCtesOver("d")},
+         |tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM d),
+         |j AS (SELECT doc_a, doc_b,
+         |    CAST(length(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_inter,
+         |    CAST(length(ta.toks) AS BIGINT) AS n_a,
+         |    CAST(length(tb.toks) AS BIGINT) AS n_b
+         |  FROM cand
+         |  JOIN tok ta ON ta.doc_id = doc_a
+         |  JOIN tok tb ON tb.doc_id = doc_b),
+         |u AS (
+         |  SELECT doc_a AS contained_id, doc_b AS container_id, n_inter,
+         |    n_a AS n_contained, CAST(n_inter AS DOUBLE) / n_a AS containment
+         |  FROM j WHERE CAST(n_inter AS DOUBLE) / n_a >= $ContainThreshold
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, n_inter,
+         |    n_b, CAST(n_inter AS DOUBLE) / n_b
+         |  FROM j WHERE CAST(n_inter AS DOUBLE) / n_b >= $ContainThreshold)
+         |SELECT contained_id, container_id, n_inter, n_contained, containment
+         |FROM u ORDER BY contained_id, container_id""".stripMargin,
     // dd_components' recursive-CTE chain plus the per-cluster election:
     // row_number over (n_chars DESC, doc_id) replays the Spark side's
     // max(struct(score, -id)) exactly. The doubled CTE carries the

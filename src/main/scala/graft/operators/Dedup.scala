@@ -247,6 +247,48 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
   }
 
+  /** DIRECTIONAL CONTAINMENT over candidate pairs — the subsumption
+    * metric symmetric Jaccard misses: a short document wholly quoted
+    * inside a long one scores `|A∩B| / |A| = 1` even though the
+    * length gap crushes the Jaccard below any dedup threshold. Each
+    * pair is scored in BOTH directions on distinct word sets, and
+    * every crossing direction emits an ORIENTED row
+    * `(contained_id, container_id, n_inter, n_contained, containment)`
+    * — anti-join `contained_id` to drop subsumed docs, keeping the
+    * supersets (the opposite survivor choice from
+    * [[dropNearDuplicates]], which is the point: containment picks
+    * the INFORMATION-maximal copy).
+    *
+    * Scale shape: identical to [[jaccardOfPairs]] — scoring touches
+    * candidates only (never all pairs), two id-keyed joins attach the
+    * token sets, and the direction split is a narrow projection of
+    * already-scored rows (no rescan; Catalyst shares the scored
+    * subtree under the union). */
+  def containmentOfPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+                         textCol: String, threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+      array_distinct(split(trim(col(textCol)), "\\s+")).as("toks"))
+    val scored = pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+      .withColumn("n_a", size(col("ta")).cast(LongType))
+      .withColumn("n_b", size(col("tb")).cast(LongType))
+    def oriented(contained: String, container: String, n: String) =
+      scored
+        .withColumn("containment",
+          col("n_inter").cast(DoubleType) / col(n))
+        .where(col("containment") >= threshold)
+        .select(col(contained).as("contained_id"),
+          col(container).as("container_id"),
+          col("n_inter"), col(n).as("n_contained"), col("containment"))
+    oriented("doc_a", "doc_b", "n_a")
+      .unionAll(oriented("doc_b", "doc_a", "n_b"))
+  }
+
   /** Connected components over the verified duplicate-pair graph —
     * what a production dedup REPORTS: every document labeled with its
     * duplicate cluster (the component's minimum id) plus the cluster

@@ -120,6 +120,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (_, cid, sz) => cid == 1L && sz == n.toLong })
   }
 
+  test("containmentOfPairs: oriented subsumption both ways, threshold " +
+       "cuts the reverse direction") {
+    val docs = Seq(
+      (1L, "a b c"),           // ⊂ 2 exactly (containment 1.0)
+      (2L, "a b c d e f g h"), // reverse: 3/8 — far under threshold
+      (3L, "a b c")            // == 1: both directions contain
+    ).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.containmentOfPairs(docs, pairs, "id", "text", 0.9)
+      .select("contained_id", "container_id", "n_inter", "n_contained",
+        "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 3L, 3L, 1.0),   // 1 ⊂ 2; 2 ⊄ 1 (3/8 < 0.9)
+      (1L, 3L, 3L, 3L, 1.0), (3L, 1L, 3L, 3L, 1.0)))
+  }
+
   test("clusterCanonical: per-cluster score argmax, ties to smallest id, " +
        "singleton is its own canonical") {
     val docs = Seq(
