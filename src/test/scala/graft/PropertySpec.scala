@@ -200,6 +200,96 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 interval laws on random event streams: contiguous versions, " +
+       "abutting intervals, event conservation, alternating states") {
+    import spark.implicits._
+    val evGen = Gen.zip(Gen.choose(1L, 4L),          // user
+      Gen.choose(0L, 50L),                           // seconds offset
+      Gen.oneOf("view", "click", "purchase"))
+    forAll(Gen.listOfN(60, evGen), n = 4) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, sec, typ), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + sec * 1000L),
+          u, typ)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val out = graft.operators.Events.scd2(df)
+        .select("user_id", "version", "state", "valid_from_us",
+          "n_events", "valid_to_us")
+        .as[(Long, Long, String, Long, Long, Long)].collect()
+      // every event lands in exactly one interval
+      assert(out.map(_._5).sum == rows.size)
+      out.groupBy(_._1).foreach { case (_, iv) =>
+        val o = iv.sortBy(_._2)
+        // versions are 1..n with no gaps
+        assert(o.map(_._2).toSeq == (1L to o.size).toSeq)
+        // consecutive runs never share a state (else they'd be one run)
+        o.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._3 != b._3)
+            // intervals abut exactly: prior valid_to == next valid_from
+            assert(a._6 == b._4)
+            assert(a._4 <= a._6)
+          case _ => ()
+        }
+        // only the last interval is open
+        assert(o.last._6 == Long.MaxValue)
+        assert(o.init.forall(_._6 != Long.MaxValue))
+      }
+    }
+  }
+
+  test("sessionPaths conservation: path-weighted event count == events; " +
+       "path count == session count") {
+    import spark.implicits._
+    val evGen = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 7200L),
+      Gen.oneOf("view", "click"))
+    forAll(Gen.listOfN(80, evGen), n = 4) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, sec, typ), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + sec * 1000L),
+          u, typ)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val gap = 600L
+      val paths = graft.operators.Events.sessionPaths(df, gap, 1000)
+        .as[(String, Long)].collect()
+      val sessions = graft.operators.Events.sessionize(df, gap)
+        .select("n_events").as[Long].collect()
+      // unlimited top-k ⇒ every session contributes exactly one path
+      assert(paths.map(_._2).sum == sessions.length)
+      // events are conserved through the path strings
+      val eventsViaPaths =
+        paths.map { case (p, n) => (p.count(_ == '>') + 1) * n }.sum
+      assert(eventsViaPaths == sessions.sum)
+    }
+  }
+
+  test("tokenBudget laws: selected set is a score-prefix; budget bounds " +
+       "pre-overrun mass; verdict partition is exhaustive") {
+    import spark.implicits._
+    val docGen = Gen.zip(Gen.choose(0, 2), Gen.choose(1, 20),
+      Gen.choose(0L, 9L))
+    forAll(Gen.listOfN(40, docGen), n = 4) { rows =>
+      val df = rows.zipWithIndex.map { case ((src, words, score), i) =>
+        (i.toLong, s"s$src", score, Seq.fill(words)("w").mkString(" "))
+      }.toDF("doc_id", "source", "score", "text")
+      val budget = 50L
+      val out = graft.operators.TrainPrep
+        .tokenBudget(df, "doc_id", "text", "source", "score", budget)
+        .select("doc_id", "source", "score", "n_tokens", "tokens_before",
+          "selected")
+        .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      assert(out.length == rows.size)
+      out.groupBy(_._2).foreach { case (_, docs) =>
+        val order = docs.sortBy(d => (-d._3, d._1)) // score desc, id asc
+        // selected docs form a PREFIX of the quality order
+        val sel = order.map(_._6)
+        assert(!sel.dropWhile(identity).contains(true))
+        // tokens before the last selected doc stay under budget
+        order.filter(_._6).foreach(d => assert(d._5 < budget))
+        // and every rejected doc would have started at/over budget
+        order.filterNot(_._6).foreach(d => assert(d._5 >= budget))
+      }
+    }
+  }
+
   test("chunkWindows coverage law: chunks tile the words; overlap = " +
        "window - stride; concat of stride-sized prefixes rebuilds the doc") {
     import spark.implicits._
