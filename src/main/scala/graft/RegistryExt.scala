@@ -582,6 +582,12 @@ object RegistryExt {
       Similarity.ivfTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumCentroids, NumProbes)
         .orderBy("query_id", "rank")),
+    // PQ/ADC: candidates scored from their 8 sub-codebook codes only
+    // (32× payload compression at dim=64) — prune-nothing,
+    // compress-everything, the third ANN design point.
+    "sim_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), NumQueries, TopK)
+        .orderBy("query_id", "rank")),
     // The train-then-serve ANN path: same probe machinery as
     // sim_ivf_topk but over the Lloyd's-trained codebook. The oracle
     // prepends the k-means CTE chain and swaps the centroid source.
@@ -753,6 +759,43 @@ object RegistryExt {
       s"""WITH $quantCte,
          |${ivfOracleTail(
         s"SELECT vec_id AS cid, q AS cv, nq AS nc FROM n WHERE vec_id < $NumCentroids")}""".stripMargin,
+    // PQ/ADC replay: per-subspace argmin encoding (row_number over the
+    // same (‖C‖²−2·slice·C, code) lexicographic key as the Spark
+    // array_min), then the asymmetric score reassembled as the sum of
+    // per-subspace partial dots against the SELECTED codeword.
+    "sim_pq_topk" -> {
+      val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
+      s"""WITH $quantCte,
+         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
+         |enc AS (SELECT vec_id, s, code, nc FROM (
+         |  SELECT sl.vec_id, sl.s, b.code, b.nc,
+         |    row_number() OVER (PARTITION BY sl.vec_id, sl.s
+         |      ORDER BY b.nc - 2 * ${dotSql("sl.sv", "b.cv")}, b.code) AS rn
+         |  FROM sl JOIN bn b ON b.s = sl.s)
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, ${dotSql("q", "q")} AS nqq
+         |  FROM v WHERE vec_id < $NumQueries),
+         |parts AS (SELECT qs.query_id, e.vec_id AS cand_id, qs.nqq,
+         |    ${dotSql(s"(qs.qv[$sub*e.s+1 : $sub*e.s+$sub])", "b2.cv")} AS pdot,
+         |    e.nc
+         |  FROM enc e JOIN bn b2 ON b2.s = e.s AND b2.code = e.code
+         |  CROSS JOIN qs
+         |  WHERE e.vec_id <> qs.query_id),
+         |sc AS (SELECT query_id, cand_id, CAST(sum(pdot) AS BIGINT) AS adot,
+         |    CAST(sum(nc) AS BIGINT) AS nrec, min(nqq) AS nqq
+         |  FROM parts GROUP BY query_id, cand_id),
+         |r AS (SELECT query_id, cand_id, adot,
+         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, adot, acos, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
     "sim_ivf_trained" ->
       s"""WITH $quantCte,
          |$kmeansChainCtes,

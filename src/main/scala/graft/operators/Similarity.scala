@@ -428,4 +428,88 @@ object Similarity {
         col("c.dot").as("dot"), col("c.cosine").as("cosine"),
         (col("pos") + 1).cast(LongType).as("rank"))
   }
+
+  /** PRODUCT-QUANTIZATION approximate top-k (ADC scoring) — the third
+    * ANN scale path next to [[lshTopK]] (prune by bucket) and
+    * [[ivfTopK]] (prune by probe list): PQ prunes NOTHING and instead
+    * COMPRESSES — every vector is encoded as `numSub` sub-codebook
+    * codes (here 8 codes for a 64-dim vector; bytes in a real
+    * deployment), and scoring reads only the codes. A query's
+    * asymmetric distance is `Σ_s qv_slice_s · C_s[code_s]` — exact
+    * query against the candidate's RECONSTRUCTION, the standard ADC of
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search"
+    * (TPAMI 2011).
+    *
+    * Sub-codebooks are slices of the first `numCodes` vectors — the
+    * same first-C stand-in convention as [[ivfTopK]] (the plumbing is
+    * the contract; [[kMeansCodebook]] per subspace drops in for the
+    * trained form, as sim_ivf_trained proves for IVF). Codebooks are
+    * driver-side literals ([[assignLit]]'s pattern): encoding is one
+    * narrow codegen projection, no join, no shuffle.
+    *
+    * Scale shape: the scored side carries `(vec_id, codes)` ONLY —
+    * 8 small ints instead of 64 (256 bytes of floats at dim=64, 32×
+    * compression; the reason PQ indexes fit in RAM at billions of
+    * vectors). Queries broadcast; ranking is the same bounded
+    * two-phase heap as [[bruteForceTopK]] — each map task reduces its
+    * slice to ≤ k entries per query before any exchange. Ties in the
+    * approximate score break on cand_id, so results are deterministic
+    * and the oracle replays them exactly. */
+  def pqTopK(emb: DataFrame, numQueries: Long, k: Int,
+             numSub: Int = 8, subDim: Int = 8,
+             numCodes: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val base = v.where(col("vec_id") < numCodes)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toIndexedSeq
+    val books: IndexedSeq[IndexedSeq[(Long, Seq[Long])]] =
+      IndexedSeq.tabulate(numSub)(s => base.map { case (code, q) =>
+        (code, q.slice(s * subDim, (s + 1) * subDim)) })
+    val bookNorms: IndexedSeq[IndexedSeq[Long]] =
+      books.map(_.map { case (_, cv) => cv.map(x => x * x).sum })
+
+    // Per-subspace argmin over the codebook: lexicographic min of
+    // (‖C‖² − 2·slice·C, code) — the common ‖slice‖² term cancels.
+    def encodeCol(s: Int): Column = {
+      val entries = books(s).map { case (code, cv) =>
+        struct(
+          (lit(bookNorms(s)(code.toInt)) -
+            lit(2L) * dotQ(slice(col("q"), s * subDim + 1, subDim),
+              array(cv.map(lit): _*))).as("d"),
+          lit(code).as("code"))
+      }
+      array_min(array(entries: _*)).getField("code")
+    }
+    val encoded = v.select(col("vec_id"),
+      array((0 until numSub).map(encodeCol): _*).as("codes"))
+
+    val queries = v.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        dotQ(col("q"), col("q")).as("nqq"))
+
+    def codeAt(s: Int): Column =
+      (element_at(col("codes"), s + 1) + 1).cast(IntegerType)
+    val adot = (0 until numSub).map(s =>
+      dotQ(slice(col("qv"), s * subDim + 1, subDim),
+        element_at(typedLit(books(s).map(_._2)), codeAt(s))))
+      .reduce(_ + _)
+    val nrec = (0 until numSub).map(s =>
+      element_at(typedLit(bookNorms(s)), codeAt(s)))
+      .reduce(_ + _)
+
+    encoded.select(col("vec_id").as("cand_id"), col("codes"))
+      .crossJoin(broadcast(queries))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("adot", adot)
+      .withColumn("acos", col("adot").cast(DoubleType) /
+        (sqrt(col("nqq").cast(DoubleType)) * sqrt(nrec.cast(DoubleType))))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByDot.topK(k)(
+        col("adot"), col("cand_id"), col("acos")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cand_id").as("cand_id"),
+        col("c.dot").as("adot"), col("c.cosine").as("acos"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
 }

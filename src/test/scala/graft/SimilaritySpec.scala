@@ -203,6 +203,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.5, f"ivfTopK recall@5 $r%.3f below contract 0.5")
   }
 
+  test("pqTopK is EXACT when every vector is a concatenation of " +
+       "codeword slices (ADC reconstruction error = 0)") {
+    // 16 deterministic base vectors (the stand-in codebooks) + 4 built
+    // from base slices: every subspace slice of every vector IS a
+    // codeword, so the asymmetric distance equals the true dot and PQ
+    // must reproduce brute force bit-for-bit — rank, adot, and acos.
+    def baseVal(i: Int, j: Int): Float = (((i * 31 + j * 17) % 13) - 6) / 10f
+    val base = (0 until 16).map(i => (i.toLong,
+      Seq.tabulate(64)(j => baseVal(i, j))))
+    val composed = (16 until 20).map { i =>
+      (i.toLong, (0 until 8).flatMap(s =>
+        base((i + 3 * s) % 16)._2.slice(s * 8, s * 8 + 8)))
+    }
+    val df = emb(base ++ composed: _*)
+    val pq = Similarity.pqTopK(df, 4L, 5)
+      .select("query_id", "cand_id", "adot", "acos", "rank")
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(df, 4L, 5)
+      .select("query_id", "cand_id", "dot", "cosine", "rank")
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(pq == brute)
+  }
+
+  test("recall contract: pqTopK recall@5 vs brute-force ground truth") {
+    // registry parameters: 8 queries, k=5, 8 subspaces × 16 codes.
+    // 16 stand-in codewords reconstruct random 64-dim vectors coarsely
+    // — the contract pins the floor that catches broken encoding or
+    // scoring (scoring a constant, or one subspace, lands near 1/n).
+    val r = meanRecall(topkSets(Similarity.pqTopK(fixtureEmb, 8L, 5)))
+    info(f"pqTopK recall@5 = $r%.3f")
+    assert(r >= 0.15, f"pqTopK recall@5 $r%.3f below contract 0.15")
+  }
+
   test("recall contract: widening the search budget does not lose recall") {
     // The approximation knobs must trade work for recall monotonically
     // at fixture scale: more planes → smaller buckets is NOT monotone,
