@@ -215,6 +215,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rollupMulti: one aggregate exchange:\n$ru")
   }
 
+  test("pqTopK: narrow encode (no pre-join exchange), broadcast queries, " +
+       "candidate side carries codes only") {
+    import graft.operators.Similarity
+    val df = Similarity.pqTopK(
+      Tables.load(spark, dir, "embeddings"), 8L, 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // queries broadcast; the only hash exchange is the top-k agg's on
+    // query_id — encoding itself never shuffles
+    assert(plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("query_id"),
+      s"only the top-k agg may shuffle (on query_id):\n$plan")
+    // the scored stream projects (cand_id, codes): the 64-wide vector
+    // must not survive past the encode projection into the join
+    val joinLine = plan.linesIterator
+      .find(_.contains("BroadcastNestedLoopJoin"))
+    assert(joinLine.isDefined, s"expected broadcast NL join:\n$plan")
+    val candProject = plan.linesIterator
+      .find(l => l.contains("Project") && l.contains("AS codes"))
+    assert(candProject.exists(!_.contains("embedding")),
+      s"candidate projection must reduce to codes:\n$candProject")
+  }
+
   test("tokenBudget shuffles catalogs, not text: one source-keyed " +
        "exchange whose rows exclude the document body") {
     import graft.operators.TrainPrep
