@@ -1296,6 +1296,16 @@ object RegistryExt {
     // event-type pairs per user timeline, (ts, event_id)-total-ordered.
     "ev_path_transitions" -> ((s, dir) =>
       Events.pathTransitions(t(s, dir, "events"), PathTopK)),
+    // Incremental-view maintenance: the rollup rebuilt from two delta
+    // partials (split on event_id parity) must equal the full-scan
+    // rollup — the oracle IS the full scan.
+    "ev_rollup_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Events.hourlyRollupMerge(Seq(
+          ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1)))
+        .orderBy("hour", "event_type")
+    }),
     // Full-walk sibling of ev_path_transitions: top-k complete session
     // path strings (same gap convention as ev_sessionize).
     "ev_session_paths" -> ((s, dir) =>
@@ -1525,6 +1535,15 @@ object RegistryExt {
          |WHERE to_type IS NOT NULL
          |GROUP BY from_type, to_type
          |ORDER BY n DESC, from_type, to_type LIMIT $PathTopK""".stripMargin,
+    // The merged-partials view must equal a FULL RESCAN — so the oracle
+    // is the plain full-scan rollup (no distinct column; see the
+    // hourlyRollupMerge scaladoc for why).
+    "ev_rollup_incremental" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     // Same session-break chain as sessionizeOracleSql (strictly-> gap),
     // with event_type carried through; string_agg's ORDER BY replays
     // the (us, event_id) total order the Spark array_sort restores.

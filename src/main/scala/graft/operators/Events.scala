@@ -364,6 +364,34 @@ object Events {
       .agg(sum(col("__page_distinct")).as("n_distinct"))
   }
 
+  /** INCREMENTAL ROLLUP MAINTENANCE — the materialized-view pattern
+    * behind every "don't rescan history" pipeline: each delta batch
+    * aggregates INDEPENDENTLY to partial (hour, type) rows, and
+    * merging partials (a sum of counts and micro-sums — associative,
+    * commutative) yields EXACTLY the rollup a full rescan would
+    * produce, which is what the shared oracle asserts. At 100 TB this
+    * is the difference between aggregating yesterday's delta and
+    * re-reading a year: the stored view + each day's partial is all
+    * the merge ever touches.
+    *
+    * The exact distinct-user count is deliberately ABSENT: plain
+    * distinct counts don't merge (overlap double-counts). The
+    * mergeable forms this engine provides are [[bitmapDistinct]]'s
+    * page bitmaps (exact) and [[hourlyRollupApprox]]'s HLL sketches
+    * (bounded) — compose one of those when the view needs distincts. */
+  def hourlyRollupMerge(deltas: Seq[DataFrame]): DataFrame =
+    deltas.map(d =>
+      d.groupBy(
+          date_trunc("hour", col("ts")).cast(StringType).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(micros(col("value"))).as("value_micros")))
+      .reduce(_ unionAll _)
+      .groupBy("hour", "event_type")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_micros")).as("value_micros"))
+      .withColumn("value_sum", col("value_micros").cast(DoubleType) / 1000000)
+
   /** SESSION PATH MINING — the top-k complete event-type paths across
     * sessions ([[pathTransitions]] gives the Markov EDGES; this gives
     * the full WALKS, the "most common journeys" view). Sessions come

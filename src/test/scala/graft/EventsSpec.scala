@@ -335,6 +335,27 @@ class EventsSpec extends AnyFunSuite {
       (7L, 3L, "view", us("2024-01-01 10:15:00"), 1L, Long.MaxValue)))
   }
 
+  test("hourlyRollupMerge: any delta partition merges to the full-scan " +
+       "rollup, including empty deltas") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.5, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 8L, "view", 2.25, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 7L, "click", 0.5, "{}"),
+      (4L, ts("2024-01-01 10:59:59"), 9L, "view", -1.75, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val full = Events.hourlyRollup(ev)
+      .select("hour", "event_type", "n_events", "value_micros", "value_sum")
+      .orderBy("hour", "event_type").collect().toSeq.map(_.toSeq)
+    // three-way split on id mod 3 (one delta holds a single row) plus
+    // a degenerate empty delta
+    import org.apache.spark.sql.functions.{col, lit}
+    val deltas = (0 until 3).map(r => ev.where(col("event_id") % 3 === r)) :+
+      ev.where(lit(false))
+    val merged = Events.hourlyRollupMerge(deltas)
+      .orderBy("hour", "event_type").collect().toSeq.map(_.toSeq)
+    assert(merged == full)
+  }
+
   test("rollupMulti: subtotals and grand total are exact sums of leaves") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.5, "{}"),
