@@ -1296,6 +1296,11 @@ object RegistryExt {
     // event-type pairs per user timeline, (ts, event_id)-total-ordered.
     "ev_path_transitions" -> ((s, dir) =>
       Events.pathTransitions(t(s, dir, "events"), PathTopK)),
+    // Dense-spine resample: every (type, hour) cell over the global
+    // range, zero-filled counts, forward-filled value, has_data flag.
+    "ev_gap_fill" -> ((s, dir) =>
+      Events.gapFill(t(s, dir, "events"))
+        .orderBy("event_type", "hour")),
     // Incremental-view maintenance: the rollup rebuilt from two delta
     // partials (split on event_id parity) must equal the full-scan
     // rollup — the oracle IS the full scan.
@@ -1535,6 +1540,25 @@ object RegistryExt {
          |WHERE to_type IS NOT NULL
          |GROUP BY from_type, to_type
          |ORDER BY n DESC, from_type, to_type LIMIT $PathTopK""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS vm
+        |FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+        |spine AS (SELECT t.event_type, g.h AS hour
+        |  FROM (SELECT DISTINCT event_type FROM h) t
+        |  CROSS JOIN b, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)),
+        |j AS (SELECT s.event_type, s.hour,
+        |  h.vm IS NOT NULL AS has_data,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  COALESCE(last_value(h.vm IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hour
+        |    ROWS UNBOUNDED PRECEDING), 0) AS value_micros
+        |FROM spine s LEFT JOIN h ON h.event_type = s.event_type AND h.hour = s.hour)
+        |SELECT CAST(hour AS VARCHAR) AS hour, event_type, n_events,
+        |  value_micros, has_data
+        |FROM j ORDER BY event_type, hour""".stripMargin,
     // The merged-partials view must equal a FULL RESCAN — so the oracle
     // is the plain full-scan rollup (no distinct column; see the
     // hourlyRollupMerge scaladoc for why).

@@ -364,6 +364,43 @@ object Events {
       .agg(sum(col("__page_distinct")).as("n_distinct"))
   }
 
+  /** TIME-SERIES GAP FILL / RESAMPLE — the dense-spine operator every
+    * dashboard and forecasting pipeline needs: the hourly rollup is
+    * LEFT-joined onto a complete hour spine (per event type, spanning
+    * the global [min, max] hour), missing hours get `n_events = 0` and
+    * a FORWARD-FILLED `value_micros` (last observed value; zero before
+    * the first observation), and `has_data` keeps the imputation
+    * honest. Null-free by construction.
+    *
+    * Scale shape: the spine is |types| × |hours| — a calendar, not a
+    * corpus; it grows with elapsed TIME, never with event volume, so
+    * the join's spine side is broadcastable at any data scale. The
+    * rollup side is the already-tiny (hour, type) aggregate, and the
+    * forward fill windows over spine rows — the raw stream is touched
+    * exactly once, by the rollup. */
+  def gapFill(df: DataFrame): DataFrame = {
+    val hourly = df.groupBy(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(micros(col("value"))).as("value_micros"))
+    val spine = hourly.select("event_type").distinct()
+      .crossJoin(hourly.agg(min(col("hour")).as("h0"),
+        max(col("hour")).as("h1")))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+    val ff = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour"), "left_outer")
+      .withColumn("has_data", col("value_micros").isNotNull)
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("value_micros",
+        coalesce(last(col("value_micros"), ignoreNulls = true).over(ff),
+          lit(0L)))
+      .select(col("hour").cast(StringType).as("hour"), col("event_type"),
+        col("n_events"), col("value_micros"), col("has_data"))
+  }
+
   /** INCREMENTAL ROLLUP MAINTENANCE — the materialized-view pattern
     * behind every "don't rescan history" pipeline: each delta batch
     * aggregates INDEPENDENTLY to partial (hour, type) rows, and

@@ -335,6 +335,28 @@ class EventsSpec extends AnyFunSuite {
       (7L, 3L, "view", us("2024-01-01 10:15:00"), 1L, Long.MaxValue)))
   }
 
+  test("gapFill: dense hour spine, zero-filled counts, forward-filled " +
+       "value, leading gap is zero with has_data=false") {
+    val ev = Seq(
+      // view: data at 10:00 and 13:00 → 11:00, 12:00 are gaps
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 1.5, "{}"),
+      (2L, ts("2024-01-01 13:00:00"), 7L, "view", 2.0, "{}"),
+      // click: first data at 12:00 → 10:00, 11:00 lead with zero
+      (3L, ts("2024-01-01 12:00:00"), 8L, "click", 0.25, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.gapFill(ev).orderBy("event_type", "hour")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01 10:00:00", "click", 0L, 0L, false),
+      ("2024-01-01 11:00:00", "click", 0L, 0L, false),
+      ("2024-01-01 12:00:00", "click", 1L, 250000L, true),
+      ("2024-01-01 13:00:00", "click", 0L, 250000L, false),
+      ("2024-01-01 10:00:00", "view", 1L, 1500000L, true),
+      ("2024-01-01 11:00:00", "view", 0L, 1500000L, false),
+      ("2024-01-01 12:00:00", "view", 0L, 1500000L, false),
+      ("2024-01-01 13:00:00", "view", 1L, 2000000L, true)))
+  }
+
   test("hourlyRollupMerge: any delta partition merges to the full-scan " +
        "rollup, including empty deltas") {
     val ev = Seq(
