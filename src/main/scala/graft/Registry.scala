@@ -216,6 +216,18 @@ object Registry {
       s.read.orc(out)
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
+    }),
+    // JSON-lines sink → source roundtrip, completing the format family
+    // (parquet everywhere, CSV, ORC, and the nested-JSON reader of the
+    // E1 pipeline); schema pinned on read like the CSV twin.
+    "k_json_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_json_rt").toString
+      val n = t(s, dir, "nation")
+      n.write.mode("overwrite").json(out)
+      s.read.schema(n.schema).json(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
     })
   )
 
@@ -312,6 +324,8 @@ object Registry {
     "k_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "k_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )
 

@@ -1296,6 +1296,10 @@ object RegistryExt {
     // event-type pairs per user timeline, (ts, event_id)-total-ordered.
     "ev_path_transitions" -> ((s, dir) =>
       Events.pathTransitions(t(s, dir, "events"), PathTopK)),
+    // CDC compaction read: latest event per user via one struct-max
+    // (map-side partials, no per-user sort).
+    "ev_latest_snapshot" -> ((s, dir) =>
+      Events.latestSnapshot(t(s, dir, "events")).orderBy("user_id")),
     // Dense-spine resample: every (type, hour) cell over the global
     // range, zero-filled counts, forward-filled value, has_data flag.
     "ev_gap_fill" -> ((s, dir) =>
@@ -1540,6 +1544,17 @@ object RegistryExt {
          |WHERE to_type IS NOT NULL
          |GROUP BY from_type, to_type
          |ORDER BY n DESC, from_type, to_type LIMIT $PathTopK""".stripMargin,
+    // row_number replay of the struct-max: ties on us fall to the
+    // larger event_id on both sides (lexicographic max ⇔ DESC, DESC).
+    "ev_latest_snapshot" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |r AS (SELECT user_id, event_id, event_type, us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, us AS last_us, event_id AS last_event_id,
+        |  event_type AS last_type
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "ev_gap_fill" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

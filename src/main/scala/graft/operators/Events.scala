@@ -364,6 +364,24 @@ object Events {
       .agg(sum(col("__page_distinct")).as("n_distinct"))
   }
 
+  /** LATEST-PER-KEY snapshot — the CDC compaction read: each user's
+    * single most recent event under the (ts, event_id) total order.
+    * One lexicographic struct-max whose map-side partials hold ONE
+    * struct per key per task — the scalable form of the
+    * `row_number() = 1` window, which would shuffle every event into
+    * per-user sorts to keep one survivor each (same design as
+    * [[graft.operators.Dedup.exactDedup]]'s keep-lowest, pointed the
+    * other way along the time axis). */
+  def latestSnapshot(df: DataFrame): DataFrame =
+    df.select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")).as("ev"))
+      .groupBy("user_id")
+      .agg(max(col("ev")).as("m"))
+      .select(col("user_id"), col("m.us").as("last_us"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"))
+
   /** TIME-SERIES GAP FILL / RESAMPLE — the dense-spine operator every
     * dashboard and forecasting pipeline needs: the hourly rollup is
     * LEFT-joined onto a complete hour spine (per event type, spanning

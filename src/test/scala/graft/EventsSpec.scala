@@ -335,6 +335,22 @@ class EventsSpec extends AnyFunSuite {
       (7L, 3L, "view", us("2024-01-01 10:15:00"), 1L, Long.MaxValue)))
   }
 
+  test("latestSnapshot: one row per user, ts ties fall to larger event_id") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "click", 0.0, "{}"),
+      // user 8: two events at the SAME ts — larger id wins
+      (3L, ts("2024-01-01 10:00:00"), 8L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 8L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def us(s: String) = ts(s).getTime * 1000L
+    val out = Events.latestSnapshot(ev).orderBy("user_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (7L, us("2024-01-01 11:00:00"), 2L, "click"),
+      (8L, us("2024-01-01 10:00:00"), 4L, "purchase")))
+  }
+
   test("gapFill: dense hour spine, zero-filled counts, forward-filled " +
        "value, leading gap is zero with has_data=false") {
     val ev = Seq(
