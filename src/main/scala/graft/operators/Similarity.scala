@@ -471,28 +471,44 @@ object Similarity {
 
     // Per-subspace argmin over the codebook: lexicographic min of
     // (‖C‖² − 2·slice·C, code) — the common ‖slice‖² term cancels.
+    // Slices are hoisted to ONE projection (8 per row) so the 16
+    // per-code dots share them instead of re-slicing 128 times.
     def encodeCol(s: Int): Column = {
       val entries = books(s).map { case (code, cv) =>
         struct(
           (lit(bookNorms(s)(code.toInt)) -
-            lit(2L) * dotQ(slice(col("q"), s * subDim + 1, subDim),
-              array(cv.map(lit): _*))).as("d"),
+            lit(2L) * dotQ(element_at(col("sl"), s + 1),
+              typedLit(cv))).as("d"),
           lit(code).as("code"))
       }
       array_min(array(entries: _*)).getField("code")
     }
-    val encoded = v.select(col("vec_id"),
-      array((0 until numSub).map(encodeCol): _*).as("codes"))
+    val encoded = v
+      .select(col("vec_id"), array((0 until numSub).map(s =>
+        slice(col("q"), s * subDim + 1, subDim)): _*).as("sl"))
+      .select(col("vec_id"),
+        array((0 until numSub).map(encodeCol): _*).as("codes"))
 
+    // ADC distance TABLES, built once per query: qtab[s][c] =
+    // qv_slice_s · C_s[c] (8×16 partial dots per query row — work
+    // proportional to QUERIES, not candidates). The broadcast then
+    // carries the 128-entry tables instead of the query vector, and
+    // per-candidate scoring is pure table lookups — the actual ADC of
+    // the paper, and the reason PQ scoring beats recomputing dots.
     val queries = v.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         dotQ(col("q"), col("q")).as("nqq"))
+      .withColumn("qtab", array((0 until numSub).map(s =>
+        array(books(s).map { case (_, cv) =>
+          dotQ(slice(col("qv"), s * subDim + 1, subDim),
+            array(cv.map(lit): _*))
+        }: _*)): _*))
+      .select("query_id", "nqq", "qtab")
 
     def codeAt(s: Int): Column =
       (element_at(col("codes"), s + 1) + 1).cast(IntegerType)
     val adot = (0 until numSub).map(s =>
-      dotQ(slice(col("qv"), s * subDim + 1, subDim),
-        element_at(typedLit(books(s).map(_._2)), codeAt(s))))
+      element_at(element_at(col("qtab"), s + 1), codeAt(s)))
       .reduce(_ + _)
     val nrec = (0 until numSub).map(s =>
       element_at(typedLit(bookNorms(s)), codeAt(s)))
