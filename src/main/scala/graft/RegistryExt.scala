@@ -869,6 +869,17 @@ object RegistryExt {
         "lang", PackBudget)
         .orderBy("doc_id")),
 
+    // Per-row weighted sampling: English downweighted to 25%, the rest
+    // kept at 75% — the rebalancing move a multilingual corpus mix
+    // actually makes, decided row-by-row on the scan.
+    "tp_sample_weighted" -> ((s, dir) =>
+      TrainPrep.sampleWeighted(
+          t(s, dir, "documents").withColumn("keep_pct",
+            when(col("lang") === "en", lit(25)).otherwise(lit(75))),
+          "doc_id", "keep_pct")
+        .select("doc_id", "lang", "keep_pct", "bucket")
+        .orderBy("doc_id")),
+
     // Token-budget curation: each source keeps its best docs (n_chars
     // as the score stand-in, tie → id) until 600 tokens accumulate;
     // every row carries its verdict.
@@ -949,6 +960,12 @@ object RegistryExt {
          |  SELECT doc_id, bucket, 1 AS source_id FROM bh
          |    WHERE bucket >= $MixWeightA AND bucket < 100)
          |SELECT doc_id, bucket, source_id FROM u ORDER BY doc_id""".stripMargin,
+    "tp_sample_weighted" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |  CASE WHEN lang = 'en' THEN 25 ELSE 75 END AS keep_pct,
+         |  ${hashBucketSql("doc_id")} AS bucket FROM documents)
+         |SELECT doc_id, lang, keep_pct, bucket FROM w
+         |WHERE bucket < keep_pct ORDER BY doc_id""".stripMargin,
     "tp_token_budget" ->
       s"""WITH n AS (SELECT doc_id, source, n_chars,
          |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens

@@ -43,6 +43,20 @@ object TrainPrep {
     df.withColumn("bucket", hashBucket(col(idCol)))
       .where(col("bucket") < pct)
 
+  /** Per-ROW weighted sampling — tiered retention where every row
+    * carries its OWN keep percentage (a quality score tier, a language
+    * up/down-weight, a source trust level): keep iff the row's
+    * deterministic [[hashBucket]] falls under its weight. All of
+    * [[sampleByHash]]'s reproducibility properties hold per tier —
+    * re-runs keep the same rows, and raising a tier's weight only ADDS
+    * rows (nested hash prefixes) — while the decision stays a narrow
+    * scan-side filter: no shuffle, no RNG, composes with predicate
+    * pushdown at any scale. */
+  def sampleWeighted(df: DataFrame, idCol: String,
+                     weightPctCol: String): DataFrame =
+    df.withColumn("bucket", hashBucket(col(idCol)))
+      .where(col("bucket") < col(weightPctCol))
+
   /** Deterministic STRATIFIED train/val/test split: the [[hashBucket]]
     * hash is salted with the stratum (`md5(stratum:id)`), so every
     * stratum gets its own independent hash space — each stratum's

@@ -69,6 +69,28 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(packed.filter(_._2 == "de").map(_._5).min == 0L)
   }
 
+  test("sampleWeighted: per-row weights, nested under weight growth, " +
+       "weight-100 keeps everything, weight-0 keeps nothing") {
+    val d = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) 30 else 70)).toDF("doc_id", "w")
+    val kept = TrainPrep.sampleWeighted(d, "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    // deterministic: second run identical
+    val kept2 = TrainPrep.sampleWeighted(d, "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == kept2)
+    // growing a weight only ADDS rows (hash-prefix nesting)
+    val grown = TrainPrep.sampleWeighted(
+      d.withColumn("w", lit(90)), "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(grown))
+    // boundary weights
+    assert(TrainPrep.sampleWeighted(d.withColumn("w", lit(100)),
+      "doc_id", "w").count() == 200L)
+    assert(TrainPrep.sampleWeighted(d.withColumn("w", lit(0)),
+      "doc_id", "w").count() == 0L)
+  }
+
   test("tokenBudget: best-score-first greedy fill, one-doc overrun, " +
        "tie to smallest id, budgets independent per source") {
     val d = Seq(
