@@ -367,11 +367,15 @@ object Events {
   /** LATEST-PER-KEY snapshot — the CDC compaction read: each user's
     * single most recent event under the (ts, event_id) total order.
     * One lexicographic struct-max whose map-side partials hold ONE
-    * struct per key per task — the scalable form of the
-    * `row_number() = 1` window, which would shuffle every event into
-    * per-user sorts to keep one survivor each (same design as
+    * struct per key per task, so the EXCHANGE carries one row per
+    * (key, task) — the scalable form of the `row_number() = 1`
+    * window, which shuffles every event into per-user sorts to keep
+    * one survivor each. (Struct aggregates plan as SortAggregate — a
+    * bare-key local sort with a cheap comparator — not hash agg;
+    * the exchange bound is the scale property, plan-asserted in
+    * `PlanQualitySpec`. Same design as
     * [[graft.operators.Dedup.exactDedup]]'s keep-lowest, pointed the
-    * other way along the time axis). */
+    * other way along the time axis.) */
   def latestSnapshot(df: DataFrame): DataFrame =
     df.select(col("user_id"),
         struct(unix_micros(col("ts")).as("us"), col("event_id"),

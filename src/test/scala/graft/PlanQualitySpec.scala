@@ -215,6 +215,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rollupMulti: one aggregate exchange:\n$ru")
   }
 
+  test("latestSnapshot: partial struct-max aggregates before the one " +
+       "exchange — no per-user window sort") {
+    import graft.operators.Events
+    val df = Events.latestSnapshot(Tables.load(spark, dir, "events"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_max"),
+      s"latest snapshot must combine map-side:\n$plan")
+    // struct aggregates plan as SortAggregate (bare-key sort) — fine;
+    // what must NOT appear is a window over full user histories
+    assert(!plan.contains("Window"),
+      s"latest snapshot must not window user histories:\n$plan")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"),
+      s"one exchange on user_id:\n$plan")
+  }
+
   test("pqTopK: narrow encode (no pre-join exchange), broadcast queries, " +
        "candidate side carries codes only") {
     import graft.operators.Similarity
