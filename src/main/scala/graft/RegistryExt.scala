@@ -1508,6 +1508,19 @@ object RegistryExt {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // Latest-per-key snapshot — shared verbatim by the batch struct-max
+  // (ev_latest_snapshot) and the streaming CDC snapshot
+  // (st_latest_snapshot): two implementations, one contract.
+  private lazy val latestSnapshotOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |r AS (SELECT user_id, event_id, event_type, us,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, us AS last_us, event_id AS last_event_id,
+      |  event_type AS last_type
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // SCD2 run compression — shared verbatim by the batch build (ev_scd2)
   // and its streaming CDC dual (st_scd2): two implementations, one
   // contract, including the Long.MaxValue "current" sentinel.
@@ -1563,15 +1576,7 @@ object RegistryExt {
          |ORDER BY n DESC, from_type, to_type LIMIT $PathTopK""".stripMargin,
     // row_number replay of the struct-max: ties on us fall to the
     // larger event_id on both sides (lexicographic max ⇔ DESC, DESC).
-    "ev_latest_snapshot" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |r AS (SELECT user_id, event_id, event_type, us,
-        |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
-        |SELECT user_id, us AS last_us, event_id AS last_event_id,
-        |  event_type AS last_type
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ev_latest_snapshot" -> latestSnapshotOracleSql,
     "ev_gap_fill" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
@@ -1990,6 +1995,17 @@ object RegistryExt {
         .orderBy("user_id", "session_id")
     }),
 
+    // Streaming CDC snapshot: one struct-max state row per user,
+    // complete-mode emission; drained result == the batch snapshot
+    // (shared oracle).
+    "st_latest_snapshot" -> ((s, dir) => {
+      val src = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        graft.streaming.StreamOps.latestSnapshotStream,
+        outputMode = "complete", shufflePartitions = StreamStateParts)
+        .orderBy("user_id")
+    }),
     // Streaming SCD2: incremental run compression with state-change
     // emission; the beyond-horizon sentinel flushes open intervals so
     // the drained stream equals the batch scd2 (same oracle).
@@ -2091,6 +2107,8 @@ object RegistryExt {
     // The streaming CDC run compression must equal the batch interval
     // build value-for-value once drained (sentinel-flushed).
     "st_scd2" -> scd2OracleSql,
+    // The drained streaming snapshot must equal the batch struct-max.
+    "st_latest_snapshot" -> latestSnapshotOracleSql,
     // Batch dual of the streaming interval join: inclusive BETWEEN on
     // micros; (view_event_id, click_event_id) is a unique pair → total
     // order, inner join → no nulls.

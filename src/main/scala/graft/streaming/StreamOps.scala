@@ -246,6 +246,24 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming LATEST-PER-KEY snapshot — the live CDC snapshot table:
+    * each micro-batch folds into one lexicographic struct-max per key,
+    * so the state store holds exactly ONE fixed-size struct per user
+    * (never an event history) and `complete` mode re-emits the current
+    * snapshot. The batch dual is [[graft.operators.Events
+    * .latestSnapshot]] — same (ts, event_id) total order, same tie
+    * rule, value-identical after a drain (shared oracle). State grows
+    * with the KEY set, the irreducible size of a snapshot; a
+    * deployment bounding output freshness instead compacts via
+    * foreachBatch upsert (the st_page_upsert path). */
+  def latestSnapshotStream(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max(struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.us").as("last_us"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"))
+
   final case class TypedEv(user_id: Long, event_id: Long, event_type: String,
                            ts: java.sql.Timestamp)
   final case class ScdState(version: Long, state: String, validFromUs: Long,

@@ -182,6 +182,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming latest snapshot == batch latestSnapshot across " +
+       "micro-batches (state folds incrementally)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = StreamOps.latestSnapshotStream(streamDf)
+      .writeStream.format("memory").queryName("st_spec_latest")
+      .outputMode(OutputMode.Complete).start()
+    // deliver out of key-order across two batches: the per-key max must
+    // fold the SECOND batch's older event away
+    ms.addData(rows.take(4)); q.processAllAvailable()
+    ms.addData(rows.drop(4)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st_spec_latest")
+      .orderBy("user_id").collect().toSeq.map(_.toSeq)
+    val want = Events.latestSnapshot(eventsDf(rows))
+      .orderBy("user_id").collect().toSeq.map(_.toSeq)
+    assert(got == want)
+  }
+
   test("session_window agg matches gap-derived sessions (batch mode)") {
     val got = StreamOps.sessionWindowAgg(eventsDf(rows), 1800L)
       .orderBy("user_id", "start_us").collect().toSeq
