@@ -200,8 +200,7 @@ object Registry {
     // other columnar/text formats must be lossless — the oracle is the
     // original table itself.
     "k_csv_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_csv_rt").toString
+      val out = graft.Scratch.dir("graft_csv_rt")
       val n = t(s, dir, "nation")
       n.write.mode("overwrite").option("header", "true").csv(out)
       s.read.option("header", "true").schema(n.schema).csv(out)
@@ -209,8 +208,7 @@ object Registry {
         .orderBy("n_nationkey")
     }),
     "k_orc_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_orc_rt").toString
+      val out = graft.Scratch.dir("graft_orc_rt")
       val n = t(s, dir, "nation")
       n.write.mode("overwrite").orc(out)
       s.read.orc(out)
@@ -221,8 +219,7 @@ object Registry {
     // (parquet everywhere, CSV, ORC, and the nested-JSON reader of the
     // E1 pipeline); schema pinned on read like the CSV twin.
     "k_json_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_json_rt").toString
+      val out = graft.Scratch.dir("graft_json_rt")
       val n = t(s, dir, "nation")
       n.write.mode("overwrite").json(out)
       s.read.schema(n.schema).json(out)

@@ -1407,8 +1407,7 @@ object RegistryExt {
     // over only that type's bytes. Oracle = the same rollup with a WHERE
     // on the raw table.
     "ev_partition_prune" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_part").toString
+      val out = graft.Scratch.dir("graft_part")
       Layout.writePartitioned(t(s, dir, "events"), out, "event_type")
       Events.hourlyRollup(
           s.read.parquet(out).where(col("event_type") === "click"))
@@ -1978,8 +1977,7 @@ object RegistryExt {
       val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
       val sentinelTs = new java.sql.Timestamp(
         maxTs.getTime + (SessionGapSeconds + 3600) * 1000L)
-      val sentinelDir = java.nio.file.Files
-        .createTempDirectory("graft_st_sentinel").toString
+      val sentinelDir = graft.Scratch.dir("graft_st_sentinel")
       Seq((-1L, -1L, sentinelTs)).toDF("user_id", "event_id", "ts")
         .write.mode("overwrite").parquet(sentinelDir)
       val evStream = Tables.loadStream(s, dir, "events")
@@ -2015,8 +2013,7 @@ object RegistryExt {
       val batch = t(s, dir, "events")
       val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)
-      val sentinelDir = java.nio.file.Files
-        .createTempDirectory("graft_st_scd2_sentinel").toString
+      val sentinelDir = graft.Scratch.dir("graft_st_scd2_sentinel")
       Seq((-1L, -1L, "flush", sentinelTs))
         .toDF("user_id", "event_id", "event_type", "ts")
         .write.mode("overwrite").parquet(sentinelDir)

@@ -196,8 +196,7 @@ object RegistryForm700 {
     // vs expected counts. Rows-only check (side-effecting sink — not
     // SQL-expressible).
     "e1_audit" -> ((s, _) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_e1_audit").toString
+      val out = graft.Scratch.dir("graft_e1_audit")
       P.writeAll(s, tables(s), out).orderBy("table_name")
     }),
 
@@ -210,8 +209,7 @@ object RegistryForm700 {
     // carry disjoint filings, so append ≙ upsert here by construction).
     "e1_audit_incremental" -> ((s, _) => {
       val root = P.defaultPagesRoot
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_e1_inc").toString
+      val out = graft.Scratch.dir("graft_e1_inc")
       val chunks = Seq("page_1.json", "page_2.json").map { p =>
         P.clean(graft.sources.Form700Source.cover(
           graft.sources.Form700Source.readPages(s, s"$root/cover/$p")),
@@ -233,8 +231,7 @@ object RegistryForm700 {
     // audits).
     "e1_audit_upsert" -> ((s, _) => {
       val root = P.defaultPagesRoot
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_e1_upsert").toString
+      val out = graft.Scratch.dir("graft_e1_upsert")
       def coverOf(path: String) =
         P.clean(graft.sources.Form700Source.cover(
           graft.sources.Form700Source.readPages(s, path)),
@@ -257,8 +254,7 @@ object RegistryForm700 {
     // loaded it.
     "st_page_upsert" -> ((s, _) => {
       val root = s"${P.defaultPagesRoot}/cover"
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_st_upsert").toString
+      val out = graft.Scratch.dir("graft_st_upsert")
       val stream = s.readStream.format("graft.sources.PagedJsonSource")
         .option("path", root).option("maxPagesPerTrigger", 1).load()
       val perBatch: DataFrame => DataFrame = b =>

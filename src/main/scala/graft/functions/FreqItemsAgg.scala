@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Misra-Gries/Space-Saving frequent-items CANDIDATE aggregate over a
@@ -39,7 +40,13 @@ case class FreqItemsSketchAgg(
   with UnaryLike[Expression] {
 
   override def prettyName: String = "freq_items_sketch"
-  override def dataType: DataType = ArrayType(StringType)
+  // (max_error, candidates): the merged sketch's maximum count error
+  // rides along so the exact-verify pass can CHECK the heavy-hitters
+  // precondition (k-th true count must clear it) instead of silently
+  // assuming it.
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_error", LongType, nullable = false),
+    StructField("candidates", ArrayType(StringType), nullable = false)))
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): ItemsSketch[String] =
@@ -57,9 +64,11 @@ case class FreqItemsSketchAgg(
     a.merge(b)
 
   override def eval(buf: ItemsSketch[String]): Any =
-    new GenericArrayData(
-      buf.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
-        .map(r => UTF8String.fromString(r.getItem)))
+    new GenericInternalRow(Array[Any](
+      buf.getMaximumError,
+      new GenericArrayData(
+        buf.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+          .map(r => UTF8String.fromString(r.getItem)))))
 
   @transient private lazy val serde = new ArrayOfStringsSerDe
   override def serialize(buf: ItemsSketch[String]): Array[Byte] =

@@ -346,7 +346,13 @@ object TextAnalysis {
     * The result equals the plain exact top-k whenever the k-th count
     * exceeds the sketch's maximum error (≈ 3.5·n/maxMapSize) — the
     * heavy-hitters regime this operator is named for; size maxMapSize
-    * to the tail you care about. Why not plain groupBy+limit at 100 TB:
+    * to the tail you care about. That precondition is CHECKED, not
+    * assumed: the merged sketch's `getMaximumError` rides along with
+    * the candidates, and unless the error is zero (sketch never
+    * pruned — exact by construction) the verified k-th count must
+    * clear it or this throws with the measured numbers, instead of
+    * returning a plausible-but-wrong top-k from an undersized sketch.
+    * Why not plain groupBy+limit at 100 TB:
     * a web-scale vocabulary is billions of distinct tokens, so the
     * exact plan's exchange carries the whole long tail; here the tail
     * dies in the sketch's map-side partials. */
@@ -355,12 +361,29 @@ object TextAnalysis {
     import graft.functions.FreqItemsSketchAgg.freqItemCandidates
     val toks = docs.select(
       explode(split(trim(col(textCol)), "\\s+")).as("token"))
-    val cands = toks
+    val cr = toks
       .agg(freqItemCandidates(col("token"), maxMapSize).as("c"))
-      .head().getSeq[String](0)
-    toks.where(col("token").isin(cands: _*))
+      .select(col("c.max_error"), col("c.candidates"))
+      .head()
+    val maxErr = cr.getLong(0)
+    val cands = cr.getSeq[String](1)
+    val ranked = toks.where(col("token").isin(cands: _*))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+    if (maxErr == 0L) ranked // sketch held every token exactly
+    else {
+      // k rows at most — driver-side check is O(k), the verify pass ran
+      // anyway, and the caller gets the already-materialized result.
+      val rows = ranked.collect()
+      require(rows.length == k && rows.last.getLong(1) > maxErr,
+        s"heavyHitters(k=$k, maxMapSize=$maxMapSize): the k-th exact " +
+          s"candidate count (${if (rows.length == k) rows.last.getLong(1)
+          else "missing — fewer candidates than k"}) does not clear the " +
+          s"sketch's maximum error ($maxErr); a non-candidate token could " +
+          s"belong in the top-k. Raise maxMapSize.")
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), ranked.schema)
+    }
   }
 }

@@ -151,20 +151,6 @@ object TrainPrep {
       .withColumn("selected", col("tokens_before") < budgetTokens)
   }
 
-  /** The corpus-prep pipeline END-TO-END — what a user actually runs
-    * over a raw crawl: cheap narrow filters first (quality heuristics,
-    * language ID — pure codegen maps sitting directly on the scan, so
-    * the expensive stages see only survivors), then MinHash/LSH
-    * near-dedup (banded candidates → exact-Jaccard verification →
-    * drop), then per-shard sequence packing. One declared plan:
-    * Catalyst pushes the filters to the scan, the dedup shuffles only
-    * the filtered corpus, and packing windows per shard — the stage
-    * order IS the scale design (each stage shrinks the data the next
-    * one pays for).
-    *
-    * Deterministic end to end (hash-based dedup, id-ordered packing) —
-    * the full composition is oracle-checked value-for-value as
-    * `tp_corpus_pipeline`. */
   /** Sliding word-window CHUNKING — the embedding/RAG prep step that
     * turns documents into model-window-sized pieces: one chunk per
     * stride position `j` (start word `j·stride`, length ≤ `window`),
@@ -197,6 +183,20 @@ object TrainPrep {
           .as("n_words"))
   }
 
+  /** The corpus-prep pipeline END-TO-END — what a user actually runs
+    * over a raw crawl: cheap narrow filters first (quality heuristics,
+    * language ID — pure codegen maps sitting directly on the scan, so
+    * the expensive stages see only survivors), then MinHash/LSH
+    * near-dedup (banded candidates → exact-Jaccard verification →
+    * drop), then per-shard sequence packing. One declared plan:
+    * Catalyst pushes the filters to the scan, the dedup shuffles only
+    * the filtered corpus, and packing windows per shard — the stage
+    * order IS the scale design (each stage shrinks the data the next
+    * one pays for).
+    *
+    * Deterministic end to end (hash-based dedup, id-ordered packing) —
+    * the full composition is oracle-checked value-for-value as
+    * `tp_corpus_pipeline`. */
   def corpusPipeline(docs: DataFrame, idCol: String, textCol: String,
                      keepLang: String, numHashes: Int, bands: Int,
                      threshold: Double, shards: Int,

@@ -251,11 +251,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     val toks = spark.range(10000).repartition(8)
       .select(when(col("id") % 2 === 0, "hot")
         .otherwise(concat(lit("t"), col("id"))).as("token"))
-    val cands = toks.agg(freqItemCandidates(col("token"), 8).as("c"))
-      .head().getSeq[String](0)
+    val cr = toks.agg(freqItemCandidates(col("token"), 8).as("c"))
+      .select(col("c.max_error"), col("c.candidates")).head()
+    assert(cr.getLong(0) > 0L) // the tiny map must have pruned
+    val cands = cr.getSeq[String](1)
     // count('hot') = 5000 > the Misra-Gries error bound of a saturated
     // 8-slot map over n=10000 (≈ n/maxMapSize), so NO_FALSE_NEGATIVES
     // must surface it no matter how the 5000 singletons churn the map
     assert(cands.contains("hot"), s"candidates were: $cands")
+  }
+
+  test("heavyHitters REFUSES a flat corpus whose k-th count cannot clear " +
+       "the sketch error bound (undersized maxMapSize)") {
+    import org.apache.spark.sql.functions._
+    // all-distinct tokens: every count is 1, far below the saturated
+    // 8-slot sketch's error bound — a silent top-k here would be noise
+    val docs = spark.range(2000).repartition(8)
+      .select(concat(lit("t"), col("id")).as("text"))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(docs, "text", 5, maxMapSize = 8)
+    }
+    assert(e.getMessage.contains("maximum error"))
   }
 }
