@@ -143,7 +143,11 @@ object Similarity {
   /** Per-row array of `(score, cid)` structs against a driver-side
     * codebook — the cosine twin of [[assignLit]]'s distance structs.
     * `sqrt` is `java.lang.Math.sqrt` on both the driver and in Spark's
-    * SQRT, so the precomputed norm divides bit-identically. */
+    * SQRT, so the precomputed norm divides bit-identically.
+    * LITERAL-CODEBOOK ceiling: like [[assignLit]] this inlines k·dim
+    * plan literals, so it is only for codebook-sized k (≤ ~10³ — see
+    * [[LiteralAssignMaxK]]); IVF probe lists are ≤ 10³ centroids in
+    * production, so no large-k twin is needed here. */
   private def scoreLit(cents: Seq[(Long, Seq[Long])]): Column =
     array(cents.sortBy(_._1).map { case (cid, cv) =>
       val norm = math.sqrt(cv.map(x => x * x).sum.toDouble)
@@ -239,8 +243,15 @@ object Similarity {
     * over the corpus: NO crossJoin row blow-up, NO groupBy(vec_id)
     * shuffle, NO join-back. `nq` is constant per row across centroids,
     * so the distance drops it: argmin(nc − 2·dot) ≡ argmin(nq − 2·dot
-    * + nc). The codebook is k·dim scalars — exactly what fits in a
-    * plan literal at any corpus scale. */
+    * + nc). The codebook is k·dim scalars — independent of CORPUS
+    * scale, but NOT of k: every scalar is a plan literal feeding
+    * whole-stage codegen, and Janino's 64 KB method ceiling caps the
+    * pattern around k·dim ≈ a few 10⁵ literals. [[assignCol]] is the
+    * dispatcher: it uses this formulation up to [[LiteralAssignMaxK]]
+    * centroids (measured faster there — the codebook constant-folds
+    * into the generated method) and the reference-object expression
+    * ([[graft.functions.NearestCentroidExpr]]) beyond, where the
+    * codebook rides the task-binary broadcast instead of the plan. */
   private def assignLit(cents: Seq[(Long, Seq[Long])]): Column = {
     val entries = cents.sortBy(_._1).map { case (cid, cv) =>
       val nc = cv.map(x => x * x).sum
@@ -249,6 +260,49 @@ object Similarity {
         lit(cid).as("cid"))
     }
     array_min(array(entries: _*)).getField("cid")
+  }
+
+  /** Literal-codebook ceiling for [[assignCol]]: below this the inlined
+    * [[assignLit]] projection wins (measured — BASELINE.md records the
+    * literal path beating the join formulation at codebook-sized k);
+    * above it the plan would grow toward Janino's method limits, so the
+    * codebook moves out of the plan into
+    * [[graft.functions.NearestCentroidExpr]]'s reference object. 1024
+    * keeps the literal zone well inside the measured-win region while
+    * the SemDeDup-style "k is millions" regime takes the bounded-plan
+    * path automatically. */
+  val LiteralAssignMaxK = 1024
+
+  /** L2-argmin assignment dispatcher over a driver-side codebook: same
+    * semantics at any k (exact BIGINT argmin of (‖c‖²−2·q·c, cid), tie
+    * → smaller cid; parity pinned by SimilaritySpec), formulation
+    * chosen by codebook size — see [[assignLit]] vs
+    * [[graft.functions.NearestCentroidExpr]]. */
+  def assignCol(cents: Seq[(Long, Seq[Long])]): Column =
+    if (cents.size <= LiteralAssignMaxK) assignLit(cents)
+    else graft.functions.NearestCentroid.nearest(col("q"), cents)
+
+  /** Large-k forced variant for specs and the big-k registry query —
+    * bypasses the dispatcher's literal zone so the reference-object
+    * path is exercised at fixture-sized codebooks too. */
+  def assignColRef(cents: Seq[(Long, Seq[Long])]): Column =
+    graft.functions.NearestCentroid.nearest(col("q"), cents)
+
+  /** Plain codebook assignment as a first-class operator — `(vec_id,
+    * cid)` for every vector, codebook = the first `numCentroids`
+    * vectors (the same stand-in convention as [[ivfTopK]]). `forceRef`
+    * exercises the large-k path regardless of size. At 100 TB this is
+    * the SemDeDup clustering primitive: ONE narrow projection over the
+    * corpus, no join, no shuffle, any k that fits executor memory. */
+  def assignToCodebook(emb: DataFrame, numCentroids: Int,
+                       forceRef: Boolean = false): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val cents = v.where(col("vec_id") < numCentroids)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val cid = if (forceRef) assignColRef(cents) else assignCol(cents)
+    v.select(col("vec_id"), cid.as("cid"))
   }
 
   /** Deterministic exact-integer Lloyd's k-means over the quantized
@@ -294,7 +348,7 @@ object Similarity {
     for (_ <- 0 until numIter) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("q"), i + 1)).as(s"s$i"))
-      val agg = v.withColumn("cid", assignLit(cents))
+      val agg = v.withColumn("cid", assignCol(cents))
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), sums: _*)
       val mean = array((0 until dim).map(i =>
@@ -322,7 +376,7 @@ object Similarity {
     import spark.implicits._
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val codebook = kMeansCodebook(emb, numCentroids, numIter, dim)
-    val sizes = v.select(assignLit(codebook).as("cid"))
+    val sizes = v.select(assignCol(codebook).as("cid"))
       .groupBy("cid").agg(count(lit(1)).as("cluster_size"))
     codebook.toDF("cid", "cv")
       .join(sizes, Seq("cid"), "left_outer")
@@ -343,6 +397,11 @@ object Similarity {
     * [[embedNearDupPairs]] as the pair-pruning partitioner — pair work
     * is O(cluster²) per cluster, the SemDeDup design point (k chosen
     * so clusters stay small; at 100 TB k is millions, here 16). The
+    * assignment goes through [[assignCol]], so the large-k regime is
+    * actually reachable: past [[LiteralAssignMaxK]] the codebook moves
+    * out of the plan into the reference-object expression
+    * ([[graft.functions.NearestCentroidExpr]]) instead of hitting
+    * codegen literal limits. The
     * within-cluster self-join shuffles on `cid` and AQE splits hot
     * clusters; removal is one left-anti join, never a driver loop.
     * Identical vectors always co-cluster (same distance to every
@@ -356,7 +415,7 @@ object Similarity {
     val codebook = kMeansCodebook(emb, numCentroids, numIter, dim)
     // narrow literal-codebook clustering: the corpus reaches the
     // within-cluster self-join below with NO prior shuffle
-    val m = v.withColumn("cid", assignLit(codebook))
+    val m = v.withColumn("cid", assignCol(codebook))
     val a = m.select(col("cid"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("nq").as("na"))
     val b = m.select(col("cid"), col("vec_id").as("vec_b"),

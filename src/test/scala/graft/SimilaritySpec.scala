@@ -292,4 +292,47 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.ivfTopKTrained(fixtureEmb, 8L, 5, 16, 16)))
     assert(r16 == 1.0, f"full-probe trained IVF must be exact, got $r16%.3f")
   }
+
+  test("assignCol parity: reference-object path == literal path " +
+       "(same argmin, same tie-break)") {
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 7 + j * 13) % 29 - 14).toFloat)))
+    val df = emb(rows: _*)
+    val ref = Similarity.assignToCodebook(df, 12, forceRef = true)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val lit = Similarity.assignToCodebook(df, 12, forceRef = false)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(ref == lit)
+    assert(ref.map(_._2).distinct.size > 1) // the fixture actually spreads
+  }
+
+  test("NearestCentroidExpr breaks exact distance ties toward the " +
+       "smaller cid, like assignLit's lexicographic array_min") {
+    // vec 2 = (0,1) is equidistant from centroids 0 = (1,0) and
+    // 1 = (-1,0): both paths must pick cid 0
+    val df = emb((0L, Seq(1f, 0f)), (1L, Seq(-1f, 0f)), (2L, Seq(0f, 1f)))
+    for (force <- Seq(true, false)) {
+      val got = Similarity.assignToCodebook(df, 2, forceRef = force)
+        .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+      assert(got == Seq((0L, 0L), (1L, 1L), (2L, 0L)), s"forceRef=$force")
+    }
+  }
+
+  test("assignCol dispatcher: past LiteralAssignMaxK the plan stays one " +
+       "narrow shuffle-free projection (codebook not inlined as literals)") {
+    val k = Similarity.LiteralAssignMaxK + 50
+    val rows = (0L until (k + 26).toLong).map(i => (i, Seq(
+      i.toFloat, ((i * 3) % 97).toFloat,
+      ((i * 5) % 89).toFloat, ((i * 7) % 83).toFloat)))
+    val df = emb(rows: _*)
+    val out = Similarity.assignToCodebook(df, k) // dispatcher, not forced
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"assignment plan joined:\n$plan")
+    // vectors are pairwise distinct, every vector is a centroid → each
+    // assigns to itself, through the reference-object path
+    val got = out.as[(Long, Long)].collect()
+    assert(got.length == k + 26)
+    assert(got.filter(_._1 < k).forall(p => p._1 == p._2))
+  }
 }
