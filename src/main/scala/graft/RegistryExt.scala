@@ -602,6 +602,14 @@ object RegistryExt {
     "sim_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), NumQueries, TopK)
         .orderBy("query_id", "rank")),
+    // IVFADC (Jégou 2011 §V): probe-list pruning × PQ code-only
+    // scoring — a query touches only its probed coarse lists and ranks
+    // their candidates from (cid, codes) payloads via ADC tables. The
+    // billion-vector composition of sim_ivf_topk and sim_pq_topk.
+    "sim_ivfadc_topk" -> ((s, dir) =>
+      Similarity.ivfadcTopK(t(s, dir, "embeddings"), NumQueries, TopK,
+        NumCentroids, NumProbes)
+        .orderBy("query_id", "rank")),
     // The train-then-serve ANN path: same probe machinery as
     // sim_ivf_topk but over the Lloyd's-trained codebook. The oracle
     // prepends the k-means CTE chain and swaps the centroid source.
@@ -819,6 +827,63 @@ object RegistryExt {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
          |  FROM sc)
          |SELECT query_id, cand_id, adot, acos, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
+    // IVFADC: the coarse CTEs (c/sc/best/probes) verbatim from the IVF
+    // oracle + the PQ CTEs (bn/sl/enc) verbatim from the PQ oracle,
+    // joined so per-subspace partial dots are summed ONLY for (query,
+    // candidate) pairs whose candidate sits in a probed list.
+    "sim_ivfadc_topk" -> {
+      val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |  WHERE vec_id < $NumCentroids),
+         |sc AS (
+         |  SELECT n.vec_id, c.cid,
+         |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
+         |  FROM n CROSS JOIN c),
+         |best AS (
+         |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
+         |  FROM sc GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
+         |    FROM sc WHERE vec_id < $NumQueries)
+         |  WHERE pr <= $NumProbes),
+         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
+         |enc AS (SELECT vec_id, s, code, nc FROM (
+         |  SELECT sl.vec_id, sl.s, b.code, b.nc,
+         |    row_number() OVER (PARTITION BY sl.vec_id, sl.s
+         |      ORDER BY b.nc - 2 * ${dotSql("sl.sv", "b.cv")}, b.code) AS rn
+         |  FROM sl JOIN bn b ON b.s = sl.s)
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, nq AS nqq FROM n
+         |  WHERE vec_id < $NumQueries),
+         |qp AS (SELECT qs.query_id, qs.qv, qs.nqq, p.cid
+         |  FROM qs JOIN probes p USING (query_id)),
+         |cand AS (SELECT e.vec_id, e.s, e.code, e.nc, b.cid
+         |  FROM enc e JOIN best b USING (vec_id)),
+         |parts AS (SELECT qp.query_id, cd.vec_id AS cand_id, cd.cid, qp.nqq,
+         |    ${dotSql(s"(qp.qv[$sub*cd.s+1 : $sub*cd.s+$sub])", "b2.cv")} AS pdot,
+         |    cd.nc AS pnc
+         |  FROM cand cd JOIN bn b2 ON b2.s = cd.s AND b2.code = cd.code
+         |  JOIN qp ON qp.cid = cd.cid
+         |  WHERE cd.vec_id <> qp.query_id),
+         |sc2 AS (SELECT query_id, cand_id, cid, CAST(sum(pdot) AS BIGINT) AS adot,
+         |    CAST(sum(pnc) AS BIGINT) AS nrec, min(nqq) AS nqq
+         |  FROM parts GROUP BY query_id, cand_id, cid),
+         |r AS (SELECT query_id, cand_id, cid, adot,
+         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc2)
+         |SELECT query_id, cand_id, cid, adot, acos, "rank"
          |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
     },
     "sim_ivf_trained" ->

@@ -517,74 +517,178 @@ object Similarity {
   def pqTopK(emb: DataFrame, numQueries: Long, k: Int,
              numSub: Int = 8, subDim: Int = 8,
              numCodes: Int = 16): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-    val base = v.where(col("vec_id") < numCodes)
-      .as[(Long, Seq[Long])].collect().sortBy(_._1).toIndexedSeq
-    val books: IndexedSeq[IndexedSeq[(Long, Seq[Long])]] =
-      IndexedSeq.tabulate(numSub)(s => base.map { case (code, q) =>
-        (code, q.slice(s * subDim, (s + 1) * subDim)) })
-    val bookNorms: IndexedSeq[IndexedSeq[Long]] =
-      books.map(_.map { case (_, cv) => cv.map(x => x * x).sum })
+    val m = pqBooksFirstC(v, numSub, subDim, numCodes)
 
-    // Per-subspace argmin over the codebook: lexicographic min of
-    // (‖C‖² − 2·slice·C, code) — the common ‖slice‖² term cancels.
-    // Slices are hoisted to ONE projection (8 per row) so the 16
-    // per-code dots share them instead of re-slicing 128 times.
-    def encodeCol(s: Int): Column = {
-      val entries = books(s).map { case (code, cv) =>
-        struct(
-          (lit(bookNorms(s)(code.toInt)) -
-            lit(2L) * dotQ(element_at(col("sl"), s + 1),
-              typedLit(cv))).as("d"),
-          lit(code).as("code"))
-      }
-      array_min(array(entries: _*)).getField("code")
-    }
-    val encoded = v
-      .select(col("vec_id"), array((0 until numSub).map(s =>
-        slice(col("q"), s * subDim + 1, subDim)): _*).as("sl"))
-      .select(col("vec_id"),
-        array((0 until numSub).map(encodeCol): _*).as("codes"))
-
-    // ADC distance TABLES, built once per query: qtab[s][c] =
-    // qv_slice_s · C_s[c] (8×16 partial dots per query row — work
-    // proportional to QUERIES, not candidates). The broadcast then
-    // carries the 128-entry tables instead of the query vector, and
-    // per-candidate scoring is pure table lookups — the actual ADC of
-    // the paper, and the reason PQ scoring beats recomputing dots.
+    val encoded = pqEncodeDf(v, m, Seq("vec_id"))
     val queries = v.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         dotQ(col("q"), col("q")).as("nqq"))
-      .withColumn("qtab", array((0 until numSub).map(s =>
-        array(books(s).map { case (_, cv) =>
-          dotQ(slice(col("qv"), s * subDim + 1, subDim),
-            array(cv.map(lit): _*))
-        }: _*)): _*))
+      .withColumn("qtab", pqQueryTab(m))
       .select("query_id", "nqq", "qtab")
-
-    def codeAt(s: Int): Column =
-      (element_at(col("codes"), s + 1) + 1).cast(IntegerType)
-    val adot = (0 until numSub).map(s =>
-      element_at(element_at(col("qtab"), s + 1), codeAt(s)))
-      .reduce(_ + _)
-    val nrec = (0 until numSub).map(s =>
-      element_at(typedLit(bookNorms(s)), codeAt(s)))
-      .reduce(_ + _)
 
     encoded.select(col("vec_id").as("cand_id"), col("codes"))
       .crossJoin(broadcast(queries))
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("adot", adot)
+      .withColumn("adot", pqAdot(m))
       .withColumn("acos", col("adot").cast(DoubleType) /
-        (sqrt(col("nqq").cast(DoubleType)) * sqrt(nrec.cast(DoubleType))))
+        (sqrt(col("nqq").cast(DoubleType)) *
+          sqrt(pqNrec(m).cast(DoubleType))))
       .groupBy("query_id")
       .agg(graft.functions.TopKByDot.topK(k)(
         col("adot"), col("cand_id"), col("acos")).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
       .select(col("query_id"), col("c.cand_id").as("cand_id"),
         col("c.dot").as("adot"), col("c.cosine").as("acos"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
+  /** A PQ model: per-subspace codebooks `books(s) = (code, codeword
+    * slice)` with their precomputed ‖C‖² — driver-side, codebook-sized
+    * (numSub·numCodes·subDim scalars). */
+  case class PqModel(books: IndexedSeq[IndexedSeq[(Long, Seq[Long])]],
+                     norms: IndexedSeq[IndexedSeq[Long]],
+                     numSub: Int, subDim: Int)
+
+  private def pqModelOf(base: IndexedSeq[(Long, Seq[Long])],
+                        numSub: Int, subDim: Int): PqModel = {
+    val books = IndexedSeq.tabulate(numSub)(s => base.map { case (code, q) =>
+      (code, q.slice(s * subDim, (s + 1) * subDim)) })
+    PqModel(books,
+      books.map(_.map { case (_, cv) => cv.map(x => x * x).sum }),
+      numSub, subDim)
+  }
+
+  /** First-C stand-in sub-codebooks: slices of the first `numCodes`
+    * vectors (the plumbing contract; [[pqModelTrained]] is the trained
+    * form). `v` = (vec_id, q). */
+  private def pqBooksFirstC(v: DataFrame, numSub: Int, subDim: Int,
+                            numCodes: Int): PqModel = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    pqModelOf(v.where(col("vec_id") < numCodes)
+      .select(col("vec_id"), col("q"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toIndexedSeq,
+      numSub, subDim)
+  }
+
+  /** PQ-encode `df`: append `codes` (per-subspace argmin code), keeping
+    * `carry` columns. Per-subspace argmin over the codebook:
+    * lexicographic min of (‖C‖² − 2·slice·C, code) — the common
+    * ‖slice‖² term cancels. Slices are hoisted to ONE projection
+    * (numSub per row) so the per-code dots share them instead of
+    * re-slicing numSub·numCodes times. */
+  private def pqEncodeDf(df: DataFrame, m: PqModel,
+                         carry: Seq[String]): DataFrame = {
+    def encodeCol(s: Int): Column = {
+      val entries = m.books(s).map { case (code, cv) =>
+        struct(
+          (lit(m.norms(s)(code.toInt)) -
+            lit(2L) * dotQ(element_at(col("sl"), s + 1),
+              typedLit(cv))).as("d"),
+          lit(code).as("code"))
+      }
+      array_min(array(entries: _*)).getField("code")
+    }
+    df.select(carry.map(col) :+ array((0 until m.numSub).map(s =>
+        slice(col("q"), s * m.subDim + 1, m.subDim)): _*).as("sl"): _*)
+      .select(carry.map(col) :+
+        array((0 until m.numSub).map(encodeCol): _*).as("codes"): _*)
+  }
+
+  /** ADC distance TABLES, built once per query row: qtab[s][c] =
+    * qv_slice_s · C_s[c] (numSub×numCodes partial dots — work
+    * proportional to QUERIES, not candidates). The broadcast then
+    * carries the small tables instead of the query vector, and
+    * per-candidate scoring is pure table lookups — the actual ADC of
+    * Jégou 2011, and the reason PQ scoring beats recomputing dots.
+    * Expects `qv`. */
+  private def pqQueryTab(m: PqModel): Column =
+    array((0 until m.numSub).map(s =>
+      array(m.books(s).map { case (_, cv) =>
+        dotQ(slice(col("qv"), s * m.subDim + 1, m.subDim),
+          array(cv.map(lit): _*))
+      }: _*)): _*)
+
+  private def pqCodeAt(s: Int): Column =
+    (element_at(col("codes"), s + 1) + 1).cast(IntegerType)
+
+  /** Asymmetric dot from the lookup tables — expects `qtab`, `codes`. */
+  private def pqAdot(m: PqModel): Column =
+    (0 until m.numSub).map(s =>
+      element_at(element_at(col("qtab"), s + 1), pqCodeAt(s)))
+      .reduce(_ + _)
+
+  /** ‖reconstruction‖² from the codes alone — expects `codes`. */
+  private def pqNrec(m: PqModel): Column =
+    (0 until m.numSub).map(s =>
+      element_at(typedLit(m.norms(s)), pqCodeAt(s)))
+      .reduce(_ + _)
+
+  /** IVFADC — [[ivfTopK]]'s probe-list PRUNING composed with
+    * [[pqTopK]]'s code-only COMPRESSION, the billion-vector design
+    * point of Jégou et al. (TPAMI 2011, §V): a query touches only its
+    * `numProbes` coarse lists, and within them candidates are scored
+    * from their `numSub` PQ codes via the query's ADC lookup tables —
+    * never from the stored vectors. (Codes quantize the raw slices, as
+    * [[pqTopK]] does — FAISS's `by_residual=false` IVFPQ variant; the
+    * coarse and PQ codebooks are the independent first-C stand-ins of
+    * the two component operators.)
+    *
+    * Scale shape — why this is THE deployed ANN at 10⁹+ vectors: the
+    * index payload per candidate is `(cid, codes)` — a centroid id plus
+    * numSub small ints (bytes in production, 32× compression at
+    * dim=64) — so whole shards of the inverted file fit in executor
+    * memory; the probe join shuffles nothing but the broadcast query
+    * tables; per-query work is O(probed-list rows) table lookups
+    * instead of O(n) dot products; ranking is the bounded two-phase
+    * heap end-to-end (≤ k entries per map task cross the exchange).
+    * Both codebooks stay driver-side model state, exactly like the
+    * components'. */
+  def ivfadcTopK(emb: DataFrame, numQueries: Long, k: Int,
+                 numCentroids: Int = 16, numProbes: Int = 2,
+                 numSub: Int = 8, subDim: Int = 8,
+                 numCodes: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    val coarse = v.where(col("vec_id") < numCentroids)
+      .select(col("vec_id"), col("q"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val m = pqBooksFirstC(v, numSub, subDim, numCodes)
+
+    // The inverted file: every vector's coarse list (same cosine argmax
+    // as ivfProbe) + its PQ codes — the vector itself is DROPPED here;
+    // nothing downstream ever reads it again.
+    val inverted = pqEncodeDf(
+      v.withColumn("cid", array_max(scoreLit(coarse)).getField("cid")),
+      m, Seq("vec_id", "cid"))
+
+    // Queries: numProbes nearest coarse lists (same sorted-slice as
+    // ivfProbe) and the ADC tables; a candidate lives in exactly one
+    // list, so no cross-probe dedup is needed.
+    val queries = v.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nq").as("nqq"),
+        explode(slice(reverse(array_sort(scoreLit(coarse))),
+          1, numProbes)).as("probe"))
+      .select(col("query_id"), col("nqq"), pqQueryTab(m).as("qtab"),
+        col("probe.cid").as("cid"))
+
+    inverted.join(broadcast(queries), Seq("cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("adot", pqAdot(m))
+      .withColumn("acos", col("adot").cast(DoubleType) /
+        (sqrt(col("nqq").cast(DoubleType)) *
+          sqrt(pqNrec(m).cast(DoubleType))))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByDotTag.topK(k)(
+        col("adot"), col("vec_id"), col("acos"), col("cid")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cand_id").as("cand_id"),
+        col("c.tag").as("cid"), col("c.dot").as("adot"),
+        col("c.cosine").as("acos"),
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 }

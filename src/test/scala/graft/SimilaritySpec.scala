@@ -293,6 +293,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r16 == 1.0, f"full-probe trained IVF must be exact, got $r16%.3f")
   }
 
+  test("ivfadcTopK with an exhaustive probe budget degenerates to pqTopK " +
+       "exactly (pruning off == pure ADC)") {
+    // probing all 16 coarse lists admits every candidate, so the only
+    // difference from pqTopK is the cid tag riding along
+    val full = Similarity.ivfadcTopK(fixtureEmb, 8L, 5, 16, 16)
+      .select("query_id", "cand_id", "adot", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(fixtureEmb, 8L, 5)
+      .select("query_id", "cand_id", "adot", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == pq)
+  }
+
+  test("recall contract: ivfadcTopK recall@5 vs brute-force ground truth") {
+    val r = meanRecall(topkSets(
+      Similarity.ivfadcTopK(fixtureEmb, 8L, 5, 16, 2)))
+    info(f"ivfadcTopK recall@5 = $r%.3f")
+    // pruning × compression stack their losses; the deterministic
+    // fixture measures well above this floor
+    assert(r >= 0.25, f"ivfadcTopK recall@5 $r%.3f below contract 0.25")
+  }
+
   test("assignCol parity: reference-object path == literal path " +
        "(same argmin, same tie-break)") {
     val rows = (0L until 60L).map(i =>
