@@ -602,6 +602,15 @@ object RegistryExt {
     "sim_pq_topk" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), NumQueries, TopK)
         .orderBy("query_id", "rank")),
+    // PQ over TRAINED sub-codebooks: kMeansCodebookQ per subspace
+    // slice (numIter Lloyd's rounds each, same init convention), then
+    // the identical ADC serving path — the trained twin sim_ivf_trained
+    // is for sim_ivf_topk. The oracle unrolls all 8 per-subspace
+    // training chains as prefixed CTEs.
+    "sim_pq_trained" -> ((s, dir) =>
+      Similarity.pqTopKTrained(t(s, dir, "embeddings"), NumQueries, TopK,
+        numIter = KMeansIter)
+        .orderBy("query_id", "rank")),
     // IVFADC (Jégou 2011 §V): probe-list pruning × PQ code-only
     // scoring — a query touches only its probed coarse lists and ranks
     // their candidates from (cid, codes) payloads via ADC tables. The
@@ -640,12 +649,13 @@ object RegistryExt {
     * L2-nearest centroid of `cSrc` — row_number over
     * (|v|²−2·v·c+|c|², cid), the same lexicographic argmin as the Spark
     * `min(struct(dist, cid))`. */
-  private def kmeansAssignCte(cSrc: String, aName: String): String =
+  private def kmeansAssignCte(cSrc: String, aName: String,
+                              vnName: String = "vn"): String =
     s"""${aName}s AS (
        |  SELECT vn.vec_id, c.cid,
        |    row_number() OVER (PARTITION BY vn.vec_id
        |      ORDER BY vn.nq - 2 * ${dotSql("vn.q", "c.cv")} + c.nc, c.cid) AS rn
-       |  FROM vn CROSS JOIN
+       |  FROM $vnName vn CROSS JOIN
        |    (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM $cSrc) c),
        |$aName AS (SELECT vec_id, cid FROM ${aName}s WHERE rn = 1)""".stripMargin
 
@@ -657,23 +667,34 @@ object RegistryExt {
     * `//` means (DuckDB `//` and Spark `div` both truncate toward zero
     * on all signs), empty clusters keeping the previous centroid via
     * the per-dim LEFT JOIN COALESCE. */
-  private lazy val kmeansChainCtes: String = {
-    val iters = (0 until KMeansIter).map { it =>
-      s"""${kmeansAssignCte(s"c$it", s"a$it")},
-         |m$it AS (SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
-         |  FROM a$it JOIN v USING (vec_id)
-         |  CROSS JOIN generate_series(1, $Dim) g(i)
+  /** The chain, parameterized for REUSE PER SUBSPACE (sim_pq_trained
+    * trains 8 independent sub-codebooks — one chain each, names
+    * prefixed, over the slice CTE `vName`, at the subspace's `dim`).
+    * `kmeansChainCtes` is exactly `kmeansChainFor("", "v", Dim,
+    * NumCentroids, KMeansIter)` — the full-width instance the three
+    * original consumers share. Defines `${pfx}vn` and
+    * `${pfx}c0`..`${pfx}c$numIter`. */
+  private def kmeansChainFor(pfx: String, vName: String, dim: Int,
+                             k: Int, numIter: Int): String = {
+    val iters = (0 until numIter).map { it =>
+      s"""${kmeansAssignCte(s"${pfx}c$it", s"${pfx}a$it", s"${pfx}vn")},
+         |${pfx}m$it AS (SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+         |  FROM ${pfx}a$it JOIN $vName USING (vec_id)
+         |  CROSS JOIN generate_series(1, $dim) g(i)
          |  GROUP BY cid, i),
-         |c${it + 1}d AS (SELECT p.cid, gi.i, COALESCE(m.s // m.n, p.cv[gi.i]) AS val
-         |  FROM c$it p CROSS JOIN generate_series(1, $Dim) gi(i)
-         |  LEFT JOIN m$it m ON m.cid = p.cid AND m.i = gi.i),
-         |c${it + 1} AS (SELECT cid, list(val ORDER BY i) AS cv
-         |  FROM c${it + 1}d GROUP BY cid)""".stripMargin
+         |${pfx}c${it + 1}d AS (SELECT p.cid, gi.i, COALESCE(m.s // m.n, p.cv[gi.i]) AS val
+         |  FROM ${pfx}c$it p CROSS JOIN generate_series(1, $dim) gi(i)
+         |  LEFT JOIN ${pfx}m$it m ON m.cid = p.cid AND m.i = gi.i),
+         |${pfx}c${it + 1} AS (SELECT cid, list(val ORDER BY i) AS cv
+         |  FROM ${pfx}c${it + 1}d GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-       |c0 AS (SELECT vec_id AS cid, q AS cv FROM v WHERE vec_id < $NumCentroids),
+    s"""${pfx}vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM $vName),
+       |${pfx}c0 AS (SELECT vec_id AS cid, q AS cv FROM $vName WHERE vec_id < $k),
        |$iters""".stripMargin
   }
+
+  private lazy val kmeansChainCtes: String =
+    kmeansChainFor("", "v", Dim, NumCentroids, KMeansIter)
 
   private lazy val kmeansOracle: String =
     s"""WITH $quantCte,
@@ -803,6 +824,49 @@ object RegistryExt {
          |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
          |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
          |  WHERE vec_id < 16),
+         |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
+         |enc AS (SELECT vec_id, s, code, nc FROM (
+         |  SELECT sl.vec_id, sl.s, b.code, b.nc,
+         |    row_number() OVER (PARTITION BY sl.vec_id, sl.s
+         |      ORDER BY b.nc - 2 * ${dotSql("sl.sv", "b.cv")}, b.code) AS rn
+         |  FROM sl JOIN bn b ON b.s = sl.s)
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, ${dotSql("q", "q")} AS nqq
+         |  FROM v WHERE vec_id < $NumQueries),
+         |parts AS (SELECT qs.query_id, e.vec_id AS cand_id, qs.nqq,
+         |    ${dotSql(s"(qs.qv[$sub*e.s+1 : $sub*e.s+$sub])", "b2.cv")} AS pdot,
+         |    e.nc
+         |  FROM enc e JOIN bn b2 ON b2.s = e.s AND b2.code = e.code
+         |  CROSS JOIN qs
+         |  WHERE e.vec_id <> qs.query_id),
+         |sc AS (SELECT query_id, cand_id, CAST(sum(pdot) AS BIGINT) AS adot,
+         |    CAST(sum(nc) AS BIGINT) AS nrec, min(nqq) AS nqq
+         |  FROM parts GROUP BY query_id, cand_id),
+         |r AS (SELECT query_id, cand_id, adot,
+         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, adot, acos, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
+    // Trained-PQ replay: one prefixed k-means chain per subspace over
+    // its slice CTE (p{s}vn, p{s}c0..p{s}c2), the union of the 8
+    // trained books as bn, then the SAME encode/score/rank tail as
+    // sim_pq_topk — the oracle proves training changed only the model.
+    "sim_pq_trained" -> {
+      val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
+      val chains = (0 until sub).map { s =>
+        s"""v$s AS (SELECT vec_id, q[$sub*$s+1 : $sub*$s+$sub] AS q FROM v),
+           |${kmeansChainFor(s"p$s", s"v$s", sub, 16, KMeansIter)}""".stripMargin
+      }.mkString(",\n")
+      val bnUnion = (0 until sub).map { s =>
+        s"SELECT $s AS s, cid AS code, cv, ${dotSql("cv", "cv")} AS nc FROM p${s}c$KMeansIter"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $quantCte,
+         |$chains,
+         |bn AS (
+         |  $bnUnion),
          |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
          |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
          |enc AS (SELECT vec_id, s, code, nc FROM (

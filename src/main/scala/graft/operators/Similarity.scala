@@ -331,10 +331,20 @@ object Similarity {
     * size — and `numIter` is a small explicit constant (codebooks
     * train in a handful of rounds). */
   def kMeansCodebook(emb: DataFrame, numCentroids: Int = 16,
-                     numIter: Int = 2, dim: Int = 64): Seq[(Long, Seq[Long])] = {
-    val spark = emb.sparkSession
+                     numIter: Int = 2, dim: Int = 64): Seq[(Long, Seq[Long])] =
+    kMeansCodebookQ(
+      emb.select(col("vec_id"), quantize(col("embedding")).as("q")),
+      numCentroids, numIter, dim)
+
+  /** [[kMeansCodebook]] over an ALREADY-QUANTIZED `(vec_id, q)` frame
+    * of any dimension — the form [[pqModelTrained]] trains per-subspace
+    * sub-codebooks through (each subspace is just a `slice` projection
+    * of the corpus; the trainer neither knows nor cares). */
+  def kMeansCodebookQ(vIn: DataFrame, numCentroids: Int,
+                      numIter: Int, dim: Int): Seq[(Long, Seq[Long])] = {
+    val spark = vIn.sparkSession
     import spark.implicits._
-    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val v = vIn.select(col("vec_id"), col("q"))
     // The model is k·dim scalars — it LIVES on the driver (what
     // MLlib's KMeans does with its centers): each Lloyd's round is ONE
     // corpus scan — narrow literal-codebook assignment, then a
@@ -518,8 +528,29 @@ object Similarity {
              numSub: Int = 8, subDim: Int = 8,
              numCodes: Int = 16): DataFrame = {
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-    val m = pqBooksFirstC(v, numSub, subDim, numCodes)
+    pqTopKWith(v, pqBooksFirstC(v, numSub, subDim, numCodes),
+      numQueries, k)
+  }
 
+  /** [[pqTopK]] over TRAINED sub-codebooks — [[kMeansCodebookQ]] per
+    * subspace instead of the first-C slice stand-in, proving the
+    * drop-in the [[pqTopK]] scaladoc promises (the trained twin
+    * relation sim_ivf_trained already proved for IVF). Serving is
+    * byte-identical to [[pqTopK]]; only the model differs. Training
+    * cost: numSub independent trainings, each `numIter` corpus scans
+    * over a subDim-wide slice projection — at 100 TB the scans are the
+    * cost and the slices shrink them numSub-fold each, so the whole
+    * training round-trip is ~numIter full-width-equivalent passes. */
+  def pqTopKTrained(emb: DataFrame, numQueries: Long, k: Int,
+                    numSub: Int = 8, subDim: Int = 8,
+                    numCodes: Int = 16, numIter: Int = 2): DataFrame = {
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    pqTopKWith(v, pqModelTrained(v, numSub, subDim, numCodes, numIter),
+      numQueries, k)
+  }
+
+  private def pqTopKWith(v: DataFrame, m: PqModel, numQueries: Long,
+                         k: Int): DataFrame = {
     val encoded = pqEncodeDf(v, m, Seq("vec_id"))
     val queries = v.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
@@ -559,11 +590,31 @@ object Similarity {
       numSub, subDim)
   }
 
+  /** Trained sub-codebooks: one [[kMeansCodebookQ]] run per subspace
+    * over the corpus's subDim-wide slice projection, init = the first
+    * `numCodes` slices (the same convention as the stand-in, so
+    * numIter=0 degenerates to [[pqBooksFirstC]] exactly). */
+  private[graft] def pqModelTrained(v: DataFrame, numSub: Int, subDim: Int,
+                                    numCodes: Int, numIter: Int): PqModel =
+    pqModelOf0(IndexedSeq.tabulate(numSub) { s =>
+      kMeansCodebookQ(
+        v.select(col("vec_id"),
+          slice(col("q"), s * subDim + 1, subDim).as("q")),
+        numCodes, numIter, subDim).toIndexedSeq
+    }, numSub, subDim)
+
+  /** Build a [[PqModel]] from per-subspace books directly. */
+  private def pqModelOf0(books: IndexedSeq[IndexedSeq[(Long, Seq[Long])]],
+                         numSub: Int, subDim: Int): PqModel =
+    PqModel(books,
+      books.map(_.map { case (_, cv) => cv.map(x => x * x).sum }),
+      numSub, subDim)
+
   /** First-C stand-in sub-codebooks: slices of the first `numCodes`
     * vectors (the plumbing contract; [[pqModelTrained]] is the trained
     * form). `v` = (vec_id, q). */
-  private def pqBooksFirstC(v: DataFrame, numSub: Int, subDim: Int,
-                            numCodes: Int): PqModel = {
+  private[graft] def pqBooksFirstC(v: DataFrame, numSub: Int, subDim: Int,
+                                   numCodes: Int): PqModel = {
     val spark = v.sparkSession
     import spark.implicits._
     pqModelOf(v.where(col("vec_id") < numCodes)
