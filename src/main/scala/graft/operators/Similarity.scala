@@ -341,7 +341,17 @@ object Similarity {
     * sub-codebooks through (each subspace is just a `slice` projection
     * of the corpus; the trainer neither knows nor cares). */
   def kMeansCodebookQ(vIn: DataFrame, numCentroids: Int,
-                      numIter: Int, dim: Int): Seq[(Long, Seq[Long])] = {
+                      numIter: Int, dim: Int): Seq[(Long, Seq[Long])] =
+    kMeansCodebooksQ(vIn, numCentroids, numIter, dim).last
+
+  /** Every intermediate codebook of the training run — element 0 is
+    * the init (first-C), element `numIter` the final model. The
+    * TRAINER QUALITY contract lives on this: [[kMeansInertia]] over
+    * consecutive elements must be non-increasing (Lloyd's objective
+    * law, PropertySpec-pinned), which turns "the trainer improves the
+    * clustering" from scaladoc prose into a tested property. */
+  def kMeansCodebooksQ(vIn: DataFrame, numCentroids: Int,
+                       numIter: Int, dim: Int): Seq[Seq[(Long, Seq[Long])]] = {
     val spark = vIn.sparkSession
     import spark.implicits._
     val v = vIn.select(col("vec_id"), col("q"))
@@ -355,6 +365,8 @@ object Similarity {
     var cents: Seq[(Long, Seq[Long])] = v
       .where(col("vec_id") < numCentroids)
       .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val history = Seq.newBuilder[Seq[(Long, Seq[Long])]]
+    history += cents
     for (_ <- 0 until numIter) {
       val sums = (0 until dim).map(i =>
         sum(element_at(col("q"), i + 1)).as(s"s$i"))
@@ -367,8 +379,30 @@ object Similarity {
         .as[(Long, Seq[Long])].collect().toMap
       // a cluster left empty keeps its previous centroid
       cents = cents.map { case (cid, pv) => (cid, next.getOrElse(cid, pv)) }
+      history += cents
     }
-    cents
+    history.result()
+  }
+
+  /** The Lloyd's objective: Σ_v min_c ‖v − c‖², exact BIGINT — ONE
+    * corpus scan (the same narrow argmin projection as assignment,
+    * keeping `d` instead of `cid`, plus the row's ‖v‖² term the argmin
+    * dropped). The trainer's quality law: non-increasing across
+    * [[kMeansCodebooksQ]] rounds. Within-round-ε caveat: the truncating
+    * integer mean sits within 1 per dimension of the real minimizer, so
+    * the classic monotonicity argument carries an O(dim) slack in
+    * principle; at quantize-scale (×1000) that slack is noise and the
+    * property test asserts strict non-increase outright. */
+  def kMeansInertia(vIn: DataFrame, cents: Seq[(Long, Seq[Long])]): Long = {
+    val entries = cents.sortBy(_._1).map { case (cid, cv) =>
+      val nc = cv.map(x => x * x).sum
+      struct(
+        (lit(nc) - lit(2L) * dotQ(col("q"), array(cv.map(lit): _*))).as("d"),
+        lit(cid).as("cid"))
+    }
+    vIn.select((array_min(array(entries: _*)).getField("d") +
+        dotQ(col("q"), col("q"))).as("d"))
+      .agg(sum(col("d"))).head().getLong(0)
   }
 
   /** The trained codebook as a DataFrame — `(cid, cv)` — for operators

@@ -316,6 +316,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kMeans trainer quality law: the Lloyd's objective (total " +
+       "within-cluster squared distance) is non-increasing per round") {
+    import graft.operators.Similarity
+    // structured random data (8 separated centers + noise) so rounds
+    // have real work to do, unlike the near-orthogonal fixture
+    val rows = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Seq.tabulate(16)(j =>
+        (if (j % 8 == c) 10f else 0f) +
+          (((i * 31 + j * 17) % 13).toFloat - 6f) / 10f))
+    }
+    import spark.implicits._
+    val v = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val books = Similarity.kMeansCodebooksQ(v, 8, 4, 16)
+    assert(books.length == 5) // init + 4 rounds
+    val inertia = books.map(Similarity.kMeansInertia(v, _))
+    info(s"inertia per round: ${inertia.mkString(" -> ")}")
+    inertia.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"objective rose: $inertia")
+    }
+    // and the rounds actually did something on this data
+    assert(inertia.last < inertia.head)
+  }
+
   test("rangeJoin == naive theta-join reference on random intervals") {
     import spark.implicits._
     val ivGen = Gen.zip(Gen.choose(0L, 100L), Gen.choose(0L, 40L))
