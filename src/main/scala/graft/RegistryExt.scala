@@ -2158,6 +2158,18 @@ object RegistryExt {
         outputMode = "complete", shufflePartitions = StreamStateParts)
         .orderBy("user_id")
     }),
+    // Changelog-mode CDC snapshot: per batch, only the touched keys'
+    // struct-max rows merge into the generation table (order-
+    // insensitive max merge), closing complete-mode's full-keyset
+    // re-emission gap; drained result == the batch snapshot (shared
+    // oracle).
+    "st_snapshot_changelog" -> ((s, dir) => {
+      val src = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      graft.streaming.StreamOps.runSnapshotChangelog(s, src,
+        graft.Scratch.dir("graft_st_changelog"))
+        .orderBy("user_id")
+    }),
     // Streaming SCD2: incremental run compression with state-change
     // emission; the beyond-horizon sentinel flushes open intervals so
     // the drained stream equals the batch scd2 (same oracle).
@@ -2260,6 +2272,7 @@ object RegistryExt {
     "st_scd2" -> scd2OracleSql,
     // The drained streaming snapshot must equal the batch struct-max.
     "st_latest_snapshot" -> latestSnapshotOracleSql,
+    "st_snapshot_changelog" -> latestSnapshotOracleSql,
     // Batch dual of the streaming interval join: inclusive BETWEEN on
     // micros; (view_event_id, click_event_id) is a unique pair → total
     // order, inner join → no nulls.

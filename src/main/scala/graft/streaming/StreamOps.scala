@@ -254,8 +254,9 @@ object StreamOps {
     * .latestSnapshot]] — same (ts, event_id) total order, same tie
     * rule, value-identical after a drain (shared oracle). State grows
     * with the KEY set, the irreducible size of a snapshot; a
-    * deployment bounding output freshness instead compacts via
-    * foreachBatch upsert (the st_page_upsert path). */
+    * deployment that cannot afford complete-mode's full-keyset
+    * re-emission per batch uses [[runSnapshotChangelog]], which writes
+    * only the keys each batch touched (same oracle). */
   def latestSnapshotStream(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(max(struct(unix_micros(col("ts")).as("us"),
@@ -409,6 +410,57 @@ object StreamOps {
       .start()
     q.awaitTermination()
     require(gen.get() >= 0, "runUpsertToCompletion: source produced no rows")
+    spark.read.parquet(s"$path/gen_${gen.get()}")
+  }
+
+  /** CHANGELOG-MODE CDC snapshot sink — the output-scale dual of
+    * [[latestSnapshotStream]]: complete mode re-emits the ENTIRE
+    * keyset every micro-batch (state is bounded, output is not); here
+    * each micro-batch folds to one struct-max row per key PRESENT IN
+    * THE BATCH and merges it into a keyed generation table, so
+    * per-batch write volume ∝ changed keys — the changelog — while the
+    * final generation is the full snapshot. The merge rule is per-key
+    * struct-max (the same (us, event_id) total order as the batch
+    * [[graft.operators.Events.latestSnapshot]]), which is
+    * ORDER-INSENSITIVE across batches: a late batch carrying older
+    * events can never regress the snapshot (spec-pinned), where the
+    * upsert sink's latest-batch-wins rule would. Drained result ==
+    * the batch snapshot value-for-value (shared oracle).
+    *
+    * Scale: same generation-directory discipline and per-batch
+    * parquet merge cost as [[runUpsertToCompletion]] — one shuffle on
+    * the key of previous ∪ batch-compacted-incoming; a real deployment
+    * points the identical merge at a MERGE-capable table format. */
+  def runSnapshotChangelog(spark: SparkSession, source: DataFrame,
+                           path: String): DataFrame = {
+    val gen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // batch → one struct-max row per key present (same fold the
+          // complete-mode stream runs in its state store)
+          val incoming = latestSnapshotStream(batch)
+          val g = gen.get()
+          val merged =
+            if (g < 0) incoming
+            else spark.read.parquet(s"$path/gen_$g")
+              .unionByName(incoming)
+              .groupBy("user_id")
+              .agg(max(struct(col("last_us"), col("last_event_id"),
+                col("last_type"))).as("m"))
+              .select(col("user_id"), col("m.last_us").as("last_us"),
+                col("m.last_event_id").as("last_event_id"),
+                col("m.last_type").as("last_type"))
+          merged.write.mode("overwrite").parquet(s"$path/gen_${g + 1}")
+          gen.incrementAndGet()
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(gen.get() >= 0, "runSnapshotChangelog: source produced no rows")
     spark.read.parquet(s"$path/gen_${gen.get()}")
   }
 

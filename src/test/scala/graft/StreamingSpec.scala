@@ -205,6 +205,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("changelog snapshot sink: multi-batch struct-max merge is " +
+       "order-insensitive; final generation == batch latestSnapshot") {
+    import spark.implicits._
+    val srcDir = graft.Scratch.dir("st_spec_changelog_src")
+    val outDir = graft.Scratch.dir("st_spec_changelog_out")
+    // two single-file deliveries — one holds the NEWER events, one the
+    // older; with maxFilesPerTrigger=1 each is its own micro-batch, so
+    // whichever order the file source picks, one batch is "late" and a
+    // latest-batch-wins merge would regress a key's snapshot
+    eventsDf(rows.filter(_._1 >= 4L)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    eventsDf(rows.filter(_._1 < 4L)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val src = spark.readStream.schema(eventsDf(rows).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .select("user_id", "event_id", "event_type", "ts")
+    val got = StreamOps.runSnapshotChangelog(spark, src, outDir)
+      .orderBy("user_id").collect().toSeq.map(_.toSeq)
+    val gens = new java.io.File(outDir).list().count(_.startsWith("gen_"))
+    assert(gens >= 2, s"expected one generation per micro-batch, got $gens")
+    val want = Events.latestSnapshot(eventsDf(rows))
+      .orderBy("user_id").collect().toSeq.map(_.toSeq)
+    assert(got == want)
+  }
+
   test("session_window agg matches gap-derived sessions (batch mode)") {
     val got = StreamOps.sessionWindowAgg(eventsDf(rows), 1800L)
       .orderBy("user_id", "start_us").collect().toSeq
