@@ -2173,6 +2173,11 @@ object RegistryExt {
     // Streaming SCD2: incremental run compression with state-change
     // emission; the beyond-horizon sentinel flushes open intervals so
     // the drained stream equals the batch scd2 (same oracle).
+    // CONSTRAINT (enforced, not assumed): the events source must drain
+    // in ONE micro-batch — statefulScd2 orders events only within a
+    // batch, and a mid-stream flush would restart versions — so
+    // singleBatchSources asserts it from the query progress; a source
+    // split across batches fails loudly instead of hash-mismatching.
     "st_scd2" -> ((s, dir) => {
       import graft.streaming.StreamOps
       import s.implicits._
@@ -2190,7 +2195,8 @@ object RegistryExt {
           .parquet(sentinelDir))
       StreamOps.runToCompletion(s, src,
         df => StreamOps.statefulScd2(df.as[StreamOps.TypedEv]).toDF(),
-        outputMode = "append", shufflePartitions = StreamStateParts)
+        outputMode = "append", shufflePartitions = StreamStateParts,
+        singleBatchSources = Seq(0))
         .where(col("user_id") >= 0)
         .orderBy("user_id", "version")
     }),

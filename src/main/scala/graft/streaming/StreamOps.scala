@@ -286,7 +286,12 @@ object StreamOps {
     * interval bounds, same versions). Set the horizon beyond the
     * longest expected mid-stream quiet spell: a flushed user restarts
     * at version 1, which is the documented trade of emitting "current"
-    * rows at all from an append-only stream.
+    * rows at all from an append-only stream. Batch-equivalence further
+    * requires the event source to drain in a SINGLE micro-batch —
+    * events are event-time-sorted only within a batch, and cross-batch
+    * out-of-order arrivals would corrupt run boundaries — which
+    * [[runToCompletion]]'s `singleBatchSources` check enforces for the
+    * registry query instead of leaving it as prose.
     *
     * Scale shape: state per user is ONE fixed-size run summary (five
     * scalars) — no per-event buffering; emission volume = state
@@ -464,10 +469,19 @@ object StreamOps {
     spark.read.parquet(s"$path/gen_${gen.get()}")
   }
 
+  /** `singleBatchSources`: indices of sources (union order) whose rows
+    * must all arrive in ONE micro-batch, CHECKED from the query's
+    * progress after the drain. [[statefulScd2]] needs this for its
+    * events source: it sorts by event time only WITHIN a batch, and a
+    * user quiet past the flush horizon is flushed mid-stream and
+    * restarts at version 1 — so its batch-oracle equivalence holds only
+    * under a single-batch drain, and a silent multi-batch split would
+    * produce plausible-but-different intervals instead of failing. */
   def runToCompletion(spark: SparkSession, source: DataFrame,
                       transform: DataFrame => DataFrame,
                       outputMode: String = "complete",
-                      shufflePartitions: Option[Int] = None): DataFrame = {
+                      shufflePartitions: Option[Int] = None,
+                      singleBatchSources: Seq[Int] = Nil): DataFrame = {
     val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
@@ -478,6 +492,15 @@ object StreamOps {
         .outputMode(outputMode).trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      singleBatchSources.foreach { i =>
+        val n = q.recentProgress.count(p =>
+          i < p.sources.length && p.sources(i).numInputRows > 0)
+        require(n <= 1,
+          s"source #$i delivered rows across $n micro-batches, but this " +
+            "operator's cross-batch event-time ordering contract requires " +
+            "a single-batch drain (see statefulScd2 scaladoc); raise " +
+            "maxFilesPerTrigger or compact the source")
+      }
     } finally shufflePartitions.foreach(_ => spark.conf.set(key, saved))
     spark.table(name)
   }
