@@ -619,6 +619,13 @@ object RegistryExt {
       Similarity.ivfadcTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumCentroids, NumProbes)
         .orderBy("query_id", "rank")),
+    // Fully-trained IVFADC: trained coarse quantizer (kMeansCodebook)
+    // × trained sub-codebooks (pqModelTrained), identical serving —
+    // the complete deployed shape, every model from a training run.
+    "sim_ivfadc_trained" -> ((s, dir) =>
+      Similarity.ivfadcTopKTrained(t(s, dir, "embeddings"), NumQueries,
+        TopK, NumCentroids, NumProbes, numIter = KMeansIter)
+        .orderBy("query_id", "rank")),
     // The train-then-serve ANN path: same probe machinery as
     // sim_ivf_topk but over the Lloyd's-trained codebook. The oracle
     // prepends the k-means CTE chain and swaps the centroid source.
@@ -743,6 +750,56 @@ object RegistryExt {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
        |  FROM pairs)
        |SELECT query_id, cand_id, cid, dot, cosine, "rank"
+       |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+
+  /** The shared IVFADC probe+ADC tail — coarse-assign (sc/best), probe
+    * selection, per-subspace encode against `bn`, probed-list-only ADC
+    * scoring, rank. Expects in scope: `v` (vec_id, q), `n` (+ norms),
+    * `c` (cid, cv, nc — the COARSE codebook), `bn` (s, code, cv, nc —
+    * the SUB-codebooks). Shared by sim_ivfadc_topk (first-C stand-ins)
+    * and sim_ivfadc_trained (both models from training chains). */
+  private def ivfadcOracleTail(sub: Int): String =
+    s"""sc AS (
+       |  SELECT n.vec_id, c.cid,
+       |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
+       |  FROM n CROSS JOIN c),
+       |best AS (
+       |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
+       |  FROM sc GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
+       |    FROM sc WHERE vec_id < $NumQueries)
+       |  WHERE pr <= $NumProbes),
+       |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
+       |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
+       |enc AS (SELECT vec_id, s, code, nc FROM (
+       |  SELECT sl.vec_id, sl.s, b.code, b.nc,
+       |    row_number() OVER (PARTITION BY sl.vec_id, sl.s
+       |      ORDER BY b.nc - 2 * ${dotSql("sl.sv", "b.cv")}, b.code) AS rn
+       |  FROM sl JOIN bn b ON b.s = sl.s)
+       |  WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, q AS qv, nq AS nqq FROM n
+       |  WHERE vec_id < $NumQueries),
+       |qp AS (SELECT qs.query_id, qs.qv, qs.nqq, p.cid
+       |  FROM qs JOIN probes p USING (query_id)),
+       |cand AS (SELECT e.vec_id, e.s, e.code, e.nc, b.cid
+       |  FROM enc e JOIN best b USING (vec_id)),
+       |parts AS (SELECT qp.query_id, cd.vec_id AS cand_id, cd.cid, qp.nqq,
+       |    ${dotSql(s"(qp.qv[$sub*cd.s+1 : $sub*cd.s+$sub])", "b2.cv")} AS pdot,
+       |    cd.nc AS pnc
+       |  FROM cand cd JOIN bn b2 ON b2.s = cd.s AND b2.code = cd.code
+       |  JOIN qp ON qp.cid = cd.cid
+       |  WHERE cd.vec_id <> qp.query_id),
+       |sc2 AS (SELECT query_id, cand_id, cid, CAST(sum(pdot) AS BIGINT) AS adot,
+       |    CAST(sum(pnc) AS BIGINT) AS nrec, min(nqq) AS nqq
+       |  FROM parts GROUP BY query_id, cand_id, cid),
+       |r AS (SELECT query_id, cand_id, cid, adot,
+       |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+       |  FROM sc2)
+       |SELECT query_id, cand_id, cid, adot, acos, "rank"
        |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
 
   private val similarityOracles: Map[String, String] = Map(
@@ -903,52 +960,33 @@ object RegistryExt {
          |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
          |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
          |  WHERE vec_id < $NumCentroids),
-         |sc AS (
-         |  SELECT n.vec_id, c.cid,
-         |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
-         |  FROM n CROSS JOIN c),
-         |best AS (
-         |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
-         |  FROM sc GROUP BY vec_id),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
-         |    FROM sc WHERE vec_id < $NumQueries)
-         |  WHERE pr <= $NumProbes),
          |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
          |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
          |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
          |  WHERE vec_id < 16),
-         |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
-         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
-         |enc AS (SELECT vec_id, s, code, nc FROM (
-         |  SELECT sl.vec_id, sl.s, b.code, b.nc,
-         |    row_number() OVER (PARTITION BY sl.vec_id, sl.s
-         |      ORDER BY b.nc - 2 * ${dotSql("sl.sv", "b.cv")}, b.code) AS rn
-         |  FROM sl JOIN bn b ON b.s = sl.s)
-         |  WHERE rn = 1),
-         |qs AS (SELECT vec_id AS query_id, q AS qv, nq AS nqq FROM n
-         |  WHERE vec_id < $NumQueries),
-         |qp AS (SELECT qs.query_id, qs.qv, qs.nqq, p.cid
-         |  FROM qs JOIN probes p USING (query_id)),
-         |cand AS (SELECT e.vec_id, e.s, e.code, e.nc, b.cid
-         |  FROM enc e JOIN best b USING (vec_id)),
-         |parts AS (SELECT qp.query_id, cd.vec_id AS cand_id, cd.cid, qp.nqq,
-         |    ${dotSql(s"(qp.qv[$sub*cd.s+1 : $sub*cd.s+$sub])", "b2.cv")} AS pdot,
-         |    cd.nc AS pnc
-         |  FROM cand cd JOIN bn b2 ON b2.s = cd.s AND b2.code = cd.code
-         |  JOIN qp ON qp.cid = cd.cid
-         |  WHERE cd.vec_id <> qp.query_id),
-         |sc2 AS (SELECT query_id, cand_id, cid, CAST(sum(pdot) AS BIGINT) AS adot,
-         |    CAST(sum(pnc) AS BIGINT) AS nrec, min(nqq) AS nqq
-         |  FROM parts GROUP BY query_id, cand_id, cid),
-         |r AS (SELECT query_id, cand_id, cid, adot,
-         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
-         |  FROM sc2)
-         |SELECT query_id, cand_id, cid, adot, acos, "rank"
-         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+         |${ivfadcOracleTail(sub)}""".stripMargin
+    },
+    // Fully-trained IVFADC: the coarse k-means chain (as
+    // sim_ivf_trained) AND the 8 per-subspace training chains (as
+    // sim_pq_trained), feeding the shared probe+ADC tail — the
+    // complete train-then-serve replay.
+    "sim_ivfadc_trained" -> {
+      val sub = 8
+      val chains = (0 until sub).map { s =>
+        s"""v$s AS (SELECT vec_id, q[$sub*$s+1 : $sub*$s+$sub] AS q FROM v),
+           |${kmeansChainFor(s"p$s", s"v$s", sub, 16, KMeansIter)}""".stripMargin
+      }.mkString(",\n")
+      val bnUnion = (0 until sub).map { s =>
+        s"SELECT $s AS s, cid AS code, cv, ${dotSql("cv", "cv")} AS nc FROM p${s}c$KMeansIter"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $quantCte,
+         |$kmeansChainCtes,
+         |$chains,
+         |n AS (SELECT vec_id, q, nq FROM vn),
+         |c AS (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM c$KMeansIter),
+         |bn AS (
+         |  $bnUnion),
+         |${ivfadcOracleTail(sub)}""".stripMargin
     },
     "sim_ivf_trained" ->
       s"""WITH $quantCte,

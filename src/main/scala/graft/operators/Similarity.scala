@@ -741,8 +741,36 @@ object Similarity {
     val coarse = v.where(col("vec_id") < numCentroids)
       .select(col("vec_id"), col("q"))
       .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
-    val m = pqBooksFirstC(v, numSub, subDim, numCodes)
+    ivfadcWith(v, coarse, pqBooksFirstC(v, numSub, subDim, numCodes),
+      numQueries, k, numProbes)
+  }
 
+  /** FULLY-TRAINED IVFADC — the complete train-then-serve composition:
+    * [[kMeansCodebook]] trains the coarse quantizer (as
+    * sim_ivf_trained proved) AND [[pqModelTrained]] trains every
+    * sub-codebook (as sim_pq_trained proved); serving is byte-identical
+    * to [[ivfadcTopK]]. This is the deployed shape: both models come
+    * out of training runs over the corpus, stay driver-side scalars,
+    * and the index payload is still `(cid, codes)`. Training cost is
+    * additive (numIter coarse scans + numSub·numIter slice scans) and
+    * amortizes over every query the index ever serves. */
+  def ivfadcTopKTrained(emb: DataFrame, numQueries: Long, k: Int,
+                        numCentroids: Int = 16, numProbes: Int = 2,
+                        numSub: Int = 8, subDim: Int = 8,
+                        numCodes: Int = 16, numIter: Int = 2,
+                        dim: Int = 64): DataFrame = {
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    ivfadcWith(v,
+      kMeansCodebook(emb, numCentroids, numIter, dim),
+      pqModelTrained(v.select("vec_id", "q"), numSub, subDim, numCodes,
+        numIter),
+      numQueries, k, numProbes)
+  }
+
+  private def ivfadcWith(v: DataFrame, coarse: Seq[(Long, Seq[Long])],
+                         m: PqModel, numQueries: Long, k: Int,
+                         numProbes: Int): DataFrame = {
     // The inverted file: every vector's coarse list (same cosine argmax
     // as ivfProbe) + its PQ codes — the vector itself is DROPPED here;
     // nothing downstream ever reads it again.

@@ -335,6 +335,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == pq)
   }
 
+  test("ivfadcTopKTrained: zero rounds degenerate to ivfadcTopK exactly " +
+       "(both models share the first-C init)") {
+    val t0 = Similarity.ivfadcTopKTrained(fixtureEmb, 8L, 5, numIter = 0)
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSet
+    val un = Similarity.ivfadcTopK(fixtureEmb, 8L, 5)
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSet
+    assert(t0 == un)
+  }
+
+  test("recall contract: ivfadcTopKTrained recall@5 vs brute-force " +
+       "ground truth") {
+    val r = meanRecall(topkSets(
+      Similarity.ivfadcTopKTrained(fixtureEmb, 8L, 5, numIter = 2)))
+    info(f"ivfadcTopKTrained recall@5 = $r%.3f")
+    assert(r >= 0.2, f"ivfadcTopKTrained recall@5 $r%.3f below contract 0.2")
+  }
+
   test("recall contract: ivfadcTopK recall@5 vs brute-force ground truth") {
     val r = meanRecall(topkSets(
       Similarity.ivfadcTopK(fixtureEmb, 8L, 5, 16, 2)))
