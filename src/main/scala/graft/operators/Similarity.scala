@@ -571,10 +571,10 @@ object Similarity {
     * drop-in the [[pqTopK]] scaladoc promises (the trained twin
     * relation sim_ivf_trained already proved for IVF). Serving is
     * byte-identical to [[pqTopK]]; only the model differs. Training
-    * cost: numSub independent trainings, each `numIter` corpus scans
-    * over a subDim-wide slice projection — at 100 TB the scans are the
-    * cost and the slices shrink them numSub-fold each, so the whole
-    * training round-trip is ~numIter full-width-equivalent passes. */
+    * cost: `numIter` corpus scans TOTAL — [[pqModelTrained]] folds all
+    * numSub subspace trainings into one explode+groupBy pass per
+    * round, since every round re-reads the full embedding column
+    * anyway. */
   def pqTopKTrained(emb: DataFrame, numQueries: Long, k: Int,
                     numSub: Int = 8, subDim: Int = 8,
                     numCodes: Int = 16, numIter: Int = 2): DataFrame = {
@@ -624,18 +624,62 @@ object Similarity {
       numSub, subDim)
   }
 
-  /** Trained sub-codebooks: one [[kMeansCodebookQ]] run per subspace
-    * over the corpus's subDim-wide slice projection, init = the first
-    * `numCodes` slices (the same convention as the stand-in, so
-    * numIter=0 degenerates to [[pqBooksFirstC]] exactly). */
+  /** Trained sub-codebooks — ALL subspaces per round in ONE corpus
+    * scan: rows explode to (s, slice) pairs, the per-subspace literal
+    * argmin assigns each slice its code (a chained per-s branch, each
+    * the same (‖C‖²−2·slice·C, code) lexicographic min as
+    * [[assignLit]]), and a single groupBy(s, code) recomputes every
+    * book's integer means together. Bit-identical to training each
+    * subspace independently (subspaces never interact; same first-C
+    * init, same truncating `div`, empty codes keep their previous
+    * codeword — the sim_pq_trained oracle replays it as 8 independent
+    * chains), but numIter scans TOTAL instead of numSub·numIter: at
+    * 100 TB every training round re-reads the full embedding column
+    * regardless of which slice it wants, so folding the subspaces into
+    * one pass is a numSub-fold scan reduction. The exchange per round
+    * carries ≤ numSub·numCodes·(subDim+2) counters per task —
+    * map-side-combined, corpus-size-independent. numIter=0 degenerates
+    * to [[pqBooksFirstC]] exactly (spec-pinned). */
   private[graft] def pqModelTrained(v: DataFrame, numSub: Int, subDim: Int,
-                                    numCodes: Int, numIter: Int): PqModel =
-    pqModelOf0(IndexedSeq.tabulate(numSub) { s =>
-      kMeansCodebookQ(
-        v.select(col("vec_id"),
-          slice(col("q"), s * subDim + 1, subDim).as("q")),
-        numCodes, numIter, subDim).toIndexedSeq
-    }, numSub, subDim)
+                                    numCodes: Int, numIter: Int): PqModel = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val sliced = v.select(posexplode(array((0 until numSub).map(s =>
+      slice(col("q"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sl")))
+    var books: IndexedSeq[IndexedSeq[(Long, Seq[Long])]] =
+      pqBooksFirstC(v, numSub, subDim, numCodes).books
+    for (_ <- 0 until numIter) {
+      val codeOf = (0 until numSub).map { s =>
+        val entries = books(s).map { case (code, cv) =>
+          val nc = cv.map(x => x * x).sum
+          struct(
+            (lit(nc) - lit(2L) * dotQ(col("sl"), typedLit(cv))).as("d"),
+            lit(code).as("code"))
+        }
+        s -> array_min(array(entries: _*)).getField("code")
+      }.foldRight(lit(-1L): Column) { case ((s, c), acc) =>
+        when(col("s") === s, c).otherwise(acc)
+      }
+      val sums = (0 until subDim).map(i =>
+        sum(element_at(col("sl"), i + 1)).as(s"s$i"))
+      val agg = sliced.withColumn("code", codeOf)
+        .groupBy(col("s"), col("code"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+      val mean = array((0 until subDim).map(i =>
+        expr(s"s$i div n")): _*)
+      val next = agg.select(col("s"), col("code"), mean.as("nv"))
+        .as[(Int, Long, Seq[Long])].collect()
+        .groupBy(_._1)
+        .map { case (s, rows) =>
+          s -> rows.map(r => r._2 -> r._3).toMap }
+      books = IndexedSeq.tabulate(numSub)(s => books(s).map {
+        case (code, pv) =>
+          (code, next.getOrElse(s, Map.empty[Long, Seq[Long]])
+            .getOrElse(code, pv))
+      })
+    }
+    pqModelOf0(books, numSub, subDim)
+  }
 
   /** Build a [[PqModel]] from per-subspace books directly. */
   private def pqModelOf0(books: IndexedSeq[IndexedSeq[(Long, Seq[Long])]],
@@ -752,8 +796,8 @@ object Similarity {
     * to [[ivfadcTopK]]. This is the deployed shape: both models come
     * out of training runs over the corpus, stay driver-side scalars,
     * and the index payload is still `(cid, codes)`. Training cost is
-    * additive (numIter coarse scans + numSub·numIter slice scans) and
-    * amortizes over every query the index ever serves. */
+    * additive (numIter coarse scans + numIter folded-subspace scans)
+    * and amortizes over every query the index ever serves. */
   def ivfadcTopKTrained(emb: DataFrame, numQueries: Long, k: Int,
                         numCentroids: Int = 16, numProbes: Int = 2,
                         numSub: Int = 8, subDim: Int = 8,

@@ -261,6 +261,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidate projection must reduce to codes:\n$candProject")
   }
 
+  test("ivfadcTopK: inverted file reaches the probe join as (cid, codes) " +
+       "with no prior exchange; queries broadcast; one bounded-heap shuffle") {
+    import graft.operators.Similarity
+    val df = Similarity.ivfadcTopK(
+      Tables.load(spark, dir, "embeddings"), 8L, 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // probe join: broadcast HASH join on the coarse list id
+    val joinLine = plan.linesIterator.find(_.contains("BroadcastHashJoin"))
+    assert(joinLine.exists(_.contains("cid")),
+      s"expected broadcast hash join on cid:\n$plan")
+    // the only hash exchange is the final top-k agg's on query_id — the
+    // inverted file is assigned+encoded in narrow projections
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("query_id"),
+      s"only the top-k agg may shuffle (on query_id):\n$plan")
+    // the candidate projection into the join carries codes, not the
+    // 64-wide vector
+    val candProject = plan.linesIterator
+      .find(l => l.contains("Project") && l.contains("AS codes"))
+    assert(candProject.exists(!_.contains("embedding")),
+      s"inverted-file projection must reduce to (cid, codes):\n$candProject")
+  }
+
   test("tokenBudget shuffles catalogs, not text: one source-keyed " +
        "exchange whose rows exclude the document body") {
     import graft.operators.TrainPrep
