@@ -626,6 +626,14 @@ object RegistryExt {
       Similarity.ivfadcTopKTrained(t(s, dir, "embeddings"), NumQueries,
         TopK, NumCentroids, NumProbes, numIter = KMeansIter)
         .orderBy("query_id", "rank")),
+    // Residual IVFADC (by_residual=true): PQ codes quantize v − C[cid]
+    // — FAISS's default deployed form; scoring adds the per-probe
+    // q·C[cid] term and reconstructs ‖C+r̂‖² from driver-side tables,
+    // all exact BIGINT.
+    "sim_ivfadc_residual" -> ((s, dir) =>
+      Similarity.ivfadcResidualTopK(t(s, dir, "embeddings"), NumQueries,
+        TopK, NumCentroids, NumProbes)
+        .orderBy("query_id", "rank")),
     // The train-then-serve ANN path: same probe machinery as
     // sim_ivf_topk but over the Lloyd's-trained codebook. The oracle
     // prepends the k-means CTE chain and swaps the centroid source.
@@ -965,6 +973,72 @@ object RegistryExt {
          |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
          |  WHERE vec_id < 16),
          |${ivfadcOracleTail(sub)}""".stripMargin
+    },
+    // Residual IVFADC replay: residuals via indexed list_transform
+    // against the assigned centroid, residual books from the first-16
+    // vectors' own residuals, and the score reassembled as
+    // q·C + Σ per-subspace residual partial dots; the reconstruction
+    // norm is ‖C‖² + 2·Σ C_slice·codeword + Σ‖codeword‖².
+    "sim_ivfadc_residual" -> {
+      val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |  WHERE vec_id < $NumCentroids),
+         |sc AS (
+         |  SELECT n.vec_id, c.cid,
+         |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
+         |  FROM n CROSS JOIN c),
+         |best AS (
+         |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
+         |  FROM sc GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
+         |    FROM sc WHERE vec_id < $NumQueries)
+         |  WHERE pr <= $NumProbes),
+         |rs AS (SELECT n.vec_id, b.cid,
+         |    list_transform(generate_series(1, $Dim), i -> n.q[i] - cc.cv[i]) AS r
+         |  FROM n JOIN best b USING (vec_id) JOIN c cc ON cc.cid = b.cid),
+         |rbn AS (SELECT s, vec_id AS code, r[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(r[$sub*s+1 : $sub*s+$sub])", s"(r[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM rs CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |rsl AS (SELECT vec_id, cid, s, r[$sub*s+1 : $sub*s+$sub] AS sv
+         |  FROM rs CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
+         |renc AS (SELECT vec_id, cid, s, code, nc FROM (
+         |  SELECT rsl.vec_id, rsl.cid, rsl.s, b.code, b.nc,
+         |    row_number() OVER (PARTITION BY rsl.vec_id, rsl.s
+         |      ORDER BY b.nc - 2 * ${dotSql("rsl.sv", "b.cv")}, b.code) AS rn
+         |  FROM rsl JOIN rbn b ON b.s = rsl.s)
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, nq AS nqq FROM n
+         |  WHERE vec_id < $NumQueries),
+         |qp AS (SELECT qs.query_id, qs.qv, qs.nqq, p.cid,
+         |    ${dotSql("qs.qv", "cc.cv")} AS qcdot
+         |  FROM qs JOIN probes p USING (query_id)
+         |  JOIN c cc ON cc.cid = p.cid),
+         |parts AS (SELECT qp.query_id, e.vec_id AS cand_id, e.cid, qp.nqq,
+         |    qp.qcdot, cc.nc AS pncc,
+         |    ${dotSql(s"(qp.qv[$sub*e.s+1 : $sub*e.s+$sub])", "b2.cv")} AS pdot,
+         |    b2.nc AS pnc,
+         |    ${dotSql(s"(cc.cv[$sub*e.s+1 : $sub*e.s+$sub])", "b2.cv")} AS pcr
+         |  FROM renc e JOIN rbn b2 ON b2.s = e.s AND b2.code = e.code
+         |  JOIN c cc ON cc.cid = e.cid
+         |  JOIN qp ON qp.cid = e.cid
+         |  WHERE e.vec_id <> qp.query_id),
+         |sc2 AS (SELECT query_id, cand_id, cid,
+         |    CAST(min(qcdot) + sum(pdot) AS BIGINT) AS adot,
+         |    CAST(min(pncc) + 2 * sum(pcr) + sum(pnc) AS BIGINT) AS nrec,
+         |    min(nqq) AS nqq
+         |  FROM parts GROUP BY query_id, cand_id, cid),
+         |r AS (SELECT query_id, cand_id, cid, adot,
+         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc2)
+         |SELECT query_id, cand_id, cid, adot, acos, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
     },
     // Fully-trained IVFADC: the coarse k-means chain (as
     // sim_ivf_trained) AND the 8 per-subspace training chains (as

@@ -812,6 +812,97 @@ object Similarity {
       numQueries, k, numProbes)
   }
 
+  /** RESIDUAL-encoded IVFADC — Jégou 2011 §V with `by_residual=true`,
+    * the form FAISS deploys by default: PQ quantizes the RESIDUAL
+    * `r = v − C[cid]` instead of the raw vector. Residuals concentrate
+    * near zero once vectors are binned to their coarse list, so the
+    * same code budget spends its resolution on how a vector DIFFERS
+    * from its list's centroid — the accuracy reason deployed IVFADC
+    * encodes residuals. Scoring reassembles exactly:
+    * `q·v̂ = q·C[cid] + Σ_s qtab[s][code_s]` (one extra per-probe dot,
+    * computed once per (query, probed list)), and the reconstruction
+    * norm `‖C[cid] + r̂‖²` comes from three driver-side lookup tables
+    * (‖C‖², C-slice·codeword, ‖codeword‖²) — still exact BIGINT, still
+    * codes-only per candidate, same `(cid, codes)` index payload.
+    * Residual sub-codebooks follow the first-C convention: the first
+    * `numCodes` vectors' OWN residuals, computed by the same
+    * expressions the corpus encode uses. */
+  def ivfadcResidualTopK(emb: DataFrame, numQueries: Long, k: Int,
+                         numCentroids: Int = 16, numProbes: Int = 2,
+                         numSub: Int = 8, subDim: Int = 8,
+                         numCodes: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    val coarse = v.where(col("vec_id") < numCentroids)
+      .select(col("vec_id"), col("q"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    require(coarse.map(_._1) == (0L until numCentroids.toLong),
+      "first-C coarse codebook must have contiguous cids")
+    val centsLit = typedLit(coarse.map(_._2))
+    def centOf(cid: Column): Column =
+      element_at(centsLit, (cid + 1).cast(IntegerType))
+
+    // assignment + residual, shared by the corpus encode and the
+    // residual-book base (the first numCodes vectors' residuals)
+    val withR = v
+      .withColumn("cid", array_max(scoreLit(coarse)).getField("cid"))
+      .withColumn("r", zip_with(col("q"), centOf(col("cid")), (a, b) => a - b))
+    val base = withR.where(col("vec_id") < numCodes)
+      .select(col("vec_id"), col("r"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toIndexedSeq
+    val m = pqModelOf(base, numSub, subDim)
+
+    val inverted = pqEncodeDf(
+      withR.select(col("vec_id"), col("cid"), col("r").as("q")),
+      m, Seq("vec_id", "cid"))
+
+    // driver-side reconstruction tables: ‖C[cid]‖² and
+    // ctab[cid][s][code] = C[cid]_slice_s · B_s[code]
+    val centNorms = coarse.map { case (_, cv) => cv.map(x => x * x).sum }
+    val ctab: Seq[Seq[Seq[Long]]] = coarse.map { case (_, cv) =>
+      (0 until numSub).map { s =>
+        val cs = cv.slice(s * subDim, (s + 1) * subDim)
+        m.books(s).map { case (_, bcv) =>
+          cs.zip(bcv).map { case (a, b) => a * b }.sum
+        }.toSeq
+      }.toSeq
+    }
+    val ctabLit = typedLit(ctab)
+    val ncLit = typedLit(centNorms)
+
+    val queries = v.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nq").as("nqq"),
+        explode(slice(reverse(array_sort(scoreLit(coarse))),
+          1, numProbes)).as("probe"))
+      .select(col("query_id"), col("nqq"), pqQueryTab(m).as("qtab"),
+        col("probe.cid").as("cid"),
+        dotQ(col("qv"), centOf(col("probe.cid"))).as("qcdot"))
+
+    val crdot = (0 until numSub).map(s =>
+      element_at(element_at(element_at(ctabLit,
+        (col("cid") + 1).cast(IntegerType)), s + 1), pqCodeAt(s)))
+      .reduce(_ + _)
+    val nrec = element_at(ncLit, (col("cid") + 1).cast(IntegerType)) +
+      lit(2L) * crdot + pqNrec(m)
+
+    inverted.join(broadcast(queries), Seq("cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("adot", col("qcdot") + pqAdot(m))
+      .withColumn("acos", col("adot").cast(DoubleType) /
+        (sqrt(col("nqq").cast(DoubleType)) * sqrt(nrec.cast(DoubleType))))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByDotTag.topK(k)(
+        col("adot"), col("vec_id"), col("acos"), col("cid")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cand_id").as("cand_id"),
+        col("c.tag").as("cid"), col("c.dot").as("adot"),
+        col("c.cosine").as("acos"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   private def ivfadcWith(v: DataFrame, coarse: Seq[(Long, Seq[Long])],
                          m: PqModel, numQueries: Long, k: Int,
                          numProbes: Int): DataFrame = {
