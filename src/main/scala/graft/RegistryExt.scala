@@ -588,6 +588,14 @@ object RegistryExt {
       Similarity.kMeans(t(s, dir, "embeddings"), NumCentroids, KMeansIter,
         Dim)
         .orderBy("cid", "i")),
+    // k-means with deterministic farthest-point (maxmin) init — the
+    // randomness-free k-means++ family member; cid = pick order. The
+    // oracle unrolls the 15 sequential maxmin picks AND the Lloyd's
+    // rounds.
+    "sim_kmeans_pp" -> ((s, dir) =>
+      Similarity.kMeansPP(t(s, dir, "embeddings"), NumCentroids,
+        KMeansIter, Dim)
+        .orderBy("cid", "i")),
     "sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumPlanes, Dim, NumTables)
@@ -690,7 +698,8 @@ object RegistryExt {
     * original consumers share. Defines `${pfx}vn` and
     * `${pfx}c0`..`${pfx}c$numIter`. */
   private def kmeansChainFor(pfx: String, vName: String, dim: Int,
-                             k: Int, numIter: Int): String = {
+                             k: Int, numIter: Int,
+                             c0Select: Option[String] = None): String = {
     val iters = (0 until numIter).map { it =>
       s"""${kmeansAssignCte(s"${pfx}c$it", s"${pfx}a$it", s"${pfx}vn")},
          |${pfx}m$it AS (SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
@@ -703,13 +712,40 @@ object RegistryExt {
          |${pfx}c${it + 1} AS (SELECT cid, list(val ORDER BY i) AS cv
          |  FROM ${pfx}c${it + 1}d GROUP BY cid)""".stripMargin
     }.mkString(",\n")
+    val c0 = c0Select.getOrElse(
+      s"SELECT vec_id AS cid, q AS cv FROM $vName WHERE vec_id < $k")
     s"""${pfx}vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM $vName),
-       |${pfx}c0 AS (SELECT vec_id AS cid, q AS cv FROM $vName WHERE vec_id < $k),
+       |${pfx}c0 AS ($c0),
        |$iters""".stripMargin
   }
 
   private lazy val kmeansChainCtes: String =
     kmeansChainFor("", "v", Dim, NumCentroids, KMeansIter)
+
+  /** Deterministic farthest-point (maxmin) init CTEs: `ch{k-1}` ends
+    * holding the k picks as (pid, vec_id, q) — pid = pick order, the
+    * cid convention of [[Similarity.kMeansInitFarthest]]. Each step's
+    * arg-max (min-distance DESC, vec_id ASC, chosen excluded) mirrors
+    * the Spark struct-max exactly. */
+  private def farthestInitCtes(k: Int): String = {
+    // every ch/d CTE is MATERIALIZED: ch$i references ch${i-1} twice,
+    // and inlining would expand the chain exponentially (observed as a
+    // file-handle explosion re-opening the parquet 2^k times)
+    val steps = (1 until k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v2.vec_id, v2.q,
+         |    min(${dotSql("v2.q", "v2.q")} - 2 * ${dotSql("v2.q", "p.q")} + ${dotSql("p.q", "p.q")}) AS d
+         |  FROM v v2 CROSS JOIN ch${i - 1} p
+         |  WHERE v2.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+         |  GROUP BY v2.vec_id, v2.q),
+         |fp$i AS (SELECT CAST($i AS BIGINT) AS pid, vec_id, q FROM (
+         |  SELECT vec_id, q, row_number() OVER (ORDER BY d DESC, vec_id) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |ch$i AS MATERIALIZED (SELECT * FROM ch${i - 1} UNION ALL SELECT * FROM fp$i)""".stripMargin
+    }.mkString(",\n")
+    s"""ch0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pid, vec_id, q FROM v
+       |  WHERE vec_id = (SELECT min(vec_id) FROM v)),
+       |$steps""".stripMargin
+  }
 
   private lazy val kmeansOracle: String =
     s"""WITH $quantCte,
@@ -812,6 +848,20 @@ object RegistryExt {
 
   private val similarityOracles: Map[String, String] = Map(
     "sim_kmeans" -> kmeansOracle,
+    // kmeansOracle with the init swapped for the maxmin pick chain.
+    "sim_kmeans_pp" ->
+      s"""WITH $quantCte,
+         |${farthestInitCtes(NumCentroids)},
+         |${kmeansChainFor("", "v", Dim, NumCentroids, KMeansIter,
+        Some(s"SELECT pid AS cid, q AS cv FROM ch${NumCentroids - 1}"))},
+         |${kmeansAssignCte(s"c$KMeansIter", "af")},
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM af GROUP BY cid)
+         |SELECT p.cid, CAST(gi.i AS BIGINT) AS i, p.cv[gi.i] AS c_val,
+         |  CAST(COALESCE(sz.cluster_size, 0) AS BIGINT) AS cluster_size
+         |FROM c$KMeansIter p CROSS JOIN generate_series(1, $Dim) gi(i)
+         |LEFT JOIN sz ON sz.cid = p.cid
+         |ORDER BY p.cid, gi.i""".stripMargin,
     // Same argmin + tie-break as the k-means assignment CTE, over the
     // first-400 codebook: DuckDB replays the reference-object path's
     // result exactly (the Spark formulation change is invisible to the

@@ -351,7 +351,16 @@ object Similarity {
     * law, PropertySpec-pinned), which turns "the trainer improves the
     * clustering" from scaladoc prose into a tested property. */
   def kMeansCodebooksQ(vIn: DataFrame, numCentroids: Int,
-                       numIter: Int, dim: Int): Seq[Seq[(Long, Seq[Long])]] = {
+                       numIter: Int, dim: Int): Seq[Seq[(Long, Seq[Long])]] =
+    kMeansCodebooksQInit(vIn, None, numCentroids, numIter, dim)
+
+  /** [[kMeansCodebooksQ]] with an EXPLICIT initial codebook (`None` →
+    * the first-C convention). [[kMeansPP]] passes the farthest-point
+    * init; the Lloyd's rounds are identical either way. */
+  def kMeansCodebooksQInit(vIn: DataFrame,
+                           init: Option[Seq[(Long, Seq[Long])]],
+                           numCentroids: Int, numIter: Int,
+                           dim: Int): Seq[Seq[(Long, Seq[Long])]] = {
     val spark = vIn.sparkSession
     import spark.implicits._
     val v = vIn.select(col("vec_id"), col("q"))
@@ -362,9 +371,9 @@ object Similarity {
     // ≤ k·(dim+2) counters per task — and every consumer (the next
     // round, IVF serving, SemDeDup clustering) inlines the codebook as
     // literals instead of replaying the training lineage per use.
-    var cents: Seq[(Long, Seq[Long])] = v
+    var cents: Seq[(Long, Seq[Long])] = init.getOrElse(v
       .where(col("vec_id") < numCentroids)
-      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq)
     val history = Seq.newBuilder[Seq[(Long, Seq[Long])]]
     history += cents
     for (_ <- 0 until numIter) {
@@ -403,6 +412,67 @@ object Similarity {
     vIn.select((array_min(array(entries: _*)).getField("d") +
         dotQ(col("q"), col("q"))).as("d"))
       .agg(sum(col("d"))).head().getLong(0)
+  }
+
+  /** Deterministic FARTHEST-POINT (maxmin) init — the k-means++ family
+    * member that needs no randomness, so it replays bit-for-bit in the
+    * oracle: start from the smallest vec_id, then repeatedly pick the
+    * vector with the MAXIMUM exact-BIGINT min-distance to the chosen
+    * set (tie → smallest vec_id), excluding already-chosen ids.
+    * Returned cids are the PICK ORDER (0-based), not vec_ids — the
+    * centroid identity is "i-th chosen", which the SQL mirror
+    * reproduces. First-C init can start all k centroids inside one
+    * region of a clustered corpus and strand whole clusters; maxmin
+    * provably spreads the seeds (one per cluster once k ≥ clusters) —
+    * the PropertySpec law measures exactly that. Cost: k−1 corpus
+    * scans, each a narrow literal min-distance projection + one
+    * struct-max aggregate (map-side-combined; one row per task crosses
+    * the exchange) — the standard serial maxmin; k-means‖ batches
+    * these scans when k is large. */
+  def kMeansInitFarthest(vIn: DataFrame,
+                         numCentroids: Int): Seq[(Long, Seq[Long])] = {
+    val spark = vIn.sparkSession
+    import spark.implicits._
+    val v = vIn.select(col("vec_id"), col("q"))
+    val first = v.orderBy("vec_id").limit(1)
+      .as[(Long, Seq[Long])].head()
+    var chosen = Vector(first)
+    while (chosen.size < numCentroids) {
+      val minD = array_min(array(chosen.map { case (_, cv) =>
+        val nc = cv.map(x => x * x).sum
+        lit(nc) - lit(2L) * dotQ(col("q"), typedLit(cv))
+      }: _*)) + dotQ(col("q"), col("q"))
+      val ids = chosen.map(_._1)
+      val m = v.where(!col("vec_id").isInCollection(ids))
+        .select(minD.as("d"), (lit(0L) - col("vec_id")).as("nid"),
+          col("q"))
+        .agg(max(struct(col("d"), col("nid"), col("q"))).as("m"))
+        .select((lit(0L) - col("m.nid")).as("vid"), col("m.q").as("q"))
+        .as[(Long, Seq[Long])].head()
+      chosen :+= m
+    }
+    chosen.zipWithIndex.map { case ((_, q), i) => (i.toLong, q) }
+  }
+
+  /** [[kMeans]] with the farthest-point init — same Lloyd's rounds,
+    * same output shape `(cid, i, c_val, cluster_size)`, but cid is the
+    * pick-order index of [[kMeansInitFarthest]]. */
+  def kMeansPP(emb: DataFrame, numCentroids: Int = 16, numIter: Int = 2,
+               dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val codebook = kMeansCodebooksQInit(v,
+      Some(kMeansInitFarthest(v, numCentroids)),
+      numCentroids, numIter, dim).last
+    val sizes = v.select(assignCol(codebook).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("cluster_size"))
+    codebook.toDF("cid", "cv")
+      .join(sizes, Seq("cid"), "left_outer")
+      .select(col("cid"), coalesce(col("cluster_size"), lit(0L))
+        .as("cluster_size"), posexplode(col("cv")).as(Seq("pos", "c_val")))
+      .select(col("cid"), (col("pos") + 1).cast(LongType).as("i"),
+        col("c_val"), col("cluster_size"))
   }
 
   /** The trained codebook as a DataFrame — `(cid, cv)` — for operators

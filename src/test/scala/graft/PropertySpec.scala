@@ -341,6 +341,35 @@ class PropertySpec extends AnyFunSuite {
     assert(inertia.last < inertia.head)
   }
 
+  test("farthest-point init law: seeds spread one-per-cluster where " +
+       "first-C strands clusters; init inertia strictly better") {
+    import graft.operators.Similarity
+    // 8 well-separated blocks of 25 vectors each, ORDERED so the first
+    // 8 vectors all sit in block 0 — first-C init starts every seed in
+    // one cluster; maxmin must land one seed in each block
+    val rows = (0L until 200L).map { i =>
+      val c = (i / 25).toInt
+      (i, Seq.tabulate(16)(j =>
+        (if (j % 8 == c) 10f else 0f) +
+          (((i * 31 + j * 17) % 13).toFloat - 6f) / 100f))
+    }
+    import spark.implicits._
+    val v = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val far = Similarity.kMeansInitFarthest(v, 8)
+    assert(far.map(_._1) == (0L until 8L)) // cids are pick order
+    // one seed per block: the dominant dimension (argmax component)
+    // identifies the block each seed landed in
+    val blocks = far.map(_._2.zipWithIndex.maxBy(_._1)._2 % 8).toSet
+    assert(blocks.size == 8, s"maxmin seeds covered blocks $blocks")
+    val firstC = v.where(col("vec_id") < 8)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val iFar = Similarity.kMeansInertia(v, far)
+    val iFirst = Similarity.kMeansInertia(v, firstC)
+    info(s"init inertia: maxmin $iFar vs first-C $iFirst")
+    assert(iFar < iFirst)
+  }
+
   test("rangeJoin == naive theta-join reference on random intervals") {
     import spark.implicits._
     val ivGen = Gen.zip(Gen.choose(0L, 100L), Gen.choose(0L, 40L))
