@@ -660,6 +660,19 @@ object RegistryExt {
       Similarity.semanticDedup(doubled, SemThreshold, NumCentroids,
         KMeansIter, Dim)
         .orderBy("vec_id")
+    }),
+    // SemDeDup END-TO-END through the large-k reference-object
+    // assignment path (forceRefAssign; k=32, one Lloyd's round): the
+    // same train-cluster-score-drop pipeline as dd_semantic_dedup with
+    // the clustering assignment running through NearestCentroidExpr —
+    // the full-operator close of the round-9 literal-codebook `weak`.
+    "dd_semantic_bigk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val doubled = e.unionAll(e.select(
+        (col("vec_id") + IdShift).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(doubled, SemThreshold, 32, 1, Dim,
+        forceRefAssign = true)
+        .orderBy("vec_id")
     })
   )
 
@@ -1117,24 +1130,35 @@ object RegistryExt {
          |$kmeansChainCtes,
          |${ivfOracleTail(
         s"""SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM c$KMeansIter""")}""".stripMargin,
-    "dd_semantic_dedup" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL SELECT vec_id + $IdShift, embedding FROM embeddings),
-         |v AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |FROM e),
-         |$kmeansChainCtes,
-         |${kmeansAssignCte(s"c$KMeansIter", "af")},
-         |mm AS (SELECT vn.vec_id, vn.q, vn.nq, af.cid
-         |  FROM vn JOIN af USING (vec_id)),
-         |rm AS (SELECT DISTINCT b.vec_id
-         |  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE) /
-         |    (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= $SemThreshold)
-         |SELECT m.vec_id, m.cid FROM mm m
-         |WHERE m.vec_id NOT IN (SELECT vec_id FROM rm)
-         |ORDER BY m.vec_id""".stripMargin
+    "dd_semantic_dedup" -> semanticDedupOracle(kmeansChainCtes, KMeansIter),
+    // identical pipeline, k=32 / one round — the chain and the final
+    // assign swap in; the Spark-side formulation change (reference
+    // object vs literals) is invisible to the oracle, which is the
+    // parity point.
+    "dd_semantic_bigk" ->
+      semanticDedupOracle(kmeansChainFor("", "v", Dim, 32, 1), 1)
   )
+
+  /** The SemDeDup oracle tail, parameterized by the training chain (and
+    * its final-codebook index): doubled fixture → quantize → train →
+    * assign → within-cluster cosine pairs → drop higher-id near-dups. */
+  private def semanticDedupOracle(chain: String, iters: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + $IdShift, embedding FROM embeddings),
+       |v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |FROM e),
+       |$chain,
+       |${kmeansAssignCte(s"c$iters", "af")},
+       |mm AS (SELECT vn.vec_id, vn.q, vn.nq, af.cid
+       |  FROM vn JOIN af USING (vec_id)),
+       |rm AS (SELECT DISTINCT b.vec_id
+       |  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE) /
+       |    (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= $SemThreshold)
+       |SELECT m.vec_id, m.cid FROM mm m
+       |WHERE m.vec_id NOT IN (SELECT vec_id FROM rm)
+       |ORDER BY m.vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Training-corpus prep (TrainPrep): deterministic-hash sampling,

@@ -523,13 +523,20 @@ object Similarity {
     * across a cluster boundary. */
   def semanticDedup(emb: DataFrame, threshold: Double,
                     numCentroids: Int = 16, numIter: Int = 2,
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64,
+                    forceRefAssign: Boolean = false): DataFrame = {
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
     val codebook = kMeansCodebook(emb, numCentroids, numIter, dim)
-    // narrow literal-codebook clustering: the corpus reaches the
-    // within-cluster self-join below with NO prior shuffle
-    val m = v.withColumn("cid", assignCol(codebook))
+    // narrow codebook clustering: the corpus reaches the within-cluster
+    // self-join below with NO prior shuffle. `forceRefAssign` pins the
+    // large-k reference-object path regardless of codebook size (the
+    // dd_semantic_bigk registry query runs the END-TO-END SemDeDup
+    // through it; assignCol would take that path on its own only past
+    // LiteralAssignMaxK).
+    val assign = if (forceRefAssign) assignColRef(codebook)
+                 else assignCol(codebook)
+    val m = v.withColumn("cid", assign)
     val a = m.select(col("cid"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("nq").as("na"))
     val b = m.select(col("cid"), col("vec_id").as("vec_b"),
