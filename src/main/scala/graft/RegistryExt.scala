@@ -634,6 +634,12 @@ object RegistryExt {
       Similarity.ivfadcTopKTrained(t(s, dir, "embeddings"), NumQueries,
         TopK, NumCentroids, NumProbes, numIter = KMeansIter)
         .orderBy("query_id", "rank")),
+    // SQ8 scalar quantization: per-dim 8-bit codes against corpus
+    // [min, max] ranges — 8× compression with no codebook training,
+    // the FAISS SQ8 point on the compression/accuracy dial.
+    "sim_sq_topk" -> ((s, dir) =>
+      Similarity.sqTopK(t(s, dir, "embeddings"), NumQueries, TopK, Dim)
+        .orderBy("query_id", "rank")),
     // Residual IVFADC (by_residual=true): PQ codes quantize v − C[cid]
     // — FAISS's default deployed form; scoring adds the per-probe
     // q·C[cid] term and reconstructs ‖C+r̂‖² from driver-side tables,
@@ -1037,6 +1043,38 @@ object RegistryExt {
          |  WHERE vec_id < 16),
          |${ivfadcOracleTail(sub)}""".stripMargin
     },
+    // SQ8 replay: per-dim range stats, truncating affine encode (all
+    // operands non-negative, so DuckDB // == Spark div), reconstruction
+    // from codes + ranges, exact-BIGINT asymmetric dot.
+    "sim_sq_topk" ->
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |st AS (SELECT i, min(q[i]) AS mn, max(q[i]) AS mx
+         |  FROM v CROSS JOIN generate_series(1, $Dim) g(i) GROUP BY i),
+         |enc AS (SELECT v.vec_id, g.i,
+         |    CASE WHEN st.mx = st.mn THEN 0
+         |         ELSE (v.q[g.i] - st.mn) * 255 // (st.mx - st.mn) END AS code
+         |  FROM v CROSS JOIN generate_series(1, $Dim) g(i)
+         |  JOIN st ON st.i = g.i),
+         |rec AS (SELECT e.vec_id, e.i,
+         |    CASE WHEN st.mx = st.mn THEN st.mn
+         |         ELSE st.mn + e.code * (st.mx - st.mn) // 255 END AS rv
+         |  FROM enc e JOIN st ON st.i = e.i),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, nq AS nqq FROM n
+         |  WHERE vec_id < $NumQueries),
+         |parts AS (SELECT qs.query_id, r.vec_id AS cand_id, qs.nqq,
+         |    qs.qv[r.i] * r.rv AS pd, r.rv * r.rv AS pr
+         |  FROM rec r CROSS JOIN qs
+         |  WHERE r.vec_id <> qs.query_id),
+         |sc AS (SELECT query_id, cand_id, CAST(sum(pd) AS BIGINT) AS adot,
+         |    CAST(sum(pr) AS BIGINT) AS nrec, min(nqq) AS nqq
+         |  FROM parts GROUP BY query_id, cand_id),
+         |r AS (SELECT query_id, cand_id, adot,
+         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, adot, acos, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin,
     // Residual IVFADC replay: residuals via indexed list_transform
     // against the assigned centroid, residual books from the first-16
     // vectors' own residuals, and the score reassembled as

@@ -889,6 +889,71 @@ object Similarity {
       numQueries, k, numProbes)
   }
 
+  /** SQ8 (scalar-quantized) approximate top-k — the fourth compression
+    * point next to PQ: every dimension is independently quantized to
+    * an 8-bit code against the corpus's per-dimension [min, max] range
+    * (`code = (x−min)·255 div (max−min)`, truncating — exact BIGINT,
+    * oracle-replayable), and scoring reads ONLY the codes plus the
+    * broadcast 2·dim range scalars: `v̂_j = min_j + code_j·(max_j −
+    * min_j) div 255`. The trade vs PQ: 8× compression instead of 32×
+    * at dim=64, but NO codebook to train, exact per-dimension error
+    * bounds (≤ range/255 per coordinate), and encode/decode are pure
+    * arithmetic — the FAISS `SQ8` index, the first thing deployed when
+    * PQ's training step is unwanted.
+    *
+    * Scale shape: the range statistics are ONE map-side-combined
+    * aggregate (2·dim scalars to the driver — model state, like the
+    * codebooks); encode is a narrow projection; the scored side
+    * carries `(vec_id, codes)`; queries broadcast; ranking is the
+    * bounded two-phase heap. A degenerate dimension (min == max)
+    * reconstructs its constant exactly. */
+  def sqTopK(emb: DataFrame, numQueries: Long, k: Int,
+             dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    val stats = v.select(
+      array((0 until dim).map(i =>
+        min(element_at(col("q"), i + 1))): _*).as("mins"),
+      array((0 until dim).map(i =>
+        max(element_at(col("q"), i + 1))): _*).as("maxs"))
+      .as[(Seq[Long], Seq[Long])].head()
+    val (mins, maxs) = stats
+    val ranges = mins.zip(maxs).map { case (mn, mx) => mx - mn }
+
+    // encode: per-dim truncating affine map to 0..255; range 0 → code 0
+    val codes = array((0 until dim).map { i =>
+      if (ranges(i) == 0L) lit(0L)
+      else expr(s"(element_at(q, ${i + 1}) - ${mins(i)}L) * 255L div ${ranges(i)}L")
+    }: _*)
+    // reconstruction from codes alone + the broadcast range scalars
+    def recon(i: Int): Column =
+      if (ranges(i) == 0L) lit(mins(i))
+      else expr(s"${mins(i)}L + element_at(codes, ${i + 1}) * ${ranges(i)}L div 255L")
+    val encoded = v.select(col("vec_id").as("cand_id"), codes.as("codes"))
+
+    val queries = v.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nq").as("nqq"))
+    val adot = (0 until dim).map(i =>
+      element_at(col("qv"), i + 1) * recon(i)).reduce(_ + _)
+    val nrec = (0 until dim).map(i => recon(i) * recon(i)).reduce(_ + _)
+
+    encoded.crossJoin(broadcast(queries))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("adot", adot)
+      .withColumn("acos", col("adot").cast(DoubleType) /
+        (sqrt(col("nqq").cast(DoubleType)) * sqrt(nrec.cast(DoubleType))))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByDot.topK(k)(
+        col("adot"), col("cand_id"), col("acos")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cand_id").as("cand_id"),
+        col("c.dot").as("adot"), col("c.cosine").as("acos"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** RESIDUAL-encoded IVFADC — Jégou 2011 §V with `by_residual=true`,
     * the form FAISS deploys by default: PQ quantizes the RESIDUAL
     * `r = v − C[cid]` instead of the raw vector. Residuals concentrate

@@ -361,6 +361,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.25, f"ivfadcTopK recall@5 $r%.3f below contract 0.25")
   }
 
+  test("sqTopK is EXACT on a corpus whose coordinates sit at the range " +
+       "endpoints (codes 0/255 reconstruct min/max exactly)") {
+    // ±1 coordinates: every dim's range is [-1000, 1000]; code 255
+    // reconstructs -1000 + 255*2000 div 255 = 1000 exactly
+    val rows = (0L until 24L).map(i =>
+      (i, Seq.tabulate(16)(j =>
+        if (((i >> (j % 5)) & 1L) == 1L) 1f else -1f)))
+    val df = emb(rows: _*)
+    val got = Similarity.sqTopK(df, 4L, 5, dim = 16)
+      .select("query_id", "cand_id", "adot", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(df, 4L, 5)
+      .select("query_id", "cand_id", "dot", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("recall contract: sqTopK recall@5 vs brute-force ground truth " +
+       "(8-bit per-dim error is tiny at fixture ranges)") {
+    val r = meanRecall(topkSets(Similarity.sqTopK(fixtureEmb, 8L, 5)))
+    info(f"sqTopK recall@5 = $r%.3f")
+    assert(r >= 0.8, f"sqTopK recall@5 $r%.3f below contract 0.8")
+  }
+
   test("ivfadcResidualTopK is EXACT on a corpus of centroid copies " +
        "(residuals vanish, reconstruction == vector)") {
     // 16 distinct base patterns (the coarse centroids AND the residual
