@@ -567,6 +567,9 @@ object RegistryExt {
   // reference-object path NearestCentroidExpr, the same path the
   // assignCol dispatcher takes automatically past LiteralAssignMaxK).
   private val NumCentroidsBig = 400
+  // hierarchical assignment: √k-ish super count over the 400-entry
+  // codebook — per-row work S + k/S = 40 distances instead of 400
+  private val NumSupers = 20
 
   private val similarity: Map[String, Q] = Map(
     // SemDeDup's clustering primitive at LARGE k: one narrow projection
@@ -577,6 +580,16 @@ object RegistryExt {
     "sim_assign_bigk" -> ((s, dir) =>
       Similarity.assignToCodebook(t(s, dir, "embeddings"), NumCentroidsBig,
         forceRef = true)
+        .orderBy("vec_id")),
+    // Two-level assignment past the large-k COMPUTE ceiling: the
+    // codebook is itself clustered (one Lloyd's round over its 400
+    // rows), rows probe the nearest super then argmin only within its
+    // bin — S + k/S distances per row instead of k. Exact-integer at
+    // both levels, so the oracle replays super training, binning, and
+    // both argmins.
+    "sim_assign_hier" -> ((s, dir) =>
+      Similarity.assignHierarchical(t(s, dir, "embeddings"),
+        NumCentroidsBig, NumSupers, 1, Dim)
         .orderBy("vec_id")),
     "sim_brute_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), NumQueries, TopK)
@@ -881,6 +894,32 @@ object RegistryExt {
          |FROM c$KMeansIter p CROSS JOIN generate_series(1, $Dim) gi(i)
          |LEFT JOIN sz ON sz.cid = p.cid
          |ORDER BY p.cid, gi.i""".stripMargin,
+    // Hierarchical assignment replay: super chain over the codebook
+    // rows (spc0→spc1), member binning (am), live supers (ls), row
+    // super probe (rsup), then the within-bin argmin — every level the
+    // same exact-integer (dist, id) lexicographic rule.
+    "sim_assign_hier" -> {
+      s"""WITH $quantCte,
+         |cb AS (SELECT vec_id AS cid, q AS cv FROM v
+         |  WHERE vec_id < $NumCentroidsBig),
+         |cbq AS (SELECT cid AS vec_id, cv AS q FROM cb),
+         |${kmeansChainFor("sp", "cbq", Dim, NumSupers, 1)},
+         |${kmeansAssignCte("spc1", "am", "spvn")},
+         |ls AS (SELECT DISTINCT cid AS sid FROM am),
+         |vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |${kmeansAssignCte(
+        "(SELECT s.cid, s.cv FROM spc1 s JOIN ls ON ls.sid = s.cid)",
+        "rsup")},
+         |fin AS (SELECT vec_id, sid, cid FROM (
+         |  SELECT vn.vec_id, r.cid AS sid, cb.cid,
+         |    row_number() OVER (PARTITION BY vn.vec_id
+         |      ORDER BY vn.nq - 2 * ${dotSql("vn.q", "cb.cv")} + ${dotSql("cb.cv", "cb.cv")}, cb.cid) AS rn
+         |  FROM vn JOIN rsup r ON r.vec_id = vn.vec_id
+         |  JOIN am ON am.cid = r.cid
+         |  JOIN cb ON cb.cid = am.vec_id)
+         |  WHERE rn = 1)
+         |SELECT vec_id, sid, cid FROM fin ORDER BY vec_id""".stripMargin
+    },
     // Same argmin + tie-break as the k-means assignment CTE, over the
     // first-400 codebook: DuckDB replays the reference-object path's
     // result exactly (the Spark formulation change is invisible to the

@@ -288,6 +288,63 @@ object Similarity {
   def assignColRef(cents: Seq[(Long, Seq[Long])]): Column =
     graft.functions.NearestCentroid.nearest(col("q"), cents)
 
+  /** HIERARCHICAL (two-level) assignment — the path past the large-k
+    * COMPUTE ceiling that [[graft.functions.NearestCentroidExpr]]'s
+    * scaladoc names: a flat argmin pays k·dim multiplies per row, so at
+    * "k is millions" even a memory-resident codebook is compute-bound.
+    * Here the CODEBOOK ITSELF is clustered into `numSupers` super-
+    * centroids (one exact-integer Lloyd's round over the k codebook
+    * rows — k rows, not the corpus; the model trains in milliseconds),
+    * each codebook entry is binned to its nearest super, and a row
+    * assigns in two bounded steps: nearest super (S distances), then
+    * nearest centroid WITHIN that super's bin (k/S avg distances) —
+    * S + k/S per row, minimized at S = √k. The result is the standard
+    * IVF-style approximation of the flat argmin (exact whenever the
+    * true nearest centroid's bin wins the super probe; with S = k and
+    * singleton bins it IS the flat argmin — spec-pinned). Everything is
+    * exact BIGINT with the shared tie-breaks, so the two-level rule
+    * replays verbatim in the oracle, super training included.
+    *
+    * Returns `(vec_id, sid, cid)` — the super ids double as a
+    * shard/partition key for downstream within-cluster work. */
+  def assignHierarchical(emb: DataFrame, numCentroids: Int,
+                         numSupers: Int, numIter: Int = 1,
+                         dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val codebook = v.where(col("vec_id") < numCentroids)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    // train supers over the CODEBOOK rows (a driver-sized relation —
+    // the training corpus is the model, so rounds cost k rows each)
+    val cbDf = codebook.toDF("vec_id", "q")
+    val supers = kMeansCodebooksQInit(cbDf, None, numSupers, numIter,
+      dim).last
+    // bin every codebook entry to its super — driver-side exact math,
+    // the same argmin the oracle's assignment CTE replays
+    def flatAssign(q: Seq[Long]): Long = supers.map { case (sid, sv) =>
+      val nc = sv.map(x => x * x).sum
+      val dot = q.zip(sv).map { case (a, b) => a * b }.sum
+      (nc - 2 * dot, sid)
+    }.min._2
+    val bins: Map[Long, Seq[(Long, Seq[Long])]] =
+      codebook.groupBy { case (_, q) => flatAssign(q) }
+        .map { case (sid, ms) => sid -> ms }
+    // rows choose among supers that actually own members (a Lloyd's
+    // round can leave a super empty; an empty bin has no argmin)
+    val liveSupers = supers.filter { case (s, _) => bins.contains(s) }
+    // two bounded steps per row; the within-bin argmin runs through the
+    // reference-object expression (bins can be arbitrarily large)
+    val sid = assignColRef(liveSupers)
+    val cid = bins.toSeq.sortBy(_._1).map { case (s, members) =>
+      (s, graft.functions.NearestCentroid.nearest(col("q"), members))
+    }.foldRight(lit(-1L): Column) { case ((s, c), acc) =>
+      when(col("sid") === s, c).otherwise(acc)
+    }
+    v.withColumn("sid", sid).withColumn("cid", cid)
+      .select("vec_id", "sid", "cid")
+  }
+
   /** Plain codebook assignment as a first-class operator — `(vec_id,
     * cid)` for every vector, codebook = the first `numCentroids`
     * vectors (the same stand-in convention as [[ivfTopK]]). `forceRef`

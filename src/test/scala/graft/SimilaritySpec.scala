@@ -444,6 +444,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("assignHierarchical degenerates to the flat argmin when every " +
+       "super is a singleton bin (S = k, zero training rounds)") {
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 7 + j * 13) % 29 - 14).toFloat)))
+    val df = emb(rows: _*)
+    val hier = Similarity.assignHierarchical(df, 12, 12, numIter = 0,
+        dim = 8)
+      .select("vec_id", "cid")
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val flat = Similarity.assignToCodebook(df, 12)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(hier == flat)
+  }
+
+  test("assignHierarchical plan is one narrow projection: no join, no " +
+       "exchange — the two-level argmin is all in-row") {
+    val rows = (0L until 80L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 11 + j * 5) % 23 - 11).toFloat)))
+    val df = emb(rows: _*)
+    val out = Similarity.assignHierarchical(df, 40, 6, numIter = 1,
+      dim = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hier assignment shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"hier assignment joined:\n$plan")
+    // sanity: assignments land inside the codebook and bins are real
+    val got = out.as[(Long, Long, Long)].collect()
+    assert(got.length == 80 && got.forall(r => r._3 >= 0 && r._3 < 40))
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("assignCol dispatcher: past LiteralAssignMaxK the plan stays one " +
        "narrow shuffle-free projection (codebook not inlined as literals)") {
     val k = Similarity.LiteralAssignMaxK + 50
