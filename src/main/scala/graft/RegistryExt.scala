@@ -653,6 +653,18 @@ object RegistryExt {
     "sim_sq_topk" -> ((s, dir) =>
       Similarity.sqTopK(t(s, dir, "embeddings"), NumQueries, TopK, Dim)
         .orderBy("query_id", "rank")),
+    // Index persistence lifecycle: build writes (codes, coarse, books)
+    // parquet relations; serve reloads the model and runs the shared
+    // probe+ADC tail against the saved inverted file — encode once,
+    // serve without ever re-reading the corpus. Bit-identical to
+    // sim_ivfadc_topk (shared oracle).
+    "sim_index_roundtrip" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = graft.Scratch.dir("graft_ann_index")
+      Similarity.ivfadcIndexBuild(e, path, NumCentroids)
+      Similarity.ivfadcIndexServe(e, path, NumQueries, TopK, NumProbes)
+        .orderBy("query_id", "rank")
+    }),
     // Residual IVFADC (by_residual=true): PQ codes quantize v − C[cid]
     // — FAISS's default deployed form; scoring adds the per-probe
     // q·C[cid] term and reconstructs ‖C+r̂‖² from driver-side tables,
@@ -878,6 +890,19 @@ object RegistryExt {
        |SELECT query_id, cand_id, cid, adot, acos, "rank"
        |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
 
+  private lazy val ivfadcTopkOracle: String = {
+    val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
+    s"""WITH $quantCte,
+       |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+       |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+       |  WHERE vec_id < $NumCentroids),
+       |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+       |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+       |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+       |  WHERE vec_id < 16),
+       |${ivfadcOracleTail(sub)}""".stripMargin
+  }
+
   private val similarityOracles: Map[String, String] = Map(
     "sim_kmeans" -> kmeansOracle,
     // kmeansOracle with the init swapped for the maxmin pick chain.
@@ -1070,18 +1095,11 @@ object RegistryExt {
     // oracle + the PQ CTEs (bn/sl/enc) verbatim from the PQ oracle,
     // joined so per-subspace partial dots are summed ONLY for (query,
     // candidate) pairs whose candidate sits in a probed list.
-    "sim_ivfadc_topk" -> {
-      val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
-      s"""WITH $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
-         |  WHERE vec_id < $NumCentroids),
-         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
-         |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
-         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
-         |  WHERE vec_id < 16),
-         |${ivfadcOracleTail(sub)}""".stripMargin
-    },
+    "sim_ivfadc_topk" -> ivfadcTopkOracle,
+    // the persisted-index roundtrip serves bit-identically to the
+    // direct operator, so it shares the oracle — the k_*_roundtrip
+    // losslessness pattern applied to an ANN index
+    "sim_index_roundtrip" -> ivfadcTopkOracle,
     // SQ8 replay: per-dim range stats, truncating affine encode (all
     // operands non-negative, so DuckDB // == Spark div), reconstruction
     // from codes + ranges, exact-BIGINT asymmetric dot.

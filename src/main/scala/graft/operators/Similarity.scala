@@ -1111,7 +1111,70 @@ object Similarity {
     val inverted = pqEncodeDf(
       v.withColumn("cid", array_max(scoreLit(coarse)).getField("cid")),
       m, Seq("vec_id", "cid"))
+    ivfadcServeWith(v, inverted, coarse, m, numQueries, k, numProbes)
+  }
 
+  /** ANN INDEX PERSISTENCE (build half) — the index lifecycle every
+    * deployment actually runs: encode ONCE, serve FOREVER. Writes
+    * three parquet relations under `path`: the inverted file
+    * `codes/(vec_id, cid, codes)` (the only corpus-sized one — numSub
+    * small ints + a centroid id per vector), the coarse codebook
+    * `coarse/(cid, cv)`, and the sub-codebooks `books/(s, code, cv)`.
+    * Build cost is [[ivfadcTopK]]'s encode pass; the corpus vectors
+    * never need to be read again for serving. */
+  def ivfadcIndexBuild(emb: DataFrame, path: String,
+                       numCentroids: Int = 16, numSub: Int = 8,
+                       subDim: Int = 8, numCodes: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val coarse = v.where(col("vec_id") < numCentroids)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val m = pqBooksFirstC(v, numSub, subDim, numCodes)
+    pqEncodeDf(
+      v.withColumn("cid", array_max(scoreLit(coarse)).getField("cid")),
+      m, Seq("vec_id", "cid"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    coarse.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    m.books.zipWithIndex
+      .flatMap { case (b, s) => b.map { case (code, cv) => (s, code, cv) } }
+      .toDF("s", "code", "cv")
+      .write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** ANN INDEX PERSISTENCE (serve half): reload the model scalars to
+    * the driver and the inverted file as a DataFrame, then run the
+    * identical probe+ADC+rank serving path — results are bit-identical
+    * to [[ivfadcTopK]] over the source corpus (the registry roundtrip
+    * shares its oracle). `emb` supplies only the QUERY vectors; the
+    * index never re-reads the corpus. */
+  def ivfadcIndexServe(emb: DataFrame, path: String, numQueries: Long,
+                       k: Int, numProbes: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val flat = spark.read.parquet(s"$path/books")
+      .as[(Int, Long, Seq[Long])].collect()
+    val numSub = flat.map(_._1).max + 1
+    val books = IndexedSeq.tabulate(numSub)(s =>
+      flat.filter(_._1 == s).sortBy(_._2)
+        .map(r => (r._2, r._3)).toIndexedSeq)
+    val m = pqModelOf0(books, numSub, books.head.head._2.length)
+    val inverted = spark.read.parquet(s"$path/codes")
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    ivfadcServeWith(v, inverted, coarse, m, numQueries, k, numProbes)
+  }
+
+  /** The shared IVFADC serving tail over an (already-encoded) inverted
+    * file: probe selection + ADC tables on the query side, broadcast
+    * hash join on the list id, bounded-heap rank. */
+  private def ivfadcServeWith(v: DataFrame, inverted: DataFrame,
+                              coarse: Seq[(Long, Seq[Long])], m: PqModel,
+                              numQueries: Long, k: Int,
+                              numProbes: Int): DataFrame = {
     // Queries: numProbes nearest coarse lists (same sorted-slice as
     // ivfProbe) and the ADC tables; a candidate lives in exactly one
     // list, so no cross-probe dedup is needed.

@@ -352,6 +352,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.2, f"ivfadcTopKTrained recall@5 $r%.3f below contract 0.2")
   }
 
+  test("index roundtrip: build-to-parquet then serve == direct " +
+       "ivfadcTopK, bit for bit") {
+    val path = graft.Scratch.dir("sim_spec_index")
+    Similarity.ivfadcIndexBuild(fixtureEmb, path)
+    val served = Similarity.ivfadcIndexServe(fixtureEmb, path, 8L, 5)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val direct = Similarity.ivfadcTopK(fixtureEmb, 8L, 5)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(served == direct)
+  }
+
   test("recall contract: ivfadcTopK recall@5 vs brute-force ground truth") {
     val r = meanRecall(topkSets(
       Similarity.ivfadcTopK(fixtureEmb, 8L, 5, 16, 2)))
