@@ -665,6 +665,38 @@ object RegistryExt {
       Similarity.ivfadcIndexServe(e, path, NumQueries, TopK, NumProbes)
         .orderBy("query_id", "rank")
     }),
+    // Incremental maintenance: build on the first half, encode ONLY
+    // the delta with the saved model, append — bit-identical to a full
+    // build because encoding is a pure function of (vector, model).
+    "sim_index_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = graft.Scratch.dir("graft_ann_inc")
+      val half = e.count() / 2
+      Similarity.ivfadcIndexBuild(e.where(col("vec_id") < half), path,
+        NumCentroids)
+      Similarity.ivfadcIndexAppend(e.where(col("vec_id") >= half), path)
+      Similarity.ivfadcIndexServe(e, path, NumQueries, TopK, NumProbes)
+        .orderBy("query_id", "rank")
+    }),
+    // Streaming ingest: the delta arrives as a file stream; each
+    // micro-batch encodes against the saved model and appends —
+    // stateless, so foreachBatch is the only streaming machinery.
+    // Drained index == batch build (shared oracle).
+    "st_index_ingest" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = graft.Scratch.dir("graft_ann_stream")
+      val deltaDir = graft.Scratch.dir("graft_ann_delta")
+      val half = e.count() / 2
+      Similarity.ivfadcIndexBuild(e.where(col("vec_id") < half), path,
+        NumCentroids)
+      e.where(col("vec_id") >= half).coalesce(2)
+        .write.mode("overwrite").parquet(deltaDir)
+      Similarity.ivfadcIndexIngest(
+        s.readStream.schema(e.schema).option("maxFilesPerTrigger", "1")
+          .parquet(deltaDir), path)
+      Similarity.ivfadcIndexServe(e, path, NumQueries, TopK, NumProbes)
+        .orderBy("query_id", "rank")
+    }),
     // Residual IVFADC (by_residual=true): PQ codes quantize v − C[cid]
     // — FAISS's default deployed form; scoring adds the per-probe
     // q·C[cid] term and reconstructs ‖C+r̂‖² from driver-side tables,
@@ -1096,10 +1128,13 @@ object RegistryExt {
     // joined so per-subspace partial dots are summed ONLY for (query,
     // candidate) pairs whose candidate sits in a probed list.
     "sim_ivfadc_topk" -> ivfadcTopkOracle,
-    // the persisted-index roundtrip serves bit-identically to the
-    // direct operator, so it shares the oracle — the k_*_roundtrip
-    // losslessness pattern applied to an ANN index
+    // the persisted-index roundtrip, the incremental append, and the
+    // streaming ingest all serve bit-identically to the direct
+    // operator, so they share its oracle — the k_*_roundtrip
+    // losslessness pattern applied to an ANN index lifecycle
     "sim_index_roundtrip" -> ivfadcTopkOracle,
+    "sim_index_append" -> ivfadcTopkOracle,
+    "st_index_ingest" -> ivfadcTopkOracle,
     // SQ8 replay: per-dim range stats, truncating affine encode (all
     // operands non-negative, so DuckDB // == Spark div), reconstruction
     // from codes + ranges, exact-BIGINT asymmetric dot.

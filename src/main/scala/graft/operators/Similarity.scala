@@ -1143,15 +1143,10 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/books")
   }
 
-  /** ANN INDEX PERSISTENCE (serve half): reload the model scalars to
-    * the driver and the inverted file as a DataFrame, then run the
-    * identical probe+ADC+rank serving path — results are bit-identical
-    * to [[ivfadcTopK]] over the source corpus (the registry roundtrip
-    * shares its oracle). `emb` supplies only the QUERY vectors; the
-    * index never re-reads the corpus. */
-  def ivfadcIndexServe(emb: DataFrame, path: String, numQueries: Long,
-                       k: Int, numProbes: Int = 2): DataFrame = {
-    val spark = emb.sparkSession
+  /** The saved model, reloaded: (coarse codebook, PQ model). */
+  private[graft] def ivfadcIndexModel(spark: org.apache.spark.sql.SparkSession,
+                                      path: String)
+      : (Seq[(Long, Seq[Long])], PqModel) = {
     import spark.implicits._
     val coarse = spark.read.parquet(s"$path/coarse")
       .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
@@ -1161,7 +1156,67 @@ object Similarity {
     val books = IndexedSeq.tabulate(numSub)(s =>
       flat.filter(_._1 == s).sortBy(_._2)
         .map(r => (r._2, r._3)).toIndexedSeq)
-    val m = pqModelOf0(books, numSub, books.head.head._2.length)
+    (coarse, pqModelOf0(books, numSub, books.head.head._2.length))
+  }
+
+  /** INCREMENTAL INDEX MAINTENANCE — encode ONLY the delta with the
+    * index's SAVED model (never retrain, never re-encode the existing
+    * corpus) and append it to the inverted file. Because encoding is a
+    * pure function of (vector, model), an index built on a prefix and
+    * appended with the rest is bit-identical to one built on the full
+    * corpus — the registry roundtrip proves it under the shared
+    * oracle. This is the ingest shape at 100 TB: the daily delta pays
+    * one narrow encode pass; the existing billions of codes are never
+    * touched. (Model drift is a REBUILD decision, not an append.) */
+  def ivfadcIndexAppend(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    val (coarse, m) = ivfadcIndexModel(spark, path)
+    val v = delta.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    pqEncodeDf(
+      v.withColumn("cid", array_max(scoreLit(coarse)).getField("cid")),
+      m, Seq("vec_id", "cid"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** STREAMING INDEX INGEST — the live form of [[ivfadcIndexAppend]]:
+    * each micro-batch of embeddings encodes against the saved model
+    * (loaded ONCE, driver-side) and appends to the inverted file.
+    * Append-only parquet, no merge, no state store — the encode is
+    * stateless, so the only streaming machinery needed is foreachBatch.
+    * After a drain the index is bit-identical to a batch build over
+    * everything ingested. */
+  def ivfadcIndexIngest(deltaStream: DataFrame, path: String): Unit = {
+    val spark = deltaStream.sparkSession
+    val (coarse, m) = ivfadcIndexModel(spark, path)
+    val q = deltaStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val v = batch.select(col("vec_id"),
+            quantize(col("embedding")).as("q"))
+          pqEncodeDf(
+            v.withColumn("cid",
+              array_max(scoreLit(coarse)).getField("cid")),
+            m, Seq("vec_id", "cid"))
+            .write.mode("append").parquet(s"$path/codes")
+          ()
+        }
+      }
+      .option("checkpointLocation", s"$path/_ingest_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ANN INDEX PERSISTENCE (serve half): reload the model scalars to
+    * the driver and the inverted file as a DataFrame, then run the
+    * identical probe+ADC+rank serving path — results are bit-identical
+    * to [[ivfadcTopK]] over the source corpus (the registry roundtrip
+    * shares its oracle). `emb` supplies only the QUERY vectors; the
+    * index never re-reads the corpus. */
+  def ivfadcIndexServe(emb: DataFrame, path: String, numQueries: Long,
+                       k: Int, numProbes: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val (coarse, m) = ivfadcIndexModel(spark, path)
     val inverted = spark.read.parquet(s"$path/codes")
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))

@@ -363,6 +363,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served == direct)
   }
 
+  test("incremental append serves bit-identically to a full batch build " +
+       "(delta encoded with the saved model only)") {
+    val full = graft.Scratch.dir("sim_spec_idx_full")
+    val inc = graft.Scratch.dir("sim_spec_idx_inc")
+    Similarity.ivfadcIndexBuild(fixtureEmb, full)
+    Similarity.ivfadcIndexBuild(fixtureEmb.where(col("vec_id") < 32), inc)
+    Similarity.ivfadcIndexAppend(
+      fixtureEmb.where(col("vec_id") >= 32), inc)
+    val a = Similarity.ivfadcIndexServe(fixtureEmb, full, 8L, 5)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    val b = Similarity.ivfadcIndexServe(fixtureEmb, inc, 8L, 5)
+      .orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    assert(a == b)
+  }
+
   test("recall contract: ivfadcTopK recall@5 vs brute-force ground truth") {
     val r = meanRecall(topkSets(
       Similarity.ivfadcTopK(fixtureEmb, 8L, 5, 16, 2)))
