@@ -570,6 +570,8 @@ object RegistryExt {
   // hierarchical assignment: √k-ish super count over the 400-entry
   // codebook — per-row work S + k/S = 40 distances instead of 400
   private val NumSupers = 20
+  // refine: approximate top-25 from codes, exact re-scoring to top-5
+  private val Rerank = 25
 
   private val similarity: Map[String, Q] = Map(
     // SemDeDup's clustering primitive at LARGE k: one narrow projection
@@ -665,6 +667,13 @@ object RegistryExt {
       Similarity.ivfadcIndexServe(e, path, NumQueries, TopK, NumProbes)
         .orderBy("query_id", "rank")
     }),
+    // Exact re-ranking refine (FAISS IndexRefine): approximate top-25
+    // from the compressed index, true vectors fetched for those 25
+    // per query only (broadcast semi-join on the scan), exact top-5.
+    "sim_ivfadc_refine" -> ((s, dir) =>
+      Similarity.ivfadcRefineTopK(t(s, dir, "embeddings"), NumQueries,
+        TopK, Rerank, NumCentroids, NumProbes)
+        .orderBy("query_id", "rank")),
     // Incremental maintenance: build on the first half, encode ONLY
     // the delta with the saved model, append — bit-identical to a full
     // build because encoding is a pure function of (vector, model).
@@ -879,6 +888,13 @@ object RegistryExt {
     * the SUB-codebooks). Shared by sim_ivfadc_topk (first-C stand-ins)
     * and sim_ivfadc_trained (both models from training chains). */
   private def ivfadcOracleTail(sub: Int): String =
+    s"""${ivfadcOracleCtes(sub)}
+       |SELECT query_id, cand_id, cid, adot, acos, "rank"
+       |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+
+  /** Same, stopping at the ranked CTE `r` so a composition (the exact
+    * re-ranking refine) can keep building. */
+  private def ivfadcOracleCtes(sub: Int): String =
     s"""sc AS (
        |  SELECT n.vec_id, c.cid,
        |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
@@ -918,9 +934,7 @@ object RegistryExt {
        |r AS (SELECT query_id, cand_id, cid, adot,
        |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
-       |  FROM sc2)
-       |SELECT query_id, cand_id, cid, adot, acos, "rank"
-       |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+       |  FROM sc2)""".stripMargin
 
   private lazy val ivfadcTopkOracle: String = {
     val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
@@ -1135,6 +1149,31 @@ object RegistryExt {
     "sim_index_roundtrip" -> ivfadcTopkOracle,
     "sim_index_append" -> ivfadcTopkOracle,
     "st_index_ingest" -> ivfadcTopkOracle,
+    // refine: the IVFADC CTEs ranked to top-Rerank, then exact
+    // re-scoring of just those candidates against the true vectors
+    "sim_ivfadc_refine" -> {
+      val sub = 8
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |  WHERE vec_id < $NumCentroids),
+         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |${ivfadcOracleCtes(sub)},
+         |ap AS (SELECT query_id, cand_id FROM r WHERE "rank" <= $Rerank),
+         |ex AS (SELECT ap.query_id, ap.cand_id,
+         |    ${dotSql("qn.q", "cn.q")} AS dot, qn.nq AS nqq, cn.nq AS nqc
+         |  FROM ap JOIN n qn ON qn.vec_id = ap.query_id
+         |  JOIN n cn ON cn.vec_id = ap.cand_id),
+         |r2 AS (SELECT query_id, cand_id, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM ex)
+         |SELECT query_id, cand_id, dot, cosine, "rank"
+         |FROM r2 WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
     // SQ8 replay: per-dim range stats, truncating affine encode (all
     // operands non-negative, so DuckDB // == Spark div), reconstruction
     // from codes + ranges, exact-BIGINT asymmetric dot.

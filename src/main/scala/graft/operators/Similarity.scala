@@ -1114,6 +1114,49 @@ object Similarity {
     ivfadcServeWith(v, inverted, coarse, m, numQueries, k, numProbes)
   }
 
+  /** EXACT RE-RANKING refinement (FAISS `IndexRefine`) — the standard
+    * accuracy-recovery pattern over any compressed index: take the
+    * approximate top-`rerank` from [[ivfadcTopK]] (cheap, codes-only),
+    * fetch TRUE vectors for just those `q·rerank` candidates, re-score
+    * exactly, keep the top-`k`. The approximate stage bounds recall;
+    * the exact stage makes precision perfect on whatever it recalled —
+    * refined top-k ordering is exact over the candidate set.
+    *
+    * Scale shape: the candidate id set is `q·rerank` rows — broadcast
+    * back onto the corpus scan as a semi-join, so true vectors are
+    * fetched for candidates only (never a corpus shuffle); the exact
+    * rescoring then joins two small relations and ranks with the
+    * bounded heap. Total added cost over the approximate query is one
+    * corpus scan with a broadcast filter. */
+  def ivfadcRefineTopK(emb: DataFrame, numQueries: Long, k: Int,
+                       rerank: Int = 25, numCentroids: Int = 16,
+                       numProbes: Int = 2): DataFrame = {
+    val approx = ivfadcTopK(emb, numQueries, rerank, numCentroids,
+      numProbes).select("query_id", "cand_id")
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+    // true vectors for the recalled candidates only: broadcast the
+    // small (query_id, cand_id) set into a hash join on the scan
+    val cands = v.select(col("vec_id").as("cand_id"), col("q").as("cv"),
+        col("nq").as("nqc"))
+      .join(broadcast(approx), Seq("cand_id"))
+    val queries = v.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nq").as("nqq"))
+    cands.join(broadcast(queries), Seq("query_id"))
+      .withColumn("dot", dotQ(col("qv"), col("cv")))
+      .withColumn("cosine", col("dot").cast(DoubleType) /
+        (sqrt(col("nqq").cast(DoubleType)) *
+          sqrt(col("nqc").cast(DoubleType))))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByDot.topK(k)(
+        col("dot"), col("cand_id"), col("cosine")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.cand_id").as("cand_id"),
+        col("c.dot").as("dot"), col("c.cosine").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** ANN INDEX PERSISTENCE (build half) — the index lifecycle every
     * deployment actually runs: encode ONCE, serve FOREVER. Writes
     * three parquet relations under `path`: the inverted file

@@ -378,6 +378,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ivfadcRefineTopK: exact scores on recalled candidates; recall " +
+       "never below the unrefined approximate top-k") {
+    val refined = Similarity.ivfadcRefineTopK(fixtureEmb, 8L, 5, 25, 16, 2)
+    // exactness of the rescoring: every emitted (query, cand) pair must
+    // carry the true dot — check against brute-force scores
+    val exact = Similarity.bruteForceTopK(fixtureEmb, 8L, 64)
+      .select("query_id", "cand_id", "dot")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val rs = refined.select("query_id", "cand_id", "dot")
+      .as[(Long, Long, Long)].collect()
+    assert(rs.nonEmpty && rs.forall { case (q, c, d) =>
+      exact.get((q, c)).contains(d) })
+    val rRefined = meanRecall(topkSets(refined))
+    val rPlain = meanRecall(topkSets(
+      Similarity.ivfadcTopK(fixtureEmb, 8L, 5, 16, 2)))
+    info(f"refine recall@5 = $rRefined%.3f vs unrefined $rPlain%.3f")
+    assert(rRefined >= rPlain)
+  }
+
   test("recall contract: ivfadcTopK recall@5 vs brute-force ground truth") {
     val r = meanRecall(topkSets(
       Similarity.ivfadcTopK(fixtureEmb, 8L, 5, 16, 2)))
