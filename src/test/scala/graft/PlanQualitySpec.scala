@@ -287,6 +287,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"inverted-file projection must reduce to (cid, codes):\n$candProject")
   }
 
+  test("ivfadcRefineTopK: candidate vectors fetched via broadcast joins " +
+       "(no corpus shuffle); one bounded-heap exchange") {
+    import graft.operators.Similarity
+    val df = Similarity.ivfadcRefineTopK(
+      Tables.load(spark, dir, "embeddings"), 8L, 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // both refine joins (candidate-id semi fetch, query attach) are
+    // broadcast hash joins — the corpus never shuffles for refinement
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected broadcast joins for the refine fetch:\n$plan")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("query_id")),
+      s"only top-k aggs may shuffle (on query_id):\n$plan")
+  }
+
   test("tokenBudget shuffles catalogs, not text: one source-keyed " +
        "exchange whose rows exclude the document body") {
     import graft.operators.TrainPrep
