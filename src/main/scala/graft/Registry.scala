@@ -486,8 +486,9 @@ object Registry {
 
   val queries: Map[String, Q] =
     core ++ cleaning ++ restructure ++ RegistryExt.queries ++
-      RegistryForm700.queries
+      RegistryForm700.queries ++ RegistryRank.queries
   val oracles: Map[String, String] =
     coreOracles ++ cleaningOracles ++ restructureOracles ++
-      RegistryExt.oracles ++ RegistryForm700.oracles
+      RegistryExt.oracles ++ RegistryForm700.oracles ++
+      RegistryRank.oracles
 }

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Ranking / curation registry: corpus-importance and retrieval-quality
+  * operators a training-data pipeline runs between cleaning and packing —
+  * link-graph PageRank, BM25 retrieval, bigram-LM surprisal scoring, and
+  * duplicated-substring span detection (the sub-document dedup family).
+  *
+  * Same determinism contract as [[Registry]] / [[RegistryExt]]: every
+  * score is exact fixed-point integer math (ppm / parts-per-Scale), all
+  * hashing is md5 over explicit strings, every query ends in a total
+  * ORDER BY, and every oracle is generated from the SAME constants as
+  * the Spark plan.
+  */
+object RegistryRank {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // Shared constants — referenced by BOTH plans and oracle SQL.
+  /** PageRank iteration count (unrolled in the oracle). */
+  private val PageRankIters = 3
+  /** Duplicated-substring window width in tokens. Production suites use
+    * ~50 (Lee et al. 2022 §3); the fixture vocabulary is ~30 words, so 4
+    * gives the same structural signal (691 spans over 369/500 docs at
+    * sf0.01, 131 docs span-free — both join paths covered). */
+  private val SubstringW = 4
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL builders (DuckDB dialect)
+  // ---------------------------------------------------------------------
+
+  /** Shared positional-window CTEs: `p(doc_id, pos, g)` = md5 digest of
+    * each 1-based `w`-token window, `d(g)` = digests occurring more than
+    * once corpus-wide, `h(doc_id, pos)` = duplicated positions. Same
+    * md5-over-explicit-string convention as the Spark plan, so the dup
+    * criterion is identical on both engines. */
+  private def substringCtes(w: Int): String =
+    s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |p AS (SELECT doc_id, pos,
+       |    md5(array_to_string(w[pos : pos + ${w - 1}], ' ')) AS g
+       |  FROM (SELECT doc_id, w,
+       |      unnest(generate_series(1, len(w) - ${w - 1})) AS pos
+       |    FROM w WHERE len(w) >= $w)),
+       |d AS (SELECT g FROM p GROUP BY g HAVING count(*) > 1),
+       |h AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (g))""".stripMargin
+
+  /** Unrolled-CTE replay of [[Graph.pageRankQ]] over the co-ordered-parts
+    * graph: r0 = uniform, then `iters` exact integer damped rounds. */
+  private def pageRankOracle(iters: Int): String = {
+    val S = Graph.Scale
+    val dn = Graph.DampNum
+    val dd = Graph.DampDen
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst, sum(($dn * r${i - 1}.rank_q) // ($dd * d.outdeg)) AS c
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+         |r$i AS (SELECT d.src AS node,
+         |    (3 * $S) // ($dd * nn.n) + coalesce(c$i.c, 0) AS rank_q
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c$i ON d.src = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, $S // nn.n AS rank_q FROM deg CROSS JOIN nn),
+       |$rounds
+       |SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
+       |  CAST(rank_q AS DOUBLE) / $S.0 AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // Damped PageRank over the co-ordered-parts graph — exact integer
+    // iteration, the oracle unrolls all rounds as CTEs (same convention
+    // as sim_kmeans). Edges partition once and cache; each round moves
+    // only the node-sized rank vector.
+    "gr_pagerank" -> ((s, dir) =>
+      Graph.pageRankQ(Graph.coOrderedParts(t(s, dir, "lineitem")),
+        PageRankIters)
+        .orderBy("node")),
+    // Sub-document dedup: maximal duplicated w-token spans (Lee et al.
+    // 2022). The exchange carries (doc_id, pos, md5) — never text.
+    "dd_substring_spans" -> ((s, dir) =>
+      Dedup.substringSpans(t(s, dir, "documents"), "doc_id", "text",
+        SubstringW)
+        .orderBy("doc_id", "span_start")),
+    // Per-document duplicated-token coverage (exact ppm) over the same
+    // windows — zero-span documents included via the corpus-side LEFT
+    // join.
+    "dd_substring_stats" -> ((s, dir) =>
+      Dedup.substringStats(t(s, dir, "documents"), "doc_id", "text",
+        SubstringW)
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "gr_pagerank" -> pageRankOracle(PageRankIters),
+    "dd_substring_spans" ->
+      s"""WITH ${substringCtes(SubstringW)},
+         |i AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM h)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + ${SubstringW - 1} AS BIGINT) AS span_end,
+         |  count(*) AS n_windows
+         |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "dd_substring_stats" ->
+      s"""WITH ${substringCtes(SubstringW)},
+         |cov AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN prev IS NULL THEN $SubstringW
+         |      ELSE least($SubstringW, pos - prev) END) AS BIGINT)
+         |      AS n_dup_tokens
+         |  FROM (SELECT doc_id, pos,
+         |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |    FROM h)
+         |  GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+         |  coalesce(cov.n_dup_tokens, 0) AS n_dup_tokens,
+         |  CASE WHEN len(w.w) > 0
+         |    THEN (coalesce(cov.n_dup_tokens, 0) * 1000000) // len(w.w)
+         |    ELSE 0 END AS dup_ppm
+         |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+         |ORDER BY w.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Star graph with symmetric edges: hub 0 ↔ spokes 1..4. The hub must
+    * out-rank every spoke, and all spokes tie by symmetry. */
+  test("pageRankQ: hub of a star out-ranks the spokes; spokes tie") {
+    val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
+      .toDF("src", "dst")
+    val got = Graph.pageRankQ(edges, 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hub = got.head._2
+    val spokes = got.tail.map(_._2)
+    assert(got.map(_._1).toSeq == (0L to 4L))
+    assert(spokes.distinct.size == 1, s"spokes should tie: ${got.toSeq}")
+    assert(hub > spokes.head, s"hub $hub ≤ spoke ${spokes.head}")
+  }
+
+  test("pageRankQ: rank mass is conserved up to floor-division loss") {
+    val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
+      .toDF("src", "dst")
+    val total = Graph.pageRankQ(edges, 3).agg(org.apache.spark.sql
+      .functions.sum("rank_q")).head().getLong(0)
+    // Each of the 5 nodes loses < 1 unit per div, per round, per term;
+    // with ≤ 8 edges and 3 rounds the loss is ≪ 1e-6 of the mass.
+    assert(total <= Graph.Scale && total > Graph.Scale - 1000L,
+      s"mass $total vs ${Graph.Scale}")
+  }
+
+  test("pageRankQ on a regular graph (cycle) is uniform at every round") {
+    // 6-cycle with both directions: outdeg 2 everywhere — exact symmetry.
+    val n = 6L
+    val edges = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), ((i + 1) % n, i))).toDF("src", "dst")
+    val got = Graph.pageRankQ(edges, 4).select("rank_q").distinct().count()
+    assert(got == 1, "regular graph must stay uniform")
+  }
+
+  test("coOrderedParts emits symmetric distinct pairs") {
+    val li = Seq((1L, 10L), (1L, 11L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.coOrderedParts(li).as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L)))
+  }
+
+  test("pageRankQ plan: edges shuffle once, rank vector moves per round") {
+    val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
+      .toDF("src", "dst")
+    val plan = Graph.pageRankQ(edges, 2)
+      .queryExecution.executedPlan.toString
+    // The cached, pre-partitioned edge relation is read back from the
+    // block store — iterations must reuse it, not recompute the source.
+    assert(plan.contains("InMemoryTableScan"), s"plan was:\n$plan")
+  }
+}
