@@ -514,4 +514,97 @@ object Dedup {
       .select(idCol).distinct()
     train.join(hitDocs, Seq(idCol), "left_anti")
   }
+
+  /** Positional word `w`-gram windows of a document: (pos, md5(gram))
+    * for every 1-based token position — the shared scan stage of the
+    * sub-document dedup family below. Only the doc id, an int position,
+    * and a 16-byte digest leave the scan; gram TEXT never reaches an
+    * exchange. */
+  private def windowDigests(df: DataFrame, idCol: String, textCol: String,
+                            w: Int): DataFrame = {
+    val tk = split(trim(col(textCol)), "\\s+")
+    val grams = transform(sequence(lit(1), size(tk) - (w - 1)),
+      i => md5(array_join(slice(tk, i, lit(w)), " ")))
+    val guarded = when(size(tk) >= w, grams)
+      .otherwise(array().cast(ArrayType(StringType)))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(guarded).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+  }
+
+  /** Duplicated-SUBSTRING span detection — the sub-document dedup family
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": boilerplate, licenses, and quoted passages repeat
+    * inside otherwise-unique documents, where document-level MinHash
+    * never fires). A token window of `w` words is DUPLICATED when its
+    * text occurs more than once corpus-wide (any document, including
+    * its own); runs of consecutive duplicated windows merge into maximal
+    * spans (doc_id, span_start, span_end, n_windows) in token
+    * coordinates — the repair decision (trim / drop / keep-first) is the
+    * caller's.
+    *
+    * The reference implementation is a suffix array over the
+    * concatenated corpus — inherently single-machine. The Spark-first
+    * re-expression: (1) one narrow scan emits (doc, pos, md5(window))
+    * digests; (2) one count-shuffle keyed on the 16-byte digest finds
+    * duplicated windows (map-side combine collapses same-task repeats;
+    * the exchange never carries text); (3) hits semi-join back (AQE
+    * picks broadcast when the dup set is small — boilerplate corpora —
+    * and a hash join otherwise); (4) a per-document sort merges runs
+    * (gaps-and-islands: pos − row_number). Every stage is key-bounded;
+    * nothing is proportional to corpus² anywhere.
+    *
+    * Exactness: grouping is on md5 digests on BOTH engines (the repo's
+    * standard hashing convention), so the oracle criterion is identical
+    * string-for-string. */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame = {
+    val pos = windowDigests(df, idCol, textCol, w)
+    val dups = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select("g")
+    val hit = pos.join(dups, Seq("g")).select("doc_id", "pos")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    hit.withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").cast(LongType).as("span_start"),
+        (max("pos") + (w - 1)).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Per-document duplicated-token accounting over the same windows as
+    * [[substringSpans]]: how many of a document's tokens are covered by
+    * at least one duplicated `w`-window, as an exact ppm ratio — the
+    * corpus-health metric that decides whether sub-document dedup is
+    * worth running at all.
+    *
+    * Coverage is the union of the (overlapping) windows [pos, pos+w−1]:
+    * sorted by pos, each duplicated window contributes
+    * min(w, pos − prev_pos) new tokens — one `lag` pass, no interval
+    * merge materialized. Documents with zero duplicated windows are in
+    * the output with zeros (LEFT join from the corpus side). */
+  def substringStats(df: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame = {
+    val pos = windowDigests(df, idCol, textCol, w)
+    val dups = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select("g")
+    val hit = pos.join(dups, Seq("g")).select("doc_id", "pos")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = hit
+      .withColumn("prev", lag("pos", 1).over(win))
+      .withColumn("add",
+        when(col("prev").isNull, lit(w))
+          .otherwise(least(lit(w), col("pos") - col("prev"))))
+      .groupBy("doc_id")
+      .agg(sum(col("add").cast(LongType)).as("n_dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(trim(col(textCol)), "\\s+")).cast(LongType)
+          .as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          expr("coalesce(n_dup_tokens, 0) * 1000000 div n_tokens"))
+          .otherwise(lit(0L)).as("dup_ppm"))
+  }
 }

@@ -257,4 +257,55 @@ class DedupSpec extends AnyFunSuite {
     val misses = grams.filter(!bloomMightContain(bytes, col("g"))).count()
     assert(misses == 0L) // bloom filters never false-negative
   }
+
+  test("substringSpans: shared run merges into one maximal span, " +
+      "cross-doc and self-repeat both count, unique text is span-free") {
+    import spark.implicits._
+    // docs 1 and 2 share the run "a b c d e" (w=3 ⇒ positions 1..3
+    // duplicated in both); doc 3 repeats its own window "x y z" twice
+    // (self-repeat at positions 1 and 4); doc 4 is unique.
+    val df = Seq(
+      (1L, "a b c d e q r"),
+      (2L, "p a b c d e"),
+      (3L, "x y z x y z"),
+      (4L, "unique words only here")).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(df, "doc_id", "text", 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 5L, 3L),   // windows 1..3 merge; span covers tokens 1..5
+      (2L, 2L, 6L, 3L),   // same run shifted by the 'p' prefix
+      (3L, 1L, 3L, 1L),   // "x y z" at pos 1 and 4: the self-repeat
+      (3L, 4L, 6L, 1L)))  // yields two islands (pos 2,3 not duplicated)
+  }
+
+  test("substringStats: coverage is the union of overlapping windows; " +
+      "zero-span docs appear with zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e q r"),     // dup windows at 1..3 ⇒ 5 of 7 tokens
+      (2L, "p a b c d e"),
+      (3L, "unique words only here")).toDF("doc_id", "text")
+    val got = Dedup.substringStats(df, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 7L, 5L, 5L * 1000000L / 7L),
+      (2L, 6L, 5L, 5L * 1000000L / 6L),
+      (3L, 4L, 0L, 0L)))
+  }
+
+  test("substringSpans: no duplicated-window text ever reaches an " +
+      "exchange (digests only)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val plan = Dedup.substringSpans(df, "doc_id", "text", 3)
+      .queryExecution.optimizedPlan.toString
+    // The only string column surviving past the scan projection is the
+    // md5 digest `g`; the raw token windows are consumed scan-side.
+    assert(!plan.contains("array_join") ||
+      plan.indexOf("Exchange") == -1 ||
+      plan.indexOf("md5") < plan.indexOf("Exchange"),
+      s"plan was:\n$plan")
+  }
 }
