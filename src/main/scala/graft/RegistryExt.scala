@@ -615,6 +615,18 @@ object RegistryExt {
       Similarity.lshTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumPlanes, Dim, NumTables)
         .orderBy("query_id", "rank")),
+    // Retrieval-quality eval AS DATA: per-query recall@k / MRR of the
+    // LSH index against the brute-force ground truth — the recall
+    // contract SimilaritySpec asserts, promoted to an oracle-checked
+    // query (the oracle replays BOTH searches and the overlap).
+    "sim_recall_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, NumQueries, TopK),
+        Similarity.lshTopK(emb, NumQueries, TopK, NumPlanes, Dim,
+          NumTables),
+        TopK).orderBy("query_id")
+    }),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumCentroids, NumProbes)
@@ -1057,6 +1069,56 @@ object RegistryExt {
       s"""WITH $quantCte,
          |${ivfOracleTail(
         s"SELECT vec_id AS cid, q AS cv, nq AS nc FROM n WHERE vec_id < $NumCentroids")}""".stripMargin,
+    // Recall/MRR eval: the oracle replays BOTH the brute-force ranking
+    // and the multi-table LSH search (same CTE bodies as their own
+    // oracles), then the overlap join and the exact ppm ratios.
+    "sim_recall_eval" -> {
+      val bucketsByTable = (0 until NumTables).map { t =>
+        Similarity.planes(NumPlanes, Dim, t).map(p =>
+          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+      }
+      val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
+        s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |bsc AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${dotSql("qq.q", "c.q")} AS dot
+         |  FROM n c CROSS JOIN n qq
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |bt AS (SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dot DESC, cand_id) AS rk
+         |    FROM bsc) WHERE rk <= $TopK),
+         |bk AS (
+         |$bk),
+         |cand AS (
+         |  SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM bk c JOIN bk qq ON c.tbl = qq.tbl AND c.bucket = qq.bucket
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |lsc AS (
+         |  SELECT query_id, cand_id, ${dotSql("qn.q", "cn.q")} AS dot
+         |  FROM cand
+         |  JOIN n qn ON qn.vec_id = cand.query_id
+         |  JOIN n cn ON cn.vec_id = cand.cand_id),
+         |lt AS (SELECT query_id, cand_id, rk FROM (
+         |    SELECT query_id, cand_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT)
+         |      AS rk
+         |    FROM lsc) WHERE rk <= $TopK),
+         |hits AS (SELECT lt.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    min(lt.rk) AS first_hit
+         |  FROM lt JOIN bt USING (query_id, cand_id) GROUP BY lt.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM bt)
+         |SELECT qs.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  (coalesce(h.n_hits, 0) * 1000000) // $TopK AS recall_ppm,
+         |  CASE WHEN h.first_hit IS NOT NULL THEN 1000000 // h.first_hit
+         |    ELSE 0 END AS mrr_ppm
+         |FROM qs LEFT JOIN hits h USING (query_id)
+         |ORDER BY qs.query_id""".stripMargin
+    },
     // PQ/ADC replay: per-subspace argmin encoding (row_number over the
     // same (‖C‖²−2·slice·C, code) lexicographic key as the Spark
     // array_min), then the asymmetric score reassembled as the sum of

@@ -30,6 +30,15 @@ object RegistryRank {
     * gives the same structural signal (691 spans over 369/500 docs at
     * sf0.01, 131 docs span-free — both join paths covered). */
   private val SubstringW = 4
+  /** BM25: literal query set (terms drawn from the fixture vocabulary so
+    * every query matches; term overlap across queries exercises the
+    * shared-df path), top-k depth, and the ppm score scale. */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "hash join spark",
+    2L -> "window sort order",
+    3L -> "stream batch data",
+    4L -> "filter scan table")
+  private val Bm25K = 5
 
   // ---------------------------------------------------------------------
   // Oracle SQL builders (DuckDB dialect)
@@ -102,6 +111,17 @@ object RegistryRank {
     "dd_substring_stats" -> ((s, dir) =>
       Dedup.substringStats(t(s, dir, "documents"), "doc_id", "text",
         SubstringW)
+        .orderBy("doc_id")),
+    // BM25 lexical retrieval, exact-integer scoring profile; per-query
+    // ranking runs as bounded top-k heaps (TopKPerKey rewrite).
+    "tx_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Queries, Bm25K)
+        .orderBy("query_id", "rank")),
+    // Bigram-LM surprisal quality scoring (CCNet-style) — add-one
+    // smoothed corpus LM, integer bit-length surprisal (no ln drift).
+    "tx_lm_surprisal" -> ((s, dir) =>
+      TextAnalysis.lmSurprisal(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"))
   )
 
@@ -132,6 +152,72 @@ object RegistryRank {
          |    THEN (coalesce(cov.n_dup_tokens, 0) * 1000000) // len(w.w)
          |    ELSE 0 END AS dup_ppm
          |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
-         |ORDER BY w.doc_id""".stripMargin
+         |ORDER BY w.doc_id""".stripMargin,
+    "tx_bm25_topk" -> {
+      val vals = Bm25Queries
+        .map { case (id, s) => s"($id, '$s')" }.mkString(", ")
+      s"""WITH q(query_id, qtext) AS (VALUES $vals),
+         |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+         |    unnest(string_split(qtext, ' ')) AS term FROM q),
+         |w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |  FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(w)) AS BIGINT) AS total_len FROM w),
+         |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |    unnest(w) AS term FROM w),
+         |tf AS (SELECT doc_id, term, max(dl) AS dl,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE term IN (SELECT term FROM qt)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    ((2 * (st.n_docs - dfreq.df) + 1) * 1000000)
+         |      // (2 * dfreq.df + 1) AS idf_q,
+         |    (22 * tf.tf * st.total_len * 1000000)
+         |      // (10 * st.total_len * tf.tf + 3 * st.total_len
+         |         + 9 * tf.dl * st.n_docs) AS tff_q
+         |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+         |  CROSS JOIN st),
+         |agg AS (SELECT query_id, doc_id,
+         |    CAST(sum((idf_q * tff_q) // 1000000) AS BIGINT) AS score_q
+         |  FROM sc GROUP BY query_id, doc_id),
+         |r AS (SELECT query_id, doc_id, score_q,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_q DESC, doc_id) AS BIGINT) AS "rank"
+         |  FROM agg)
+         |SELECT query_id, doc_id, score_q, "rank"
+         |FROM r WHERE "rank" <= $Bm25K ORDER BY query_id, "rank"""".stripMargin
+    },
+    "tx_lm_surprisal" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |  FROM documents),
+         |db AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |  FROM (SELECT doc_id, w,
+         |      unnest(generate_series(1, len(w) - 1)) AS i
+         |    FROM w WHERE len(w) >= 2)),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM db GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |  FROM db GROUP BY w1),
+         |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+         |  FROM (SELECT unnest(w) AS t FROM w)),
+         |sc AS (SELECT db.doc_id,
+         |    CAST(length(bin((c1.c1 + vv.v) // (c2.c2 + 1))) AS BIGINT)
+         |      AS bits
+         |  FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |  CROSS JOIN vv),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(bits) AS BIGINT) AS bits_total
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(a.bits_total, 0) AS bits_total,
+         |  CASE WHEN coalesce(a.n_bigrams, 0) > 0
+         |    THEN (a.bits_total * 1000000) // a.n_bigrams
+         |    ELSE 0 END AS bits_per_bigram_q
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

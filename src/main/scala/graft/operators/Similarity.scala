@@ -1299,4 +1299,37 @@ object Similarity {
         col("c.cosine").as("acos"),
         (col("pos") + 1).cast(LongType).as("rank"))
   }
+
+  /** Retrieval-quality evaluation AS A QUERY: per-query recall@k and MRR
+    * of an approximate top-k result relation against an exact one — the
+    * contract every ANN index in this library is graded on
+    * ([[SimilaritySpec]] prints these as scalars; this makes the grading
+    * itself a first-class, oracle-checked relational operator, so index
+    * regressions surface in CI data, not in prose).
+    *
+    * Inputs are any two (query_id, cand_id, rank) relations — brute vs
+    * LSH, brute vs IVFADC, old index vs new. Outputs exact ppm integers:
+    * recall_ppm = |approx ∩ exact|·10⁶ div k, and mrr_ppm = 10⁶ div
+    * (approx rank of the best-ranked true hit), 0 when nothing overlaps.
+    *
+    * Scale shape: both sides are already top-k-bounded (≤ q·k rows), so
+    * the overlap join and per-query aggregate are trivially small; the
+    * expensive parts are the upstream searches, each already
+    * scale-shaped. Queries with zero overlap stay in the output via the
+    * exact-side LEFT join. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val ex = exact.select(col("query_id"), col("cand_id"))
+    val ap = approx.select(col("query_id"), col("cand_id"),
+      col("rank").as("approx_rank"))
+    val hits = ap.join(ex, Seq("query_id", "cand_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), min("approx_rank").as("first_hit"))
+    ex.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, 0) * 1000000 div $k").as("recall_ppm"),
+        when(col("first_hit").isNotNull, expr("1000000 div first_hit"))
+          .otherwise(lit(0L)).as("mrr_ppm"))
+  }
 }

@@ -386,4 +386,126 @@ object TextAnalysis {
         java.util.Arrays.asList(rows: _*), ranked.schema)
     }
   }
+
+  /** BM25 top-k retrieval: rank documents against a (small, literal)
+    * query set by Okapi BM25 — the lexical-retrieval baseline every
+    * RAG / hard-negative-mining pipeline starts from.
+    *
+    * EXACT-INTEGER scoring profile (the repo's hash-parity convention):
+    * k1 = 6/5 and b = 3/4 are exact rationals, so the per-term factor
+    *   tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    * multiplies out (by 10·T, with avgdl = T/N) to
+    *   22·tf·T / (10·T·tf + 3·T + 9·dl·N)
+    * — all BIGINT. The Robertson log-idf is replaced by its exact
+    * rational argument (2(N−df)+1)/(2df+1), quantized to ppm: same
+    * df-monotonicity, zero cross-engine drift; swap in `ln` where hash
+    * parity isn't required. Numerators stay < 2⁶³ through ~10¹²-token
+    * corpora (22·tf·T·10⁶); past that, drop the ppm scale or move the
+    * profile to doubles.
+    *
+    * Scale shape: the query vocabulary is BROADCAST and filters the
+    * exploded corpus BEFORE any exchange, so the only corpus-sized
+    * shuffle keys on (doc_id, term) for documents that contain at least
+    * one query term; df and the (N, T) stats are one-row /
+    * vocabulary-sized broadcasts; the final ranking is a per-query
+    * top-k window that [[graft.plans.TopKPerKey]] rewrites to bounded
+    * heaps. Documents matching no query term drop out scan-side (their
+    * BM25 is 0). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val vocab = qterms.select("term").distinct()
+    val w = split(trim(lower(col(textCol))), "\\s+")
+    val docs = df.select(col(idCol).as("doc_id"),
+      size(w).cast(LongType).as("dl"), w.as("w"))
+    // One-row corpus stats ride along as a broadcast nested-loop join.
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_len"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(max("dl").as("dl"), count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q",
+        expr("((2 * (n_docs - df) + 1) * 1000000) div (2 * df + 1)"))
+      .withColumn("tff_q",
+        expr("(22 * tf * total_len * 1000000) div " +
+          "(10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"))
+      .withColumn("contrib_q", expr("(idf_q * tff_q) div 1000000"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum("contrib_q").as("score_q"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("score_q").desc, col("doc_id"))
+    perDoc
+      .withColumn("rank", row_number().over(win).cast(LongType))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "score_q", "rank")
+  }
+
+  /** Bigram-LM surprisal scoring — the CCNet / Wikipedia-LM quality
+    * filter re-expressed over the corpus's OWN bigram statistics: train
+    * add-one-smoothed bigram counts in one pass, score every document by
+    * its mean per-bigram surprisal, and let the caller threshold (high
+    * surprisal = the corpus LM finds the document improbable = gibberish
+    * or boilerplate-free novelty; low = formulaic).
+    *
+    * EXACT-INTEGER surprisal: p(w₂|w₁) = (c₁₂+1)/(c₁+V) is an exact
+    * rational, and the per-bigram surprisal is its integer log₂ via
+    * bit-length — `length(bin((c₁+V) div (c₁₂+1)))` = ⌊log₂ q⌋+1, the
+    * same value on Spark and DuckDB with no `ln` last-ulp drift (the
+    * repo's hash-parity convention; production scoring swaps in double
+    * `ln` for smooth perplexity). Scores are within 1 bit of the true
+    * bigram cross-entropy — exactly enough for a rank-based keep/drop
+    * gate.
+    *
+    * Scale shape: counts are vocabulary-bounded aggregates (map-side
+    * combined; the exchange carries (gram, count), never documents);
+    * scoring joins the exploded corpus against the two count relations
+    * on the gram key (broadcast under AQE when the vocabulary is small,
+    * shuffle-hash otherwise) and re-aggregates per doc_id. V and the
+    * corpus constants ride as a one-row broadcast. */
+  def lmSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = split(trim(lower(col(textCol))), "\\s+")
+    val docs = df.select(col(idCol).as("doc_id"), w.as("w"))
+    val bigrams = docs.select(col("doc_id"),
+        explode(when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1),
+              i => struct(element_at(col("w"), i).as("w1"),
+                element_at(col("w"), i + 1).as("w2"))))
+          .otherwise(array().cast(ArrayType(StructType(Seq(
+            StructField("w1", StringType), StructField("w2", StringType)))))))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        length(bin(expr("(c1 + v) div (c2 + 1)"))).cast(LongType)
+          .as("bits"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits_total"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits_total"), lit(0L)).as("bits_total"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          expr("(bits_total * 1000000) div n_bigrams"))
+          .otherwise(lit(0L)).as("bits_per_bigram_q"))
+  }
 }

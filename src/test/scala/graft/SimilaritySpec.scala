@@ -537,4 +537,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.length == k + 26)
     assert(got.filter(_._1 < k).forall(p => p._1 == p._2))
   }
+
+  test("recallAtK: exact ppm overlap and MRR of the first true hit; " +
+      "zero-overlap queries stay in the output") {
+    import spark.implicits._
+    // q1: approx found 2 of 3, first true hit at approx rank 2.
+    // q2: perfect. q3: nothing overlaps.
+    val exact = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 30L, 1L), (3L, 31L, 2L), (3L, 32L, 3L))
+      .toDF("query_id", "cand_id", "rank")
+    val approx = Seq(
+      (1L, 99L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 98L, 1L), (3L, 97L, 2L), (3L, 96L, 3L))
+      .toDF("query_id", "cand_id", "rank")
+    val got = graft.operators.Similarity.recallAtK(exact, approx, 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2000000L / 3L, 500000L),
+      (2L, 3L, 1000000L, 1000000L),
+      (3L, 0L, 0L, 0L)))
+  }
 }

@@ -273,4 +273,74 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maximum error"))
   }
+
+  test("bm25TopK: rare-term hits outrank common-term hits; repeated " +
+      "terms saturate instead of growing linearly; ties break by doc_id") {
+    import spark.implicits._
+    // 'rare' is in 1 of 4 docs; 'common' in all 4. Query both.
+    val docs = Seq(
+      (1L, "rare common alpha beta"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common common common alpha"),
+      (4L, "common beta gamma delta")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq(1L -> "rare common"), 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 carries the rare term — must be rank 1 by a wide margin.
+    assert(got.head._1 == 1L, s"got ${got.toSeq}")
+    val scores = got.map(_._2)
+    assert(scores.head > scores(1) * 2,
+      s"rare-term doc should dominate: ${got.toSeq}")
+    // doc 3 has tf=3 of 'common': saturation keeps it < 3× docs 2/4,
+    // but it still outranks the tf=1 docs of equal length.
+    val byDoc = got.map(t => t._1 -> t._2).toMap
+    assert(byDoc(3L) > byDoc(2L) && byDoc(3L) < 3L * byDoc(2L))
+    // docs 2 and 4 have identical (tf, dl): exact tie, doc_id order.
+    assert(byDoc(2L) == byDoc(4L))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L, 4L))
+  }
+
+  test("bm25TopK: documents with no query term never rank; per-query " +
+      "ranking runs as bounded TopKPerKey heaps, not Sort+Window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "nothing matches here"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq(1L -> "alpha", 2L -> "beta"), 3)
+    assert(q.select("doc_id").distinct().collect().map(_.getLong(0))
+      .toSet == Set(1L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey "), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("WindowExec"), s"plan was:\n$plan")
+  }
+
+  test("lmSurprisal: formulaic text scores fewer bits than a one-off " +
+      "sequence; short docs appear with zeros; bits match hand math") {
+    import spark.implicits._
+    // Corpus: "a b" repeated is the high-probability pattern; doc 3 is
+    // a bigram the LM saw once. Vocabulary V = {a, b, x, y} = 4.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b a b"),
+      (3L, "x y"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Hand math (c1 counts bigram PREFIXES, so doc-final tokens don't
+    // count): c(a,b)=5, c(b,a)=3, c(x,y)=1; c1(a)=5, c1(b)=3, c1(x)=1;
+    // V=5 ({a,b,x,y,solo}).
+    // bits(a,b) = len(bin((5+5) div 6)) = len(bin(1)) = 1
+    // bits(b,a) = len(bin((3+5) div 4)) = len(bin(2)) = 2
+    // bits(x,y) = len(bin((1+5) div 2)) = len(bin(3)) = 2
+    val byDoc = got.map(t => (t._1, (t._2, t._3, t._4))).toMap
+    assert(byDoc(1L) == ((5L, 3L * 1 + 2L * 2, (7L * 1000000L) / 5L)))
+    assert(byDoc(3L) == ((1L, 2L, 2000000L)))
+    assert(byDoc(4L) == ((0L, 0L, 0L)))  // no bigrams — zeros, not absent
+    // Formulaic doc 1 (dominated by the common bigram) scores below the
+    // unique-bigram doc 3 per-bigram.
+    assert(byDoc(1L)._3 < byDoc(3L)._3)
+  }
 }
