@@ -39,6 +39,10 @@ object RegistryRank {
     3L -> "stream batch data",
     4L -> "filter scan table")
   private val Bm25K = 5
+  /** BPE: how many top merge candidates to emit. */
+  private val BpeTopN = 20
+  /** MAD anomaly threshold multiplier (|x − med| > k·MAD flags). */
+  private val MadK = 3
 
   // ---------------------------------------------------------------------
   // Oracle SQL builders (DuckDB dialect)
@@ -122,7 +126,17 @@ object RegistryRank {
     // smoothed corpus LM, integer bit-length surprisal (no ln drift).
     "tx_lm_surprisal" -> ((s, dir) =>
       TextAnalysis.lmSurprisal(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // BPE tokenizer-training merge candidates: frequency-weighted
+    // adjacent character pairs counted on the distinct-word table.
+    "tx_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", BpeTopN)
+        .orderBy("rank")),
+    // Robust MAD anomaly flags over hourly ingest volumes — exact
+    // half/quarter-integer medians, bit-identical cross-engine.
+    "ev_anomaly_mad" -> ((s, dir) =>
+      Events.anomalyMad(t(s, dir, "events"), MadK)
+        .orderBy("event_type", "hour"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,6 +232,38 @@ object RegistryRank {
          |    THEN (a.bits_total * 1000000) // a.n_bigrams
          |    ELSE 0 END AS bits_per_bigram_q
          |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+    "tx_bpe_pairs" ->
+      s"""WITH tok AS (SELECT unnest(
+         |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents),
+         |wf AS (SELECT t, CAST(count(*) AS BIGINT) AS freq
+         |  FROM tok GROUP BY t),
+         |pr AS (SELECT substr(t, i, 2) AS pair, freq
+         |  FROM (SELECT t, freq,
+         |      unnest(generate_series(1, len(t) - 1)) AS i
+         |    FROM wf WHERE len(t) >= 2)),
+         |pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM pr GROUP BY pair),
+         |r AS (SELECT pair, n, CAST(row_number() OVER (
+         |    ORDER BY n DESC, pair) AS BIGINT) AS "rank" FROM pc)
+         |SELECT pair, n, "rank" FROM r WHERE "rank" <= $BpeTopN
+         |ORDER BY "rank"""".stripMargin,
+    "ev_anomaly_mad" ->
+      s"""WITH hourly AS (SELECT event_type,
+         |    CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |    count(*) AS n_events
+         |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+         |med AS (SELECT event_type, quantile_cont(n_events, 0.5) AS med
+         |  FROM hourly GROUP BY event_type),
+         |dev AS (SELECT hourly.*, med.med,
+         |    abs(n_events - med.med) AS abs_dev
+         |  FROM hourly JOIN med USING (event_type)),
+         |mad AS (SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+         |  FROM dev GROUP BY event_type)
+         |SELECT dev.event_type, dev.hour, dev.n_events, dev.med,
+         |  dev.abs_dev, mad.mad, dev.abs_dev > $MadK.0 * mad.mad AS is_anomaly
+         |FROM dev JOIN mad USING (event_type)
+         |ORDER BY dev.event_type, dev.hour""".stripMargin
   )
 }

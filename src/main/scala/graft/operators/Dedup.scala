@@ -522,13 +522,18 @@ object Dedup {
     * exchange. */
   private def windowDigests(df: DataFrame, idCol: String, textCol: String,
                             w: Int): DataFrame = {
-    val tk = split(trim(col(textCol)), "\\s+")
-    val grams = transform(sequence(lit(1), size(tk) - (w - 1)),
-      i => md5(array_join(slice(tk, i, lit(w)), " ")))
-    val guarded = when(size(tk) >= w, grams)
+    // The token array is PROJECTED FIRST and the window lambda reads the
+    // attribute: inlining `split` into the lambda body would re-run the
+    // regex tokenization once per window position — O(tokens²) per
+    // document (measured 4.4× slower at sf0.1). The Generate boundary
+    // keeps CollapseProject from re-inlining the non-cheap split.
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("wtk"))
+    val grams = transform(sequence(lit(1), size(col("wtk")) - (w - 1)),
+      i => md5(array_join(slice(col("wtk"), i, lit(w)), " ")))
+    val guarded = when(size(col("wtk")) >= w, grams)
       .otherwise(array().cast(ArrayType(StringType)))
-    df.select(col(idCol).as("doc_id"),
-        posexplode(guarded).as(Seq("p0", "g")))
+    toks.select(col("doc_id"), posexplode(guarded).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
   }
 

@@ -192,6 +192,40 @@ object Events {
     * bounded type dictionary; for high-cardinality groups swap to
     * `approx_percentile` (bounded sketch, but merge-order-sensitive, so
     * it cannot be oracle-hashed). */
+  /** Robust anomaly detection over the hourly count series, per event
+    * type: flag hours whose count deviates from the per-type MEDIAN by
+    * more than `k`× the MEDIAN ABSOLUTE DEVIATION — the
+    * outlier-resistant z-score every pipeline-health monitor runs over
+    * its ingest volumes (mean/stddev would let one huge spike mask all
+    * the others; medians don't move).
+    *
+    * Determinism: counts are integers; `percentile(0.5)` interpolates
+    * at worst to .5 (and the second pass to .25) — exact binary
+    * fractions, bit-identical to DuckDB's `quantile_cont` (same
+    * convention as [[valueQuantiles]]). The k·MAD product and the
+    * comparison stay exact.
+    *
+    * Scale shape: the raw stream collapses to the (type, hour) rollup
+    * first (map-side combined — the only corpus-sized stage); the
+    * series table grows with elapsed TIME, not volume (10 years ≈ 88k
+    * rows per type), so the exact-percentile buffering and both stats
+    * joins run on a relation that BROADCASTS at any corpus scale. */
+  def anomalyMad(df: DataFrame, k: Int = 3): DataFrame = {
+    val hourly = df.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast(StringType).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = hourly.groupBy("event_type")
+      .agg(percentile(col("n_events"), lit(0.5)).as("med"))
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("abs_dev", abs(col("n_events") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("abs_dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("med"), col("abs_dev"), col("mad"),
+        (col("abs_dev") > lit(k.toDouble) * col("mad")).as("is_anomaly"))
+  }
+
   def valueQuantiles(df: DataFrame): DataFrame =
     df.select(col("event_type"), micros(col("value")).as("vm"))
       .groupBy("event_type")

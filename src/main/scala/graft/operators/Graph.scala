@@ -69,8 +69,13 @@ object Graph {
     * as the k-means codebook. */
   def pageRankQ(edges: DataFrame, iters: Int): DataFrame = {
     // Partition the big immutable side once; reuse across iterations.
-    val e = edges.repartition(col("src")).cache()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    // The persists are SCOPED TO THIS CALL: the final rank vector is
+    // eagerly localCheckpoint-ed (node-sized — the one thing worth
+    // keeping), severing its lineage from the cached relations, which
+    // unpersist before returning. Without that, every invocation (e.g.
+    // bench reps) would strand another edge-sized cache entry.
+    val e = edges.repartition(col("src")).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val n = deg.count()
     require(n > 0, "pageRankQ: empty edge set")
     val base = 3L * Scale / (DampDen * n)
@@ -88,7 +93,12 @@ object Graph {
         .select(col("node"),
           (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q"))
     }
-    ranks.select(col("node"), col("rank_q").cast(LongType).as("rank_q"),
-      (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank"))
+    val out = ranks
+      .select(col("node"), col("rank_q").cast(LongType).as("rank_q"),
+        (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank"))
+      .localCheckpoint(true)
+    e.unpersist()
+    deg.unpersist()
+    out
   }
 }

@@ -508,4 +508,39 @@ object TextAnalysis {
           expr("(bits_total * 1000000) div n_bigrams"))
           .otherwise(lit(0L)).as("bits_per_bigram_q"))
   }
+
+  /** BPE merge-candidate counting (Sennrich et al. 2016 §3.2, the
+    * counting stage of byte-pair-encoding tokenizer training): the
+    * corpus-frequency-weighted count of every adjacent character pair,
+    * ranked — rank 1 is the first merge a BPE trainer would learn.
+    *
+    * Scale shape — the trick real tokenizer trainers rely on: pairs are
+    * counted over the DISTINCT-WORD table weighted by word frequency,
+    * never over the corpus. The corpus-sized stage is one map-side
+    * combined word count (vocabulary-bounded exchange); the pair
+    * explosion then runs on |vocab| rows — millions, not billions — and
+    * the pair aggregate is alphabet²-bounded. The final global top-N is
+    * a TakeOrdered (bounded heap), not a full sort; rank numbering then
+    * touches N rows.
+    *
+    * Subsequent merge ROUNDS re-segment the vocabulary against the
+    * learned merge list — a driver-side loop over the vocab table (the
+    * same model-state-on-driver convention as the k-means codebook);
+    * the distributed-counting kernel here is the per-round cost. */
+  def bpePairCounts(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+    val wf = tok.groupBy("t").agg(count(lit(1)).as("freq"))
+    val pairs = wf.where(length(col("t")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("t")) - 1),
+          i => col("t").substr(i, lit(2)))).as("pair"))
+    val counts = pairs.groupBy("pair").agg(sum("freq").as("n"))
+    val top = counts.orderBy(col("n").desc, col("pair")).limit(topN)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("pair")))
+          .cast(LongType))
+      .select("pair", "n", "rank")
+  }
 }

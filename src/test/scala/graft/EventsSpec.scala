@@ -471,4 +471,47 @@ class EventsSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"),
       s"paged bitmap must run as ObjectHashAggregate partials:\n$plan")
   }
+
+  test("anomalyMad: a spike over a flat series flags exactly itself " +
+      "(MAD = 0 edge); a uniform series flags nothing") {
+    // Type 'a': counts 1,1,1,1,3 per hour → med 1, MAD 0 → only the
+    // spike (abs_dev 2 > 0) flags. Type 'b': constant counts → no flags.
+    val rows = (0 until 4).map(h =>
+      (h.toLong, ts(f"2024-01-01 ${10 + h}%02d:00:00"), 1L, "a", 0.0, "{}")) ++
+      (0 until 3).map(i =>
+        (10L + i, ts("2024-01-01 14:00:00"), 1L, "a", 0.0, "{}")) ++
+      (0 until 4).flatMap(h => Seq(
+        (20L + 2 * h, ts(f"2024-01-01 ${10 + h}%02d:00:00"), 2L, "b", 0.0, "{}"),
+        (21L + 2 * h, ts(f"2024-01-01 ${10 + h}%02d:00:00"), 2L, "b", 0.0, "{}")))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val got = Events.anomalyMad(df, 3)
+      .select("event_type", "hour", "n_events", "is_anomaly")
+      .as[(String, String, Long, Boolean)].collect().toSet
+    val aFlags = got.filter(r => r._1 == "a" && r._4)
+    assert(aFlags == Set(("a", "2024-01-01 14:00:00", 3L, true)),
+      s"got $got")
+    assert(!got.exists(r => r._1 == "b" && r._4), s"got $got")
+  }
+
+  test("anomalyMad medians interpolate exactly (even-length series) " +
+      "and k·MAD gates the flag") {
+    // Type 'c' counts per hour: 1,2,4,9 → med 3.0, devs 2,1,1,6 →
+    // MAD = median(1,1,2,6) = 1.5; k=3 ⇒ threshold 4.5 → only 9 flags.
+    val counts = Seq(1, 2, 4, 9)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i =>
+        ((h * 100 + i).toLong, ts(f"2024-01-01 ${10 + h}%02d:00:00"),
+          1L, "c", 0.0, "{}"))
+    }
+    val got = Events.anomalyMad(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"), 3)
+      .select("hour", "n_events", "med", "mad", "is_anomaly")
+      .as[(String, Long, Double, Double, Boolean)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._3).distinct.toSeq == Seq(3.0))
+    assert(got.map(_._4).distinct.toSeq == Seq(1.5))
+    assert(got.map(r => r._2 -> r._5).toSeq ==
+      Seq(1L -> false, 2L -> false, 4L -> false, 9L -> true))
+  }
 }

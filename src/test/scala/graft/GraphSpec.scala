@@ -49,13 +49,16 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L)))
   }
 
-  test("pageRankQ plan: edges shuffle once, rank vector moves per round") {
+  test("pageRankQ result is lineage-severed: downstream actions read " +
+      "the materialized rank vector, never re-run the iterations") {
     val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
       .toDF("src", "dst")
-    val plan = Graph.pageRankQ(edges, 2)
-      .queryExecution.executedPlan.toString
-    // The cached, pre-partitioned edge relation is read back from the
-    // block store — iterations must reuse it, not recompute the source.
-    assert(plan.contains("InMemoryTableScan"), s"plan was:\n$plan")
+    val out = Graph.pageRankQ(edges, 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // localCheckpoint(eager) already ran the loop; the returned frame
+    // must be a bare scan of the checkpointed partitions — no joins or
+    // exchanges left to replay, and the edge/degree persists released.
+    assert(plan.contains("ExistingRDD"), s"plan was:\n$plan")
+    assert(!plan.contains("Join"), s"plan was:\n$plan")
   }
 }

@@ -343,4 +343,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     // unique-bigram doc 3 per-bigram.
     assert(byDoc(1L)._3 < byDoc(3L)._3)
   }
+
+  test("bpePairCounts: corpus-frequency-weighted adjacent pairs, " +
+      "counted once per word occurrence; 1-char words contribute none") {
+    import spark.implicits._
+    // 'abab' ×2 occurrences, 'ab' ×1, 'x' ×1 (no pairs).
+    // pairs: abab → ab, ba, ab (i.e. ab×2, ba×1 per occurrence).
+    // totals: ab = 2·2 + 1 = 5, ba = 2·1 = 2.
+    val docs = Seq((1L, "abab ab x"), (2L, "abab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("ab", 5L, 1L), ("ba", 2L, 2L)))
+  }
+
+  test("bpePairCounts plan: pair explosion runs on the vocabulary " +
+      "aggregate, and the global top-N is a bounded TakeOrdered") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    val q = TextAnalysis.bpePairCounts(docs, "text", 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+    // The corpus explode (tokens) must appear BELOW the word-count
+    // aggregate; the pair explode above it — i.e. two generators with
+    // an aggregate between them, never pairs-over-corpus.
+    val agg = plan.indexOf("HashAggregate")
+    assert(agg >= 0 && plan.lastIndexOf("Generate") > agg &&
+      plan.indexOf("Generate") < plan.lastIndexOf("Generate"),
+      s"plan was:\n$plan")
+  }
 }
