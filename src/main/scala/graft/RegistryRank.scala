@@ -116,6 +116,12 @@ object RegistryRank {
       Dedup.substringStats(t(s, dir, "documents"), "doc_id", "text",
         SubstringW)
         .orderBy("doc_id")),
+    // The repair step: trim every duplicated span except its corpus-wide
+    // first occurrence, rebuild the text.
+    "dd_substring_drop" -> ((s, dir) =>
+      Dedup.substringDrop(t(s, dir, "documents"), "doc_id", "text",
+        SubstringW)
+        .orderBy("doc_id")),
     // BM25 lexical retrieval, exact-integer scoring profile; per-query
     // ranking runs as bounded top-k heaps (TopKPerKey rewrite).
     "tx_bm25_topk" -> ((s, dir) =>
@@ -136,7 +142,17 @@ object RegistryRank {
     // half/quarter-integer medians, bit-identical cross-engine.
     "ev_anomaly_mad" -> ((s, dir) =>
       Events.anomalyMad(t(s, dir, "events"), MadK)
-        .orderBy("event_type", "hour"))
+        .orderBy("event_type", "hour")),
+    // Per-(source, lang) corpus card with ROLLUP subtotals — volumes,
+    // mean length, quality pass rate, all exact ppm.
+    "tp_corpus_card" -> ((s, dir) =>
+      TrainPrep.corpusCard(t(s, dir, "documents"))
+        .orderBy("gid", "source", "lang")),
+    // Pairwise audience overlap (exact count + Jaccard ppm) between
+    // event-type user sets.
+    "ev_overlap_matrix" -> ((s, dir) =>
+      Events.overlapMatrix(t(s, dir, "events"))
+        .orderBy("type_a", "type_b"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -150,6 +166,33 @@ object RegistryRank {
          |  CAST(max(pos) + ${SubstringW - 1} AS BIGINT) AS span_end,
          |  count(*) AS n_windows
          |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "dd_substring_drop" ->
+      s"""WITH ${substringCtes(SubstringW)},
+         |nf AS (SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      row_number() OVER (PARTITION BY g
+         |        ORDER BY doc_id, pos) AS rn,
+         |      count(*) OVER (PARTITION BY g) AS cnt FROM p)
+         |  WHERE cnt > 1 AND rn > 1),
+         |isl AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY pos) AS grp
+         |  FROM nf),
+         |sp AS (SELECT doc_id, min(pos) AS s,
+         |    max(pos) + ${SubstringW - 1} AS e
+         |  FROM isl GROUP BY doc_id, grp),
+         |iv AS (SELECT doc_id, list({'s': s, 'e': e}) AS ivs
+         |  FROM sp GROUP BY doc_id),
+         |k AS (SELECT w.doc_id, w.w,
+         |    list_filter(generate_series(1, len(w.w)),
+         |      i -> len(list_filter(coalesce(iv.ivs, []),
+         |        x -> i >= x.s AND i <= x.e)) = 0) AS kept
+         |  FROM w LEFT JOIN iv USING (doc_id))
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(list_transform(kept, i -> w[i]), ' '),
+         |    '') AS text_clean
+         |FROM k ORDER BY doc_id""".stripMargin,
     "dd_substring_stats" ->
       s"""WITH ${substringCtes(SubstringW)},
          |cov AS (SELECT doc_id,
@@ -264,6 +307,52 @@ object RegistryRank {
          |SELECT dev.event_type, dev.hour, dev.n_events, dev.med,
          |  dev.abs_dev, mad.mad, dev.abs_dev > $MadK.0 * mad.mad AS is_anomaly
          |FROM dev JOIN mad USING (event_type)
-         |ORDER BY dev.event_type, dev.hour""".stripMargin
+         |ORDER BY dev.event_type, dev.hour""".stripMargin,
+    // Same punct pattern and keep gate as the tx_quality oracle — the
+    // card's pass rate IS the quality filter's.
+    "tp_corpus_card" ->
+      s"""WITH w AS (SELECT source, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |m AS (SELECT source, lang,
+         |    CAST(len(text) AS BIGINT) AS n_chars_d,
+         |    CAST(len(w) AS BIGINT) AS n_tok_d,
+         |    CAST(len(text) - len(regexp_replace(text,
+         |      '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct_d
+         |  FROM w),
+         |k AS (SELECT source, lang, n_chars_d, n_tok_d,
+         |    (n_tok_d >= 5 AND n_tok_d <= 100000 AND
+         |     (CASE WHEN n_chars_d > 0
+         |        THEN CAST(n_punct_d AS DOUBLE) / n_chars_d
+         |        ELSE 0.0 END) < 0.2) AS keep
+         |  FROM m)
+         |SELECT coalesce(source, '(all)') AS source,
+         |  coalesce(lang, '(all)') AS lang,
+         |  CAST(grouping_id(source, lang) AS BIGINT) AS gid,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok_d) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars_d) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  (CAST(sum(n_tok_d) AS BIGINT) * 1000000) // count(*)
+         |    AS avg_tokens_q,
+         |  (CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS keep_ppm
+         |FROM k GROUP BY ROLLUP(source, lang)
+         |ORDER BY gid, source, lang""".stripMargin,
+    "ev_overlap_matrix" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM tu GROUP BY event_type),
+        |pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+        |  (n_both * 1000000) // (ta.n + tb.n - n_both) AS jaccard_ppm
+        |FROM pair
+        |JOIN tot ta ON pair.type_a = ta.event_type
+        |JOIN tot tb ON pair.type_b = tb.event_type
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }

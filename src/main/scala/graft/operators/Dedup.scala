@@ -588,6 +588,62 @@ object Dedup {
     * min(w, pos − prev_pos) new tokens — one `lag` pass, no interval
     * merge materialized. Documents with zero duplicated windows are in
     * the output with zeros (LEFT join from the corpus side). */
+  /** The REPAIR step of the sub-document dedup family: rebuild each
+    * document with every duplicated `w`-window span REMOVED, except the
+    * corpus-wide first occurrence (lexicographic (doc_id, pos)) of each
+    * window, which survives — the "keep one copy of the boilerplate"
+    * policy of Lee et al. 2022. Emits (doc_id, n_tokens, n_removed,
+    * text_clean); text_clean re-joins kept tokens with single spaces
+    * (the tokenization convention of the whole family).
+    *
+    * Token-level contract: a token is dropped iff it is covered by at
+    * least one NON-FIRST duplicated window. Where a first-occurrence
+    * window overlaps a non-first one, the shared tokens are dropped —
+    * the survivor of record is the first window's digest, not its
+    * specific tokens.
+    *
+    * Scale shape: same three key-bounded stages as [[substringSpans]],
+    * plus a per-document interval list (islands already merged — at
+    * most tokens/2 entries, bounded by document length, never corpus
+    * size) collected and applied in one narrow HOF rebuild pass. The
+    * document text itself still never reaches an exchange: the join
+    * back to the corpus is on doc_id with interval payloads only. */
+  def substringDrop(df: DataFrame, idCol: String, textCol: String,
+                    w: Int): DataFrame = {
+    val pos = windowDigests(df, idCol, textCol, w)
+    val dups = pos.groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("cnt") > 1)
+      .select(col("g"), col("first.doc_id").as("f_doc"),
+        col("first.pos").as("f_pos"))
+    val nf = pos.join(dups, Seq("g"))
+      .where(!(col("doc_id") === col("f_doc") &&
+        col("pos") === col("f_pos")))
+      .select("doc_id", "pos")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = nf.withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").as("s"), (max("pos") + (w - 1)).as("e"))
+    val ivs = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("wtk"))
+    toks.join(ivs, Seq("doc_id"), "left_outer")
+      .withColumn("ivs2",
+        coalesce(col("ivs"), array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept",
+        filter(sequence(lit(1), size(col("wtk"))),
+          i => !exists(col("ivs2"),
+            iv => i >= iv("s") && i <= iv("e"))))
+      .select(col("doc_id"),
+        size(col("wtk")).cast(LongType).as("n_tokens"),
+        (size(col("wtk")) - size(col("kept"))).cast(LongType)
+          .as("n_removed"),
+        array_join(transform(col("kept"),
+          i => element_at(col("wtk"), i)), " ").as("text_clean"))
+  }
+
   def substringStats(df: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame = {
     val pos = windowDigests(df, idCol, textCol, w)

@@ -192,6 +192,37 @@ object Events {
     * bounded type dictionary; for high-cardinality groups swap to
     * `approx_percentile` (bounded sketch, but merge-order-sensitive, so
     * it cannot be oracle-hashed). */
+  /** Audience-overlap matrix: for every pair of event types, the exact
+    * count and Jaccard similarity (ppm) of their distinct-user sets —
+    * the cohort-overlap report behind "do viewers also purchase"
+    * questions, and the exact twin of sketch-based (theta/HLL)
+    * intersection estimates.
+    *
+    * Scale shape: one distinct over (type, user) — the only
+    * corpus-sized exchange — then a self-join keyed on user_id whose
+    * per-user fanout is bounded by |types|² (event types are a small
+    * enum, so no pair explosion), one pair-keyed aggregate, and
+    * broadcast joins against the |types|-row totals. Pairs with no
+    * shared users are absent (inner-join semantics, mirrored in the
+    * oracle). */
+  def overlapMatrix(df: DataFrame): DataFrame = {
+    val tu = df.select(col("event_type"), col("user_id")).distinct()
+    val tot = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+    val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+    a.join(b, Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(tot.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(tot.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * 1000000 div (n_a + n_b - n_both)").as("jaccard_ppm"))
+  }
+
   /** Robust anomaly detection over the hourly count series, per event
     * type: flag hours whose count deviates from the per-type MEDIAN by
     * more than `k`× the MEDIAN ABSOLUTE DEVIATION — the

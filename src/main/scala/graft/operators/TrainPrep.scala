@@ -262,4 +262,45 @@ object TrainPrep {
       .withColumn("bin",
         floor(col("tokens_before") / budgetTokens).cast(LongType))
   }
+
+  /** Corpus card: the per-(source, lang) dataset report every corpus
+    * release ships — document/token/char volumes, mean document length,
+    * and the quality-gate pass rate — with ROLLUP subtotals per source
+    * and a grand total in the same single shuffle (the
+    * `Events.rollupMulti` convention: rolled-up keys surface as
+    * '(all)', gid disambiguates levels).
+    *
+    * The per-document stats come from ONE fused text pass
+    * ([[graft.functions.QualityCounts]]) and the keep flag is exactly
+    * [[TextAnalysis.qualityScore]]'s gate, so the card's pass rate is
+    * the same number the quality filter would enforce. Ratios are exact
+    * ppm integers. One Expand + one map-combined aggregate — the
+    * corpus is read once at any scale. */
+  def corpusCard(df: DataFrame): DataFrame = {
+    val c = graft.functions.QualityCounts
+      .qualityCounts(col("text"), TextAnalysis.stopwords.toMap.apply("en"))
+    val per = df
+      .select(col("source"), col("lang"), c.as("c"))
+      .select(col("source"), col("lang"),
+        col("c").getItem(0).as("n_chars_d"),
+        col("c").getItem(1).as("n_tok_d"),
+        col("c").getItem(2).as("n_punct_d"))
+      .withColumn("keep",
+        col("n_tok_d") >= 5 && col("n_tok_d") <= 100000 &&
+          when(col("n_chars_d") > 0,
+            col("n_punct_d").cast(DoubleType) / col("n_chars_d"))
+            .otherwise(lit(0.0)) < 0.2)
+    per.rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok_d").as("n_tokens"),
+        sum("n_chars_d").as("n_chars"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("gid").cast(LongType).as("gid"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_keep"),
+        expr("n_tokens * 1000000 div n_docs").as("avg_tokens_q"),
+        expr("n_keep * 1000000 div n_docs").as("keep_ppm"))
+  }
 }

@@ -295,6 +295,35 @@ class DedupSpec extends AnyFunSuite {
       (3L, 4L, 0L, 0L)))
   }
 
+  test("substringDrop: non-first occurrences trimmed, corpus-wide first " +
+      "survives, self-repeat keeps its first copy, unique docs untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e q r"),      // holds the FIRST "a b c d e" run
+      (2L, "p a b c d e"),        // its copy → tokens 2..6 removed
+      (3L, "unique words only here"),
+      (4L, "x y z x y z")         // self-repeat → second copy removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDrop(df, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 7L, 0L, "a b c d e q r"),
+      (2L, 6L, 5L, "p"),
+      (3L, 4L, 0L, "unique words only here"),
+      (4L, 6L, 3L, "x y z")))
+  }
+
+  test("substringDrop: a fully-duplicated document empties to '' " +
+      "(never null)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.substringDrop(df, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 0L, "a b c"), (2L, 3L, "")))
+  }
+
   test("substringSpans: no duplicated-window text ever reaches an " +
       "exchange (digests only)") {
     import spark.implicits._

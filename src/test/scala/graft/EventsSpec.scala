@@ -472,6 +472,25 @@ class EventsSpec extends AnyFunSuite {
       s"paged bitmap must run as ObjectHashAggregate partials:\n$plan")
   }
 
+  test("overlapMatrix: exact pair counts and Jaccard ppm over distinct " +
+      "user sets; zero-overlap pairs absent; repeat events collapse") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view", 0.0, "{}"), // dup user
+      (3L, ts("2024-01-01 10:02:00"), 2L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 3L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:04:00"), 1L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-01 10:05:00"), 2L, "click", 0.0, "{}"),
+      (7L, ts("2024-01-01 10:06:00"), 9L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.overlapMatrix(rows)
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // view={1,2,3}, click={1,2}, purchase={9}: only (click, view) overlap
+    // — 2 shared of 3 union → 666666 ppm; purchase pairs are absent.
+    assert(got == Set(("click", "view", 2L, 3L, 2L, 666666L)))
+  }
+
   test("anomalyMad: a spike over a flat series flags exactly itself " +
       "(MAD = 0 edge); a uniform series flags nothing") {
     // Type 'a': counts 1,1,1,1,3 per hour → med 1, MAD 0 → only the

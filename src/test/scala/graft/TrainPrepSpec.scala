@@ -209,4 +209,25 @@ class TrainPrepSpec extends AnyFunSuite {
     // shard 1 = docs 1,5,7: doc 7 packs after 14+13=27 tokens → bin 2
     assert(out.find(_._1 == 7L).get._4 == 2L)
   }
+
+  test("corpusCard: detail rows, per-source subtotals, grand total — " +
+      "'(all)' sentinels, exact ppm rates, gate matches qualityScore") {
+    import spark.implicits._
+    val docs = Seq(
+      ("sa", "en", "one two three four five"),   // 5 tokens, keeps
+      ("sa", "de", "nur drei worte"),            // 3 tokens < 5 → fails
+      ("sb", "en", "a b c d e f")                // 6 tokens, keeps
+    ).toDF("source", "lang", "text")
+    val got = graft.operators.TrainPrep.corpusCard(docs)
+      .orderBy("gid", "source", "lang")
+      .select("source", "lang", "gid", "n_docs", "n_keep", "keep_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("sa", "de", 0L, 1L, 0L, 0L),
+      ("sa", "en", 0L, 1L, 1L, 1000000L),
+      ("sb", "en", 0L, 1L, 1L, 1000000L),
+      ("sa", "(all)", 1L, 2L, 1L, 500000L),
+      ("sb", "(all)", 1L, 1L, 1L, 1000000L),
+      ("(all)", "(all)", 3L, 3L, 2L, 666666L)))
+  }
 }
