@@ -100,7 +100,8 @@ object RegistryRank {
     // as sim_kmeans). Edges partition once and cache; each round moves
     // only the node-sized rank vector.
     "gr_pagerank" -> ((s, dir) =>
-      Graph.pageRankQ(Graph.coOrderedParts(t(s, dir, "lineitem")),
+      Graph.pageRankQ(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
         PageRankIters)
         .orderBy("node")),
     // Sub-document dedup: maximal duplicated w-token spans (Lee et al.

@@ -49,6 +49,24 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L)))
   }
 
+  test("pageRankQ dedups duplicated input edges on the partition pass " +
+      "(same ranks as pre-distinct input), with NO extra exchange") {
+    val base = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
+    val dup = (base ++ base ++ base.take(3)).toDF("src", "dst")
+    val clean = base.toDF("src", "dst")
+    val a = Graph.pageRankQ(dup, 2).orderBy("node").collect().map(_.toSeq)
+    val b = Graph.pageRankQ(clean, 2).orderBy("node").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // hash(src) satisfies the (src,dst) clustered distribution, so the
+    // distinct on top of the repartition must NOT add a second shuffle:
+    // exactly ONE exchange below the first aggregate of the edge prep.
+    val prep = dup.repartition(org.apache.spark.sql.functions.col("src"))
+      .distinct()
+    val plan = prep.queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(n == 1, s"edge prep must shuffle exactly once, saw $n:\n$plan")
+  }
+
   test("pageRankQ result is lineage-severed: downstream actions read " +
       "the materialized rank vector, never re-run the iterations") {
     val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))

@@ -450,4 +450,38 @@ class PlanQualitySpec extends AnyFunSuite {
         s"hot block must trigger AQE's skew-join split:\n$plan")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("tx_bm25_topk: the query vocabulary broadcast-filters the " +
+      "exploded corpus BEFORE the (doc, term) exchange") {
+    val plan = planString(Registry.queries("tx_bm25_topk")(spark, dir))
+    // The vocab semi-filter must be a broadcast hash join (never a
+    // shuffle of the full exploded corpus against a 12-term relation) …
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+    // … sitting BELOW the first aggregate exchange: between the scan's
+    // Generate (token explode) and the first HashAggregate there must
+    // be a broadcast join, i.e. the join appears after Generate but
+    // before the (doc_id, term) partial aggregate in bottom-up order.
+    val gen = plan.lastIndexOf("Generate")     // deepest = corpus explode
+    val bj = plan.lastIndexOf("BroadcastHashJoin")
+    assert(gen > bj, // toString prints top-down: deeper = later index
+      s"vocab join must sit directly above the corpus explode:\n$plan")
+    // And the ranking tail is the bounded-heap rewrite, not Sort+Window.
+    assert(plan.contains("TopKPerKey "), s"plan was:\n$plan")
+  }
+
+  test("gr_pagerank: repeated invocations do not accumulate persisted " +
+      "edge/degree RDDs (call-scoped persists)") {
+    def run(): Unit = Registry.queries("gr_pagerank")(spark, dir).collect()
+    run() // steady state (first run may leave its checkpoint RDD)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    run(); run()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // Each invocation may retain its node-sized localCheckpoint until
+    // the DataFrame is GC'd (≤ 1 RDD per run); the edge + degree
+    // persists (2 per run) must NOT remain — a leak shows up as
+    // growth ≥ 4 over two runs.
+    assert(after - before <= 2,
+      s"persisted RDD count grew $before -> $after: edge/degree " +
+        "persists are leaking")
+  }
 }
