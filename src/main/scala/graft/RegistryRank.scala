@@ -153,7 +153,15 @@ object RegistryRank {
     // event-type user sets.
     "ev_overlap_matrix" -> ((s, dir) =>
       Events.overlapMatrix(t(s, dir, "events"))
-        .orderBy("type_a", "type_b"))
+        .orderBy("type_a", "type_b")),
+    // Streaming corpus card (detail level): live per-(source, lang)
+    // volumes/quality, catalog-bounded state, drained == batch detail.
+    "st_corpus_card" -> ((s, dir) =>
+      graft.streaming.StreamOps.runToCompletion(
+        s, Tables.loadStream(s, dir, "documents"),
+        graft.streaming.StreamOps.corpusCardStream,
+        shufflePartitions = Some(8))
+        .orderBy("source", "lang"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +362,34 @@ object RegistryRank {
         |FROM pair
         |JOIN tot ta ON pair.type_a = ta.event_type
         |JOIN tot tb ON pair.type_b = tb.event_type
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+    // The batch corpus-card detail level (gid = 0) IS the streaming
+    // card's oracle — stream/batch parity under a shared contract.
+    "st_corpus_card" ->
+      s"""WITH w AS (SELECT source, lang, text,
+         |    regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |m AS (SELECT source, lang,
+         |    CAST(len(text) AS BIGINT) AS n_chars_d,
+         |    CAST(len(w) AS BIGINT) AS n_tok_d,
+         |    CAST(len(text) - len(regexp_replace(text,
+         |      '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct_d
+         |  FROM w),
+         |k AS (SELECT source, lang, n_chars_d, n_tok_d,
+         |    (n_tok_d >= 5 AND n_tok_d <= 100000 AND
+         |     (CASE WHEN n_chars_d > 0
+         |        THEN CAST(n_punct_d AS DOUBLE) / n_chars_d
+         |        ELSE 0.0 END) < 0.2) AS keep
+         |  FROM m)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tok_d) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars_d) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  (CAST(sum(n_tok_d) AS BIGINT) * 1000000) // count(*)
+         |    AS avg_tokens_q,
+         |  (CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS keep_ppm
+         |FROM k GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin
   )
 }

@@ -276,11 +276,15 @@ object TrainPrep {
     * the same number the quality filter would enforce. Ratios are exact
     * ppm integers. One Expand + one map-combined aggregate — the
     * corpus is read once at any scale. */
-  def corpusCard(df: DataFrame): DataFrame = {
+  /** Per-document (source, lang, sizes, quality-keep) stats — the shared
+    * narrow stage of the batch [[corpusCard]] and its streaming dual
+    * ([[graft.streaming.StreamOps.corpusCardStream]]). One fused
+    * QualityCounts text pass; the keep flag is exactly
+    * [[TextAnalysis.qualityScore]]'s gate. */
+  def docQualityStats(df: DataFrame): DataFrame = {
     val c = graft.functions.QualityCounts
       .qualityCounts(col("text"), TextAnalysis.stopwords.toMap.apply("en"))
-    val per = df
-      .select(col("source"), col("lang"), c.as("c"))
+    df.select(col("source"), col("lang"), c.as("c"))
       .select(col("source"), col("lang"),
         col("c").getItem(0).as("n_chars_d"),
         col("c").getItem(1).as("n_tok_d"),
@@ -290,6 +294,10 @@ object TrainPrep {
           when(col("n_chars_d") > 0,
             col("n_punct_d").cast(DoubleType) / col("n_chars_d"))
             .otherwise(lit(0.0)) < 0.2)
+  }
+
+  def corpusCard(df: DataFrame): DataFrame = {
+    val per = docQualityStats(df)
     per.rollup(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok_d").as("n_tokens"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
-import graft.operators.{Events, TextAnalysis}
+import graft.operators.{Events, TextAnalysis, TrainPrep}
 
 /** Structured Streaming surface (SURVEY.md §7.2 M5: the `events`
   * streaming-shaped extensions; the reference itself is batch-only —
@@ -123,6 +123,27 @@ object StreamOps {
     * deliveries are byte-identical rows (re-crawl / at-least-once
     * delivery), so every output column is survivor-independent and the
     * result is deterministic. */
+  /** Streaming dual of [[TrainPrep.corpusCard]]'s DETAIL level: the
+    * live per-(source, lang) volumes/quality card, updated every
+    * micro-batch. Streaming aggregations cannot ROLLUP — the subtotal
+    * levels stay the batch pass's job; parity with the batch card's
+    * gid=0 rows is the oracle contract. No watermark: the card is not
+    * time-windowed, and state is one fixed-width row per (source, lang)
+    * — catalog-bounded, not stream-bounded. Complete-mode output
+    * re-emits the whole card, which IS the card's delivery shape (it is
+    * catalog-sized, not corpus-sized). */
+  def corpusCardStream(docs: DataFrame): DataFrame =
+    TrainPrep.docQualityStats(docs)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok_d").as("n_tokens"),
+        sum("n_chars_d").as("n_chars"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_keep"),
+        expr("n_tokens * 1000000 div n_docs").as("avg_tokens_q"),
+        expr("n_keep * 1000000 div n_docs").as("keep_ppm"))
+
   def corpusPrepStream(docs: DataFrame, keepLang: String,
                        delay: String = "1 hour"): DataFrame =
     docs

@@ -371,4 +371,31 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("gen_")).sorted.toSeq
     assert(gens == Seq("gen_0", "gen_1", "gen_2"))
   }
+
+  test("streaming corpus card == batch card detail rows across " +
+      "micro-batches (incremental merge)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      ("sa", "en", "one two three four five"),  // keeps
+      ("sa", "en", "!!!"),                       // fails the gate
+      ("sa", "de", "a b c d e f g"),             // keeps
+      ("sb", "en", "x y z w v"))                 // keeps
+    val batch = docs.toDF("source", "lang", "text")
+    val ms = MemoryStream[(String, String, String)]
+    val q = StreamOps.corpusCardStream(
+        ms.toDF().toDF("source", "lang", "text"))
+      .writeStream.format("memory").queryName("st_spec_card")
+      .outputMode(OutputMode.Complete).start()
+    ms.addData(docs.take(2)); q.processAllAvailable()
+    ms.addData(docs.drop(2)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st_spec_card")
+      .orderBy("source", "lang").collect().map(_.toSeq).toSeq
+    val want = graft.operators.TrainPrep.corpusCard(batch)
+      .where(col("gid") === 0)
+      .drop("gid")
+      .orderBy("source", "lang").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
 }
