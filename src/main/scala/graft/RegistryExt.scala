@@ -627,6 +627,18 @@ object RegistryExt {
           NumTables),
         TopK).orderBy("query_id")
     }),
+    // The same eval harness over the COMPRESSED flagship index: how
+    // much recall does IVF pruning × PQ code-only scoring give up vs
+    // exact search — the accuracy half of the compression trade, as
+    // oracle-checked data.
+    "sim_recall_eval_ivfadc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, NumQueries, TopK),
+        Similarity.ivfadcTopK(emb, NumQueries, TopK, NumCentroids,
+          NumProbes),
+        TopK).orderBy("query_id")
+    }),
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumCentroids, NumProbes)
@@ -1118,6 +1130,43 @@ object RegistryExt {
          |    ELSE 0 END AS mrr_ppm
          |FROM qs LEFT JOIN hits h USING (query_id)
          |ORDER BY qs.query_id""".stripMargin
+    },
+    // Recall/MRR of IVFADC vs brute force: the full probe+ADC replay
+    // (shared CTE builders) feeds the same overlap/ppm tail.
+    "sim_recall_eval_ivfadc" -> {
+      val sub = 8
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |  WHERE vec_id < $NumCentroids),
+         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])",
+        s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |${ivfadcOracleCtes(sub)},
+         |ar AS (SELECT query_id, cand_id, "rank" AS rk FROM r
+         |  WHERE "rank" <= $TopK),
+         |bsc AS (
+         |  SELECT qq.vec_id AS query_id, cc.vec_id AS cand_id,
+         |    ${dotSql("qq.q", "cc.q")} AS dot
+         |  FROM n cc CROSS JOIN n qq
+         |  WHERE qq.vec_id < $NumQueries AND cc.vec_id <> qq.vec_id),
+         |bt AS (SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dot DESC, cand_id) AS brk
+         |    FROM bsc) WHERE brk <= $TopK),
+         |hits AS (SELECT ar.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(min(ar.rk) AS BIGINT) AS first_hit
+         |  FROM ar JOIN bt USING (query_id, cand_id)
+         |  GROUP BY ar.query_id),
+         |qq2 AS (SELECT DISTINCT query_id FROM bt)
+         |SELECT qq2.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  (coalesce(h.n_hits, 0) * 1000000) // $TopK AS recall_ppm,
+         |  CASE WHEN h.first_hit IS NOT NULL THEN 1000000 // h.first_hit
+         |    ELSE 0 END AS mrr_ppm
+         |FROM qq2 LEFT JOIN hits h USING (query_id)
+         |ORDER BY qq2.query_id""".stripMargin
     },
     // PQ/ADC replay: per-subspace argmin encoding (row_number over the
     // same (‖C‖²−2·slice·C, code) lexicographic key as the Spark
