@@ -43,6 +43,8 @@ object RegistryRank {
   private val BpeTopN = 20
   /** MAD anomaly threshold multiplier (|x − med| > k·MAD flags). */
   private val MadK = 3
+  /** Triangle counting: minimum co-occurrence support per edge. */
+  private val TriMinSupport = 2L
 
   // ---------------------------------------------------------------------
   // Oracle SQL builders (DuckDB dialect)
@@ -103,6 +105,18 @@ object RegistryRank {
       Graph.pageRankQ(
         Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
         PageRankIters)
+        .orderBy("node")),
+    // Per-node triangle counts via degree-ordered orientation — wedge
+    // fanout O(√m) per node regardless of degree skew. The registry
+    // instantiation gates edges at ≥ TriMinSupport co-occurrences (the
+    // standard noise cut on co-occurrence graphs — a single shared
+    // order is coincidence, repeat co-ordering is structure); the
+    // ungated dense-graph path is exercised by GraphSpec.
+    "gr_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false)
+          .where(col("src") < col("dst")),
+        TriMinSupport)
         .orderBy("node")),
     // Sub-document dedup: maximal duplicated w-token spans (Lee et al.
     // 2022). The exchange carries (doc_id, pos, md5) — never text.
@@ -175,6 +189,34 @@ object RegistryRank {
          |  CAST(max(pos) + ${SubstringW - 1} AS BIGINT) AS span_end,
          |  count(*) AS n_windows
          |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "gr_triangles" ->
+      s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+        |    a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+        |  HAVING count(*) >= $TriMinSupport),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        |  GROUP BY n),
+        |o AS (SELECT
+        |    CASE WHEN x.d < y.d OR (x.d = y.d AND und.a < und.b)
+        |      THEN und.a ELSE und.b END AS u,
+        |    CASE WHEN x.d < y.d OR (x.d = y.d AND und.a < und.b)
+        |      THEN und.b ELSE und.a END AS v
+        |  FROM und JOIN deg x ON und.a = x.n JOIN deg y ON und.b = y.n),
+        |tri AS (SELECT e1.u, e1.v, e2.v AS w
+        |  FROM o e1 JOIN o e2 ON e1.v = e2.u
+        |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT u AS node FROM tri UNION ALL
+        |        SELECT v AS node FROM tri UNION ALL
+        |        SELECT w AS node FROM tri)
+        |  GROUP BY node)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |  coalesce(pn.n_triangles, 0) AS n_triangles
+        |FROM deg LEFT JOIN pn ON deg.n = pn.node
+        |ORDER BY node""".stripMargin,
     "dd_substring_drop" ->
       s"""WITH ${substringCtes(SubstringW)},
          |nf AS (SELECT doc_id, pos FROM (

@@ -67,6 +67,34 @@ class GraphSpec extends AnyFunSuite {
     assert(n == 1, s"edge prep must shuffle exactly once, saw $n:\n$plan")
   }
 
+  test("triangleCounts: K4 gives every node 3 triangles; a path gives " +
+      "none; minSupport drops weak edges before any triangle forms") {
+    // K4 on nodes 1..4 (canonical pairs), one occurrence each.
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("src", "dst")
+    val gotK4 = Graph.triangleCounts(k4).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotK4.toSeq == (1L to 4L).map(n => (n, 3L, 3L)))
+    // Path 1-2-3-4: no triangles, but every node present with 0.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val gotPath = Graph.triangleCounts(path).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(gotPath.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+    // Triangle 1-2-3 where edge (2,3) occurs once but the others twice:
+    // minSupport = 2 removes (2,3) → no triangle, nodes 2,3 keep their
+    // surviving degree-1 edges to node 1.
+    val weak = Seq((1L, 2L), (1L, 2L), (1L, 3L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val gotWeak = Graph.triangleCounts(weak, minSupport = 2L)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotWeak.toSeq == Seq((1L, 2L, 0L), (2L, 1L, 0L), (3L, 1L, 0L)))
+    // And with the threshold at 1 the triangle is counted for all three.
+    val gotAll = Graph.triangleCounts(weak).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(gotAll.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("pageRankQ result is lineage-severed: downstream actions read " +
       "the materialized rank vector, never re-run the iterations") {
     val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
