@@ -168,6 +168,11 @@ object RegistryRank {
     "ev_overlap_matrix" -> ((s, dir) =>
       Events.overlapMatrix(t(s, dir, "events"))
         .orderBy("type_a", "type_b")),
+    // Length-bucketed batching report: padding waste per power-of-two
+    // token bucket — the dynamic-batching decision table.
+    "tp_length_buckets" -> ((s, dir) =>
+      TrainPrep.lengthBuckets(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("bucket")),
     // Streaming corpus card (detail level): live per-(source, lang)
     // volumes/quality, catalog-bounded state, drained == batch detail.
     "st_corpus_card" -> ((s, dir) =>
@@ -405,6 +410,21 @@ object RegistryRank {
         |JOIN tot ta ON pair.type_a = ta.event_type
         |JOIN tot tb ON pair.type_b = tb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "tp_length_buckets" ->
+      """WITH n AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 16 THEN 16
+        |      ELSE 1 << length(bin(n_tokens - 1)) END AS bucket
+        |  FROM n)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bucket - n_tokens) AS BIGINT) AS n_padding,
+        |  (CAST(sum(bucket - n_tokens) AS BIGINT) * 1000000)
+        |    // (bucket * count(*)) AS waste_ppm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // The batch corpus-card detail level (gid = 0) IS the streaming
     // card's oracle — stream/batch parity under a shared contract.
     "st_corpus_card" ->

@@ -296,6 +296,35 @@ object TrainPrep {
             .otherwise(lit(0.0)) < 0.2)
   }
 
+  /** Length-bucketed batching report: assign every document to the next
+    * power-of-two token-length bucket (floored at `minBucket`) and
+    * report the padding waste per bucket — the decision table behind
+    * dynamic-batching / bucketed-batching inference and training
+    * loaders, where each batch pads to its bucket length and the waste
+    * ppm IS the fraction of compute spent on pad tokens.
+    *
+    * The bucket is exact integer math on both engines:
+    * `1 << length(bin(n−1))` = the smallest power of two ≥ n (the
+    * bit-length idiom shared with [[TextAnalysis.lmSurprisal]]). One
+    * narrow map + one bucket-keyed aggregate; nothing corpus-sized
+    * crosses the exchange but (bucket, counts) partials. */
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String,
+                    minBucket: Int = 16): DataFrame = {
+    val n = size(split(trim(col(textCol)), "\\s+")).cast(LongType)
+    df.select(col(idCol).as("doc_id"), n.as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= minBucket, lit(minBucket.toLong))
+          .otherwise(expr("shiftleft(cast(1 as bigint), " +
+            "length(bin(n_tokens - 1)))")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(col("bucket") - col("n_tokens")).as("n_padding"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("n_padding"),
+        expr("n_padding * 1000000 div (bucket * n_docs)").as("waste_ppm"))
+  }
+
   def corpusCard(df: DataFrame): DataFrame = {
     val per = docQualityStats(df)
     per.rollup(col("source"), col("lang"))

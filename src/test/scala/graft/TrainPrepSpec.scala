@@ -210,6 +210,28 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.find(_._1 == 7L).get._4 == 2L)
   }
 
+  test("lengthBuckets: next power-of-two assignment with a floor " +
+      "bucket; exact padding-waste ppm; power-of-two lengths fit " +
+      "their own bucket") {
+    import spark.implicits._
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, mk(3)),    // ≤16 → floor bucket 16, pad 13
+      (2L, mk(16)),   // exactly the floor → bucket 16, pad 0
+      (3L, mk(17)),   // → 32, pad 15
+      (4L, mk(32)),   // power of two fits its own bucket, pad 0
+      (5L, mk(33))    // → 64, pad 31
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TrainPrep
+      .lengthBuckets(docs, "doc_id", "text")
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (16L, 2L, 19L, 13L, 13L * 1000000L / 32L),
+      (32L, 2L, 49L, 15L, 15L * 1000000L / 64L),
+      (64L, 1L, 33L, 31L, 31L * 1000000L / 64L)))
+  }
+
   test("corpusCard: detail rows, per-source subtotals, grand total — " +
       "'(all)' sentinels, exact ppm rates, gate matches qualityScore") {
     import spark.implicits._
