@@ -392,4 +392,35 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("triangle-count law: degree-ordered orientation == brute-force " +
+      "triple enumeration on random graphs") {
+    import spark.implicits._
+    val graphs: Gen[Set[(Long, Long)]] = for {
+      n <- Gen.choose(3, 10)
+      edges <- Gen.listOf(for {
+        a <- Gen.choose(1, n); b <- Gen.choose(1, n) if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield edges.toSet
+    forAll(graphs, n = 6) { es =>
+      if (es.nonEmpty) {
+        val got = graft.operators.Graph
+          .triangleCounts(es.toSeq.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        // Brute force: every unordered node triple with all three edges
+        // credits each member once.
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        val has = (a: Long, b: Long) =>
+          es.contains((math.min(a, b), math.max(a, b)))
+        val want = nodes.map { v =>
+          v -> (for {
+            i <- nodes if i != v
+            j <- nodes if j > i && j != v
+            if has(v, i) && has(v, j) && has(i, j)
+          } yield 1).size.toLong
+        }.toMap
+        assert(got == want, s"edges $es")
+      }
+    }
+  }
 }
