@@ -219,7 +219,11 @@ object RegistryRank {
         |        SELECT w AS node FROM tri)
         |  GROUP BY node)
         |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
-        |  coalesce(pn.n_triangles, 0) AS n_triangles
+        |  coalesce(pn.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.d >= 2
+        |    THEN (2 * coalesce(pn.n_triangles, 0) * 1000000)
+        |      // (CAST(deg.d AS BIGINT) * (deg.d - 1))
+        |    ELSE 0 END AS clustering_ppm
         |FROM deg LEFT JOIN pn ON deg.n = pn.node
         |ORDER BY node""".stripMargin,
     "dd_substring_drop" ->

@@ -173,5 +173,11 @@ object Graph {
       .join(perNode, Seq("node"), "left_outer")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      // Local clustering coefficient (exact ppm): closed wedges over
+      // possible wedges, 2·T·10⁶ div (d·(d−1)); degree-1 nodes → 0.
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("2 * n_triangles * 1000000 div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
   }
 }

@@ -73,8 +73,9 @@ class GraphSpec extends AnyFunSuite {
     val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
       .toDF("src", "dst")
     val gotK4 = Graph.triangleCounts(k4).orderBy("node").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(gotK4.toSeq == (1L to 4L).map(n => (n, 3L, 3L)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // complete graph: clustering coefficient exactly 1 (ppm) everywhere
+    assert(gotK4.toSeq == (1L to 4L).map(n => (n, 3L, 3L, 1000000L)))
     // Path 1-2-3-4: no triangles, but every node present with 0.
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val gotPath = Graph.triangleCounts(path).orderBy("node").collect()
