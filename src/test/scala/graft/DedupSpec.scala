@@ -324,6 +324,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 0L, "a b c"), (2L, 3L, "")))
   }
 
+  test("substringDrop end-to-end on the fixture: re-scanning the " +
+      "cleaned corpus finds almost no duplicated windows (only " +
+      "seam-formed ones survive)") {
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = Dedup.substringSpans(docs, "doc_id", "text", 4)
+      .agg(sum("n_windows")).head().getLong(0)
+    val cleaned = Dedup.substringDrop(docs, "doc_id", "text", 4)
+      .where(col("text_clean") =!= "")
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val after = Dedup.substringSpans(cleaned, "doc_id", "text", 4)
+      .agg(coalesce(sum("n_windows"), lit(0L))).head().getLong(0)
+    // Removal can create NEW windows where a span's neighbors become
+    // adjacent (documented); they are a sliver of the original dups.
+    assert(before > 100, s"fixture should have real duplication: $before")
+    assert(after < before / 10, s"dup windows $before -> $after")
+  }
+
   test("substringSpans: no duplicated-window text ever reaches an " +
       "exchange (digests only)") {
     import spark.implicits._
