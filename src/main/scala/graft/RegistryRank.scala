@@ -92,6 +92,39 @@ object RegistryRank {
        |FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** The weighted twin: edge weight = number of distinct co-ordering
+    * orders (the multiplicity [[Graph.coOrderedParts]] emits with
+    * `distinct = false`), contributions ∝ w/W(u). */
+  private def pageRankWeightedOracle(iters: Int): String = {
+    val S = Graph.Scale
+    val dn = Graph.DampNum
+    val dd = Graph.DampDen
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst,
+         |    sum(($dn * r${i - 1}.rank_q * e.w) // ($dd * t.wtot)) AS c
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN tot t ON e.src = t.src GROUP BY e.dst),
+         |r$i AS (SELECT t.src AS node,
+         |    (3 * $S) // ($dd * nn.n) + coalesce(c$i.c, 0) AS rank_q
+         |  FROM tot t CROSS JOIN nn LEFT JOIN c$i ON t.src = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+       |    a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM pr GROUP BY src, dst),
+       |tot AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+       |  FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM tot),
+       |r0 AS (SELECT src AS node, $S // nn.n AS rank_q
+       |  FROM tot CROSS JOIN nn),
+       |$rounds
+       |SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
+       |  CAST(rank_q AS DOUBLE) / $S.0 AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -103,6 +136,13 @@ object RegistryRank {
     // only the node-sized rank vector.
     "gr_pagerank" -> ((s, dir) =>
       Graph.pageRankQ(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
+        PageRankIters)
+        .orderBy("node")),
+    // Weighted PageRank: mass flows ∝ co-occurrence support (the
+    // multiplicity the simple-graph variant flattens away).
+    "gr_pagerank_weighted" -> ((s, dir) =>
+      Graph.pageRankWeightedQ(
         Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
         PageRankIters)
         .orderBy("node")),
@@ -185,6 +225,7 @@ object RegistryRank {
 
   val oracles: Map[String, String] = Map(
     "gr_pagerank" -> pageRankOracle(PageRankIters),
+    "gr_pagerank_weighted" -> pageRankWeightedOracle(PageRankIters),
     "dd_substring_spans" ->
       s"""WITH ${substringCtes(SubstringW)},
          |i AS (SELECT doc_id, pos,

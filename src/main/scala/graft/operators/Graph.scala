@@ -123,6 +123,48 @@ object Graph {
     out
   }
 
+  /** WEIGHTED damped PageRank: rank mass flows along each edge in
+    * proportion to its multiplicity in the input stream (for
+    * [[coOrderedParts]] with `distinct = false`, the co-occurrence
+    * support — the signal the simple-graph variant deliberately
+    * flattens). Same exact fixed-point arithmetic and lifecycle as
+    * [[pageRankQ]]:
+    *
+    * rankᵗ⁺¹(v) = (3·Scale) div (20·N)
+    *              + Σ_{(u,v)} (17·rankᵗ(u)·w(u,v)) div (20·W(u))
+    *
+    * with W(u) = Σ_w out-weights of u. The weight aggregation rides the
+    * same src-repartition that co-locates the iteration joins. */
+  def pageRankWeightedQ(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.repartition(col("src")).groupBy("src", "dst")
+      .agg(count(lit(1)).as("w")).persist()
+    val tot = e.groupBy("src").agg(sum("w").as("wtot")).persist()
+    val n = tot.count()
+    require(n > 0, "pageRankWeightedQ: empty edge set")
+    val base = 3L * Scale / (DampDen * n)
+    var ranks = tot.select(col("src").as("node"),
+      lit(Scale / n).as("rank_q"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(tot, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr(s"($DampNum * rank_q * w) div ($DampDen * wtot)"))
+          .as("c"))
+      ranks = tot.select(col("src").as("node"))
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q"))
+    }
+    val out = ranks
+      .select(col("node"), col("rank_q").cast(LongType).as("rank_q"),
+        (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank"))
+      .localCheckpoint(true)
+    e.unpersist()
+    tot.unpersist()
+    out
+  }
+
   /** Per-node triangle counts over the undirected co-occurrence graph —
     * the clustering-structure primitive behind community detection,
     * spam-graph signals, and local clustering coefficients (degree and

@@ -67,6 +67,27 @@ class GraphSpec extends AnyFunSuite {
     assert(n == 1, s"edge prep must shuffle exactly once, saw $n:\n$plan")
   }
 
+  test("pageRankWeightedQ: mass follows edge multiplicity — the " +
+      "heavier spoke out-ranks the lighter one; uniform weights " +
+      "reduce to the simple-graph ranks") {
+    // Hub 0 with spokes 1 (weight 3) and 2 (weight 1), symmetric.
+    val weighted = (Seq.fill(3)(Seq((0L, 1L), (1L, 0L))).flatten ++
+      Seq((0L, 2L), (2L, 0L))).toDF("src", "dst")
+    val got = Graph.pageRankWeightedQ(weighted, 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) > got(2L),
+      s"weight-3 spoke must out-rank weight-1 spoke: $got")
+    assert(got(0L) > got(1L), s"hub still dominates: $got")
+    // With all multiplicities equal, weighted == simple.
+    val uni = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
+      .toDF("src", "dst")
+    val w = Graph.pageRankWeightedQ(uni, 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p = Graph.pageRankQ(uni, 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(w.toSeq == p.toSeq)
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles; a path gives " +
       "none; minSupport drops weak edges before any triangle forms") {
     // K4 on nodes 1..4 (canonical pairs), one occurrence each.
