@@ -146,6 +146,25 @@ object RegistryRank {
         Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
         PageRankIters)
         .orderBy("node")),
+    // Connected components of the support-gated co-order graph —
+    // the large-star/small-star kernel (Dedup.connectedComponents)
+    // applied to a second graph family: which product groups actually
+    // ship together once coincidence is gated out.
+    "gr_components" -> ((s, dir) => {
+      val gated = Graph
+        .coOrderedParts(t(s, dir, "lineitem"), distinct = false)
+        .where(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= TriMinSupport)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      val nodes = gated.select(col("doc_a").as("doc_id"))
+        .unionAll(gated.select(col("doc_b").as("doc_id"))).distinct()
+      Dedup.connectedComponents(nodes, gated, "doc_id")
+        .select(col("doc_id").as("node"),
+          col("cluster_id").as("component_id"),
+          col("cluster_size").as("component_size"))
+        .orderBy("node")
+    }),
     // Per-node triangle counts via degree-ordered orientation — wedge
     // fanout O(√m) per node regardless of degree skew. The registry
     // instantiation gates edges at ≥ TriMinSupport co-occurrences (the
@@ -235,6 +254,27 @@ object RegistryRank {
          |  CAST(max(pos) + ${SubstringW - 1} AS BIGINT) AS span_end,
          |  count(*) AS n_windows
          |FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "gr_components" ->
+      s"""WITH RECURSIVE pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+         |    a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |und AS (SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+         |  HAVING count(*) >= $TriMinSupport),
+         |edges AS (SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b AS src, a AS dst FROM und),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (SELECT src AS node, least(src, min(dst)) AS component_id
+         |  FROM reach GROUP BY src),
+         |sz AS (SELECT component_id, CAST(count(*) AS BIGINT)
+         |    AS component_size
+         |  FROM lbl GROUP BY component_id)
+         |SELECT l.node, l.component_id, s.component_size
+         |FROM lbl l JOIN sz s USING (component_id)
+         |ORDER BY node""".stripMargin,
     "gr_triangles" ->
       s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
         |    a.l_partkey AS pa, b.l_partkey AS pb
