@@ -49,10 +49,6 @@ object Bench {
       // consumer that sums or compares per-query times.
       name -> (if (times.isEmpty) None else Some((times.min, times.max)))
     }
-    // Milliseconds-precision rendering: the ~90-entry maps must fit a
-    // bounded log-tail capture; full-precision doubles overflowed it in
-    // round 8 (the driver recovered only because headline fields print
-    // last).
     def ms(v: Double): String = f"$v%.3f"
     val qs = results
       .collect { case (k, Some((mn, _))) => s"\"" + k + "\":" + ms(mn) }
@@ -67,10 +63,28 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.values.flatten
     val total = if (ok.nonEmpty) ok.map(_._1).sum else 0.0
-    // Headline fields go LAST on the line: consumers that keep only a
-    // bounded tail of the output (log capture) must still see the total
-    // after the ~90-entry per-query map. JSON object order is free.
-    println(s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir","reps":$reps,"stat":"min","n_queries":${ok.size},"metric":"total","unit":"sec","value":${ms(total)}}""")
+    // Output layout is designed to survive BOUNDED LOG CAPTURE from
+    // either end. At 147+ queries the round-11 single line (~10 KB,
+    // headline fields last) overflowed the driver's tail buffer: the
+    // line's HEAD was cut mid-map, leaving an unparseable fragment
+    // (BENCH_r11 "parsed": null). Now:
+    //   line 1   — the complete artifact, headline fields FIRST, then
+    //              the full per-query maps (the driver contract line);
+    //   lines 2+ — one small self-contained JSON line per query, so a
+    //              truncation at either end loses whole lines, never
+    //              line fragments;
+    //   last line — the headline repeated WITHOUT the big maps (~150
+    //              bytes), so a pure tail capture still ends on a
+    //              complete parseable summary.
+    val head = s""""metric":"total","unit":"sec","value":${ms(total)},"sf":"$sfDir","reps":$reps,"stat":"min","n_queries":${ok.size}"""
+    println(s"""{$head,"queries":$qs,"spread":$spreads,"errors":$errJson}""")
+    results.foreach {
+      case (k, Some((mn, mx))) =>
+        println(s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)}}""")
+      case (k, None) =>
+        println(s"""{"query":"$k","error":"${errors.getOrElse(k, "?")}"}""")
+    }
+    println(s"{$head}")
     spark.stop()
   }
 }

@@ -41,6 +41,11 @@ object RegistryRank {
   private val Bm25K = 5
   /** BPE: how many top merge candidates to emit. */
   private val BpeTopN = 20
+  /** BPE trainer: number of merge rounds (unrolled in the oracle). */
+  private val BpeMerges = 6
+  /** Length-bucket floor — passed to the plan AND interpolated into the
+    * oracle so the two cannot silently diverge. */
+  private val MinBucket = 16
   /** MAD anomaly threshold multiplier (|x − med| > k·MAD flags). */
   private val MadK = 3
   /** Triangle counting: minimum co-occurrence support per edge. */
@@ -123,6 +128,71 @@ object RegistryRank {
        |SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
        |  CAST(rank_q AS DOUBLE) / $S.0 AS rank
        |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[TextAnalysis.bpeTrain]]: `rounds` Sennrich
+    * merge rounds, each = pair count → top-1 pick → leftmost
+    * non-overlapping merge application. The merge rule is applied with
+    * window functions (the regex-free formulation — DuckDB RE2 has no
+    * lookahead): mark every pair-start position, group CONSECUTIVE
+    * starts into runs (only step-1 starts can overlap, and only when
+    * lhs = rhs), keep the odd-ranked start of each run, then rebuild
+    * each word emitting `lhs||rhs` at kept starts and skipping the
+    * position after each. Value-identical to the Spark fold.
+    *
+    * Every CTE is `MATERIALIZED`: DuckDB inlines plain CTEs at each
+    * reference site, and each round references the previous round's
+    * CTEs several times, so 6 unrolled rounds expand exponentially
+    * (measured: >5 min un-materialized vs 0.1 s materialized at
+    * sf0.01). */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+         |    CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, syms,
+         |      unnest(generate_series(1, len(syms) - 1)) AS i
+         |    FROM v$p WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs, n FROM p$i
+         |  ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |e$i AS MATERIALIZED (SELECT s.t, s.freq, s.i, s.syms[s.i] AS sym,
+         |    (s.i < len(s.syms) AND s.syms[s.i] = m.lhs
+         |      AND s.syms[s.i + 1] = m.rhs) AS st
+         |  FROM (SELECT t, freq, syms,
+         |      unnest(generate_series(1, len(syms))) AS i
+         |    FROM v$p) s CROSS JOIN m$i m),
+         |g$i AS MATERIALIZED (SELECT t, i,
+         |    i - row_number() OVER (PARTITION BY t ORDER BY i) AS grp
+         |  FROM e$i WHERE st),
+         |x$i AS MATERIALIZED (SELECT t, i FROM (SELECT t, i,
+         |      row_number() OVER (PARTITION BY t, grp ORDER BY i) AS rn
+         |    FROM g$i) WHERE rn % 2 = 1),
+         |v$i AS MATERIALIZED (SELECT t, any_value(freq) AS freq,
+         |    list(out ORDER BY i) FILTER (WHERE out IS NOT NULL) AS syms
+         |  FROM (SELECT e.t, e.freq, e.i,
+         |      CASE WHEN a.i IS NOT NULL THEN m.lhs || m.rhs
+         |        WHEN b.i IS NOT NULL THEN NULL
+         |        ELSE e.sym END AS out
+         |    FROM e$i e CROSS JOIN m$i m
+         |    LEFT JOIN x$i a ON e.t = a.t AND e.i = a.i
+         |    LEFT JOIN x$i b ON e.t = b.t AND e.i = b.i + 1)
+         |  GROUP BY t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, lhs, rhs, " +
+        s"lhs || rhs AS merged, n FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS MATERIALIZED (SELECT unnest(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents),
+       |v0 AS MATERIALIZED (SELECT t, CAST(count(*) AS BIGINT) AS freq,
+       |    string_split(t, '') AS syms
+       |  FROM tok GROUP BY t),
+       |$roundCtes
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY merge_round""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -212,6 +282,11 @@ object RegistryRank {
     "tx_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", BpeTopN)
         .orderBy("rank")),
+    // Multi-round BPE merge trainer — the full Sennrich loop over the
+    // distinct-word table; corpus read once, every round vocab-bounded.
+    "tx_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", BpeMerges)
+        .orderBy("merge_round")),
     // Robust MAD anomaly flags over hourly ingest volumes — exact
     // half/quarter-integer medians, bit-identical cross-engine.
     "ev_anomaly_mad" -> ((s, dir) =>
@@ -230,7 +305,8 @@ object RegistryRank {
     // Length-bucketed batching report: padding waste per power-of-two
     // token bucket — the dynamic-batching decision table.
     "tp_length_buckets" -> ((s, dir) =>
-      TrainPrep.lengthBuckets(t(s, dir, "documents"), "doc_id", "text")
+      TrainPrep.lengthBuckets(t(s, dir, "documents"), "doc_id", "text",
+        MinBucket)
         .orderBy("bucket")),
     // Streaming corpus card (detail level): live per-(source, lang)
     // volumes/quality, catalog-bounded state, drained == batch detail.
@@ -243,6 +319,7 @@ object RegistryRank {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_bpe_train" -> bpeTrainOracle(BpeMerges),
     "gr_pagerank" -> pageRankOracle(PageRankIters),
     "gr_pagerank_weighted" -> pageRankWeightedOracle(PageRankIters),
     "dd_substring_spans" ->
@@ -496,12 +573,12 @@ object RegistryRank {
         |JOIN tot tb ON pair.type_b = tb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
     "tp_length_buckets" ->
-      """WITH n AS (SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      s"""WITH n AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
         |      AS n_tokens
         |  FROM documents),
         |b AS (SELECT doc_id, n_tokens,
-        |    CASE WHEN n_tokens <= 16 THEN 16
+        |    CASE WHEN n_tokens <= $MinBucket THEN $MinBucket
         |      ELSE 1 << length(bin(n_tokens - 1)) END AS bucket
         |  FROM n)
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,

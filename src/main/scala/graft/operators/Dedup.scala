@@ -577,17 +577,6 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
-  /** Per-document duplicated-token accounting over the same windows as
-    * [[substringSpans]]: how many of a document's tokens are covered by
-    * at least one duplicated `w`-window, as an exact ppm ratio — the
-    * corpus-health metric that decides whether sub-document dedup is
-    * worth running at all.
-    *
-    * Coverage is the union of the (overlapping) windows [pos, pos+w−1]:
-    * sorted by pos, each duplicated window contributes
-    * min(w, pos − prev_pos) new tokens — one `lag` pass, no interval
-    * merge materialized. Documents with zero duplicated windows are in
-    * the output with zeros (LEFT join from the corpus side). */
   /** The REPAIR step of the sub-document dedup family: rebuild each
     * document with every duplicated `w`-window span REMOVED, except the
     * corpus-wide first occurrence (lexicographic (doc_id, pos)) of each
@@ -644,6 +633,17 @@ object Dedup {
           i => element_at(col("wtk"), i)), " ").as("text_clean"))
   }
 
+  /** Per-document duplicated-token accounting over the same windows as
+    * [[substringSpans]]: how many of a document's tokens are covered by
+    * at least one duplicated `w`-window, as an exact ppm ratio — the
+    * corpus-health metric that decides whether sub-document dedup is
+    * worth running at all.
+    *
+    * Coverage is the union of the (overlapping) windows [pos, pos+w−1]:
+    * sorted by pos, each duplicated window contributes
+    * min(w, pos − prev_pos) new tokens — one `lag` pass, no interval
+    * merge materialized. Documents with zero duplicated windows are in
+    * the output with zeros (LEFT join from the corpus side). */
   def substringStats(df: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame = {
     val pos = windowDigests(df, idCol, textCol, w)

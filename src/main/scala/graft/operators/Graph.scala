@@ -109,10 +109,19 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(expr(s"($DampNum * rank_q) div ($DampDen * outdeg)"))
           .as("c"))
+      // Checkpoint the NODE-SIZED rank vector every iteration: without
+      // it each round's plan nests the previous one, so analysis cost
+      // and stack depth grow linearly with iters and a convergence run
+      // (iters ≫ 3) eventually pays more in planning than in compute.
+      // After the checkpoint every iteration plans against a flat
+      // LogicalRDD — plan size is constant in iters (GraphSpec asserts
+      // this). Cost: one node-sized materialization per round, which is
+      // exactly the per-iteration traffic PageRank already moves.
       ranks = deg.select(col("src").as("node"))
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q"))
+        .localCheckpoint(true)
     }
     val out = ranks
       .select(col("node"), col("rank_q").cast(LongType).as("rank_q"),
@@ -151,10 +160,13 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(expr(s"($DampNum * rank_q * w) div ($DampDen * wtot)"))
           .as("c"))
+      // Per-iteration checkpoint of the node-sized vector — see
+      // [[pageRankQ]]: bounds plan growth so iters ≫ 3 stays planful.
       ranks = tot.select(col("src").as("node"))
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q"))
+        .localCheckpoint(true)
     }
     val out = ranks
       .select(col("node"), col("rank_q").cast(LongType).as("rank_q"),

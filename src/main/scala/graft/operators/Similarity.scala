@@ -1316,7 +1316,13 @@ object Similarity {
     * the overlap join and per-query aggregate are trivially small; the
     * expensive parts are the upstream searches, each already
     * scale-shaped. Queries with zero overlap stay in the output via the
-    * exact-side LEFT join. */
+    * exact-side LEFT join.
+    *
+    * Query-universe contract: the EXACT side defines the evaluated
+    * query set — a query_id present only in `approx` is dropped, not
+    * reported (there is no ground truth to grade it against). For the
+    * "old index vs new" comparison, pass the reference index as
+    * `exact`; full-outer semantics, if wanted, are one union away. */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val ex = exact.select(col("query_id"), col("cand_id"))
     val ap = approx.select(col("query_id"), col("cand_id"),

@@ -399,9 +399,14 @@ object TextAnalysis {
     * — all BIGINT. The Robertson log-idf is replaced by its exact
     * rational argument (2(N−df)+1)/(2df+1), quantized to ppm: same
     * df-monotonicity, zero cross-engine drift; swap in `ln` where hash
-    * parity isn't required. Numerators stay < 2⁶³ through ~10¹²-token
-    * corpora (22·tf·T·10⁶); past that, drop the ppm scale or move the
-    * profile to doubles.
+    * parity isn't required. Integer headroom: the tff numerator
+    * 22·tf·T·10⁶ stays < 2⁶³ only while tf·T ≲ 4.19×10¹¹ (a 10¹²-token
+    * corpus already exceeds it at tf ≥ 1), and the idf·tff product
+    * overflows past ~2×10⁶ documents when a df=1 term appears — both
+    * are guarded by `raise_error` below, so an out-of-range corpus
+    * fails loudly instead of silently mis-ranking (ANSI-off Long
+    * arithmetic wraps). Past the guards, drop the ppm scale or move
+    * the profile to doubles.
     *
     * Scale shape: the query vocabulary is BROADCAST and filters the
     * exploded corpus BEFORE any exchange, so the only corpus-sized
@@ -438,10 +443,20 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .withColumn("idf_q",
         expr("((2 * (n_docs - df) + 1) * 1000000) div (2 * df + 1)"))
+      // Overflow guards (see scaladoc): the guards live INSIDE the
+      // scoring expressions so column pruning can never drop them.
       .withColumn("tff_q",
-        expr("(22 * tf * total_len * 1000000) div " +
-          "(10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"))
-      .withColumn("contrib_q", expr("(idf_q * tff_q) div 1000000"))
+        when(col("tf") * col("total_len") > lit(419000000000L),
+          raise_error(lit("bm25TopK: tff_q numerator would overflow " +
+            "Long (tf * total_len > ~4.19e11 tokens); use a double " +
+            "profile at this corpus size")))
+          .otherwise(expr("(22 * tf * total_len * 1000000) div " +
+            "(10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)")))
+      .withColumn("contrib_q",
+        when(col("idf_q") > lit(4192441834934L),
+          raise_error(lit("bm25TopK: idf_q * tff_q would overflow Long " +
+            "(> ~2e6 docs with a df=1 term); use a double profile")))
+          .otherwise(expr("(idf_q * tff_q) div 1000000")))
     val perDoc = scored.groupBy("query_id", "doc_id")
       .agg(sum("contrib_q").as("score_q"))
     val win = Window.partitionBy("query_id")
@@ -542,5 +557,85 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("n").desc, col("pair")))
           .cast(LongType))
       .select("pair", "n", "rank")
+  }
+
+  /** MULTI-ROUND BPE merge TRAINER — the full iterative Sennrich et al.
+    * 2016 §3.2 loop that [[bpePairCounts]] is one round of: start from
+    * the character segmentation of the frequency-weighted vocabulary,
+    * then `rounds` times (1) count adjacent symbol pairs weighted by
+    * word frequency, (2) adopt the most frequent pair (ties → smallest
+    * (lhs, rhs) strings) as the next merge rule, (3) re-segment the
+    * vocabulary by applying that rule LEFTMOST-FIRST, NON-OVERLAPPING
+    * within each word ("aaaa" + (a,a) → "aa","aa"). Emits the learned
+    * merge table `(merge_round, lhs, rhs, merged, n)` — the trained
+    * tokenizer model, in training order. No end-of-word marker (the
+    * within-word simplification; a production trainer appends '</w>'
+    * before segmenting, which changes no plumbing here).
+    *
+    * Scale shape — why tokenizer training is feasible on a 100 TB
+    * corpus at all: the corpus is touched ONCE (the word-count
+    * aggregate, map-side combined, vocabulary-bounded exchange); every
+    * round after that runs on the |vocab| row table — pair counting is
+    * a vocab-bounded explode + alphabet²-bounded aggregate, merge
+    * application is one NARROW fold per word (no shuffle). Driver-side
+    * state is one (lhs, rhs, n) row per round — model state, the
+    * k-means-codebook convention. The vocab table is
+    * `localCheckpoint`-ed every round, so plan size stays flat in
+    * `rounds` (the [[graft.operators.Graph.pageRankQ]] convention).
+    *
+    * Determinism: counts are exact integers, tie-breaks total, and the
+    * fold's leftmost-non-overlapping semantics are engine-portable —
+    * the oracle replays every round as unrolled CTEs with a
+    * window-function formulation of the same merge rule. */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpeTrain: rounds=$rounds")
+    val spark = df.sparkSession
+    val tok = df.select(
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+    // filter(...) guards against empty-string symbols from the
+    // char-split regex; DuckDB's string_split(t, '') never emits them.
+    var vocab = tok.groupBy("t").agg(count(lit(1)).as("freq"))
+      .select(col("t"), col("freq"),
+        filter(split(col("t"), ""), s => length(s) > 0).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (round <- 1 to rounds) {
+      val top = vocab.where(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("lhs"),
+              element_at(col("syms"), i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpeTrain: vocabulary fully merged after ${round - 1} rounds; " +
+          s"lower `rounds` (asked for $rounds)")
+      val lhs = top(0).getString(0)
+      val rhs = top(0).getString(1)
+      val n = top(0).getLong(2)
+      merges += ((round.toLong, lhs, rhs, n))
+      // Leftmost-first non-overlapping merge as a single left fold:
+      // merge the incoming symbol into the accumulator's last element
+      // iff (last, incoming) == (lhs, rhs). A just-merged element
+      // equals lhs+rhs (strictly longer than lhs), so it can never
+      // re-merge with the next symbol in the same round — exactly the
+      // non-overlap rule. O(len²) array copies per word, bounded by
+      // word length, never corpus size.
+      vocab = vocab.withColumn("syms",
+          aggregate(col("syms"), typedLit(Array.empty[String]),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(lhs) &&
+                x === lit(rhs),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(lhs + rhs))))
+              .otherwise(concat(acc, array(x)))))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "n")
+      .select(col("merge_round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
   }
 }

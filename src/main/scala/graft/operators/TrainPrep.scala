@@ -263,19 +263,6 @@ object TrainPrep {
         floor(col("tokens_before") / budgetTokens).cast(LongType))
   }
 
-  /** Corpus card: the per-(source, lang) dataset report every corpus
-    * release ships — document/token/char volumes, mean document length,
-    * and the quality-gate pass rate — with ROLLUP subtotals per source
-    * and a grand total in the same single shuffle (the
-    * `Events.rollupMulti` convention: rolled-up keys surface as
-    * '(all)', gid disambiguates levels).
-    *
-    * The per-document stats come from ONE fused text pass
-    * ([[graft.functions.QualityCounts]]) and the keep flag is exactly
-    * [[TextAnalysis.qualityScore]]'s gate, so the card's pass rate is
-    * the same number the quality filter would enforce. Ratios are exact
-    * ppm integers. One Expand + one map-combined aggregate — the
-    * corpus is read once at any scale. */
   /** Per-document (source, lang, sizes, quality-keep) stats — the shared
     * narrow stage of the batch [[corpusCard]] and its streaming dual
     * ([[graft.streaming.StreamOps.corpusCardStream]]). One fused
@@ -325,6 +312,19 @@ object TrainPrep {
         expr("n_padding * 1000000 div (bucket * n_docs)").as("waste_ppm"))
   }
 
+  /** Corpus card: the per-(source, lang) dataset report every corpus
+    * release ships — document/token/char volumes, mean document length,
+    * and the quality-gate pass rate — with ROLLUP subtotals per source
+    * and a grand total in the same single shuffle (the
+    * `Events.rollupMulti` convention: rolled-up keys surface as
+    * '(all)', gid disambiguates levels).
+    *
+    * The per-document stats come from ONE fused text pass
+    * ([[graft.functions.QualityCounts]]) and the keep flag is exactly
+    * [[TextAnalysis.qualityScore]]'s gate, so the card's pass rate is
+    * the same number the quality filter would enforce. Ratios are exact
+    * ppm integers. One Expand + one map-combined aggregate — the
+    * corpus is read once at any scale. */
   def corpusCard(df: DataFrame): DataFrame = {
     val per = docQualityStats(df)
     per.rollup(col("source"), col("lang"))

@@ -61,8 +61,10 @@ object StreamOps {
     * unchanged (same property the batch dual
     * [[graft.operators.Events.hourlyRollupApprox]] exploits; its
     * `EventsSpec` error-bound reasoning carries over — default rsd 5%).
-    * Approximate ⇒ no hash oracle; `StreamingSpec` bounds the estimate
-    * against the exact streaming rollup on the same data. */
+    * Approximate ⇒ hash-checked through the
+    * [[graft.operators.Events.approxRollupEval]] grading wrapper;
+    * `StreamingSpec` additionally bounds the estimate against the exact
+    * streaming rollup on the same data. */
   def hourlyRollupApproxStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
@@ -105,24 +107,6 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id", "user_id", "event_type")
 
-  /** STREAMING CORPUS PREP — the streaming dual of
-    * [[graft.operators.TrainPrep.corpusPipeline]]'s filter/dedup front
-    * half: quality heuristics and language ID run as STATELESS narrow
-    * predicates directly on the scan (the same fused codegen columns the
-    * batch pipeline pushes down — [[TextAnalysis.qualityKeepCol]] /
-    * [[TextAnalysis.langGuessCol]]), and only the survivors reach the
-    * one stateful operator, `dropDuplicatesWithinWatermark` on the doc
-    * key. Stage order IS the scale design, same as batch: state pays
-    * only for documents that passed the cheap filters, and that state is
-    * watermark-BOUNDED (evicted once the watermark passes `ts + delay`)
-    * — the corpus-ingest shape that survives an unbounded crawl stream,
-    * where `dropDuplicates` without the event-time bound would
-    * accumulate one state row per distinct document forever.
-    *
-    * `docs` must carry (`doc_id`, `text`, event-time `ts`). Duplicate
-    * deliveries are byte-identical rows (re-crawl / at-least-once
-    * delivery), so every output column is survivor-independent and the
-    * result is deterministic. */
   /** Streaming dual of [[TrainPrep.corpusCard]]'s DETAIL level: the
     * live per-(source, lang) volumes/quality card, updated every
     * micro-batch. Streaming aggregations cannot ROLLUP — the subtotal
@@ -144,6 +128,24 @@ object StreamOps {
         expr("n_tokens * 1000000 div n_docs").as("avg_tokens_q"),
         expr("n_keep * 1000000 div n_docs").as("keep_ppm"))
 
+  /** STREAMING CORPUS PREP — the streaming dual of
+    * [[graft.operators.TrainPrep.corpusPipeline]]'s filter/dedup front
+    * half: quality heuristics and language ID run as STATELESS narrow
+    * predicates directly on the scan (the same fused codegen columns the
+    * batch pipeline pushes down — [[TextAnalysis.qualityKeepCol]] /
+    * [[TextAnalysis.langGuessCol]]), and only the survivors reach the
+    * one stateful operator, `dropDuplicatesWithinWatermark` on the doc
+    * key. Stage order IS the scale design, same as batch: state pays
+    * only for documents that passed the cheap filters, and that state is
+    * watermark-BOUNDED (evicted once the watermark passes `ts + delay`)
+    * — the corpus-ingest shape that survives an unbounded crawl stream,
+    * where `dropDuplicates` without the event-time bound would
+    * accumulate one state row per distinct document forever.
+    *
+    * `docs` must carry (`doc_id`, `text`, event-time `ts`). Duplicate
+    * deliveries are byte-identical rows (re-crawl / at-least-once
+    * delivery), so every output column is survivor-independent and the
+    * result is deterministic. */
   def corpusPrepStream(docs: DataFrame, keepLang: String,
                        delay: String = "1 hour"): DataFrame =
     docs

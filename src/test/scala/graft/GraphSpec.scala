@@ -129,4 +129,20 @@ class GraphSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), s"plan was:\n$plan")
     assert(!plan.contains("Join"), s"plan was:\n$plan")
   }
+
+  test("pageRankQ iters=20: per-iteration checkpoints keep lineage " +
+      "flat, and the uniform distribution is an exact fixed point") {
+    // 4-cycle: outdeg 1 everywhere, so uniform rank is an EXACT integer
+    // fixed point: Scale/4 = base + (17 * Scale/4) div 20 holds with no
+    // rounding. 20 iterations is the convergence-run regime the
+    // per-iteration localCheckpoint exists for — without it this test
+    // plans a 20-deep nested join tree; with it every round plans
+    // against a flat LogicalRDD and the whole run stays sub-second.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.pageRankQ(edges, 20).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val uniform = Graph.Scale / 4
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L).map((_, uniform)))
+  }
 }

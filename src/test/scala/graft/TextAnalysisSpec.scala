@@ -371,4 +371,49 @@ class TextAnalysisSpec extends AnyFunSuite {
       plan.indexOf("Generate") < plan.lastIndexOf("Generate"),
       s"plan was:\n$plan")
   }
+
+  test("bpeTrain: multi-round Sennrich loop with leftmost " +
+      "non-overlapping merge application") {
+    import spark.implicits._
+    // Vocabulary: aaaa ×2, ab ×1.
+    // Round 1: (a,a) = 3 pairs/occurrence × 2 = 6  → merge (a,a).
+    //   Leftmost non-overlap: aaaa → [aa, aa]  (NOT [aa, a, a] thrice).
+    // Round 2: (aa,aa) = 2 beats (a,b) = 1       → merge (aa,aa).
+    // Round 3: only ab has a pair left           → merge (a,b) n=1.
+    val docs = Seq((1L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "aa", "aa", "aaaa", 2L),
+      (3L, "a", "b", "ab", 1L)))
+  }
+
+  test("bpeTrain: odd-run merges keep the odd starts ([aa, a] from " +
+      "aaa) and count ties break to the smallest (lhs, rhs)") {
+    import spark.implicits._
+    // 'aaa': round 1 adopts (a,a) (n=2: both adjacent pairs of the one
+    // occurrence) and rewrites to [aa, a]; round 2 then merges (aa,a).
+    val odd = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val gotOdd = TextAnalysis.bpeTrain(odd, "text", 2).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(gotOdd.toSeq == Seq((1L, "aa", 2L), (2L, "aaa", 1L)))
+    // (b,c) and (c,b) both have weight 2 — the tie goes to (b,c).
+    val tie = Seq((1L, "bc cb"), (2L, "cb bc")).toDF("doc_id", "text")
+    val gotTie = TextAnalysis.bpeTrain(tie, "text", 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(gotTie.toSeq == Seq(("b", "c", 2L)))
+  }
+
+  test("bpeTrain: asking for more rounds than the vocabulary can merge " +
+      "fails loudly, naming the exhausted round") {
+    import spark.implicits._
+    // 'ab' fully merges in one round; round 2 has no pair left.
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(docs, "text", 2)
+    }
+    assert(err.getMessage.contains("fully merged after 1 rounds"))
+  }
 }
