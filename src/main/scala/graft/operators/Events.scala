@@ -51,7 +51,8 @@ object Events {
     * `approx_count_distinct` keeps ONE shuffle whose state per group is
     * a fixed-size HyperLogLog++ sketch (rsd 2.3%), so memory is bounded
     * no matter how many distinct users an hour has. Approximate ⇒
-    * checked rows-only by the driver + an error-bound EventsSpec test. */
+    * hash-checked through the [[approxRollupEval]] grading wrapper (plus
+    * an error-bound EventsSpec test). */
   def hourlyRollupApprox(df: DataFrame): DataFrame =
     df.groupBy(
         date_trunc("hour", col("ts")).cast(StringType).as("hour"),
@@ -60,6 +61,35 @@ object Events {
         approx_count_distinct(col("user_id")).as("n_users_approx"),
         sum(micros(col("value"))).as("value_micros"))
       .withColumn("value_sum", col("value_micros").cast(DoubleType) / 1000000)
+
+  /** Error-graded eval of an approximate rollup — the wrapper that makes
+    * an HLL query ORACLE-CHECKABLE: an estimate can never hash-match a
+    * cross-engine exact value, but "the estimate stayed within its error
+    * bound" CAN. Joins the approx result ([[hourlyRollupApprox]] or its
+    * streaming dual, drained) against the exact per-(hour, type)
+    * distinct from the same events, and emits the exact columns plus
+    * `hll_ok` = |approx − exact| ≤ max(1, exact·boundPpm/10⁶) — integer
+    * arithmetic throughout, so the DuckDB oracle is the exact rollup
+    * with a literal `TRUE`: the hash matches iff every group's sketch
+    * estimate graded in-bounds.
+    *
+    * The exact side exists only to GRADE the sketch (recall/eval-style,
+    * like `Similarity.recallAtK`) — production runs the approx form
+    * alone. Both sides aggregate the same scan; the join is
+    * group-count-sized. */
+  def approxRollupEval(approx: DataFrame, events: DataFrame,
+                       boundPpm: Long): DataFrame = {
+    val exact = events.groupBy(
+        date_trunc("hour", col("ts")).cast(StringType).as("hour"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    approx.join(exact, Seq("hour", "event_type"))
+      .select(col("hour"), col("event_type"), col("n_events"),
+        col("n_users"), col("value_micros"), col("value_sum"),
+        (abs(col("n_users_approx") - col("n_users")) * 1000000L <=
+          greatest(lit(1000000L), col("n_users") * boundPpm))
+          .as("hll_ok"))
+  }
 
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Session ids are per-user running counts of

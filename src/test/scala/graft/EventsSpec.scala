@@ -108,6 +108,28 @@ class EventsSpec extends AnyFunSuite {
     assert(plain.exists(s => s._1 == 7L && s._3 == 2L)) // 7+8 exact-gap
   }
 
+  test("approxRollupEval grades estimates against the exact distinct: " +
+      "in-bound (incl. the ±1 floor boundary) pass, out-of-bound fail") {
+    // Hour 10 'click' has exactly 2 distinct users; bound = max(1, 2·5%)
+    // = 1. Grade three fake estimates: 2 (exact), 3 (AT the ±1 floor —
+    // in), 5 (out). The grading join keys on (hour, event_type).
+    def fakeApprox(est: Long) = Seq(
+      ("2024-01-01 10:00:00", "click", 3L, est, 12000000L, 12.0),
+      ("2024-01-01 11:00:00", "view", 1L, 1L, 4000000L, 4.0)
+    ).toDF("hour", "event_type", "n_events", "n_users_approx",
+      "value_micros", "value_sum")
+    def grades(est: Long) =
+      Events.approxRollupEval(fakeApprox(est), events, 50000L)
+        .select("hour", "event_type", "n_users", "hll_ok")
+        .as[(String, String, Long, Boolean)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val exactG = grades(2L)
+    assert(exactG(("2024-01-01 10:00:00", "click")) == ((2L, true)))
+    assert(exactG(("2024-01-01 11:00:00", "view")) == ((1L, true)))
+    assert(grades(3L)(("2024-01-01 10:00:00", "click")) == ((2L, true)))
+    assert(grades(5L)(("2024-01-01 10:00:00", "click")) == ((2L, false)))
+  }
+
   test("hourlyRollupApprox: exact groups/sums, HLL distinct within 5%") {
     val df = Tables.load(spark, "/root/testdata/sf0.01", "events")
     val exact = Events.hourlyRollup(df)
