@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.Joins
+import graft.operators.{Events, Joins}
 
 /** Plan-quality guards: these assert the PHYSICAL plan properties the
   * 100 TB design depends on — filter pushdown into the parquet scan,
@@ -483,5 +483,102 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(after - before <= 2,
       s"persisted RDD count grew $before -> $after: edge/degree " +
         "persists are leaking")
+  }
+
+  // ------------------------------------------------------------------
+  // Skew stress: the 2level/salted paths exist FOR hot keys, but the
+  // registry fixtures are uniform. These build a skewed fixture (one
+  // key holding ~30% of rows), assert value parity with the plain
+  // forms, and check the structural bound that makes the skewed form
+  // safe — the partition key includes the bucket/salt, and the hot
+  // key's rows actually spread across those sub-keys.
+  // ------------------------------------------------------------------
+
+  test("skew: sessionize2Level on a 30%-hot user matches plain " +
+      "sessionize; the window exchange keys on (user, bucket) and the " +
+      "hot user's largest sub-partition is day-bounded") {
+    import spark.implicits._
+    val baseUs = 1704067200L * 1000000L // 2024-01-01 00:00 UTC, micros
+    def tsOf(us: Long) = new java.sql.Timestamp(us / 1000L)
+    // Hot user 1: 900 events every 10 min, a >gap break every 13th →
+    // multi-day sessions crossing day buckets. Cold users 2..101: 21
+    // events each, alternating within-gap (20 min) and break (2 h).
+    val hot = (0 until 900).map { i =>
+      (i.toLong, tsOf(baseUs + i * 600L * 1000000L +
+        (i / 13) * 7200L * 1000000L), 1L)
+    }
+    val cold = for (u <- 2L to 101L; j <- 0 until 21) yield
+      (1000L + u * 100L + j,
+        tsOf(baseUs + u * 31L * 1000000L + j * 1200L * 1000000L +
+          (j % 3) * 7200L * 1000000L), u)
+    val events = (hot ++ cold).toDF("event_id", "ts", "user_id")
+    assert(hot.size.toDouble / (hot.size + cold.size) > 0.29)
+    val plain = Events.sessionize(events, 1800L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val two = Events.sessionize2Level(events, 1800L)
+    assert(two.as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      == plain, "2level must reproduce plain sessionize on skewed input")
+    // Structural bound: level 1 exchanges on (user_id, bucket) — the
+    // hot user never lands on one task …
+    val plan = planString(two)
+    assert(
+      "hashpartitioning\\(user_id[^)]*bucket".r.findFirstIn(plan).isDefined,
+      s"level-1 exchange must key on (user_id, bucket):\n$plan")
+    // … and the data agrees: the hot user's largest (user, day) group
+    // is a small fraction of their 900 events.
+    val maxDay = events.where($"user_id" === 1L)
+      .groupBy(floor(unix_micros($"ts") / (86400L * 1000000L)))
+      .count().agg(max("count")).as[Long].head()
+    assert(maxDay <= 200,
+      s"hot user's largest day bucket held $maxDay of 900 events")
+  }
+
+  test("skew: asofJoin2Level on a 30%-hot key matches plain asofJoin; " +
+      "the carry window keys on (key, bucket)") {
+    import spark.implicits._
+    // Left: 1500 probes, 450 on hot key 1, irregular times. Right: 20
+    // keys, a value every 500 ticks. bucketWidth 1000 → the hot key
+    // spans ~44 buckets.
+    val left = (0 until 1500).map { i =>
+      val k = if (i < 450) 1L else 2L + (i % 19).toLong
+      (k, (i * 29L) % 43700L, i.toLong)
+    }.toDF("key", "t", "probe_id")
+    val right = (for (k <- 1L to 20L; j <- 0 until 80) yield
+      (k, j * 500L + k, j * 1000L + k)).toDF("key", "t", "v")
+    val plain = Joins.asofJoin(left, right, "key", "t", Seq("v"))
+      .select("key", "t", "probe_id", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val two = Joins.asofJoin2Level(left, right, "key", "t", Seq("v"),
+      bucketWidth = 1000L)
+    assert(two.select("key", "t", "probe_id", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet == plain,
+      "2level must reproduce plain asofJoin on skewed input")
+    val plan = planString(two)
+    assert(
+      "hashpartitioning\\(key[^)]*__bucket".r.findFirstIn(plan).isDefined,
+      s"level-1 carry must key on (key, __bucket):\n$plan")
+  }
+
+  test("skew: saltedJoin on a 30%-hot fact key matches the plain join " +
+      "and spreads the hot key across salts") {
+    import spark.implicits._
+    val salts = 8
+    val fact = (0 until 2000).map { i =>
+      (if (i < 600) 1L else 2L + (i % 19).toLong, i.toLong)
+    }.toDF("key", "v")
+    val dim = (1L to 20L).map(k => (k, s"name_$k")).toDF("key", "name")
+    val plain = fact.join(dim, Seq("key"))
+      .as[(Long, Long, String)].collect().toSet
+    val salted = Joins.saltedJoin(fact, dim, "key", salts)
+    assert(salted.as[(Long, Long, String)].collect().toSet == plain,
+      "salted join must reproduce the plain join on skewed input")
+    // The salt is deterministic (hash of all fact columns mod salts):
+    // recompute it for the hot key's rows and require a real spread —
+    // the hot key's 600 rows must land on most of the 8 salt reducers.
+    val spread = fact.where($"key" === 1L)
+      .select(pmod(hash($"key", $"v"), lit(salts)).as("salt"))
+      .distinct().count()
+    assert(spread >= salts / 2,
+      s"hot key spread over only $spread of $salts salts")
   }
 }
