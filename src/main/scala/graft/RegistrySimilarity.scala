@@ -1,0 +1,907 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Similarity/ANN family of the extension registry — brute-force/LSH/
+  * IVF/PQ/IVFADC/SQ top-k, k-means training, index persistence,
+  * recall eval. See [[RegistryShared]]. */
+private[graft] trait RegistrySimilarity extends RegistryShared {
+  // ---------------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------------
+
+  private val NumCentroids = 16
+  private val NumProbes = 2
+  // OR-amplification width for sim_lsh_topk: 16 independent 4-plane
+  // tables. One sign-bucket table co-buckets a near-orthogonal true
+  // neighbor with probability ≈ 2^-NumPlanes; the 16-table union lifts
+  // recall@5 to ~0.7 at fixture scale (pinned by the SimilaritySpec
+  // recall contract against brute-force ground truth).
+  private val NumTables = 16
+  private val KMeansIter = 2
+  // SemDeDup cosine cut: only exact/near-exact copies at fixture scale
+  // (random vectors are near-orthogonal); the literal appears verbatim
+  // in both the Spark call and the oracle SQL.
+  private val SemThreshold = 0.999
+  // Large-k assignment demo: 400 centroids — big enough that the plan
+  // must NOT inline the codebook as literals (the query forces the
+  // reference-object path NearestCentroidExpr, the same path the
+  // assignCol dispatcher takes automatically past LiteralAssignMaxK).
+  private val NumCentroidsBig = 400
+  // hierarchical assignment: √k-ish super count over the 400-entry
+  // codebook — per-row work S + k/S = 40 distances instead of 400
+  private val NumSupers = 20
+  // refine: approximate top-25 from codes, exact re-scoring to top-5
+  private val Rerank = 25
+
+  protected val similarity: Map[String, Q] = Map(
+    // SemDeDup's clustering primitive at LARGE k: one narrow projection
+    // assigning every vector to its L2-nearest of 400 codebook entries,
+    // with the codebook riding the task binary (executor-memory-bounded
+    // k) instead of plan literals (Janino-bounded k). Closes the
+    // round-9 `weak` on the literal-codebook ceiling.
+    "sim_assign_bigk" -> ((s, dir) =>
+      Similarity.assignToCodebook(t(s, dir, "embeddings"), NumCentroidsBig,
+        forceRef = true)
+        .orderBy("vec_id")),
+    // Two-level assignment past the large-k COMPUTE ceiling: the
+    // codebook is itself clustered (one Lloyd's round over its 400
+    // rows), rows probe the nearest super then argmin only within its
+    // bin — S + k/S distances per row instead of k. Exact-integer at
+    // both levels, so the oracle replays super training, binning, and
+    // both argmins.
+    "sim_assign_hier" -> ((s, dir) =>
+      Similarity.assignHierarchical(t(s, dir, "embeddings"),
+        NumCentroidsBig, NumSupers, 1, Dim)
+        .orderBy("vec_id")),
+    "sim_brute_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), NumQueries, TopK)
+        .orderBy("query_id", "rank")),
+    // Exact-integer Lloyd's training of the IVF codebook; the oracle
+    // unrolls both iterations as CTEs and replays the argmin and the
+    // truncating integer means bit-for-bit.
+    "sim_kmeans" -> ((s, dir) =>
+      Similarity.kMeans(t(s, dir, "embeddings"), NumCentroids, KMeansIter,
+        Dim)
+        .orderBy("cid", "i")),
+    // k-means with deterministic farthest-point (maxmin) init — the
+    // randomness-free k-means++ family member; cid = pick order. The
+    // oracle unrolls the 15 sequential maxmin picks AND the Lloyd's
+    // rounds.
+    "sim_kmeans_pp" -> ((s, dir) =>
+      Similarity.kMeansPP(t(s, dir, "embeddings"), NumCentroids,
+        KMeansIter, Dim)
+        .orderBy("cid", "i")),
+    "sim_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), NumQueries, TopK,
+        NumPlanes, Dim, NumTables)
+        .orderBy("query_id", "rank")),
+    // Retrieval-quality eval AS DATA: per-query recall@k / MRR of the
+    // LSH index against the brute-force ground truth — the recall
+    // contract SimilaritySpec asserts, promoted to an oracle-checked
+    // query (the oracle replays BOTH searches and the overlap).
+    "sim_recall_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, NumQueries, TopK),
+        Similarity.lshTopK(emb, NumQueries, TopK, NumPlanes, Dim,
+          NumTables),
+        TopK).orderBy("query_id")
+    }),
+    // The same eval harness over the COMPRESSED flagship index: how
+    // much recall does IVF pruning × PQ code-only scoring give up vs
+    // exact search — the accuracy half of the compression trade, as
+    // oracle-checked data.
+    "sim_recall_eval_ivfadc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(emb, NumQueries, TopK),
+        Similarity.ivfadcTopK(emb, NumQueries, TopK, NumCentroids,
+          NumProbes),
+        TopK).orderBy("query_id")
+    }),
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), NumQueries, TopK,
+        NumCentroids, NumProbes)
+        .orderBy("query_id", "rank")),
+    // PQ/ADC: candidates scored from their 8 sub-codebook codes only
+    // (32× payload compression at dim=64) — prune-nothing,
+    // compress-everything, the third ANN design point.
+    "sim_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), NumQueries, TopK)
+        .orderBy("query_id", "rank")),
+    // PQ over TRAINED sub-codebooks: kMeansCodebookQ per subspace
+    // slice (numIter Lloyd's rounds each, same init convention), then
+    // the identical ADC serving path — the trained twin sim_ivf_trained
+    // is for sim_ivf_topk. The oracle unrolls all 8 per-subspace
+    // training chains as prefixed CTEs.
+    "sim_pq_trained" -> ((s, dir) =>
+      Similarity.pqTopKTrained(t(s, dir, "embeddings"), NumQueries, TopK,
+        numIter = KMeansIter)
+        .orderBy("query_id", "rank")),
+    // IVFADC (Jégou 2011 §V): probe-list pruning × PQ code-only
+    // scoring — a query touches only its probed coarse lists and ranks
+    // their candidates from (cid, codes) payloads via ADC tables. The
+    // billion-vector composition of sim_ivf_topk and sim_pq_topk.
+    "sim_ivfadc_topk" -> ((s, dir) =>
+      Similarity.ivfadcTopK(t(s, dir, "embeddings"), NumQueries, TopK,
+        NumCentroids, NumProbes)
+        .orderBy("query_id", "rank")),
+    // Fully-trained IVFADC: trained coarse quantizer (kMeansCodebook)
+    // × trained sub-codebooks (pqModelTrained), identical serving —
+    // the complete deployed shape, every model from a training run.
+    "sim_ivfadc_trained" -> ((s, dir) =>
+      Similarity.ivfadcTopKTrained(t(s, dir, "embeddings"), NumQueries,
+        TopK, NumCentroids, NumProbes, numIter = KMeansIter)
+        .orderBy("query_id", "rank")),
+    // SQ8 scalar quantization: per-dim 8-bit codes against corpus
+    // [min, max] ranges — 8× compression with no codebook training,
+    // the FAISS SQ8 point on the compression/accuracy dial.
+    "sim_sq_topk" -> ((s, dir) =>
+      Similarity.sqTopK(t(s, dir, "embeddings"), NumQueries, TopK, Dim)
+        .orderBy("query_id", "rank")),
+    // Index persistence lifecycle: build writes (codes, coarse, books)
+    // parquet relations; serve reloads the model and runs the shared
+    // probe+ADC tail against the saved inverted file — encode once,
+    // serve without ever re-reading the corpus. Bit-identical to
+    // sim_ivfadc_topk (shared oracle).
+    "sim_index_roundtrip" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = graft.Scratch.dir("graft_ann_index")
+      Similarity.ivfadcIndexBuild(e, path, NumCentroids)
+      Similarity.ivfadcIndexServe(e, path, NumQueries, TopK, NumProbes)
+        .orderBy("query_id", "rank")
+    }),
+    // Exact re-ranking refine (FAISS IndexRefine): approximate top-25
+    // from the compressed index, true vectors fetched for those 25
+    // per query only (broadcast semi-join on the scan), exact top-5.
+    "sim_ivfadc_refine" -> ((s, dir) =>
+      Similarity.ivfadcRefineTopK(t(s, dir, "embeddings"), NumQueries,
+        TopK, Rerank, NumCentroids, NumProbes)
+        .orderBy("query_id", "rank")),
+    // Incremental maintenance: build on the first half, encode ONLY
+    // the delta with the saved model, append — bit-identical to a full
+    // build because encoding is a pure function of (vector, model).
+    "sim_index_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = graft.Scratch.dir("graft_ann_inc")
+      val half = e.count() / 2
+      Similarity.ivfadcIndexBuild(e.where(col("vec_id") < half), path,
+        NumCentroids)
+      Similarity.ivfadcIndexAppend(e.where(col("vec_id") >= half), path)
+      Similarity.ivfadcIndexServe(e, path, NumQueries, TopK, NumProbes)
+        .orderBy("query_id", "rank")
+    }),
+    // Streaming ingest: the delta arrives as a file stream; each
+    // micro-batch encodes against the saved model and appends —
+    // stateless, so foreachBatch is the only streaming machinery.
+    // Drained index == batch build (shared oracle).
+    "st_index_ingest" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = graft.Scratch.dir("graft_ann_stream")
+      val deltaDir = graft.Scratch.dir("graft_ann_delta")
+      val half = e.count() / 2
+      Similarity.ivfadcIndexBuild(e.where(col("vec_id") < half), path,
+        NumCentroids)
+      e.where(col("vec_id") >= half).coalesce(2)
+        .write.mode("overwrite").parquet(deltaDir)
+      Similarity.ivfadcIndexIngest(
+        s.readStream.schema(e.schema).option("maxFilesPerTrigger", "1")
+          .parquet(deltaDir), path)
+      Similarity.ivfadcIndexServe(e, path, NumQueries, TopK, NumProbes)
+        .orderBy("query_id", "rank")
+    }),
+    // Residual IVFADC (by_residual=true): PQ codes quantize v − C[cid]
+    // — FAISS's default deployed form; scoring adds the per-probe
+    // q·C[cid] term and reconstructs ‖C+r̂‖² from driver-side tables,
+    // all exact BIGINT.
+    "sim_ivfadc_residual" -> ((s, dir) =>
+      Similarity.ivfadcResidualTopK(t(s, dir, "embeddings"), NumQueries,
+        TopK, NumCentroids, NumProbes)
+        .orderBy("query_id", "rank")),
+    // The train-then-serve ANN path: same probe machinery as
+    // sim_ivf_topk but over the Lloyd's-trained codebook. The oracle
+    // prepends the k-means CTE chain and swaps the centroid source.
+    "sim_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTopKTrained(t(s, dir, "embeddings"), NumQueries, TopK,
+        NumCentroids, NumProbes, KMeansIter, Dim)
+        .orderBy("query_id", "rank")),
+    // SemDeDup over the doubled fixture (exact dups under shifted ids,
+    // same synthesis as dd_embed_neardup): k-means clusters prune the
+    // pair space instead of LSH buckets; every shifted copy must be
+    // dropped, every original must survive.
+    "dd_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val doubled = e.unionAll(e.select(
+        (col("vec_id") + IdShift).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(doubled, SemThreshold, NumCentroids,
+        KMeansIter, Dim)
+        .orderBy("vec_id")
+    }),
+    // SemDeDup END-TO-END through the large-k reference-object
+    // assignment path (forceRefAssign; k=32, one Lloyd's round): the
+    // same train-cluster-score-drop pipeline as dd_semantic_dedup with
+    // the clustering assignment running through NearestCentroidExpr —
+    // the full-operator close of the round-9 literal-codebook `weak`.
+    "dd_semantic_bigk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val doubled = e.unionAll(e.select(
+        (col("vec_id") + IdShift).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(doubled, SemThreshold, 32, 1, Dim,
+        forceRefAssign = true)
+        .orderBy("vec_id")
+    })
+  )
+
+  private val quantCte =
+    """v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |FROM embeddings)""".stripMargin
+
+  /** One unrolled Lloyd's assignment: every vector in `vn` to its
+    * L2-nearest centroid of `cSrc` — row_number over
+    * (|v|²−2·v·c+|c|², cid), the same lexicographic argmin as the Spark
+    * `min(struct(dist, cid))`. */
+  private def kmeansAssignCte(cSrc: String, aName: String,
+                              vnName: String = "vn"): String =
+    s"""${aName}s AS (
+       |  SELECT vn.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY vn.vec_id
+       |      ORDER BY vn.nq - 2 * ${dotSql("vn.q", "c.cv")} + c.nc, c.cid) AS rn
+       |  FROM $vnName vn CROSS JOIN
+       |    (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM $cSrc) c),
+       |$aName AS (SELECT vec_id, cid FROM ${aName}s WHERE rn = 1)""".stripMargin
+
+  /** The unrolled k-means training chain, shared by every oracle that
+    * consumes the trained codebook (sim_kmeans, sim_ivf_trained,
+    * dd_semantic_dedup): expects a CTE `v(vec_id, q)` in scope, defines
+    * `vn` (with norms) and `c0`..`c$KMeansIter`, generated from the
+    * same constants as the Spark loop — per-dim BIGINT sums, truncating
+    * `//` means (DuckDB `//` and Spark `div` both truncate toward zero
+    * on all signs), empty clusters keeping the previous centroid via
+    * the per-dim LEFT JOIN COALESCE. */
+  /** The chain, parameterized for REUSE PER SUBSPACE (sim_pq_trained
+    * trains 8 independent sub-codebooks — one chain each, names
+    * prefixed, over the slice CTE `vName`, at the subspace's `dim`).
+    * `kmeansChainCtes` is exactly `kmeansChainFor("", "v", Dim,
+    * NumCentroids, KMeansIter)` — the full-width instance the three
+    * original consumers share. Defines `${pfx}vn` and
+    * `${pfx}c0`..`${pfx}c$numIter`. */
+  private def kmeansChainFor(pfx: String, vName: String, dim: Int,
+                             k: Int, numIter: Int,
+                             c0Select: Option[String] = None): String = {
+    val iters = (0 until numIter).map { it =>
+      s"""${kmeansAssignCte(s"${pfx}c$it", s"${pfx}a$it", s"${pfx}vn")},
+         |${pfx}m$it AS (SELECT cid, i, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS n
+         |  FROM ${pfx}a$it JOIN $vName USING (vec_id)
+         |  CROSS JOIN generate_series(1, $dim) g(i)
+         |  GROUP BY cid, i),
+         |${pfx}c${it + 1}d AS (SELECT p.cid, gi.i, COALESCE(m.s // m.n, p.cv[gi.i]) AS val
+         |  FROM ${pfx}c$it p CROSS JOIN generate_series(1, $dim) gi(i)
+         |  LEFT JOIN ${pfx}m$it m ON m.cid = p.cid AND m.i = gi.i),
+         |${pfx}c${it + 1} AS (SELECT cid, list(val ORDER BY i) AS cv
+         |  FROM ${pfx}c${it + 1}d GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val c0 = c0Select.getOrElse(
+      s"SELECT vec_id AS cid, q AS cv FROM $vName WHERE vec_id < $k")
+    s"""${pfx}vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM $vName),
+       |${pfx}c0 AS ($c0),
+       |$iters""".stripMargin
+  }
+
+  private lazy val kmeansChainCtes: String =
+    kmeansChainFor("", "v", Dim, NumCentroids, KMeansIter)
+
+  /** Deterministic farthest-point (maxmin) init CTEs: `ch{k-1}` ends
+    * holding the k picks as (pid, vec_id, q) — pid = pick order, the
+    * cid convention of [[Similarity.kMeansInitFarthest]]. Each step's
+    * arg-max (min-distance DESC, vec_id ASC, chosen excluded) mirrors
+    * the Spark struct-max exactly. */
+  private def farthestInitCtes(k: Int): String = {
+    // every ch/d CTE is MATERIALIZED: ch$i references ch${i-1} twice,
+    // and inlining would expand the chain exponentially (observed as a
+    // file-handle explosion re-opening the parquet 2^k times)
+    val steps = (1 until k).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v2.vec_id, v2.q,
+         |    min(${dotSql("v2.q", "v2.q")} - 2 * ${dotSql("v2.q", "p.q")} + ${dotSql("p.q", "p.q")}) AS d
+         |  FROM v v2 CROSS JOIN ch${i - 1} p
+         |  WHERE v2.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+         |  GROUP BY v2.vec_id, v2.q),
+         |fp$i AS (SELECT CAST($i AS BIGINT) AS pid, vec_id, q FROM (
+         |  SELECT vec_id, q, row_number() OVER (ORDER BY d DESC, vec_id) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |ch$i AS MATERIALIZED (SELECT * FROM ch${i - 1} UNION ALL SELECT * FROM fp$i)""".stripMargin
+    }.mkString(",\n")
+    s"""ch0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pid, vec_id, q FROM v
+       |  WHERE vec_id = (SELECT min(vec_id) FROM v)),
+       |$steps""".stripMargin
+  }
+
+  private lazy val kmeansOracle: String =
+    s"""WITH $quantCte,
+       |$kmeansChainCtes,
+       |${kmeansAssignCte(s"c$KMeansIter", "af")},
+       |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM af GROUP BY cid)
+       |SELECT p.cid, CAST(gi.i AS BIGINT) AS i, p.cv[gi.i] AS c_val,
+       |  CAST(COALESCE(sz.cluster_size, 0) AS BIGINT) AS cluster_size
+       |FROM c$KMeansIter p CROSS JOIN generate_series(1, $Dim) gi(i)
+       |LEFT JOIN sz ON sz.cid = p.cid
+       |ORDER BY p.cid, gi.i""".stripMargin
+
+  /** The IVF probe/score/rank tail, parameterized by the centroid
+    * source CTE body: expects `v` in scope, defines `n` and `c`,
+    * returns the final SELECT. Shared by sim_ivf_topk (first-C
+    * stand-in) and sim_ivf_trained (k-means chain). */
+  private def ivfOracleTail(centSelect: String): String =
+    s"""n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+       |c AS ($centSelect),
+       |sc AS (
+       |  SELECT n.vec_id, c.cid,
+       |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
+       |  FROM n CROSS JOIN c),
+       |best AS (
+       |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
+       |  FROM sc GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
+       |    FROM sc WHERE vec_id < $NumQueries)
+       |  WHERE pr <= $NumProbes),
+       |cand AS (SELECT n.*, b.cid FROM n JOIN best b USING (vec_id)),
+       |qs AS (
+       |  SELECT n.vec_id AS query_id, n.q AS qv, n.nq AS nqq, p.cid
+       |  FROM n JOIN probes p ON n.vec_id = p.query_id),
+       |pairs AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id, c.cid,
+       |    ${dotSql("q.qv", "c.q")} AS dot, q.nqq, c.nq AS nqc
+       |  FROM cand c JOIN qs q ON c.cid = q.cid
+       |  WHERE c.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, cand_id, cid, dot,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+       |  FROM pairs)
+       |SELECT query_id, cand_id, cid, dot, cosine, "rank"
+       |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+
+  /** The shared IVFADC probe+ADC tail — coarse-assign (sc/best), probe
+    * selection, per-subspace encode against `bn`, probed-list-only ADC
+    * scoring, rank. Expects in scope: `v` (vec_id, q), `n` (+ norms),
+    * `c` (cid, cv, nc — the COARSE codebook), `bn` (s, code, cv, nc —
+    * the SUB-codebooks). Shared by sim_ivfadc_topk (first-C stand-ins)
+    * and sim_ivfadc_trained (both models from training chains). */
+  private def ivfadcOracleTail(sub: Int): String =
+    s"""${ivfadcOracleCtes(sub)}
+       |SELECT query_id, cand_id, cid, adot, acos, "rank"
+       |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+
+  /** Same, stopping at the ranked CTE `r` so a composition (the exact
+    * re-ranking refine) can keep building. */
+  private def ivfadcOracleCtes(sub: Int): String =
+    s"""sc AS (
+       |  SELECT n.vec_id, c.cid,
+       |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
+       |  FROM n CROSS JOIN c),
+       |best AS (
+       |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
+       |  FROM sc GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
+       |    FROM sc WHERE vec_id < $NumQueries)
+       |  WHERE pr <= $NumProbes),
+       |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
+       |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
+       |enc AS (SELECT vec_id, s, code, nc FROM (
+       |  SELECT sl.vec_id, sl.s, b.code, b.nc,
+       |    row_number() OVER (PARTITION BY sl.vec_id, sl.s
+       |      ORDER BY b.nc - 2 * ${dotSql("sl.sv", "b.cv")}, b.code) AS rn
+       |  FROM sl JOIN bn b ON b.s = sl.s)
+       |  WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, q AS qv, nq AS nqq FROM n
+       |  WHERE vec_id < $NumQueries),
+       |qp AS (SELECT qs.query_id, qs.qv, qs.nqq, p.cid
+       |  FROM qs JOIN probes p USING (query_id)),
+       |cand AS (SELECT e.vec_id, e.s, e.code, e.nc, b.cid
+       |  FROM enc e JOIN best b USING (vec_id)),
+       |parts AS (SELECT qp.query_id, cd.vec_id AS cand_id, cd.cid, qp.nqq,
+       |    ${dotSql(s"(qp.qv[$sub*cd.s+1 : $sub*cd.s+$sub])", "b2.cv")} AS pdot,
+       |    cd.nc AS pnc
+       |  FROM cand cd JOIN bn b2 ON b2.s = cd.s AND b2.code = cd.code
+       |  JOIN qp ON qp.cid = cd.cid
+       |  WHERE cd.vec_id <> qp.query_id),
+       |sc2 AS (SELECT query_id, cand_id, cid, CAST(sum(pdot) AS BIGINT) AS adot,
+       |    CAST(sum(pnc) AS BIGINT) AS nrec, min(nqq) AS nqq
+       |  FROM parts GROUP BY query_id, cand_id, cid),
+       |r AS (SELECT query_id, cand_id, cid, adot,
+       |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+       |  FROM sc2)""".stripMargin
+
+  private lazy val ivfadcTopkOracle: String = {
+    val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
+    s"""WITH $quantCte,
+       |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+       |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+       |  WHERE vec_id < $NumCentroids),
+       |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+       |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+       |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+       |  WHERE vec_id < 16),
+       |${ivfadcOracleTail(sub)}""".stripMargin
+  }
+
+  protected val similarityOracles: Map[String, String] = Map(
+    "sim_kmeans" -> kmeansOracle,
+    // kmeansOracle with the init swapped for the maxmin pick chain.
+    "sim_kmeans_pp" ->
+      s"""WITH $quantCte,
+         |${farthestInitCtes(NumCentroids)},
+         |${kmeansChainFor("", "v", Dim, NumCentroids, KMeansIter,
+        Some(s"SELECT pid AS cid, q AS cv FROM ch${NumCentroids - 1}"))},
+         |${kmeansAssignCte(s"c$KMeansIter", "af")},
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM af GROUP BY cid)
+         |SELECT p.cid, CAST(gi.i AS BIGINT) AS i, p.cv[gi.i] AS c_val,
+         |  CAST(COALESCE(sz.cluster_size, 0) AS BIGINT) AS cluster_size
+         |FROM c$KMeansIter p CROSS JOIN generate_series(1, $Dim) gi(i)
+         |LEFT JOIN sz ON sz.cid = p.cid
+         |ORDER BY p.cid, gi.i""".stripMargin,
+    // Hierarchical assignment replay: super chain over the codebook
+    // rows (spc0→spc1), member binning (am), live supers (ls), row
+    // super probe (rsup), then the within-bin argmin — every level the
+    // same exact-integer (dist, id) lexicographic rule.
+    "sim_assign_hier" -> {
+      s"""WITH $quantCte,
+         |cb AS (SELECT vec_id AS cid, q AS cv FROM v
+         |  WHERE vec_id < $NumCentroidsBig),
+         |cbq AS (SELECT cid AS vec_id, cv AS q FROM cb),
+         |${kmeansChainFor("sp", "cbq", Dim, NumSupers, 1)},
+         |${kmeansAssignCte("spc1", "am", "spvn")},
+         |ls AS (SELECT DISTINCT cid AS sid FROM am),
+         |vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |${kmeansAssignCte(
+        "(SELECT s.cid, s.cv FROM spc1 s JOIN ls ON ls.sid = s.cid)",
+        "rsup")},
+         |fin AS (SELECT vec_id, sid, cid FROM (
+         |  SELECT vn.vec_id, r.cid AS sid, cb.cid,
+         |    row_number() OVER (PARTITION BY vn.vec_id
+         |      ORDER BY vn.nq - 2 * ${dotSql("vn.q", "cb.cv")} + ${dotSql("cb.cv", "cb.cv")}, cb.cid) AS rn
+         |  FROM vn JOIN rsup r ON r.vec_id = vn.vec_id
+         |  JOIN am ON am.cid = r.cid
+         |  JOIN cb ON cb.cid = am.vec_id)
+         |  WHERE rn = 1)
+         |SELECT vec_id, sid, cid FROM fin ORDER BY vec_id""".stripMargin
+    },
+    // Same argmin + tie-break as the k-means assignment CTE, over the
+    // first-400 codebook: DuckDB replays the reference-object path's
+    // result exactly (the Spark formulation change is invisible to the
+    // oracle — that is the point of the parity contract).
+    "sim_assign_bigk" ->
+      s"""WITH $quantCte,
+         |vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |${kmeansAssignCte(
+        s"(SELECT vec_id AS cid, q AS cv FROM v WHERE vec_id < $NumCentroidsBig)",
+        "af")}
+         |SELECT vec_id, cid FROM af ORDER BY vec_id""".stripMargin,
+    "sim_brute_topk" ->
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |sc AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${dotSql("qq.q", "c.q")} AS dot, qq.nq AS nqq, c.nq AS nqc
+         |  FROM n c CROSS JOIN n qq
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |r AS (
+         |  SELECT query_id, cand_id, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, dot, cosine, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin,
+    // Multi-table OR-amplified LSH: a candidate is admitted when it
+    // shares a sign-bucket with the query in ANY of the NumTables
+    // independent plane tables (same seeded-planes construction as
+    // Similarity.planes). DISTINCT collapses multi-table co-hits before
+    // ranking — mirroring the Spark side's cross-table dedup stage.
+    "sim_lsh_topk" -> {
+      val bucketsByTable = (0 until NumTables).map { t =>
+        Similarity.planes(NumPlanes, Dim, t).map(p =>
+          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+      }
+      val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
+        s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |bk AS (
+         |$bk),
+         |cand AS (
+         |  SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM bk c JOIN bk qq ON c.tbl = qq.tbl AND c.bucket = qq.bucket
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |sc AS (
+         |  SELECT query_id, cand_id,
+         |    ${dotSql("qn.q", "cn.q")} AS dot, qn.nq AS nqq, cn.nq AS nqc
+         |  FROM cand
+         |  JOIN n qn ON qn.vec_id = cand.query_id
+         |  JOIN n cn ON cn.vec_id = cand.cand_id),
+         |r AS (
+         |  SELECT query_id, cand_id, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, dot, cosine, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
+    "sim_ivf_topk" ->
+      s"""WITH $quantCte,
+         |${ivfOracleTail(
+        s"SELECT vec_id AS cid, q AS cv, nq AS nc FROM n WHERE vec_id < $NumCentroids")}""".stripMargin,
+    // Recall/MRR eval: the oracle replays BOTH the brute-force ranking
+    // and the multi-table LSH search (same CTE bodies as their own
+    // oracles), then the overlap join and the exact ppm ratios.
+    "sim_recall_eval" -> {
+      val bucketsByTable = (0 until NumTables).map { t =>
+        Similarity.planes(NumPlanes, Dim, t).map(p =>
+          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+      }
+      val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
+        s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |bsc AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${dotSql("qq.q", "c.q")} AS dot
+         |  FROM n c CROSS JOIN n qq
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |bt AS (SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dot DESC, cand_id) AS rk
+         |    FROM bsc) WHERE rk <= $TopK),
+         |bk AS (
+         |$bk),
+         |cand AS (
+         |  SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM bk c JOIN bk qq ON c.tbl = qq.tbl AND c.bucket = qq.bucket
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |lsc AS (
+         |  SELECT query_id, cand_id, ${dotSql("qn.q", "cn.q")} AS dot
+         |  FROM cand
+         |  JOIN n qn ON qn.vec_id = cand.query_id
+         |  JOIN n cn ON cn.vec_id = cand.cand_id),
+         |lt AS (SELECT query_id, cand_id, rk FROM (
+         |    SELECT query_id, cand_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT)
+         |      AS rk
+         |    FROM lsc) WHERE rk <= $TopK),
+         |hits AS (SELECT lt.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    min(lt.rk) AS first_hit
+         |  FROM lt JOIN bt USING (query_id, cand_id) GROUP BY lt.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM bt)
+         |SELECT qs.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  (coalesce(h.n_hits, 0) * 1000000) // $TopK AS recall_ppm,
+         |  CASE WHEN h.first_hit IS NOT NULL THEN 1000000 // h.first_hit
+         |    ELSE 0 END AS mrr_ppm
+         |FROM qs LEFT JOIN hits h USING (query_id)
+         |ORDER BY qs.query_id""".stripMargin
+    },
+    // Recall/MRR of IVFADC vs brute force: the full probe+ADC replay
+    // (shared CTE builders) feeds the same overlap/ppm tail.
+    "sim_recall_eval_ivfadc" -> {
+      val sub = 8
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |  WHERE vec_id < $NumCentroids),
+         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])",
+        s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |${ivfadcOracleCtes(sub)},
+         |ar AS (SELECT query_id, cand_id, "rank" AS rk FROM r
+         |  WHERE "rank" <= $TopK),
+         |bsc AS (
+         |  SELECT qq.vec_id AS query_id, cc.vec_id AS cand_id,
+         |    ${dotSql("qq.q", "cc.q")} AS dot
+         |  FROM n cc CROSS JOIN n qq
+         |  WHERE qq.vec_id < $NumQueries AND cc.vec_id <> qq.vec_id),
+         |bt AS (SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dot DESC, cand_id) AS brk
+         |    FROM bsc) WHERE brk <= $TopK),
+         |hits AS (SELECT ar.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(min(ar.rk) AS BIGINT) AS first_hit
+         |  FROM ar JOIN bt USING (query_id, cand_id)
+         |  GROUP BY ar.query_id),
+         |qq2 AS (SELECT DISTINCT query_id FROM bt)
+         |SELECT qq2.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  (coalesce(h.n_hits, 0) * 1000000) // $TopK AS recall_ppm,
+         |  CASE WHEN h.first_hit IS NOT NULL THEN 1000000 // h.first_hit
+         |    ELSE 0 END AS mrr_ppm
+         |FROM qq2 LEFT JOIN hits h USING (query_id)
+         |ORDER BY qq2.query_id""".stripMargin
+    },
+    // PQ/ADC replay: per-subspace argmin encoding (row_number over the
+    // same (‖C‖²−2·slice·C, code) lexicographic key as the Spark
+    // array_min), then the asymmetric score reassembled as the sum of
+    // per-subspace partial dots against the SELECTED codeword.
+    "sim_pq_topk" -> {
+      val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
+      s"""WITH $quantCte,
+         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
+         |enc AS (SELECT vec_id, s, code, nc FROM (
+         |  SELECT sl.vec_id, sl.s, b.code, b.nc,
+         |    row_number() OVER (PARTITION BY sl.vec_id, sl.s
+         |      ORDER BY b.nc - 2 * ${dotSql("sl.sv", "b.cv")}, b.code) AS rn
+         |  FROM sl JOIN bn b ON b.s = sl.s)
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, ${dotSql("q", "q")} AS nqq
+         |  FROM v WHERE vec_id < $NumQueries),
+         |parts AS (SELECT qs.query_id, e.vec_id AS cand_id, qs.nqq,
+         |    ${dotSql(s"(qs.qv[$sub*e.s+1 : $sub*e.s+$sub])", "b2.cv")} AS pdot,
+         |    e.nc
+         |  FROM enc e JOIN bn b2 ON b2.s = e.s AND b2.code = e.code
+         |  CROSS JOIN qs
+         |  WHERE e.vec_id <> qs.query_id),
+         |sc AS (SELECT query_id, cand_id, CAST(sum(pdot) AS BIGINT) AS adot,
+         |    CAST(sum(nc) AS BIGINT) AS nrec, min(nqq) AS nqq
+         |  FROM parts GROUP BY query_id, cand_id),
+         |r AS (SELECT query_id, cand_id, adot,
+         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, adot, acos, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
+    // Trained-PQ replay: one prefixed k-means chain per subspace over
+    // its slice CTE (p{s}vn, p{s}c0..p{s}c2), the union of the 8
+    // trained books as bn, then the SAME encode/score/rank tail as
+    // sim_pq_topk — the oracle proves training changed only the model.
+    "sim_pq_trained" -> {
+      val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
+      val chains = (0 until sub).map { s =>
+        s"""v$s AS (SELECT vec_id, q[$sub*$s+1 : $sub*$s+$sub] AS q FROM v),
+           |${kmeansChainFor(s"p$s", s"v$s", sub, 16, KMeansIter)}""".stripMargin
+      }.mkString(",\n")
+      val bnUnion = (0 until sub).map { s =>
+        s"SELECT $s AS s, cid AS code, cv, ${dotSql("cv", "cv")} AS nc FROM p${s}c$KMeansIter"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $quantCte,
+         |$chains,
+         |bn AS (
+         |  $bnUnion),
+         |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
+         |enc AS (SELECT vec_id, s, code, nc FROM (
+         |  SELECT sl.vec_id, sl.s, b.code, b.nc,
+         |    row_number() OVER (PARTITION BY sl.vec_id, sl.s
+         |      ORDER BY b.nc - 2 * ${dotSql("sl.sv", "b.cv")}, b.code) AS rn
+         |  FROM sl JOIN bn b ON b.s = sl.s)
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, ${dotSql("q", "q")} AS nqq
+         |  FROM v WHERE vec_id < $NumQueries),
+         |parts AS (SELECT qs.query_id, e.vec_id AS cand_id, qs.nqq,
+         |    ${dotSql(s"(qs.qv[$sub*e.s+1 : $sub*e.s+$sub])", "b2.cv")} AS pdot,
+         |    e.nc
+         |  FROM enc e JOIN bn b2 ON b2.s = e.s AND b2.code = e.code
+         |  CROSS JOIN qs
+         |  WHERE e.vec_id <> qs.query_id),
+         |sc AS (SELECT query_id, cand_id, CAST(sum(pdot) AS BIGINT) AS adot,
+         |    CAST(sum(nc) AS BIGINT) AS nrec, min(nqq) AS nqq
+         |  FROM parts GROUP BY query_id, cand_id),
+         |r AS (SELECT query_id, cand_id, adot,
+         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, adot, acos, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
+    // IVFADC: the coarse CTEs (c/sc/best/probes) verbatim from the IVF
+    // oracle + the PQ CTEs (bn/sl/enc) verbatim from the PQ oracle,
+    // joined so per-subspace partial dots are summed ONLY for (query,
+    // candidate) pairs whose candidate sits in a probed list.
+    "sim_ivfadc_topk" -> ivfadcTopkOracle,
+    // the persisted-index roundtrip, the incremental append, and the
+    // streaming ingest all serve bit-identically to the direct
+    // operator, so they share its oracle — the k_*_roundtrip
+    // losslessness pattern applied to an ANN index lifecycle
+    "sim_index_roundtrip" -> ivfadcTopkOracle,
+    "sim_index_append" -> ivfadcTopkOracle,
+    "st_index_ingest" -> ivfadcTopkOracle,
+    // refine: the IVFADC CTEs ranked to top-Rerank, then exact
+    // re-scoring of just those candidates against the true vectors
+    "sim_ivfadc_refine" -> {
+      val sub = 8
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |  WHERE vec_id < $NumCentroids),
+         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |${ivfadcOracleCtes(sub)},
+         |ap AS (SELECT query_id, cand_id FROM r WHERE "rank" <= $Rerank),
+         |ex AS (SELECT ap.query_id, ap.cand_id,
+         |    ${dotSql("qn.q", "cn.q")} AS dot, qn.nq AS nqq, cn.nq AS nqc
+         |  FROM ap JOIN n qn ON qn.vec_id = ap.query_id
+         |  JOIN n cn ON cn.vec_id = ap.cand_id),
+         |r2 AS (SELECT query_id, cand_id, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nqc AS DOUBLE))) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM ex)
+         |SELECT query_id, cand_id, dot, cosine, "rank"
+         |FROM r2 WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
+    // SQ8 replay: per-dim range stats, truncating affine encode (all
+    // operands non-negative, so DuckDB // == Spark div), reconstruction
+    // from codes + ranges, exact-BIGINT asymmetric dot.
+    "sim_sq_topk" ->
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |st AS (SELECT i, min(q[i]) AS mn, max(q[i]) AS mx
+         |  FROM v CROSS JOIN generate_series(1, $Dim) g(i) GROUP BY i),
+         |enc AS (SELECT v.vec_id, g.i,
+         |    CASE WHEN st.mx = st.mn THEN 0
+         |         ELSE (v.q[g.i] - st.mn) * 255 // (st.mx - st.mn) END AS code
+         |  FROM v CROSS JOIN generate_series(1, $Dim) g(i)
+         |  JOIN st ON st.i = g.i),
+         |rec AS (SELECT e.vec_id, e.i,
+         |    CASE WHEN st.mx = st.mn THEN st.mn
+         |         ELSE st.mn + e.code * (st.mx - st.mn) // 255 END AS rv
+         |  FROM enc e JOIN st ON st.i = e.i),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, nq AS nqq FROM n
+         |  WHERE vec_id < $NumQueries),
+         |parts AS (SELECT qs.query_id, r.vec_id AS cand_id, qs.nqq,
+         |    qs.qv[r.i] * r.rv AS pd, r.rv * r.rv AS pr
+         |  FROM rec r CROSS JOIN qs
+         |  WHERE r.vec_id <> qs.query_id),
+         |sc AS (SELECT query_id, cand_id, CAST(sum(pd) AS BIGINT) AS adot,
+         |    CAST(sum(pr) AS BIGINT) AS nrec, min(nqq) AS nqq
+         |  FROM parts GROUP BY query_id, cand_id),
+         |r AS (SELECT query_id, cand_id, adot,
+         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, cand_id, adot, acos, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin,
+    // Residual IVFADC replay: residuals via indexed list_transform
+    // against the assigned centroid, residual books from the first-16
+    // vectors' own residuals, and the score reassembled as
+    // q·C + Σ per-subspace residual partial dots; the reconstruction
+    // norm is ‖C‖² + 2·Σ C_slice·codeword + Σ‖codeword‖².
+    "sim_ivfadc_residual" -> {
+      val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |  WHERE vec_id < $NumCentroids),
+         |sc AS (
+         |  SELECT n.vec_id, c.cid,
+         |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
+         |  FROM n CROSS JOIN c),
+         |best AS (
+         |  SELECT vec_id, (max(struct_pack(s := score, c := cid))).c AS cid
+         |  FROM sc GROUP BY vec_id),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS pr
+         |    FROM sc WHERE vec_id < $NumQueries)
+         |  WHERE pr <= $NumProbes),
+         |rs AS (SELECT n.vec_id, b.cid,
+         |    list_transform(generate_series(1, $Dim), i -> n.q[i] - cc.cv[i]) AS r
+         |  FROM n JOIN best b USING (vec_id) JOIN c cc ON cc.cid = b.cid),
+         |rbn AS (SELECT s, vec_id AS code, r[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(r[$sub*s+1 : $sub*s+$sub])", s"(r[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM rs CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |rsl AS (SELECT vec_id, cid, s, r[$sub*s+1 : $sub*s+$sub] AS sv
+         |  FROM rs CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
+         |renc AS (SELECT vec_id, cid, s, code, nc FROM (
+         |  SELECT rsl.vec_id, rsl.cid, rsl.s, b.code, b.nc,
+         |    row_number() OVER (PARTITION BY rsl.vec_id, rsl.s
+         |      ORDER BY b.nc - 2 * ${dotSql("rsl.sv", "b.cv")}, b.code) AS rn
+         |  FROM rsl JOIN rbn b ON b.s = rsl.s)
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qv, nq AS nqq FROM n
+         |  WHERE vec_id < $NumQueries),
+         |qp AS (SELECT qs.query_id, qs.qv, qs.nqq, p.cid,
+         |    ${dotSql("qs.qv", "cc.cv")} AS qcdot
+         |  FROM qs JOIN probes p USING (query_id)
+         |  JOIN c cc ON cc.cid = p.cid),
+         |parts AS (SELECT qp.query_id, e.vec_id AS cand_id, e.cid, qp.nqq,
+         |    qp.qcdot, cc.nc AS pncc,
+         |    ${dotSql(s"(qp.qv[$sub*e.s+1 : $sub*e.s+$sub])", "b2.cv")} AS pdot,
+         |    b2.nc AS pnc,
+         |    ${dotSql(s"(cc.cv[$sub*e.s+1 : $sub*e.s+$sub])", "b2.cv")} AS pcr
+         |  FROM renc e JOIN rbn b2 ON b2.s = e.s AND b2.code = e.code
+         |  JOIN c cc ON cc.cid = e.cid
+         |  JOIN qp ON qp.cid = e.cid
+         |  WHERE e.vec_id <> qp.query_id),
+         |sc2 AS (SELECT query_id, cand_id, cid,
+         |    CAST(min(qcdot) + sum(pdot) AS BIGINT) AS adot,
+         |    CAST(min(pncc) + 2 * sum(pcr) + sum(pnc) AS BIGINT) AS nrec,
+         |    min(nqq) AS nqq
+         |  FROM parts GROUP BY query_id, cand_id, cid),
+         |r AS (SELECT query_id, cand_id, cid, adot,
+         |    CAST(adot AS DOUBLE) / (sqrt(CAST(nqq AS DOUBLE)) * sqrt(CAST(nrec AS DOUBLE))) AS acos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM sc2)
+         |SELECT query_id, cand_id, cid, adot, acos, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
+    // Fully-trained IVFADC: the coarse k-means chain (as
+    // sim_ivf_trained) AND the 8 per-subspace training chains (as
+    // sim_pq_trained), feeding the shared probe+ADC tail — the
+    // complete train-then-serve replay.
+    "sim_ivfadc_trained" -> {
+      val sub = 8
+      val chains = (0 until sub).map { s =>
+        s"""v$s AS (SELECT vec_id, q[$sub*$s+1 : $sub*$s+$sub] AS q FROM v),
+           |${kmeansChainFor(s"p$s", s"v$s", sub, 16, KMeansIter)}""".stripMargin
+      }.mkString(",\n")
+      val bnUnion = (0 until sub).map { s =>
+        s"SELECT $s AS s, cid AS code, cv, ${dotSql("cv", "cv")} AS nc FROM p${s}c$KMeansIter"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $quantCte,
+         |$kmeansChainCtes,
+         |$chains,
+         |n AS (SELECT vec_id, q, nq FROM vn),
+         |c AS (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM c$KMeansIter),
+         |bn AS (
+         |  $bnUnion),
+         |${ivfadcOracleTail(sub)}""".stripMargin
+    },
+    "sim_ivf_trained" ->
+      s"""WITH $quantCte,
+         |$kmeansChainCtes,
+         |${ivfOracleTail(
+        s"""SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM c$KMeansIter""")}""".stripMargin,
+    "dd_semantic_dedup" -> semanticDedupOracle(kmeansChainCtes, KMeansIter),
+    // identical pipeline, k=32 / one round — the chain and the final
+    // assign swap in; the Spark-side formulation change (reference
+    // object vs literals) is invisible to the oracle, which is the
+    // parity point.
+    "dd_semantic_bigk" ->
+      semanticDedupOracle(kmeansChainFor("", "v", Dim, 32, 1), 1)
+  )
+
+  /** The SemDeDup oracle tail, parameterized by the training chain (and
+    * its final-codebook index): doubled fixture → quantize → train →
+    * assign → within-cluster cosine pairs → drop higher-id near-dups. */
+  private def semanticDedupOracle(chain: String, iters: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + $IdShift, embedding FROM embeddings),
+       |v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |FROM e),
+       |$chain,
+       |${kmeansAssignCte(s"c$iters", "af")},
+       |mm AS (SELECT vn.vec_id, vn.q, vn.nq, af.cid
+       |  FROM vn JOIN af USING (vec_id)),
+       |rm AS (SELECT DISTINCT b.vec_id
+       |  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE CAST(${dotSql("a.q", "b.q")} AS DOUBLE) /
+       |    (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= $SemThreshold)
+       |SELECT m.vec_id, m.cid FROM mm m
+       |WHERE m.vec_id NOT IN (SELECT vec_id FROM rm)
+       |ORDER BY m.vec_id""".stripMargin
+
+}

@@ -1,0 +1,273 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Streaming family of the extension registry — genuinely streaming
+  * plans (file stream → watermark/window/state → memory sink, run to
+  * completion) graded against the SAME oracles as their batch duals
+  * (extends [[RegistryEvents]] for that shared oracle SQL). See
+  * [[RegistryShared]]. */
+private[graft] trait RegistryStreaming extends RegistryEvents {
+  // ---------------------------------------------------------------------
+  // Streaming (graft.streaming.StreamOps) — a genuinely streaming plan
+  // (file stream → watermark+window agg → memory sink, run to
+  // completion) plus the stream-capable session_window operator in its
+  // batch mode. Both get the SAME oracles as their batch duals: the
+  // value-for-value match IS the stream/batch parity proof.
+  // ---------------------------------------------------------------------
+
+  protected val streaming: Map[String, Q] = Map(
+    "st_hourly_rollup" -> ((s, dir) =>
+      graft.streaming.StreamOps.runToCompletion(
+        s, Tables.loadStream(s, dir, "events"),
+        graft.streaming.StreamOps.hourlyRollupStream,
+        shufflePartitions = StreamStateParts)
+        .orderBy("hour", "event_type")),
+    // The bounded-state form of the rollup: HLL sketch per (window,
+    // type) instead of collect_set — fixed state memory at any stream
+    // cardinality. Hash-checked like its batch dual: the drained stream
+    // result goes through the same grading wrapper, so the oracle is
+    // the exact rollup + TRUE (estimate within the StreamingSpec bar).
+    "st_hourly_rollup_approx" -> ((s, dir) =>
+      Events.approxRollupEval(
+        graft.streaming.StreamOps.runToCompletion(
+          s, Tables.loadStream(s, dir, "events"),
+          graft.streaming.StreamOps.hourlyRollupApproxStream,
+          shufflePartitions = StreamStateParts),
+        t(s, dir, "events"), HllBoundPpm)
+        .orderBy("hour", "event_type")),
+    "st_session_window" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionWindowAgg(
+        t(s, dir, "events"), SessionGapSeconds)
+        .orderBy("user_id", "start_us")),
+
+    // Streaming corpus prep: the documents file streamed twice
+    // (at-least-once delivery), quality + language predicates as
+    // stateless filters on the scan, then watermark-bounded key dedup —
+    // the streaming dual of tp_corpus_pipeline's front half. Event time
+    // is synthesized deterministically from doc_id (positive epoch —
+    // rows at/below the engine's initial watermark would drop as late).
+    "st_corpus_prep" -> ((s, dir) => {
+      def docStream() = Tables.loadStream(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
+      graft.streaming.StreamOps.runToCompletion(s,
+        docStream().unionAll(docStream()),
+        graft.streaming.StreamOps.corpusPrepStream(_, PipelineLang),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .orderBy("doc_id")
+    }),
+
+    // Streaming exact dedup: the same file streamed twice (UNION ALL of
+    // two identical sources), deduplicated on event_id with watermarked,
+    // BOUNDED state (dropDuplicatesWithinWatermark — state evicts once
+    // the watermark passes ts + delay) — each event emitted exactly once.
+    "st_stream_dedup" -> ((s, dir) => {
+      val src = Tables.loadStream(s, dir, "events")
+        .unionAll(Tables.loadStream(s, dir, "events"))
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        graft.streaming.StreamOps.streamDedup(_),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .orderBy("event_id")
+    }),
+
+    // ARBITRARY-STATE sessionization (flatMapGroupsWithState, event-time
+    // timeout) run as a real stream and checked against the SAME oracle
+    // as the batch window and the two-level form — the third stream/
+    // batch parity proof, this one for custom state. A sentinel event
+    // (user −1) past every session's timeout is appended so the final
+    // watermark closes each real user's last open session before the
+    // stream drains; the sentinel's own session stays open and is
+    // filtered out.
+    "st_stateful_sessions" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      import s.implicits._
+      val batch = t(s, dir, "events")
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + (SessionGapSeconds + 3600) * 1000L)
+      val sentinelDir = graft.Scratch.dir("graft_st_sentinel")
+      Seq((-1L, -1L, sentinelTs)).toDF("user_id", "event_id", "ts")
+        .write.mode("overwrite").parquet(sentinelDir)
+      val evStream = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "ts")
+      val src = evStream.unionAll(
+        s.readStream.schema(s.read.parquet(sentinelDir).schema)
+          .parquet(sentinelDir))
+      StreamOps.runToCompletion(s, src,
+        df => StreamOps.statefulSessionize(
+          df.as[StreamOps.Ev], SessionGapSeconds).toDF(),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Streaming CDC snapshot: one struct-max state row per user,
+    // complete-mode emission; drained result == the batch snapshot
+    // (shared oracle).
+    "st_latest_snapshot" -> ((s, dir) => {
+      val src = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        graft.streaming.StreamOps.latestSnapshotStream,
+        outputMode = "complete", shufflePartitions = StreamStateParts)
+        .orderBy("user_id")
+    }),
+    // Changelog-mode CDC snapshot: per batch, only the touched keys'
+    // struct-max rows merge into the generation table (order-
+    // insensitive max merge), closing complete-mode's full-keyset
+    // re-emission gap; drained result == the batch snapshot (shared
+    // oracle).
+    "st_snapshot_changelog" -> ((s, dir) => {
+      val src = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      graft.streaming.StreamOps.runSnapshotChangelog(s, src,
+        graft.Scratch.dir("graft_st_changelog"))
+        .orderBy("user_id")
+    }),
+    // Streaming SCD2: incremental run compression with state-change
+    // emission; the beyond-horizon sentinel flushes open intervals so
+    // the drained stream equals the batch scd2 (same oracle).
+    // CONSTRAINT (enforced, not assumed): the events source must drain
+    // in ONE micro-batch — statefulScd2 orders events only within a
+    // batch, and a mid-stream flush would restart versions — so
+    // singleBatchSources asserts it from the query progress; a source
+    // split across batches fails loudly instead of hash-mismatching.
+    "st_scd2" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      import s.implicits._
+      val batch = t(s, dir, "events")
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)
+      val sentinelDir = graft.Scratch.dir("graft_st_scd2_sentinel")
+      Seq((-1L, -1L, "flush", sentinelTs))
+        .toDF("user_id", "event_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(sentinelDir)
+      val evStream = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      val src = evStream.unionAll(
+        s.readStream.schema(s.read.parquet(sentinelDir).schema)
+          .parquet(sentinelDir))
+      StreamOps.runToCompletion(s, src,
+        df => StreamOps.statefulScd2(df.as[StreamOps.TypedEv]).toDF(),
+        outputMode = "append", shufflePartitions = StreamStateParts,
+        singleBatchSources = Seq(0))
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "version")
+    }),
+
+    // Stream-stream watermarked interval join (views × clicks of the
+    // same user within the attribution window) — a genuinely streaming
+    // join with bounded state; one file stream forked into two sides
+    // (stream self-joins are supported for inner joins). Oracle = the
+    // batch BETWEEN range join in DuckDB.
+    "st_stream_join" -> ((s, dir) => {
+      val src = Tables.loadStream(s, dir, "events")
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        df => graft.streaming.StreamOps.streamIntervalJoin(
+          df.where(col("event_type") === "view"),
+          df.where(col("event_type") === "click"),
+          StreamJoinWindowSeconds),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .orderBy("view_event_id", "click_event_id")
+    }),
+
+    // Stream-STATIC enrichment: each streamed event picks up its user's
+    // total count from a batch-side dimension (broadcast — stateless,
+    // no watermark, no state store). Oracle = the same join in batch.
+    "st_static_enrich" -> ((s, dir) => {
+      val dim = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("user_events"))
+      val src = Tables.loadStream(s, dir, "events")
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        df => graft.streaming.StreamOps.enrichWithStatic(
+          df.select("event_id", "user_id"), dim, "user_id"),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .orderBy("event_id")
+    })
+  )
+
+  protected val streamingOracles: Map[String, String] = Map(
+    // Identical to ev_hourly_rollup: the streaming plan must agree with
+    // the batch aggregate bit-for-bit.
+    "st_hourly_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // Graded like its batch dual — exact columns + literal TRUE (see
+    // Events.approxRollupEval).
+    "st_hourly_rollup_approx" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // session_window semantics: window = [first event, last event + gap).
+    "st_session_window" ->
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |b AS (SELECT user_id, event_id, us, value,
+         |  CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > ${SessionGapSeconds * 1000000L}
+         |       THEN 1 ELSE 0 END AS brk
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (SELECT user_id, us, value,
+         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |FROM b)
+         |SELECT user_id, min(us) AS start_us,
+         |  max(us) + ${SessionGapSeconds * 1000000L} AS end_us,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, start_us""".stripMargin,
+    "st_stream_dedup" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Batch dual of the streaming corpus prep: the quality/langid
+    // survivors, each exactly once.
+    "st_corpus_prep" ->
+      s"""WITH ${qualityLangCtesOver("documents", PipelineLang)}
+         |SELECT doc_id, n_tokens FROM q ORDER BY doc_id""".stripMargin,
+    // Identical to the batch sessionize oracle: custom streaming state
+    // must agree with the window formulation bit-for-bit.
+    "st_stateful_sessions" -> sessionizeOracleSql,
+    // The streaming CDC run compression must equal the batch interval
+    // build value-for-value once drained (sentinel-flushed).
+    "st_scd2" -> scd2OracleSql,
+    // The drained streaming snapshot must equal the batch struct-max.
+    "st_latest_snapshot" -> latestSnapshotOracleSql,
+    "st_snapshot_changelog" -> latestSnapshotOracleSql,
+    // Batch dual of the streaming interval join: inclusive BETWEEN on
+    // micros; (view_event_id, click_event_id) is a unique pair → total
+    // order, inner join → no nulls.
+    "st_stream_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |v AS (SELECT user_id, event_id AS view_event_id, us AS v_us
+         |  FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id AS c_user_id,
+         |  event_id AS click_event_id, us AS c_us
+         |  FROM e WHERE event_type = 'click')
+         |SELECT v.user_id, view_event_id, click_event_id, v_us, c_us
+         |FROM v JOIN c ON v.user_id = c_user_id
+         |  AND c_us >= v_us
+         |  AND c_us <= v_us + ${StreamJoinWindowSeconds * 1000000L}
+         |ORDER BY view_event_id, click_event_id""".stripMargin,
+    "st_static_enrich" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, d.user_events
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY event_id""".stripMargin
+  )
+
+}
