@@ -146,6 +146,40 @@ object RegistryRank {
     * (measured: >5 min un-materialized vs 0.1 s materialized at
     * sf0.01). */
   private def bpeTrainOracle(rounds: Int): String = {
+    val union = (1 to rounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, lhs, rhs, " +
+        s"lhs || rhs AS merged, n FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeRoundCtes(rounds)}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY merge_round""".stripMargin
+  }
+
+  /** Encode-side replay over the SAME round chain: each document's
+    * per-word BPE token counts come from the final vocabulary
+    * segmentation v`rounds` — the corpus is never re-segmented, exactly
+    * like the Spark side. */
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""WITH ${bpeRoundCtes(rounds)},
+       |tokd AS MATERIALIZED (SELECT doc_id, unnest(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents),
+       |wl AS MATERIALIZED (SELECT t,
+       |    CAST(len(syms) AS BIGINT) AS ntok FROM v$rounds)
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(len(d.t)) AS BIGINT) AS n_chars,
+       |  CAST(sum(w.ntok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(w.ntok) AS BIGINT) * 1000000
+       |    // CAST(sum(len(d.t)) AS BIGINT) AS compress_ppm
+       |FROM tokd d JOIN wl w ON d.t = w.t
+       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
+  /** The shared WITH-body of [[bpeTrainOracle]] / [[bpeEncodeOracle]]:
+    * tokenization, the character-segmented vocabulary v0, and `rounds`
+    * merge rounds v1..vN (every CTE MATERIALIZED — see the class note
+    * above). */
+  private def bpeRoundCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       val p = i - 1
       s"""p$i AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
@@ -179,20 +213,13 @@ object RegistryRank {
          |    LEFT JOIN x$i b ON e.t = b.t AND e.i = b.i + 1)
          |  GROUP BY t)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_round, lhs, rhs, " +
-        s"lhs || rhs AS merged, n FROM m$i"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH tok AS MATERIALIZED (SELECT unnest(
+    s"""tok AS MATERIALIZED (SELECT unnest(
        |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
        |  FROM documents),
        |v0 AS MATERIALIZED (SELECT t, CAST(count(*) AS BIGINT) AS freq,
        |    string_split(t, '') AS syms
        |  FROM tok GROUP BY t),
-       |$roundCtes
-       |SELECT * FROM (
-       |$union
-       |) ORDER BY merge_round""".stripMargin
+       |$roundCtes""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -287,6 +314,14 @@ object RegistryRank {
     "tx_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", BpeMerges)
         .orderBy("merge_round")),
+    // Encode side of the trainer: per-doc token counts under the
+    // learned merges — the number the token-budget/packing stages
+    // actually consume. Corpus is never re-segmented; the per-word
+    // lengths come off the vocab table.
+    "tx_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+        BpeMerges)
+        .orderBy("doc_id")),
     // Robust MAD anomaly flags over hourly ingest volumes — exact
     // half/quarter-integer medians, bit-identical cross-engine.
     "ev_anomaly_mad" -> ((s, dir) =>
@@ -320,6 +355,7 @@ object RegistryRank {
 
   val oracles: Map[String, String] = Map(
     "tx_bpe_train" -> bpeTrainOracle(BpeMerges),
+    "tx_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "gr_pagerank" -> pageRankOracle(PageRankIters),
     "gr_pagerank_weighted" -> pageRankWeightedOracle(PageRankIters),
     "dd_substring_spans" ->

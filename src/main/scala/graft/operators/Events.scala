@@ -49,16 +49,24 @@ object Events {
     * `countDistinct` expands to a TWO-phase aggregation (first on
     * (group, user), then on group: every distinct pair shuffles);
     * `approx_count_distinct` keeps ONE shuffle whose state per group is
-    * a fixed-size HyperLogLog++ sketch (rsd 2.3%), so memory is bounded
-    * no matter how many distinct users an hour has. Approximate ⇒
-    * hash-checked through the [[approxRollupEval]] grading wrapper (plus
-    * an error-bound EventsSpec test). */
-  def hourlyRollupApprox(df: DataFrame): DataFrame =
+    * a fixed-size HyperLogLog++ sketch, so memory is bounded no matter
+    * how many distinct users an hour has. Approximate ⇒ hash-checked
+    * through the [[approxRollupEval]] grading wrapper (plus an
+    * error-bound EventsSpec test).
+    *
+    * Default `rsd` is 1%, NOT Spark's 5%: the grading bar is
+    * max(1, 5%) per group, and a 5%-rsd sketch (2⁹ registers) sits at
+    * 1σ — across thousands of groups some group WILL exceed its own
+    * rsd (observed at sf0.1: one hour-type group off by >5% in the
+    * linear-counting regime). 1% rsd (2¹⁴ registers, ~16 KB/group
+    * worst-case — still fixed-size state) is sparse-exact at
+    * small-group cardinalities and 5σ under the bar in dense mode. */
+  def hourlyRollupApprox(df: DataFrame, rsd: Double = 0.01): DataFrame =
     df.groupBy(
         date_trunc("hour", col("ts")).cast(StringType).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
         sum(micros(col("value"))).as("value_micros"))
       .withColumn("value_sum", col("value_micros").cast(DoubleType) / 1000000)
 

@@ -588,8 +588,53 @@ object TextAnalysis {
     * the oracle replays every round as unrolled CTEs with a
     * window-function formulation of the same merge rule. */
   def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"bpeTrain: rounds=$rounds")
     val spark = df.sparkSession
+    val merges = bpeTrainState(df, textCol, rounds)._2
+    import spark.implicits._
+    merges.toDF("merge_round", "lhs", "rhs", "n")
+      .select(col("merge_round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+  }
+
+  /** BPE ENCODE under a vocabulary trained on the SAME corpus — the
+    * apply side of [[bpeTrain]], closing the tokenizer loop: per-doc
+    * token counts after `rounds` learned merges, the number the token
+    * budget / packing stages actually consume (a whitespace word count
+    * over-estimates tokens; a trained-BPE count is what the model sees).
+    * Emits `(doc_id, n_words, n_chars, n_bpe_tokens, compress_ppm)` —
+    * compress_ppm = n_bpe_tokens·10⁶ div n_chars, the compression the
+    * learned merges bought (1e6 = no merge applied anywhere).
+    *
+    * Scale shape: training touches the corpus once ([[bpeTrain]]'s
+    * word-count aggregate); ENCODING never re-segments the corpus — the
+    * final per-WORD segmentation lengths live on the |vocab| table, so
+    * encode is one corpus explode joined to vocab (AQE broadcasts the
+    * vocab side when it fits) and one per-doc sum. The O(len²) fold
+    * cost stays on the vocab table, paid once per distinct word, not
+    * once per occurrence — the aggregate-before-expensive-work shape. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    val vocab = bpeTrainState(df, textCol, rounds)._1
+    val wordLens = vocab.select(col("t"),
+      size(col("syms")).cast(LongType).as("ntok"))
+    df.select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .join(wordLens, Seq("t"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("t"))).cast(LongType).as("n_chars"),
+        sum(col("ntok")).cast(LongType).as("n_bpe_tokens"))
+      .withColumn("compress_ppm",
+        expr("n_bpe_tokens * 1000000 div n_chars"))
+  }
+
+  /** Shared trainer loop of [[bpeTrain]] / [[bpeEncode]]: returns the
+    * final vocabulary segmentation `(t, freq, syms)` (checkpointed —
+    * safe to reuse across actions) and the merge table in training
+    * order. */
+  private def bpeTrainState(df: DataFrame, textCol: String, rounds: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
+    require(rounds >= 1, s"bpeTrain: rounds=$rounds")
     val tok = df.select(
       explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
     // filter(...) guards against empty-string symbols from the
@@ -633,9 +678,6 @@ object TextAnalysis {
               .otherwise(concat(acc, array(x)))))
         .localCheckpoint(true)
     }
-    import spark.implicits._
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "n")
-      .select(col("merge_round"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"), col("n"))
+    (vocab, merges.toSeq)
   }
 }

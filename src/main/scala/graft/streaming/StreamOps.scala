@@ -60,8 +60,9 @@ object StreamOps {
     * partial aggregation and micro-batch incremental merge both work
     * unchanged (same property the batch dual
     * [[graft.operators.Events.hourlyRollupApprox]] exploits; its
-    * `EventsSpec` error-bound reasoning carries over — default rsd 5%).
-    * Approximate ⇒ hash-checked through the
+    * `EventsSpec` error-bound reasoning carries over — rsd 1%, see the
+    * batch dual's note on why not Spark's 5% default). Approximate ⇒
+    * hash-checked through the
     * [[graft.operators.Events.approxRollupEval]] grading wrapper;
     * `StreamingSpec` additionally bounds the estimate against the exact
     * streaming rollup on the same data. */
@@ -70,7 +71,7 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"),
         sum(Events.micros(col("value"))).as("value_micros"))
       .select(
         col("window.start").cast(StringType).as("hour"),

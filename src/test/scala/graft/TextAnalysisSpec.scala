@@ -406,6 +406,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(gotTie.toSeq == Seq(("b", "c", 2L)))
   }
 
+  test("bpeEncode: per-doc token counts under the learned merges, " +
+      "never re-segmenting the corpus") {
+    import spark.implicits._
+    // Vocab: aaaa ×2, ab ×2, x ×1. Round 1 merges (a,a) (n=6) →
+    // aaaa = [aa, aa]. Round 2: (aa,aa) and (a,b) tie at n=2 — the tie
+    // goes to (a,b) → ab = [ab]. Final tokens: aaaa→2, ab→1, x→1.
+    val docs = Seq((1L, "aaaa aaaa ab"), (2L, "ab x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      // doc 1: 3 words, 10 chars, 2+2+1 = 5 tokens → 500000 ppm
+      (1L, 3L, 10L, 5L, 500000L),
+      // doc 2: 2 words, 3 chars, 1+1 = 2 tokens → 666666 ppm (floor)
+      (2L, 2L, 3L, 2L, 666666L)))
+  }
+
   test("bpeTrain: asking for more rounds than the vocabulary can merge " +
       "fails loudly, naming the exhausted round") {
     import spark.implicits._
