@@ -15,6 +15,10 @@ private[graft] trait RegistryEvents extends RegistryShared {
   // Events (batch duals of the streaming path)
   // ---------------------------------------------------------------------
 
+  // GK-sketch accuracy for ev_quantiles_approx: rank guarantee n/100
+  // (1%), the same ε the grade band uses.
+  private val QuantAccuracy = 100
+
   protected val events: Map[String, Q] = Map(
     "ev_hourly_rollup" -> ((s, dir) =>
       Events.hourlyRollup(t(s, dir, "events")).orderBy("hour", "event_type")),
@@ -118,6 +122,13 @@ private[graft] trait RegistryEvents extends RegistryShared {
     // bit-identical cross-engine).
     "ev_quantiles" -> ((s, dir) =>
       Events.valueQuantiles(t(s, dir, "events")).orderBy("event_type")),
+    // Sketch twin of ev_quantiles under the error-graded eval
+    // convention (see ev_hourly_rollup_approx): Greenwald-Khanna
+    // estimates graded against their rank guarantee in integer ppm;
+    // output is exact counts + booleans, oracle is literal TRUEs.
+    "ev_quantiles_approx" -> ((s, dir) =>
+      Events.quantilesApproxEval(t(s, dir, "events"), QuantAccuracy)
+        .orderBy("event_type")),
     "ev_timeline_windows" -> ((s, dir) =>
       Events.timelineWindows(t(s, dir, "events"))
         .orderBy("user_id", "event_id")),
@@ -491,6 +502,10 @@ private[graft] trait RegistryEvents extends RegistryShared {
          |SELECT event_id, user_id, hour_idx, (a | (b << 1)) AS z
          |FROM s${Layout.ZSpreadSteps.size - 1} ORDER BY event_id""".stripMargin
     },
+    "ev_quantiles_approx" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_quantiles" ->
       """WITH e AS (SELECT event_type,
         |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events)

@@ -25,6 +25,8 @@ object RegistryRank {
   // Shared constants — referenced by BOTH plans and oracle SQL.
   /** PageRank iteration count (unrolled in the oracle). */
   private val PageRankIters = 3
+  /** HITS iteration count (each = auth + hub half-round, unrolled). */
+  private val HitsIters = 3
   /** Duplicated-substring window width in tokens. Production suites use
     * ~50 (Lee et al. 2022 §3); the fixture vocabulary is ~30 words, so 4
     * gives the same structural signal (691 spans over 369/500 docs at
@@ -128,6 +130,48 @@ object RegistryRank {
        |SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
        |  CAST(rank_q AS DOUBLE) / $S.0 AS rank
        |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[Graph.hitsQ]]: uniform init, then `iters`
+    * rounds of (auth gather → L1 normalize, hub gather → L1 normalize)
+    * in the same exact integer arithmetic — gathered sums widen to
+    * HUGEINT (the decimal(38,0) twin of the Spark side) before the
+    * ·Scale // tot normalization, and every round's vector lands back
+    * in BIGINT. CTEs are MATERIALIZED: each round references the
+    * previous vector and the edge relation twice, so plain CTEs would
+    * re-expand the lineitem self-join exponentially in `iters`. */
+  private def hitsOracle(iters: Int): String = {
+    val S = Graph.Scale
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node,
+         |    CAST(sum(h${i - 1}.hub_q) AS HUGEINT) AS raw
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY e.dst),
+         |a$i AS MATERIALIZED (SELECT nd.node,
+         |    CAST(coalesce(ar.raw, 0) * $S
+         |      // (SELECT sum(raw) FROM ar$i) AS BIGINT) AS auth_q
+         |  FROM nd LEFT JOIN ar$i ar ON nd.node = ar.node),
+         |hr$i AS MATERIALIZED (SELECT e.src AS node,
+         |    CAST(sum(a$i.auth_q) AS HUGEINT) AS raw
+         |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY e.src),
+         |h$i AS MATERIALIZED (SELECT nd.node,
+         |    CAST(coalesce(hr.raw, 0) * $S
+         |      // (SELECT sum(raw) FROM hr$i) AS BIGINT) AS hub_q
+         |  FROM nd LEFT JOIN hr$i hr ON nd.node = hr.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT count(*) AS n FROM nd),
+       |h0 AS (SELECT node, $S // nn.n AS hub_q FROM nd CROSS JOIN nn),
+       |$rounds
+       |SELECT nd.node AS node, h$iters.hub_q, a$iters.auth_q,
+       |  CAST(h$iters.hub_q AS DOUBLE) / $S.0 AS hub,
+       |  CAST(a$iters.auth_q AS DOUBLE) / $S.0 AS auth
+       |FROM nd JOIN h$iters ON nd.node = h$iters.node
+       |JOIN a$iters ON nd.node = a$iters.node
+       |ORDER BY nd.node""".stripMargin
   }
 
   /** Unrolled-CTE replay of [[TextAnalysis.bpeTrain]]: `rounds` Sennrich
@@ -242,6 +286,14 @@ object RegistryRank {
       Graph.pageRankWeightedQ(
         Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
         PageRankIters)
+        .orderBy("node")),
+    // HITS hubs & authorities over the same graph — the second classic
+    // link-importance signal; L1-normalized exact fixed-point rounds,
+    // oracle unrolled (both half-rounds per iteration as CTEs).
+    "gr_hits" -> ((s, dir) =>
+      Graph.hitsQ(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
+        HitsIters)
         .orderBy("node")),
     // Connected components of the support-gated co-order graph —
     // the large-star/small-star kernel (Dedup.connectedComponents)
@@ -358,6 +410,7 @@ object RegistryRank {
     "tx_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "gr_pagerank" -> pageRankOracle(PageRankIters),
     "gr_pagerank_weighted" -> pageRankWeightedOracle(PageRankIters),
+    "gr_hits" -> hitsOracle(HitsIters),
     "dd_substring_spans" ->
       s"""WITH ${substringCtes(SubstringW)},
          |i AS (SELECT doc_id, pos,

@@ -36,6 +36,13 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
   private val NumSupers = 20
   // refine: approximate top-25 from codes, exact re-scoring to top-5
   private val Rerank = 25
+  // MMR diversified re-rank: candidate pool depth and the exact
+  // rational λ = 7/10 (score = 7·rel − 3·maxsim; same argmax as the
+  // float objective, zero drift). Pool > TopK so the greedy loop has
+  // real alternatives to diversify into.
+  private val MmrPool = 12
+  private val MmrLamNum = 7L
+  private val MmrLamDen = 10L
 
   protected val similarity: Map[String, Q] = Map(
     // SemDeDup's clustering primitive at LARGE k: one narrow projection
@@ -59,6 +66,13 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
         .orderBy("vec_id")),
     "sim_brute_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), NumQueries, TopK)
+        .orderBy("query_id", "rank")),
+    // MMR diversified re-rank over the brute-force pool: greedy
+    // λ-tradeoff of relevance vs redundancy with the already-selected
+    // set; the oracle unrolls all k greedy rounds as CTEs.
+    "sim_mmr" -> ((s, dir) =>
+      Similarity.mmrTopK(t(s, dir, "embeddings"), NumQueries, TopK,
+        MmrPool, MmrLamNum, MmrLamDen)
         .orderBy("query_id", "rank")),
     // Exact-integer Lloyd's training of the IVF codebook; the oracle
     // unrolls both iterations as CTEs and replays the argmin and the
@@ -437,7 +451,58 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
        |${ivfadcOracleTail(sub)}""".stripMargin
   }
 
+  /** Unrolled replay of [[Similarity.mmrTopK]]'s greedy loop: the
+    * brute-force pool (rel desc, cand_id tiebreak — the TopKByDot
+    * convention), then one (anti-join → max-sim → argmax-pick → union)
+    * CTE block per selection round. MATERIALIZED throughout: each
+    * round's selected set is referenced three times, so plain CTEs
+    * would re-expand the whole prior chain per reference. */
+  private def mmrOracle(k: Int, pool: Int, lamNum: Long,
+                        lamDen: Long): String = {
+    val negW = lamDen - lamNum
+    val rounds = (2 to k).map { r =>
+      val p = r - 1
+      s"""mm$r AS MATERIALIZED (
+         |  SELECT c.query_id, c.cand_id, max(c.rel) AS rel,
+         |    max(${dotSql("cv.q", "sv.q")}) AS maxsim
+         |  FROM cd c
+         |  JOIN s$p s ON c.query_id = s.query_id
+         |  JOIN v cv ON cv.vec_id = c.cand_id
+         |  JOIN v sv ON sv.vec_id = s.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s$p x
+         |    WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+         |  GROUP BY c.query_id, c.cand_id),
+         |p$r AS (SELECT query_id, CAST($r AS BIGINT) AS rank, cand_id,
+         |    rel, maxsim, $lamNum * rel - $negW * maxsim AS score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY $lamNum * rel - $negW * maxsim DESC, cand_id) AS rn
+         |    FROM mm$r) WHERE rn = 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT * FROM s$p UNION ALL SELECT * FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantCte,
+       |sc AS MATERIALIZED (SELECT q.vec_id AS query_id,
+       |    c.vec_id AS cand_id, ${dotSql("q.q", "c.q")} AS rel
+       |  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |cd AS MATERIALIZED (SELECT query_id, cand_id, rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id) AS rn FROM sc)
+       |  WHERE rn <= $pool),
+       |s1 AS MATERIALIZED (SELECT query_id, CAST(1 AS BIGINT) AS rank,
+       |    cand_id, rel, CAST(0 AS BIGINT) AS maxsim,
+       |    $lamNum * rel AS score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, rank, cand_id, rel, maxsim,
+       |  CAST(score AS BIGINT) AS score
+       |FROM s$k ORDER BY query_id, rank""".stripMargin
+  }
+
   protected val similarityOracles: Map[String, String] = Map(
+    "sim_mmr" -> mmrOracle(TopK, MmrPool, MmrLamNum, MmrLamDen),
     "sim_kmeans" -> kmeansOracle,
     // kmeansOracle with the init swapped for the maxmin pick chain.
     "sim_kmeans_pp" ->

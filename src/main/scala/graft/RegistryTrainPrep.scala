@@ -28,6 +28,10 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
   // source's ~1300 tokens, so each source's selection boundary lands
   // mid-catalog (both verdicts well-populated).
   private val CurateBudget = 600L
+  // tp_temperature_mix doc budget: NOT divisible by the fixture's 20
+  // uniform sources, so the largest-remainder pass and its domain-name
+  // tiebreak are genuinely exercised (10 domains get a +1 share).
+  private val TempMixBudget = 130L
 
   /** The SAME bucket construction as TrainPrep.hashBucket, in DuckDB. */
   private def hashBucketSql(x: String): String =
@@ -37,6 +41,14 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
     "tp_sample_hash" -> ((s, dir) =>
       TrainPrep.sampleByHash(t(s, dir, "documents"), "doc_id", SamplePct)
         .select("doc_id", "bucket")
+        .orderBy("doc_id")),
+
+    // Temperature-scaled (α = 1/2, exact isqrt weights) domain mixture:
+    // budget apportioned by largest remainder, rows kept by salted
+    // hash-rate — the mT5/LLaMA source-mixing step.
+    "tp_temperature_mix" -> ((s, dir) =>
+      TrainPrep.temperatureMix(t(s, dir, "documents"), "doc_id",
+        "source", TempMixBudget)
         .orderBy("doc_id")),
 
     // Two corpora (the fixture + a shifted-id copy standing in for a
@@ -131,6 +143,42 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
   )
 
   protected val trainprepOracles: Map[String, String] = Map(
+    // Replay of TrainPrep.temperatureMix: isqrt weights (float sqrt +
+    // ±1 fixup — exact ⌊√n⌋ on both engines), largest-remainder
+    // apportionment, salted hash-ppm rate selection.
+    "tp_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |    CASE WHEN (s1 + 1) * (s1 + 1) <= n_docs THEN s1 + 1
+         |         WHEN s1 * s1 > n_docs THEN s1 - 1
+         |         ELSE s1 END AS weight
+         |  FROM (SELECT source, n_docs,
+         |      CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s1
+         |    FROM c)),
+         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wtot FROM w),
+         |a0 AS (SELECT source, n_docs, weight,
+         |    ($TempMixBudget * weight) // wtot AS tgt0,
+         |    $TempMixBudget * weight
+         |      - (($TempMixBudget * weight) // wtot) * wtot AS rem
+         |  FROM w CROSS JOIN t),
+         |lf AS (SELECT $TempMixBudget - CAST(sum(tgt0) AS BIGINT) AS lft
+         |  FROM a0),
+         |al AS (SELECT source, n_docs, weight,
+         |    tgt0 + CASE WHEN row_number()
+         |        OVER (ORDER BY rem DESC, source) <= lft
+         |      THEN 1 ELSE 0 END AS target
+         |  FROM a0 CROSS JOIN lf),
+         |ar AS (SELECT source, n_docs, weight, target,
+         |    least(1000000, target * 1000000 // n_docs) AS rate_ppm
+         |  FROM al)
+         |SELECT d.doc_id, d.source, ar.n_docs, ar.weight,
+         |  CAST(ar.target AS BIGINT) AS target, ar.rate_ppm
+         |FROM documents d JOIN ar ON d.source = ar.source
+         |WHERE CAST(('0x' || substr(md5(d.source || ':' ||
+         |    CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |  % 1000000 < ar.rate_ppm
+         |ORDER BY d.doc_id""".stripMargin,
     "tp_sample_hash" ->
       s"""WITH b AS (SELECT doc_id, ${hashBucketSql("doc_id")} AS bucket
          |  FROM documents)

@@ -99,6 +99,58 @@ object Events {
           .as("hll_ok"))
   }
 
+  /** Error-graded eval of APPROXIMATE per-type value quantiles — the
+    * sketch twin of the exact `ev_quantiles`, graded like
+    * [[approxRollupEval]]: a Greenwald-Khanna estimate can never
+    * hash-match a cross-engine exact value, but "the estimate's rank
+    * stayed within the sketch's guarantee" can. `percentile_approx`
+    * promises a value whose rank is within n/accuracy of the target
+    * rank while keeping O(accuracy·log n) state per group (the exact
+    * `percentile` buffers the whole group — the thing that dies first
+    * at scale); the grade recomputes each estimate's true rank window
+    * [cnt_lt+1, cnt_le] against the target band q·n ± (n/accuracy + 1
+    * row of slack — the max(1,·) convention), all in integer ppm
+    * arithmetic. The estimates themselves are NOT emitted (sketch
+    * merge order is partition-dependent); the output is the exact
+    * per-type count plus the three booleans, so the DuckDB oracle is
+    * the exact counts with literal TRUEs.
+    *
+    * Both sides aggregate the same scan; the grade join is
+    * group-count-sized and broadcast. */
+  def quantilesApproxEval(df: DataFrame, accuracy: Int = 100): DataFrame = {
+    val epsPpm = 1000000L / accuracy
+    val vm = micros(col("value"))
+    val ap = df.groupBy(col("event_type"))
+      .agg(percentile_approx(vm,
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("est"))
+    def le(i: Int) = sum(when(col("vm") <= col("est")(i), 1L)
+      .otherwise(0L))
+    def lt(i: Int) = sum(when(col("vm") < col("est")(i), 1L)
+      .otherwise(0L))
+    df.select(col("event_type"), vm.as("vm"))
+      .join(broadcast(ap), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        le(0).as("le25"), lt(0).as("lt25"),
+        le(1).as("le50"), lt(1).as("lt50"),
+        le(2).as("le75"), lt(2).as("lt75"))
+      .withColumn("n", col("n_events"))
+      .select(col("event_type"), col("n_events"),
+        okCol("le25", "lt25", 250000L, epsPpm).as("p25_ok"),
+        okCol("le50", "lt50", 500000L, epsPpm).as("p50_ok"),
+        okCol("le75", "lt75", 750000L, epsPpm).as("p75_ok"))
+  }
+
+  /** One rank-band grade of [[quantilesApproxEval]]: the estimate's
+    * true rank window [lt+1, le] must intersect the target band
+    * q·n ± (ε·n + 1 row). */
+  private def okCol(leC: String, ltC: String, qPpm: Long,
+                    epsPpm: Long): Column =
+    (col(leC) * 1000000L >=
+      col("n") * qPpm - col("n") * epsPpm - 1000000L) &&
+      (col(ltC) * 1000000L <=
+        col("n") * qPpm + col("n") * epsPpm + 1000000L)
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than `gapSeconds`. Session ids are per-user running counts of
     * session breaks (1-based).

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Link-graph analytics for corpus curation: PageRank-style importance
   * scoring over an item co-occurrence graph.
@@ -174,6 +174,83 @@ object Graph {
       .localCheckpoint(true)
     e.unpersist()
     tot.unpersist()
+    out
+  }
+
+  /** `iters` rounds of HITS (Kleinberg 1999 hubs & authorities) over
+    * `edges(src, dst)` in exact fixed-point arithmetic — the
+    * second classic link-importance signal next to [[pageRankQ]]
+    * (crawl curation uses hub scores to find index/directory pages and
+    * authority scores for content pages; on a co-occurrence graph the
+    * two coincide up to edge asymmetry).
+    *
+    * Per round (authorities first, then hubs — Kleinberg's order):
+    *
+    *   authᵗ(v) = norm( Σ_{(u,v)∈E} hubᵗ⁻¹(u) )
+    *   hubᵗ(u)  = norm( Σ_{(u,v)∈E} authᵗ(v) )
+    *
+    * where norm(x) = x·Scale div Σx — L1 normalization to [[Scale]]
+    * total mass in integer floor division, so every round's vector is
+    * exact BIGINT and the unrolled-CTE oracle replays it bit-for-bit.
+    * The norm products run in DECIMAL(38,0) (Spark `div` accepts
+    * decimals and returns BIGINT; the oracle's HUGEINT `//` is the
+    * same): raw sums are ≤ maxdeg·Scale, so the widened product bound
+    * is maxdeg·Scale² < 10³⁸ — safe to maxdeg ~10¹³.
+    *
+    * Node universe: the distinct `src` values, as in [[pageRankQ]]
+    * (with the symmetric edges [[coOrderedParts]] emits, that is every
+    * connected node; a sink-only node of an asymmetric graph would
+    * score auth-only mass — feed both orientations if that matters).
+    *
+    * Scale shape: like [[pageRankQ]] but the iteration joins edges on
+    * BOTH ends, so BOTH orientations are cached — `e` partitioned on
+    * `src` (auth gather) and on `dst` (hub gather). Each half-round
+    * moves one node-sized vector to its co-located edge cache and
+    * aggregates map-side-combined on the other end; edges never
+    * re-shuffle. The two scalar totals per round are Σraw aggregates
+    * broadcast back — node-bounded, never collected. */
+  def hitsQ(edges: DataFrame, iters: Int): DataFrame = {
+    val eS = edges.repartition(col("src")).distinct().persist()
+    val eD = edges.repartition(col("dst")).distinct().persist()
+    val nodes = eS.select(col("src").as("node")).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "hitsQ: empty edge set")
+    // One L1 normalization: raw gathered sums (DECIMAL) → BIGINT
+    // fixed-point vector over the full node universe (absentees → 0).
+    // Checkpointed: same flat-plan-per-round contract as [[pageRankQ]].
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      nodes.join(raw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST(coalesce(raw, 0) AS DECIMAL(38,0)) * $Scale div tot")
+            .as(outCol))
+        .localCheckpoint(true)
+    }
+    var hubs = nodes.select(col("node"), lit(Scale / n).as("hub_q"))
+    var auths = nodes.select(col("node"), lit(Scale / n).as("auth_q"))
+    for (_ <- 1 to iters) {
+      auths = normalized(
+        eS.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("hub_q").cast(DecimalType(38, 0))).as("raw"))
+          .withColumnRenamed("dst", "node"),
+        "auth_q")
+      hubs = normalized(
+        eD.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src"))
+          .agg(sum(col("auth_q").cast(DecimalType(38, 0))).as("raw"))
+          .withColumnRenamed("src", "node"),
+        "hub_q")
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select(col("node"),
+        col("hub_q").cast(LongType).as("hub_q"),
+        col("auth_q").cast(LongType).as("auth_q"),
+        (col("hub_q").cast("double") / lit(Scale.toDouble)).as("hub"),
+        (col("auth_q").cast("double") / lit(Scale.toDouble)).as("auth"))
+      .localCheckpoint(true)
+    eS.unpersist(); eD.unpersist(); nodes.unpersist()
     out
   }
 

@@ -101,6 +101,79 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * DIVERSIFIED re-rank: from each query's `pool`-deep relevance
+    * candidates, greedily select `k` results trading relevance against
+    * redundancy with what's already selected —
+    *
+    *   pick_r = argmax_c  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+    *
+    * the re-rank every retrieval pipeline runs when near-duplicate
+    * corpus entries would otherwise fill the whole top-k (and, in
+    * training-data curation, the greedy facility-location-style
+    * selection of diverse exemplars from a candidate pool). λ is the
+    * exact rational `lamNum/lamDen`; scores are the integer
+    * `lamNum·rel − (lamDen−lamNum)·maxsim` (the λ-scaled objective ×
+    * lamDen — same argmax, zero float drift), rel and sim both
+    * quantized dot products. Ties break on cand_id asc, the
+    * [[bruteForceTopK]] convention.
+    *
+    * Emits (query_id, rank, cand_id, rel, maxsim, score): rank =
+    * selection order 1..k, maxsim = the redundancy term at selection
+    * time (0 for rank 1). If the pool holds fewer than `k` candidates
+    * a query just stops early.
+    *
+    * Scale shape: the expensive part is building the POOL (any scorer:
+    * brute-force here, IVFADC at 10⁹ vectors — the pool contract is
+    * just (query_id, cand_id, rel)). The greedy loop itself touches
+    * q·pool rows per round with a ≤ r-row selected side per query —
+    * both joins are query-key-bounded, the per-round argmax is a
+    * row_number window over ≤ pool rows per query, and each round's
+    * selected set is node-checkpointed so the k-round lineage stays
+    * flat. Nothing in the loop is corpus-sized. */
+  def mmrTopK(emb: DataFrame, numQueries: Long, k: Int, pool: Int,
+              lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
+    require(k >= 1 && pool >= k, s"mmrTopK: k=$k pool=$pool")
+    require(lamNum >= 0 && lamDen >= lamNum, s"mmrTopK: λ=$lamNum/$lamDen")
+    val vecs = emb.select(col("vec_id").as("cand_id"),
+      quantize(col("embedding")).as("qv"))
+    val cand = bruteForceTopK(emb, numQueries, pool)
+      .select(col("query_id"), col("cand_id"), col("dot").as("rel"))
+      .join(vecs, Seq("cand_id"))
+      .persist()
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("cand_id"))
+    val negW = lamDen - lamNum
+    var sel = cand
+      .withColumn("maxsim", lit(0L))
+      .withColumn("score", lit(lamNum) * col("rel"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("rank"), col("cand_id"),
+        col("rel"), col("maxsim"), col("score"), col("qv"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val rem = cand.join(sel.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      val scored = rem
+        .join(sel.select(col("query_id"), col("qv").as("sv")),
+          Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), col("rel"),
+          dotQ(col("qv"), col("sv")).as("s"))
+        .groupBy("query_id", "cand_id")
+        .agg(max("rel").as("rel"), max("s").as("maxsim"))
+        .withColumn("score",
+          lit(lamNum) * col("rel") - lit(negW) * col("maxsim"))
+      val pick = scored
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(vecs, Seq("cand_id"))
+        .select(col("query_id"), lit(r.toLong).as("rank"), col("cand_id"),
+          col("rel"), col("maxsim"), col("score"), col("qv"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    cand.unpersist()
+    sel.drop("qv")
+  }
+
   /** IVF (inverted-file) approximate top-k — the second ANN scale path
     * next to [[lshTopK]]: vectors are coarse-quantized to their nearest
     * of `numCentroids` deterministic centroids (the first C vectors by

@@ -101,6 +101,67 @@ object TrainPrep {
     }.reduce(_.unionAll(_))
   }
 
+  /** TEMPERATURE-scaled domain mixture — the α-weighted source mixing
+    * every multilingual / multi-domain training run uses (mT5, LLaMA:
+    * sample domain d ∝ n_d^α with α < 1, lifting small domains without
+    * letting the biggest one dominate). α is FIXED at 1/2, the one
+    * sub-linear exponent with an exact integer form: weight_d =
+    * isqrt(n_d), computed as float sqrt + a ±1 integer fixup, so the
+    * weight is the true ⌊√n⌋ on every engine regardless of float
+    * rounding.
+    *
+    * `budget` total docs are apportioned by largest-remainder (exact:
+    * floor shares + the Σremainder leftovers to the largest remainders,
+    * domain-name tiebreak), so Σtarget = budget whenever budget ≤ Σn_d
+    * per-domain caps allow. Each domain then keeps the rows whose
+    * salted hash ppm (`md5(domain:id) mod 10⁶` — the [[stratifiedSplit]]
+    * salt convention) falls under `rate_ppm = target·10⁶ div n_d`: a
+    * REPRODUCIBLE ≈target-sized sample per domain (hash-rate selection,
+    * not exact-count — the same contract as [[sampleByHash]], keeping
+    * the decision a narrow scan-side filter).
+    *
+    * Scale shape: one group-count aggregate (domains are
+    * catalog-bounded — the windows over the allocation table are
+    * tiny), then the per-row decision is hash-vs-broadcast-rate: no
+    * corpus shuffle, no per-domain ranking window over the corpus, and
+    * domain skew is irrelevant because no window partitions by domain.
+    * Emits the selected rows as (id, domain, n_docs, weight, target,
+    * rate_ppm). */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 1, s"temperatureMix: budget=$budget")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val s1 = floor(sqrt(col("n_docs").cast(DoubleType))).cast(LongType)
+    val weighted = counts.withColumn("weight",
+      when((s1 + 1) * (s1 + 1) <= col("n_docs"), s1 + 1)
+        .when(s1 * s1 > col("n_docs"), s1 - 1)
+        .otherwise(s1))
+    val wtot = weighted.agg(sum("weight").as("wtot"))
+    val alloc0 = weighted.crossJoin(broadcast(wtot))
+      .withColumn("tgt0", expr(s"$budget * weight div wtot"))
+      .withColumn("rem", expr(s"$budget * weight - tgt0 * wtot"))
+    val leftover = alloc0.agg((lit(budget) - sum("tgt0")).as("lft"))
+    val wOrd = Window.orderBy(desc("rem"), col(domainCol))
+    val alloc = alloc0.crossJoin(broadcast(leftover))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("target", col("tgt0") +
+        when(col("rn").cast(LongType) <= col("lft"), 1L).otherwise(0L))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("target * 1000000 div n_docs")))
+      .select(col(domainCol), col("n_docs"), col("weight"),
+        col("target"), col("rate_ppm"))
+    val hppm = pmod(conv(substring(md5(concat(
+      col(domainCol).cast(StringType), lit(":"),
+      col(idCol).cast(StringType))), 1, 8), 16, 10).cast(LongType),
+      lit(1000000L))
+    df.select(col(idCol), col(domainCol))
+      .join(broadcast(alloc), Seq(domainCol))
+      .where(hppm < col("rate_ppm"))
+      .select(col(idCol), col(domainCol), col("n_docs"), col("weight"),
+        col("target"), col("rate_ppm"))
+  }
+
   /** Greedy sequence packing: within each shard (`shardCol`), documents
     * in id order accumulate whitespace-token counts, and a document's
     * bin is `floor(tokens_before_it / budget)` — the standard

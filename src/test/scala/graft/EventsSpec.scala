@@ -130,6 +130,26 @@ class EventsSpec extends AnyFunSuite {
     assert(grades(5L)(("2024-01-01 10:00:00", "click")) == ((2L, false)))
   }
 
+  test("quantilesApproxEval: GK estimates grade in-band on uniform AND " +
+      "duplicate-heavy values (the rank-WINDOW semantics)") {
+    // Type 'u': values 1..400 uniform — the plain case. Type 'd': 95%
+    // of values identical — every quantile estimate IS the constant,
+    // whose rank window [cnt_lt+1, cnt_le] is enormous; a point-rank
+    // check would flunk it, the window-intersection grade must pass.
+    val rows =
+      (1 to 400).map(i => ("u", i / 100.0)) ++
+        (1 to 380).map(_ => ("d", 7.0)) ++
+        (1 to 10).map(i => ("d", i / 10.0)) ++
+        (1 to 10).map(i => ("d", 100.0 + i))
+    val df = rows.toDF("event_type", "value")
+    val got = Events.quantilesApproxEval(df, 100)
+      .orderBy("event_type")
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      ("d", 400L, true, true, true),
+      ("u", 400L, true, true, true)))
+  }
+
   test("hourlyRollupApprox: exact groups/sums, HLL distinct within 5%") {
     val df = Tables.load(spark, "/root/testdata/sf0.01", "events")
     val exact = Events.hourlyRollup(df)

@@ -145,4 +145,43 @@ class GraphSpec extends AnyFunSuite {
     val uniform = Graph.Scale / 4
     assert(got.toSeq == Seq(1L, 2L, 3L, 4L).map((_, uniform)))
   }
+
+  test("hitsQ: symmetric star — center takes S/2 authority, spokes " +
+      "S/8 each, hubs stay uniform (the exact fixed point)") {
+    // Center 0 ↔ spokes 1..4. Authority gathers: center receives all
+    // four spoke hubs, each spoke only the center's. The exact integer
+    // fixed point from uniform init: auth(0) = S/2, auth(s) = S/8,
+    // hub(v) = S/5 for all v — reached after round 1 and stable, so
+    // iters=3 must land exactly there (floor divisions are exact here).
+    val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
+      .toDF("src", "dst")
+    val got = Graph.hitsQ(edges, 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s = Graph.Scale
+    assert(got.toSeq == Seq(
+      (0L, s / 5, s / 2),
+      (1L, s / 5, s / 8), (2L, s / 5, s / 8),
+      (3L, s / 5, s / 8), (4L, s / 5, s / 8)))
+  }
+
+  test("hitsQ: directed cycle is an exact uniform fixed point, and " +
+      "both L1 masses conserve exactly") {
+    // 1→2→3→4→1: indeg = outdeg = 1 everywhere, so raw gathers are a
+    // permutation of the vector and normalization is the identity —
+    // uniform S/4 survives every round with zero floor loss.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.hitsQ(edges, 5).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val u = Graph.Scale / 4
+    assert(got.toSeq == Seq((1L, u, u), (2L, u, u), (3L, u, u), (4L, u, u)))
+  }
+
+  test("hitsQ result is lineage-severed like pageRankQ") {
+    val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
+      .toDF("src", "dst")
+    val plan = Graph.hitsQ(edges, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"plan was:\n$plan")
+    assert(!plan.contains("Join"), s"plan was:\n$plan")
+  }
 }

@@ -19,6 +19,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == Seq(1000L, -500L, 1L))
   }
 
+  test("mmrTopK diversifies: a redundant near-copy of the first pick " +
+      "loses round 2 to an orthogonal equal-relevance candidate") {
+    // Query 0 = (.7,.7) — quantize floors the float32 .7 to 699, so
+    // rel = 699000 for all three candidates: 1 = (1,0), 2 = (.99,.01)
+    // (a near copy of 1), 3 = (0,1). With the three-way rel tie, pure
+    // relevance ranking would pick 1 then 2 (id tiebreak). MMR round 1
+    // picks 1 (same tiebreak); round 2 scores 2 at 7·699000 −
+    // 3·sim(2,1) ≈ 1.9e6 but 3 at 7·699000 − 0 = 4893000 → the
+    // orthogonal candidate wins despite the id tiebreak favoring the
+    // near-copy.
+    val e = emb(
+      (0L, Seq(0.7f, 0.7f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)))
+    val got = Similarity.mmrTopK(e, 1, 2, 3).orderBy("rank")
+      .select("rank", "cand_id", "rel", "maxsim", "score")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 1L, 699000L, 0L, 4893000L),
+      (2L, 3L, 699000L, 0L, 4893000L)))
+  }
+
+  test("mmrTopK stops early when a query's pool runs dry") {
+    // One query, two candidates, k = 3: rounds 1-2 select both, round
+    // 3 has an empty remainder and adds nothing.
+    val e = emb(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+    val got = Similarity.mmrTopK(e, 1, 3, 3)
+    assert(got.count() == 2)
+  }
+
   test("bruteForceTopK ranks by dot product with id tiebreak") {
     // query 0 = (1,0); candidates along decreasing x-projection
     val df = emb(

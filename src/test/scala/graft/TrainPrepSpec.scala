@@ -17,6 +17,48 @@ class TrainPrepSpec extends AnyFunSuite {
       Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
     .toDF("doc_id", "lang", "text")
 
+  test("temperatureMix: exact isqrt weights, proportional targets, " +
+      "rates cap at 10^6 when the budget covers a domain") {
+    // Domains a=9, b=4, c=2 docs → isqrt weights 3, 2, 1 (W = 6).
+    // Budget 30 divides exactly: targets 15, 10, 5 — every target ≥
+    // n_docs, so every rate caps at 10^6 and ALL rows come back.
+    val d = ((0L until 9L).map((_, "a")) ++ (9L until 13L).map((_, "b"))
+      ++ (13L until 15L).map((_, "c"))).toDF("doc_id", "source")
+    val got = TrainPrep.temperatureMix(d, "doc_id", "source", 30L)
+      .select("source", "n_docs", "weight", "target", "rate_ppm")
+      .distinct().orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      ("a", 9L, 3L, 15L, 1000000L),
+      ("b", 4L, 2L, 10L, 1000000L),
+      ("c", 2L, 1L, 5L, 1000000L)))
+    assert(TrainPrep.temperatureMix(d, "doc_id", "source", 30L)
+      .count() == 15)
+  }
+
+  test("temperatureMix: largest-remainder apportionment sums targets " +
+      "to the budget, biggest remainder first") {
+    // Same domains, budget 10: floor shares 5, 3, 1 (remainders 0, 2,
+    // 4), one leftover → c (remainder 4) takes it. Σtarget = 10.
+    val d = ((0L until 9L).map((_, "a")) ++ (9L until 13L).map((_, "b"))
+      ++ (13L until 15L).map((_, "c"))).toDF("doc_id", "source")
+    val alloc = TrainPrep.temperatureMix(d, "doc_id", "source", 10L)
+      .select("source", "target", "rate_ppm").distinct()
+      .as[(String, Long, Long)].collect()
+      .map { case (s, t, r) => s -> ((t, r)) }.toMap
+    // c's target 2 covers its 2 docs → rate 10^6 → both rows present,
+    // carrying target 2. a and b rows (whichever the hash keeps) must
+    // carry 5/555555 and 3/750000.
+    val expect = Map("a" -> (5L, 555555L), "b" -> (3L, 750000L),
+      "c" -> (2L, 1000000L))
+    alloc.foreach { case (s, (t, r)) => assert(expect(s) == ((t, r)),
+      s"domain $s got ($t, $r)") }
+    val gotC = TrainPrep.temperatureMix(d, "doc_id", "source", 10L)
+      .where($"source" === "c").select("doc_id")
+      .as[Long].collect().sorted
+    assert(gotC.toSeq == Seq(13L, 14L))
+  }
+
   test("sampleByHash: deterministic, nested percentages, sane rate") {
     val s20 = TrainPrep.sampleByHash(docs, "doc_id", 20)
       .select("doc_id").as[Long].collect().toSet
