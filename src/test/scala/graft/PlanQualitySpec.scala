@@ -176,6 +176,51 @@ class PlanQualitySpec extends AnyFunSuite {
       s"packing must shuffle once on the shard key:\n$pack")
   }
 
+  test("temperatureMix: allocation broadcasts to the corpus, the corpus " +
+      "never sorts or windows") {
+    import graft.operators.TrainPrep
+    val docs = Tables.load(spark, dir, "documents")
+    val full = planString(
+      TrainPrep.temperatureMix(docs, "doc_id", "source", 30L))
+    val plan = full.split("== Initial Plan ==").head
+    // The per-row keep decision must be hash-vs-broadcast-rate: the
+    // domain allocation (with its tiny windows) joins back BROADCAST,
+    // and no window/sort partitions the corpus by domain — domain skew
+    // must not concentrate work.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"allocation must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the allocation join:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    // The only Window is the largest-remainder row_number over the
+    // domain-count aggregate (group-count-sized), never over doc rows.
+    assert(windowLines.forall(!_.contains("doc_id")),
+      s"no corpus-partitioned window allowed:\n$plan")
+  }
+
+  test("mmrTopK returns a lineage-severed selection; the greedy rounds " +
+      "never re-run downstream") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, dir, "embeddings")
+    val out = Similarity.mmrTopK(emb, 4L, 3, 6)
+    val plan = out.queryExecution.executedPlan.toString
+    // Each round checkpointed; the returned frame reads the final
+    // union's partitions — no joins or windows left to replay.
+    assert(plan.contains("ExistingRDD"), s"plan was:\n$plan")
+    assert(!plan.contains("Join"), s"plan was:\n$plan")
+  }
+
+  test("quantilesApproxEval: the grade join is broadcast, never a " +
+      "corpus shuffle join") {
+    val events = Tables.load(spark, dir, "events")
+    val full = planString(Events.quantilesApproxEval(events, 100))
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch estimates must broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"grade join must not shuffle the events:\n$plan")
+  }
+
   test("events path/scd2/rollup plans: bounded top-k, reused exchanges, " +
        "one Expand pass") {
     import graft.operators.Events
