@@ -25,6 +25,9 @@ object RegistryRank {
   // Shared constants — referenced by BOTH plans and oracle SQL.
   /** PageRank iteration count (unrolled in the oracle). */
   private val PageRankIters = 3
+  // Personalized-PageRank seed predicate: part keys divisible by 10
+  // (~10% of nodes) — appears verbatim in plan and oracle.
+  private val PprSeedMod = 10L
   /** HITS iteration count (each = auth + hub half-round, unrolled). */
   private val HitsIters = 3
   /** Duplicated-substring window width in tokens. Production suites use
@@ -97,6 +100,37 @@ object RegistryRank {
        |SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
        |  CAST(rank_q AS DOUBLE) / $S.0 AS rank
        |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[Graph.personalizedPageRankQ]]: seed-only
+    * init and seed-only teleport base, propagation rounds identical to
+    * [[pageRankOracle]]. */
+  private def pprOracle(iters: Int, seedMod: Long): String = {
+    val S = Graph.Scale
+    val dn = Graph.DampNum
+    val dd = Graph.DampDen
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst, sum(($dn * r${i - 1}.rank_q) // ($dd * d.outdeg)) AS c
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+         |r$i AS (SELECT sd.node,
+         |    sd.is_seed * ((3 * $S) // ($dd * ns.n)) + coalesce(c$i.c, 0) AS rank_q
+         |  FROM sd CROSS JOIN ns LEFT JOIN c$i ON sd.node = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |sd AS (SELECT src AS node,
+       |    CAST(CASE WHEN src % $seedMod = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+       |  FROM deg),
+       |ns AS (SELECT count(*) AS n FROM sd WHERE is_seed = 1),
+       |r0 AS (SELECT node, is_seed * ($S // ns.n) AS rank_q
+       |  FROM sd CROSS JOIN ns),
+       |$rounds
+       |SELECT r.node, sd.is_seed, CAST(r.rank_q AS BIGINT) AS rank_q,
+       |  CAST(r.rank_q AS DOUBLE) / $S.0 AS rank
+       |FROM r$iters r JOIN sd ON r.node = sd.node ORDER BY r.node""".stripMargin
   }
 
   /** The weighted twin: edge weight = number of distinct co-ordering
@@ -280,6 +314,18 @@ object RegistryRank {
         Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
         PageRankIters)
         .orderBy("node")),
+    // Personalized PageRank: teleport mass returns only to the seed
+    // set (part keys divisible by PprSeedMod) — proximity-to-seeds
+    // ranking instead of global importance; same exact integer rounds,
+    // oracle unrolled with the seed indicator riding every CTE.
+    "gr_ppr" -> ((s, dir) => {
+      val edges = Graph.coOrderedParts(t(s, dir, "lineitem"),
+        distinct = false)
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .where(col("node") % PprSeedMod === 0)
+      Graph.personalizedPageRankQ(edges, seeds, PageRankIters)
+        .orderBy("node")
+    }),
     // Weighted PageRank: mass flows ∝ co-occurrence support (the
     // multiplicity the simple-graph variant flattens away).
     "gr_pagerank_weighted" -> ((s, dir) =>
@@ -409,6 +455,7 @@ object RegistryRank {
     "tx_bpe_train" -> bpeTrainOracle(BpeMerges),
     "tx_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     "gr_pagerank" -> pageRankOracle(PageRankIters),
+    "gr_ppr" -> pprOracle(PageRankIters, PprSeedMod),
     "gr_pagerank_weighted" -> pageRankWeightedOracle(PageRankIters),
     "gr_hits" -> hitsOracle(HitsIters),
     "dd_substring_spans" ->

@@ -43,6 +43,10 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
   private val MmrPool = 12
   private val MmrLamNum = 7L
   private val MmrLamDen = 10L
+  // RRF fusion constant (Cormack et al.'s k=60) and the integer
+  // reciprocal scale — both appear verbatim in plan and oracle.
+  private val RrfK = 60
+  private val RrfScale = 1000000000L
 
   protected val similarity: Map[String, Q] = Map(
     // SemDeDup's clustering primitive at LARGE k: one narrow projection
@@ -67,6 +71,20 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     "sim_brute_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), NumQueries, TopK)
         .orderBy("query_id", "rank")),
+    // Hybrid-retrieval combiner: reciprocal-rank fusion of the exact
+    // ranking with the multi-table LSH ranking — candidates the two
+    // rankers agree on out-score either ranker's tail, score-free.
+    // The oracle replays both searches (same CTE bodies as their own
+    // oracles, renamed apart) and the integer RRF sum.
+    "sim_rrf_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rrfFuse(Seq(
+        Similarity.bruteForceTopK(emb, NumQueries, TopK),
+        Similarity.lshTopK(emb, NumQueries, TopK, NumPlanes, Dim,
+          NumTables)),
+        TopK, RrfK, RrfScale)
+        .orderBy("query_id", "rank")
+    }),
     // MMR diversified re-rank over the brute-force pool: greedy
     // λ-tradeoff of relevance vs redundancy with the already-selected
     // set; the oracle unrolls all k greedy rounds as CTEs.
@@ -570,6 +588,61 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
          |  FROM sc)
          |SELECT query_id, cand_id, dot, cosine, "rank"
          |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin,
+    // RRF fusion: both searches replayed (brute CTEs b*, LSH CTEs l* —
+    // same bodies as their own oracles, renamed apart), then the
+    // integer reciprocal sum and the fused re-rank.
+    "sim_rrf_fusion" -> {
+      val bucketsByTable = (0 until NumTables).map { t =>
+        Similarity.planes(NumPlanes, Dim, t).map(p =>
+          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+      }
+      val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
+        s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |bsc AS (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+         |    ${dotSql("qq.q", "c.q")} AS dot
+         |  FROM n c CROSS JOIN n qq
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |br AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM bsc),
+         |bk AS (
+         |$bk),
+         |lcand AS (
+         |  SELECT DISTINCT qq.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM bk c JOIN bk qq ON c.tbl = qq.tbl AND c.bucket = qq.bucket
+         |  WHERE qq.vec_id < $NumQueries AND c.vec_id <> qq.vec_id),
+         |lsc AS (
+         |  SELECT query_id, cand_id, ${dotSql("qn.q", "cn.q")} AS dot
+         |  FROM lcand
+         |  JOIN n qn ON qn.vec_id = lcand.query_id
+         |  JOIN n cn ON cn.vec_id = lcand.cand_id),
+         |lr AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM lsc),
+         |u AS (
+         |  SELECT query_id, cand_id, "rank" FROM br WHERE "rank" <= $TopK
+         |  UNION ALL
+         |  SELECT query_id, cand_id, "rank" FROM lr WHERE "rank" <= $TopK),
+         |f AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(sum($RrfScale // ($RrfK + "rank")) AS BIGINT) AS rrf_score,
+         |    CAST(count(*) AS BIGINT) AS n_lists,
+         |    min("rank") AS best_rank
+         |  FROM u GROUP BY query_id, cand_id),
+         |fr AS (
+         |  SELECT query_id, cand_id, rrf_score, n_lists, best_rank,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS BIGINT) AS "rank"
+         |  FROM f)
+         |SELECT query_id, cand_id, rrf_score, n_lists, best_rank, "rank"
+         |FROM fr WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
     // Multi-table OR-amplified LSH: a candidate is admitted when it
     // shares a sign-bucket with the query in ANY of the NumTables
     // independent plane tables (same seeded-planes construction as

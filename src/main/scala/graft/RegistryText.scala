@@ -50,6 +50,19 @@ private[graft] trait RegistryText extends RegistryShared {
         regexp_replace(col("text"), "\\. ", ".\n").as("text"))
       TextAnalysis.c4LineClean(docs, "doc_id", "text").orderBy("doc_id")
     }),
+    // Corpus-level duplicated-line removal over the DOUBLED corpus
+    // (each doc + a copy whose last line gains 3 trailing tokens):
+    // every shared line appears ≥ 2× and is dropped as boilerplate;
+    // only the diverging last lines survive. Same '. '→'.\n' sentence
+    // breaking as tx_c4_clean so the pass has real lines to count.
+    "tx_line_dedup" -> ((s, dir) => {
+      val broken = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "\\. ", ".\n").as("text"))
+      val doubled = broken.unionAll(broken.select(
+        (col("doc_id") + IdShift).as("doc_id"),
+        concat(col("text"), lit(" zzz zzz zzz")).as("text")))
+      TextAnalysis.lineDedup(doubled, "doc_id", "text").orderBy("doc_id")
+    }),
     // PII scrub. The fixture text has no PII, so the query plants
     // deterministic PII derived from real columns (same construction in
     // the oracle): an email on 4 of 5 docs, an IPv4 on all, a phone on
@@ -192,6 +205,28 @@ private[graft] trait RegistryText extends RegistryShared {
         |  CAST(COALESCE(top.c * 2000000 // n_words, 0) AS BIGINT) AS top_bigram_ppm
         |FROM wa a LEFT JOIN bt USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Line-dedup oracle: the frequency key is the normalized line
+    // STRING (the Spark side counts md5 digests of the same key — equal
+    // results absent a 128-bit collision, the dd_substring convention).
+    "tx_line_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $IdShift,
+         |    regexp_replace(text, '\\. ', '.' || chr(10), 'g') || ' zzz zzz zzz' FROM documents),
+         |s AS (SELECT doc_id, str_split(text, chr(10)) AS ln FROM d),
+         |l AS (SELECT doc_id, unnest(generate_series(1, len(ln))) AS pos, ln FROM s),
+         |lx AS (SELECT doc_id, pos, ln[pos] AS line FROM l),
+         |boiler AS (SELECT lower(trim(line)) AS k FROM lx
+         |  GROUP BY lower(trim(line)) HAVING count(*) >= 2),
+         |keep AS (SELECT doc_id, pos, line FROM lx
+         |  WHERE lower(trim(line)) NOT IN (SELECT k FROM boiler)),
+         |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept FROM keep GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+         |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(str_split(d.text, chr(10))) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "tx_c4_clean" ->
       """WITH d AS (SELECT doc_id,
         |  str_split(regexp_replace(text, '\. ', '.' || chr(10), 'g'),

@@ -132,6 +132,64 @@ object Graph {
     out
   }
 
+  /** PERSONALIZED (topic-sensitive) PageRank, Haveliwala 2002: the
+    * teleport mass returns only to the `seeds` set instead of spreading
+    * uniformly, so scores measure proximity TO THE SEEDS rather than
+    * global importance — the ranking behind "more pages like these"
+    * crawl frontier expansion and seed-anchored quality propagation in
+    * corpus curation (a handful of known-good documents rank the rest
+    * of the link graph by association).
+    *
+    * rank⁰(v)   = [v∈S] · (Scale div |S|)
+    * rankᵗ⁺¹(v) = [v∈S] · ((3·Scale) div (20·|S|))
+    *              + Σ_{(u,v)∈E} (17·rankᵗ(u)) div (20·outdeg(u))
+    *
+    * Same exact fixed-point arithmetic, call-scoped caches, and
+    * per-iteration node-vector checkpoint as [[pageRankQ]]; the one
+    * extra driver-side scalar is |S∩nodes| (model state, like N).
+    * Seeds are any one-column (`node`) relation; seeds that are not
+    * graph nodes are ignored. Emits (node, is_seed, rank_q, rank). */
+  def personalizedPageRankQ(edges: DataFrame, seeds: DataFrame,
+                            iters: Int): DataFrame = {
+    val e = edges.repartition(col("src")).distinct().persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val nodes = deg.select(col("src").as("node"))
+      .join(seeds.select(col("node")).distinct().withColumn("s", lit(1L)),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("is_seed"))
+      .persist()
+    val nSeeds = nodes.where(col("is_seed") === 1L).count()
+    require(nSeeds > 0, "personalizedPageRankQ: no seed is a graph node")
+    val base = 3L * Scale / (DampDen * nSeeds)
+    var ranks = nodes.select(col("node"),
+      (col("is_seed") * lit(Scale / nSeeds)).as("rank_q"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(deg, Seq("src"))
+        .join(ranks.select(col("node").as("src"), col("rank_q")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr(s"($DampNum * rank_q) div ($DampDen * outdeg)"))
+          .as("c"))
+      // Per-iteration checkpoint of the node-sized vector — see
+      // [[pageRankQ]]: bounds plan growth so iters ≫ 3 stays planful.
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (col("is_seed") * lit(base) + coalesce(col("c"), lit(0L)))
+            .as("rank_q"))
+        .localCheckpoint(true)
+    }
+    val out = ranks.join(nodes, Seq("node"))
+      .select(col("node"), col("is_seed"),
+        col("rank_q").cast(LongType).as("rank_q"),
+        (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank"))
+      .localCheckpoint(true)
+    e.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** WEIGHTED damped PageRank: rank mass flows along each edge in
     * proportion to its multiplicity in the input stream (for
     * [[coOrderedParts]] with `distinct = false`, the co-occurrence

@@ -1411,4 +1411,48 @@ object Similarity {
         when(col("first_hit").isNotNull, expr("1000000 div first_hit"))
           .otherwise(lit(0L)).as("mrr_ppm"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * N ranked retrieval lists — the standard hybrid-search combiner
+    * (dense ANN + sparse BM25, or several ANN indexes with different
+    * recall profiles). Each list contributes 1/(rrfK + rank) per
+    * candidate; candidates surfaced by several rankers accumulate more
+    * mass than any single ranker's tail, without ever comparing the
+    * rankers' incomparable raw scores — that score-free property is why
+    * RRF is the default fusion everywhere.
+    *
+    * Determinism: the contribution is the INTEGER `scale div (rrfK +
+    * rank)` (scale = 10⁹, so ranks ≤ ~10⁹ keep distinct reciprocal
+    * values apart); the fused score is an exact BIGINT sum — identical
+    * in Spark and DuckDB, no float summation order. Ties break on
+    * cand_id asc, the library-wide ranking convention.
+    *
+    * Inputs are any (query_id, cand_id, rank) relations — the
+    * [[bruteForceTopK]]/[[lshTopK]]/[[ivfadcTopK]] output contract.
+    * Emits (query_id, cand_id, rrf_score, n_lists, best_rank, rank):
+    * n_lists = how many rankers surfaced the candidate, best_rank = its
+    * best upstream rank, rank = fused 1-based position, cut at k.
+    *
+    * Scale shape: every input is already top-k-bounded (≤ q·k rows), so
+    * the union, the (query_id, cand_id) sum, and the per-query
+    * row_number window all touch ≤ q·Σkᵢ rows — nothing corpus-sized.
+    * The expensive work is the upstream searches, each independently
+    * scale-shaped; fusion itself is free at any corpus size. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
+              scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    val u = rankings
+      .map(_.select(col("query_id"), col("cand_id"),
+        col("rank").cast(LongType).as("rank")))
+      .reduce(_.unionByName(_))
+    val fused = u.groupBy("query_id", "cand_id")
+      .agg(sum(expr(s"$scale div ($rrfK + rank)")).as("rrf_score"),
+        count(lit(1)).as("n_lists"),
+        min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("cand_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
 }

@@ -174,6 +174,50 @@ object TextAnalysis {
       (size(lines) - size(keep)).cast(LongType).as("n_dropped"))
   }
 
+  /** CORPUS-level duplicated-line removal — the boilerplate pass C4
+    * (Raffel et al. 2020 §2.2, "we discarded all but one of any
+    * three-sentence span occurring more than once" family) and every
+    * Common-Crawl curation pipeline run: a line whose normalized form
+    * (trim + lowercase) occurs at least `dupThreshold` times ACROSS THE
+    * WHOLE CORPUS is navigation/footer/cookie-banner boilerplate, and
+    * every copy of it is dropped. Differs from [[c4LineClean]] (per-line
+    * local heuristics) in that the signal is global frequency — only a
+    * corpus-wide pass can see it.
+    *
+    * Emits one row per input doc: (id, clean_text = kept lines joined
+    * by \n in original order, n_kept, n_dropped) — docs whose every
+    * line is boilerplate stay in the output with clean_text = ''.
+    *
+    * Scale shape (the [[Dedup.substringSpans]] discipline — line TEXT
+    * never reaches an exchange): one narrow posexplode emits (doc, pos,
+    * md5(normalized line)); the frequency count shuffles 16-byte
+    * digests only; the boilerplate semi-join back is digest-keyed and
+    * emits bare (doc, pos) int pairs, which aggregate to one small
+    * drop-position array per affected doc. The only corpus-sized
+    * exchange is the final doc-key join attaching those arrays, after
+    * which the line filter is a codegen'd HOF over the doc's own text —
+    * re-split in place, positions checked against the array. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                dupThreshold: Long = 2L): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"),
+        md5(lower(trim(col("line")))).as("h"))
+    val boiler = lines.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= dupThreshold).select("h")
+    val droppedPos = lines.join(boiler, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("drop_pos"))
+    val all = split(col(textCol), "\n")
+    val dp = coalesce(col("drop_pos"), typedLit(Seq.empty[Int]))
+    val kept = filter(all, (l, i) => !array_contains(dp, i))
+    df.join(droppedPos, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        array_join(kept, "\n").as("clean_text"),
+        size(kept).cast(LongType).as("n_kept"),
+        size(dp).cast(LongType).as("n_dropped"))
+  }
+
   /** PII patterns shared by [[piiScrub]] and its oracle. RE2 (DuckDB)
     * and java.util.regex agree on this subset: character classes,
     * bounded/unbounded repetition, grouping — no backreferences, no

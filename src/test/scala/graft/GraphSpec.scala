@@ -184,4 +184,50 @@ class GraphSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), s"plan was:\n$plan")
     assert(!plan.contains("Join"), s"plan was:\n$plan")
   }
+
+  test("personalizedPageRankQ: mass stays near the seed component; a " +
+      "component with no seed ranks 0 everywhere") {
+    // Two disconnected 2-cliques (symmetric edges); seed = node 0 only.
+    val edges = Seq((0L, 1L), (1L, 0L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.personalizedPageRankQ(edges, seeds, 3)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 10L, 11L))
+    assert(got.map(_._2).toSeq == Seq(1L, 0L, 0L, 0L))
+    val ranks = got.map(_._3)
+    // The seed component holds ALL the mass (the 2-cycle is bipartite,
+    // so which of the two nodes holds more oscillates by round — only
+    // the component split is round-stable); the seedless component
+    // receives nothing at any round.
+    assert(ranks(0) > 0L && ranks(1) > 0L, s"got ${ranks.toSeq}")
+    assert(ranks(0) + ranks(1) > Graph.Scale - 1000L, s"got ${ranks.toSeq}")
+    assert(ranks(2) == 0L && ranks(3) == 0L, s"got ${ranks.toSeq}")
+  }
+
+  test("personalizedPageRankQ with ALL nodes as seeds reduces exactly " +
+      "to pageRankQ") {
+    val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
+      .toDF("src", "dst")
+    val seeds = (0L to 4L).toDF("node")
+    val ppr = Graph.personalizedPageRankQ(edges, seeds, 3)
+      .select("node", "rank_q").orderBy("node").collect().map(_.toSeq)
+    val pr = Graph.pageRankQ(edges, 3)
+      .select("node", "rank_q").orderBy("node").collect().map(_.toSeq)
+    assert(ppr.toSeq == pr.toSeq)
+  }
+
+  test("personalizedPageRankQ: seeds that are not graph nodes are " +
+      "ignored; an all-foreign seed set fails loudly") {
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRankQ(edges,
+      Seq(0L, 99L).toDF("node"), 2).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L), (1L, 0L)))
+    val err = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankQ(edges, Seq(99L).toDF("node"), 2)
+    }
+    assert(err.getMessage.contains("no seed is a graph node"))
+  }
 }

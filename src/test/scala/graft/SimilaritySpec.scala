@@ -593,4 +593,33 @@ class SimilaritySpec extends AnyFunSuite {
       (2L, 3L, 1000000L, 1000000L),
       (3L, 0L, 0L, 0L)))
   }
+
+  test("rrfFuse: a candidate both rankers surface out-scores either " +
+      "tail; reciprocal ties break on cand_id") {
+    import spark.implicits._
+    // List A: 10@1, 11@2, 12@3. List B: 11@1, 13@2. Integer sums at
+    // rrfK=60: 11 = 1e9//61 + 1e9//62 = 32522474 wins; then the
+    // 16393442 tie (10 from A@1, 13 from... no — 13@2 = 16129032) —
+    // order is 11, 10 (16393442), 13 (16129032), 12 (15873015).
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "cand_id", "rank")
+    val b = Seq((0L, 11L, 1L), (0L, 13L, 2L))
+      .toDF("query_id", "cand_id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), 3).orderBy("rank")
+      .select("cand_id", "rrf_score", "n_lists", "best_rank", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (11L, 1000000000L / 61 + 1000000000L / 62, 2L, 1L, 1L),
+      (10L, 1000000000L / 61, 1L, 1L, 2L),
+      (13L, 1000000000L / 62, 1L, 2L, 3L)))
+  }
+
+  test("rrfFuse: fusing a ranking with itself preserves its order " +
+      "(RRF is rank-monotone over identical lists)") {
+    val brute = Similarity.bruteForceTopK(fixtureEmb, 4, 5)
+    val fused = Similarity.rrfFuse(Seq(brute, brute), 5)
+      .select("query_id", "cand_id", "rank")
+    val base = brute.select("query_id", "cand_id", "rank")
+    assert(fused.except(base).isEmpty && base.except(fused).isEmpty)
+  }
 }

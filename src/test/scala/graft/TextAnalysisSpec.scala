@@ -424,6 +424,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, 2L, 3L, 2L, 666666L)))
   }
 
+  test("lineDedup: corpus-frequent lines drop from every doc; order " +
+      "and unique lines survive; an all-boilerplate doc stays as ''") {
+    import spark.implicits._
+    // 'x' appears in all 3 docs, 'y' in two, 'z'/'w' once each. At
+    // threshold 2 both x and y are boilerplate (case/space-insensitive:
+    // doc 2 carries ' X ' and still matches).
+    val docs = Seq(
+      (1L, "x\ny\nz"),
+      (2L, " X \nY\nw"),
+      (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "z", 1L, 2L),
+      (2L, "w", 1L, 2L),
+      (3L, "", 0L, 1L)))
+    // Threshold 3: only the 3-way line is boilerplate; y survives.
+    val got3 = TextAnalysis.lineDedup(docs, "doc_id", "text", 3L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got3.toSeq == Seq(
+      (1L, "y\nz", 2L, 1L),
+      (2L, "Y\nw", 2L, 1L),
+      (3L, "", 0L, 1L)))
+  }
+
   test("bpeTrain: asking for more rounds than the vocabulary can merge " +
       "fails loudly, naming the exhausted round") {
     import spark.implicits._
