@@ -19,6 +19,42 @@ private[graft] trait RegistryEvents extends RegistryShared {
   // (1%), the same ε the grade band uses.
   private val QuantAccuracy = 100
 
+  // Count-min sketch width (buckets per hash row) and graded-key count
+  // for ev_cms_eval. 64 buckets over ~1.5k distinct users guarantees
+  // real collisions, so the overcount path is actually exercised.
+  private val CmsW = 64
+  private val CmsTopK = 25
+
+  /** Deterministic replay of [[Events.cmsFreqEval]]: the d affine hash
+    * rows are a VALUES CTE built from the SAME [[Events.CmsA]]/
+    * [[Events.CmsB]]/[[Events.CmsP]] constants the plan uses, so cells,
+    * estimates, overcounts, and bound flags are exact integer matches —
+    * no grade-band hedging (unlike the HLL/GK evals, CMS is replayable). */
+  private def cmsOracle(w: Int, topK: Int): String = {
+    val p = Events.CmsP
+    val rows = Events.CmsA.indices
+      .map(j => s"($j, ${Events.CmsA(j)}, ${Events.CmsB(j)})")
+      .mkString(", ")
+    s"""WITH base AS (SELECT CAST(user_id AS BIGINT) AS key FROM events),
+       |h(j, a, b) AS (VALUES $rows),
+       |cells AS (SELECT h.j, ((h.a * base.key + h.b) % $p) % $w AS bucket,
+       |    count(*) AS c
+       |  FROM base CROSS JOIN h GROUP BY 1, 2),
+       |tk AS (SELECT key, count(*) AS true_cnt FROM base GROUP BY key
+       |  ORDER BY true_cnt DESC, key LIMIT $topK),
+       |n AS (SELECT count(*) AS n FROM base),
+       |est AS (SELECT tk.key, tk.true_cnt, min(c.c) AS est_cnt
+       |  FROM tk CROSS JOIN h
+       |  JOIN cells c ON c.j = h.j
+       |    AND c.bucket = ((h.a * tk.key + h.b) % $p) % $w
+       |  GROUP BY tk.key, tk.true_cnt)
+       |SELECT est.key, est.true_cnt, est.est_cnt,
+       |  est.est_cnt - est.true_cnt AS overcount,
+       |  (est.est_cnt - est.true_cnt) <= (3 * n.n) // $w AS within_bound
+       |FROM est CROSS JOIN n
+       |ORDER BY true_cnt DESC, key""".stripMargin
+  }
+
   protected val events: Map[String, Q] = Map(
     "ev_hourly_rollup" -> ((s, dir) =>
       Events.hourlyRollup(t(s, dir, "events")).orderBy("hour", "event_type")),
@@ -129,6 +165,13 @@ private[graft] trait RegistryEvents extends RegistryShared {
     "ev_quantiles_approx" -> ((s, dir) =>
       Events.quantilesApproxEval(t(s, dir, "events"), QuantAccuracy)
         .orderBy("event_type")),
+    // Count-min sketch frequency estimation, graded per key against
+    // the exact counts — fixed d·w sketch state no matter the key
+    // cardinality; deterministic affine hashes make the whole thing
+    // (cells, estimates, overcounts) exactly replayable in the oracle.
+    "ev_cms_eval" -> ((s, dir) =>
+      Events.cmsFreqEval(t(s, dir, "events"), "user_id", CmsW, CmsTopK)
+        .orderBy(col("true_cnt").desc, col("key"))),
     "ev_timeline_windows" -> ((s, dir) =>
       Events.timelineWindows(t(s, dir, "events"))
         .orderBy("user_id", "event_id")),
@@ -312,6 +355,7 @@ private[graft] trait RegistryEvents extends RegistryShared {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "ev_sessionize" -> sessionizeOracleSql,
     "ev_sessionize_2level" -> sessionizeOracleSql,
+    "ev_cms_eval" -> cmsOracle(CmsW, CmsTopK),
     "ev_bitmap_distinct" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct

@@ -55,6 +55,9 @@ object RegistryRank {
   private val MadK = 3
   /** Triangle counting: minimum co-occurrence support per edge. */
   private val TriMinSupport = 2L
+  /** Label-propagation community detection: synchronous rounds
+    * (unrolled in the oracle). */
+  private val LpaIters = 4
 
   // ---------------------------------------------------------------------
   // Oracle SQL builders (DuckDB dialect)
@@ -131,6 +134,38 @@ object RegistryRank {
        |SELECT r.node, sd.is_seed, CAST(r.rank_q AS BIGINT) AS rank_q,
        |  CAST(r.rank_q AS DOUBLE) / $S.0 AS rank
        |FROM r$iters r JOIN sd ON r.node = sd.node ORDER BY r.node""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[Graph.labelPropagationQ]] over the
+    * support-gated co-order graph: l0 = own id, then `iters`
+    * synchronous argmax rounds with the total (count DESC, label ASC)
+    * tie-break. The oracle's row_number window IS the same argmax as
+    * the plan's `min(struct(-c, label))` — the orderings coincide. */
+  private def lpaOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""t$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node
+         |  GROUP BY e.dst, l.label),
+         |l$i AS (SELECT node, label FROM (
+         |    SELECT node, label, row_number()
+         |      OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |    FROM t$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+       |    a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey),
+       |und AS (SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $TriMinSupport),
+       |e AS (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b AS src, a AS dst FROM und),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$rounds,
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+       |  FROM l$iters GROUP BY label)
+       |SELECT l.node, l.label AS community, sz.community_size
+       |FROM l$iters l JOIN sz ON l.label = sz.label
+       |ORDER BY node""".stripMargin
   }
 
   /** The weighted twin: edge weight = number of distinct co-ordering
@@ -341,6 +376,21 @@ object RegistryRank {
         Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
         HitsIters)
         .orderBy("node")),
+    // Label-propagation communities of the support-gated co-order
+    // graph — the near-linear community baseline where components are
+    // too coarse; synchronous rounds with a total tie-break (fully
+    // deterministic LPA), per-node argmax as a map-side-combinable
+    // min(struct) — no window sort, no skew sensitivity.
+    "gr_label_prop" -> ((s, dir) => {
+      val gated = Graph
+        .coOrderedParts(t(s, dir, "lineitem"), distinct = false)
+        .where(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= TriMinSupport)
+      val sym = gated.select(col("src"), col("dst"))
+        .unionAll(gated.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagationQ(sym, LpaIters).orderBy("node")
+    }),
     // Connected components of the support-gated co-order graph —
     // the large-star/small-star kernel (Dedup.connectedComponents)
     // applied to a second graph family: which product groups actually
@@ -458,6 +508,7 @@ object RegistryRank {
     "gr_ppr" -> pprOracle(PageRankIters, PprSeedMod),
     "gr_pagerank_weighted" -> pageRankWeightedOracle(PageRankIters),
     "gr_hits" -> hitsOracle(HitsIters),
+    "gr_label_prop" -> lpaOracle(LpaIters),
     "dd_substring_spans" ->
       s"""WITH ${substringCtes(SubstringW)},
          |i AS (SELECT doc_id, pos,

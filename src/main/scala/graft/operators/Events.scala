@@ -141,6 +141,70 @@ object Events {
         okCol("le75", "lt75", 750000L, epsPpm).as("p75_ok"))
   }
 
+  /** Count-min sketch (Cormode–Muthukrishnan 2005) frequency
+    * estimation over a BIGINT key column, with per-key grading against
+    * the exact counts — the third sketch family next to HLL
+    * ([[approxRollupEval]]) and GK ([[quantilesApproxEval]]).
+    *
+    * Unlike those two, THIS sketch is replayed deterministically on
+    * both engines: the d hash rows are explicit affine maps
+    * h_j(k) = ((a_j·k + b_j) mod P) mod w (P = 2³¹−1, constants in
+    * [[CmsA]]/[[CmsB]]), so every cell count — and therefore every
+    * estimate, overcount, and bound flag — is exact integer math the
+    * DuckDB oracle reproduces value-for-value. No grade-band hedging
+    * needed.
+    *
+    * Emits, for the `topK` keys by true count (ties → smaller key):
+    * (key, true_cnt, est_cnt, overcount, within_bound) where
+    * est = min_j cell(j, h_j(key)), overcount = est − true (≥ 0 by
+    * construction — CMS never undercounts), and within_bound checks
+    * overcount ≤ (3·N) div w (the ε = e/w Markov bound with e rounded
+    * up to 3, deterministic on both engines).
+    *
+    * Scale shape — the POINT of the operator: sketch state is d·w
+    * cells no matter how many distinct keys flow through, built by ONE
+    * map-side-combined aggregate over a d-way explode (the per-row
+    * fanout is d=3 structs, not a per-key state). The probe side is
+    * topK-bounded, the cells relation broadcasts (d·w rows), and the
+    * exact counts — needed for grading only — are the same single
+    * shuffle `a2_group_counts` already pays. At 100 TB you keep the
+    * sketch and drop the exact side; the estimate path touches no
+    * per-key state at all. */
+  def cmsFreqEval(df: DataFrame, keyCol: String, w: Int = 64,
+                  topK: Int = 25): DataFrame = {
+    val base = df.select(col(keyCol).cast(LongType).as("key"))
+    def bucket(j: Int, k: Column): Column =
+      ((lit(CmsA(j)) * k + lit(CmsB(j))) % CmsP % w).cast(LongType)
+    val cells = base
+      .select(explode(array(CmsA.indices.map(j =>
+        struct(lit(j).as("j"), bucket(j, col("key")).as("bucket"))): _*))
+        .as("h"))
+      .groupBy(col("h.j").as("j"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val topk = base.groupBy("key").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("key")).limit(topK)
+    val probes = topk.select(col("key"), col("true_cnt"),
+      explode(array(CmsA.indices.map(j =>
+        struct(lit(j).as("j"), bucket(j, col("key")).as("bucket"))): _*))
+        .as("h"))
+      .select(col("key"), col("true_cnt"),
+        col("h.j").as("j"), col("h.bucket").as("bucket"))
+    val n = base.agg(count(lit(1)).as("n"))
+    probes.join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("key"), col("true_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+      .crossJoin(broadcast(n))
+      .select(col("key"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"),
+        (col("est_cnt") - col("true_cnt") <=
+          expr(s"(3 * n) div $w")).as("within_bound"))
+  }
+
+  /** CMS hash constants — shared verbatim with the oracle SQL. */
+  val CmsP = 2147483647L
+  val CmsA: Seq[Long] = Seq(31L, 131L, 1031L)
+  val CmsB: Seq[Long] = Seq(7L, 17L, 37L)
+
   /** One rank-band grade of [[quantilesApproxEval]]: the estimate's
     * true rank window [lt+1, le] must intersect the target band
     * q·n ± (ε·n + 1 row). */

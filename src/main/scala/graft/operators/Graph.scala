@@ -312,6 +312,62 @@ object Graph {
     out
   }
 
+  /** `iters` rounds of SYNCHRONOUS label propagation (Raghavan et al.
+    * 2007) over `edges(src, dst)` — the near-linear community-detection
+    * baseline: every node starts as its own community and repeatedly
+    * adopts the most frequent label among its neighbors. Corpus curation
+    * uses it to group near-duplicate clusters, co-citation families, and
+    * host-graph communities where connected components are too coarse
+    * (one bridge edge merges everything) and modularity methods too
+    * expensive.
+    *
+    * label⁰(v) = v
+    * labelᵗ(v) = argmax over {labelᵗ⁻¹(u) : (u,v) ∈ E} by
+    *             (count DESC, label ASC)
+    *
+    * The total (count, label) tie-break makes the classic
+    * nondeterministic LPA fully deterministic, so the unrolled-CTE
+    * oracle replays it bit-for-bit. Synchronous update (all nodes flip
+    * on the round boundary) rather than the sequential-sweep variant —
+    * the only version with a well-defined parallel semantics.
+    *
+    * Scale shape: same as [[pageRankQ]] — edges partition on `src` ONCE
+    * and cache; each round moves the node-sized label vector to the
+    * edge cache, counts (dst, label) pairs map-side-combined, and the
+    * per-node argmax is `min(struct(-count, label))` — a second
+    * map-side-combinable aggregate, NOT a row_number window, so no
+    * per-node sort and no skew sensitivity (a celebrity node's argmax
+    * state is one struct regardless of degree). Label vector
+    * checkpointed per round (flat plan at any iteration count).
+    *
+    * Feed SYMMETRIC edges (both orientations) — the gather reads
+    * neighbors from the `src` side only. Emits
+    * (node, community, community_size). */
+  def labelPropagationQ(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.repartition(col("src")).distinct().persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((col("c") * -1L).as("nc"), col("label")))
+          .as("m"))
+        .select(col("dst").as("node"), col("m.label").as("label"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).as("community_size"))
+    val out = labels.join(sizes, Seq("label"))
+      .select(col("node"), col("label").as("community"),
+        col("community_size"))
+      .localCheckpoint(true)
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Per-node triangle counts over the undirected co-occurrence graph —
     * the clustering-structure primitive behind community detection,
     * spam-graph signals, and local clustering coefficients (degree and

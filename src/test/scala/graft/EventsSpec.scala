@@ -575,4 +575,43 @@ class EventsSpec extends AnyFunSuite {
     assert(got.map(r => r._2 -> r._5).toSeq ==
       Seq(1L -> false, 2L -> false, 4L -> false, 9L -> true))
   }
+
+  private def cmsEvents(keys: Seq[Long]) =
+    keys.zipWithIndex.map { case (k, i) =>
+      (i.toLong, ts("2024-01-01 10:00:00"), k, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("cmsFreqEval: collision-free keys estimate exactly (est == true, " +
+      "overcount 0, within_bound)") {
+    // Keys 1..5 land in distinct buckets of every hash row at w=64.
+    val df = cmsEvents(Seq.tabulate(15)(i => (i % 5 + 1).toLong))
+    val got = Events.cmsFreqEval(df, "user_id", 64, 10)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == (1L to 5L).map(k => (k, 3L, 3L, 0L, true)),
+      s"got ${got.toSeq}")
+  }
+
+  test("cmsFreqEval: keys 64 apart collide in EVERY hash row " +
+      "(64 | a_j * 64, no P-wrap) — overcount is exact and the Markov " +
+      "bound flag goes false on a tiny stream") {
+    // key 1 ×3, key 65 ×2: est(1) = est(65) = 5; bound = (3*5) div 64 = 0.
+    val df = cmsEvents(Seq(1L, 1L, 1L, 65L, 65L))
+    val got = Events.cmsFreqEval(df, "user_id", 64, 10)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 5L, 2L, false),
+      (65L, 2L, 5L, 3L, false)), s"got ${got.toSeq}")
+  }
+
+  test("cmsFreqEval never undercounts and topK bounds the output") {
+    val df = cmsEvents(Seq.tabulate(60)(i => (i % 20).toLong))
+    val got = Events.cmsFreqEval(df, "user_id", 16, 7).collect()
+    assert(got.length == 7)
+    assert(got.forall(r => r.getLong(2) >= r.getLong(1)),
+      "CMS must never undercount")
+  }
 }

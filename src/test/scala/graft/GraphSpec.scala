@@ -230,4 +230,37 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("no seed is a graph node"))
   }
+
+  test("labelPropagationQ splits two bridged triangles into two " +
+      "communities (where components would merge them)") {
+    // Triangle {0,1,2} — bridge 2-10 — triangle {10,11,12}. Symmetric.
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.labelPropagationQ(edges, 4).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 10L, 11L, 12L))
+    val comm = got.map(_._2)
+    assert(comm.take(3).distinct.size == 1, s"left clique: ${got.toSeq}")
+    assert(comm.drop(3).distinct.size == 1, s"right clique: ${got.toSeq}")
+    assert(comm(0) != comm(3), s"communities must differ: ${got.toSeq}")
+    assert(got.map(_._3).forall(_ == 3L), s"sizes: ${got.toSeq}")
+  }
+
+  test("labelPropagationQ on a clique converges to the min id and is " +
+      "stable; result plan is lineage-severed") {
+    val nodes = Seq(5L, 6L, 7L, 8L)
+    val edges = (for { a <- nodes; b <- nodes if a != b } yield (a, b))
+      .toDF("src", "dst")
+    val df = Graph.labelPropagationQ(edges, 3)
+    val got = df.orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq ==
+      nodes.map(n => (n, 5L, 4L)),
+      s"got ${got.toSeq}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), s"plan was:\n$plan")
+    assert(!plan.contains("Join"), s"plan was:\n$plan")
+  }
 }
