@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet fixtures (see TESTDATA.md).
   *
@@ -15,15 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** `events.ts` normalization to one canonical microsecond
+    * TimestampType, whatever the fixture generation encoded:
+    *  - TIMESTAMP(NANOS) parquet arrives as a raw nanosecond LONG
+    *    (spark.sql.legacy.parquet.nanosAsLong) → integral `div 1000`
+    *    then `timestamp_micros` (a double division would lose precision
+    *    at 1e18 ns);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *    TIMESTAMP_NTZ → cast to TimestampType, value-preserving because
+    *    the session time zone is pinned to UTC (Sessions.builder) — the
+    *    same naive micros DuckDB reads, so oracle parity holds;
+    *  - TimestampType passes through. */
+  private def canonTs(dt: DataType): Option[Column => Column] = dt match {
+    case LongType => Some(c => expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => Some(c => c.cast(TimestampType))
+    case _ => None
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS), which Spark only reads as a raw
-    // nanosecond long (spark.sql.legacy.parquet.nanosAsLong — set by
-    // Sessions.tune). Normalize to a microsecond TimestampType here so
-    // every consumer sees one canonical type. `div` keeps the arithmetic
-    // integral (a double division would lose precision at 1e18 ns).
-    if (name == "events" && df.schema("ts").dataType != org.apache.spark.sql.types.TimestampType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (name == "events")
+      canonTs(df.schema("ts").dataType)
+        .map(f => df.withColumn("ts", f(col("ts")))).getOrElse(df)
     else df
   }
 
@@ -38,8 +52,9 @@ object Tables {
     // file path fails with "'basePath' must be a directory".
     val df = spark.readStream.schema(raw.schema)
       .parquet(s"$dir/{$name}.parquet")
-    if (name == "events" && raw.schema("ts").dataType != org.apache.spark.sql.types.TimestampType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (name == "events")
+      canonTs(raw.schema("ts").dataType)
+        .map(f => df.withColumn("ts", f(col("ts")))).getOrElse(df)
     else df
   }
 }

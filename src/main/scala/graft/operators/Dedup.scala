@@ -325,7 +325,7 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true)
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -353,12 +353,16 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionAll(smallMin.select(col("src"), col("m").as("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(true)
       // Converged when the round was a no-op: symmetric difference of
-      // the (distinct) edge sets is empty — one aggregate job.
+      // the (distinct) edge sets is empty — one aggregate job. Runs
+      // BEFORE the previous round's checkpoint is released (it reads
+      // both edge sets); then Ckpt.release keeps repeated invocations
+      // from accumulating edge-sized cache entries.
       val changed = small.unionAll(edges)
         .groupBy("src", "dst").agg(count(lit(1)).as("c"))
         .where(col("c") === 1).count()
+      Ckpt.release(edges)
       edges = small
       converged = changed == 0
       iter += 1

@@ -116,17 +116,21 @@ object Graph {
       // After the checkpoint every iteration plans against a flat
       // LogicalRDD — plan size is constant in iters (GraphSpec asserts
       // this). Cost: one node-sized materialization per round, which is
-      // exactly the per-iteration traffic PageRank already moves.
-      ranks = deg.select(col("src").as("node"))
-        .join(contribs, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
-          (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q"))
-        .localCheckpoint(true)
+      // exactly the per-iteration traffic PageRank already moves. The
+      // superseded round's checkpoint RDD is released in the same step
+      // (Ckpt.replace) — repeated invocations must not accumulate
+      // cache entries (PlanQualitySpec leak guard).
+      ranks = Ckpt.replace(
+        deg.select(col("src").as("node"))
+          .join(contribs, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q")),
+        ranks)
     }
-    val out = ranks
-      .select(col("node"), col("rank_q").cast(LongType).as("rank_q"),
-        (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank"))
-      .localCheckpoint(true)
+    val out = Ckpt.replace(
+      ranks.select(col("node"), col("rank_q").cast(LongType).as("rank_q"),
+        (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank")),
+      ranks)
     e.unpersist()
     deg.unpersist()
     out
@@ -171,19 +175,21 @@ object Graph {
         .agg(sum(expr(s"($DampNum * rank_q) div ($DampDen * outdeg)"))
           .as("c"))
       // Per-iteration checkpoint of the node-sized vector — see
-      // [[pageRankQ]]: bounds plan growth so iters ≫ 3 stays planful.
-      ranks = nodes
-        .join(contribs, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
-          (col("is_seed") * lit(base) + coalesce(col("c"), lit(0L)))
-            .as("rank_q"))
-        .localCheckpoint(true)
+      // [[pageRankQ]]: bounds plan growth so iters ≫ 3 stays planful;
+      // Ckpt.replace releases the superseded round's checkpoint.
+      ranks = Ckpt.replace(
+        nodes.join(contribs, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            (col("is_seed") * lit(base) + coalesce(col("c"), lit(0L)))
+              .as("rank_q")),
+        ranks)
     }
-    val out = ranks.join(nodes, Seq("node"))
-      .select(col("node"), col("is_seed"),
-        col("rank_q").cast(LongType).as("rank_q"),
-        (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank"))
-      .localCheckpoint(true)
+    val out = Ckpt.replace(
+      ranks.join(nodes, Seq("node"))
+        .select(col("node"), col("is_seed"),
+          col("rank_q").cast(LongType).as("rank_q"),
+          (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank")),
+      ranks)
     e.unpersist()
     deg.unpersist()
     nodes.unpersist()
@@ -219,17 +225,19 @@ object Graph {
         .agg(sum(expr(s"($DampNum * rank_q * w) div ($DampDen * wtot)"))
           .as("c"))
       // Per-iteration checkpoint of the node-sized vector — see
-      // [[pageRankQ]]: bounds plan growth so iters ≫ 3 stays planful.
-      ranks = tot.select(col("src").as("node"))
-        .join(contribs, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
-          (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q"))
-        .localCheckpoint(true)
+      // [[pageRankQ]]: bounds plan growth so iters ≫ 3 stays planful;
+      // Ckpt.replace releases the superseded round's checkpoint.
+      ranks = Ckpt.replace(
+        tot.select(col("src").as("node"))
+          .join(contribs, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q")),
+        ranks)
     }
-    val out = ranks
-      .select(col("node"), col("rank_q").cast(LongType).as("rank_q"),
-        (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank"))
-      .localCheckpoint(true)
+    val out = Ckpt.replace(
+      ranks.select(col("node"), col("rank_q").cast(LongType).as("rank_q"),
+        (col("rank_q").cast("double") / lit(Scale.toDouble)).as("rank")),
+      ranks)
     e.unpersist()
     tot.unpersist()
     out
@@ -275,15 +283,20 @@ object Graph {
     require(n > 0, "hitsQ: empty edge set")
     // One L1 normalization: raw gathered sums (DECIMAL) → BIGINT
     // fixed-point vector over the full node universe (absentees → 0).
-    // Checkpointed: same flat-plan-per-round contract as [[pageRankQ]].
-    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+    // Checkpointed (flat plan per round, [[pageRankQ]] contract), with
+    // the vector it supersedes released in the same step: auth t
+    // depends only on hub t−1, hub t only on auth t, so each new
+    // checkpoint retires the same-named vector of the previous round.
+    def normalized(raw: DataFrame, outCol: String,
+                   prev: DataFrame): DataFrame = {
       val tot = raw.agg(sum(col("raw")).as("tot"))
-      nodes.join(raw, Seq("node"), "left_outer")
-        .crossJoin(broadcast(tot))
-        .select(col("node"),
-          expr(s"CAST(coalesce(raw, 0) AS DECIMAL(38,0)) * $Scale div tot")
-            .as(outCol))
-        .localCheckpoint(true)
+      Ckpt.replace(
+        nodes.join(raw, Seq("node"), "left_outer")
+          .crossJoin(broadcast(tot))
+          .select(col("node"),
+            expr(s"CAST(coalesce(raw, 0) AS DECIMAL(38,0)) * $Scale div tot")
+              .as(outCol)),
+        prev)
     }
     var hubs = nodes.select(col("node"), lit(Scale / n).as("hub_q"))
     var auths = nodes.select(col("node"), lit(Scale / n).as("auth_q"))
@@ -293,21 +306,22 @@ object Graph {
           .groupBy(col("dst"))
           .agg(sum(col("hub_q").cast(DecimalType(38, 0))).as("raw"))
           .withColumnRenamed("dst", "node"),
-        "auth_q")
+        "auth_q", auths)
       hubs = normalized(
         eD.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src"))
           .agg(sum(col("auth_q").cast(DecimalType(38, 0))).as("raw"))
           .withColumnRenamed("src", "node"),
-        "hub_q")
+        "hub_q", hubs)
     }
-    val out = hubs.join(auths, Seq("node"))
-      .select(col("node"),
-        col("hub_q").cast(LongType).as("hub_q"),
-        col("auth_q").cast(LongType).as("auth_q"),
-        (col("hub_q").cast("double") / lit(Scale.toDouble)).as("hub"),
-        (col("auth_q").cast("double") / lit(Scale.toDouble)).as("auth"))
-      .localCheckpoint(true)
+    val out = Ckpt.replace(
+      hubs.join(auths, Seq("node"))
+        .select(col("node"),
+          col("hub_q").cast(LongType).as("hub_q"),
+          col("auth_q").cast(LongType).as("auth_q"),
+          (col("hub_q").cast("double") / lit(Scale.toDouble)).as("hub"),
+          (col("auth_q").cast("double") / lit(Scale.toDouble)).as("auth")),
+      hubs, auths)
     eS.unpersist(); eD.unpersist(); nodes.unpersist()
     out
   }
@@ -348,22 +362,122 @@ object Graph {
     val nodes = e.select(col("src").as("node")).distinct().persist()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
-      labels = e
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(min(struct((col("c") * -1L).as("nc"), col("label")))
-          .as("m"))
-        .select(col("dst").as("node"), col("m.label").as("label"))
-        .localCheckpoint(true)
+      labels = Ckpt.replace(
+        e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(min(struct((col("c") * -1L).as("nc"), col("label")))
+            .as("m"))
+          .select(col("dst").as("node"), col("m.label").as("label")),
+        labels)
     }
     val sizes = labels.groupBy("label")
       .agg(count(lit(1)).as("community_size"))
-    val out = labels.join(sizes, Seq("label"))
-      .select(col("node"), col("label").as("community"),
-        col("community_size"))
-      .localCheckpoint(true)
+    val out = Ckpt.replace(
+      labels.join(sizes, Seq("label"))
+        .select(col("node"), col("label").as("community"),
+          col("community_size")),
+      labels)
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** `rounds` synchronous peels toward the k-CORE of `edges(src, dst)`
+    * (feed SYMMETRIC edges): each round recomputes degrees over the
+    * surviving subgraph and drops every node with degree < `k`,
+    * together with its edges. With enough rounds this converges to the
+    * classic k-core (Seidman 1983) — the standard density gate that
+    * separates structurally-embedded nodes from peripheral ones before
+    * community detection or influence ranking (and, on near-dup /
+    * co-citation graphs, the "keep only documents with ≥ k strong
+    * neighbors after the periphery is gone" curation cut). Bounded
+    * synchronous rounds keep the operator deterministic and give the
+    * unrolled-CTE oracle a bit-for-bit replay; a convergence run is
+    * just `rounds` large enough that a round removes nothing.
+    *
+    * Emits surviving (node, degree) — degree measured in the peeled
+    * subgraph, so every emitted degree is ≥ k iff converged.
+    *
+    * Scale shape: the node-sized survivor set is BROADCAST to the edge
+    * relation each round (two map-side semi-joins — src end, dst end),
+    * so the edge set never re-shuffles; each round's shrunken edge set
+    * is checkpointed (flat plan at any round count, and peeling only
+    * ever shrinks the materialized relation). Degree counting rides
+    * the original src-partitioning, map-side-combined. When the node
+    * set itself outgrows broadcast (~10⁹ nodes), drop the hint and the
+    * same plan runs as two shuffled semi-joins. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"kCore: k=$k rounds=$rounds")
+    var e = edges.repartition(col("src")).distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("src").as("n"))
+      e = Ckpt.replace(
+        e.join(broadcast(keep.select(col("n").as("src"))), Seq("src"),
+            "left_semi")
+          .join(broadcast(keep.select(col("n").as("dst"))), Seq("dst"),
+            "left_semi"),
+        e)
+    }
+    Ckpt.replace(
+      e.groupBy("src").agg(count(lit(1)).as("degree"))
+        .select(col("src").as("node"), col("degree").cast(LongType)
+          .as("degree")),
+      e)
+  }
+
+  /** `rounds` synchronous rounds of multi-source BFS over
+    * `edges(src, dst)`: hop distance from the nearest seed, the
+    * proximity primitive behind crawl-frontier expansion ("how many
+    * link hops from a trusted seed is this host"), influence radius,
+    * and seed-anchored corpus triage. Bellman-Ford-style relaxation
+    * restricted to +1 edges:
+    *
+    *   dist⁰(v)   = 0 if v ∈ S, else ⊥
+    *   distᵗ⁺¹(v) = min(distᵗ(v), min_{(u,v)∈E, distᵗ(u)≠⊥} distᵗ(u)+1)
+    *
+    * After `rounds` rounds every node within `rounds` hops of a seed
+    * holds its EXACT hop distance (BFS layers are monotone); nodes
+    * beyond stay NULL — both facts replayed by the unrolled-CTE
+    * oracle. Seeds are any one-column (`node`) relation; seeds that
+    * are not graph nodes are ignored.
+    *
+    * Scale shape: identical to [[pageRankQ]] — the edge relation
+    * partitions on `src` once and caches, each round moves only the
+    * node-sized distance vector to the edges (the ⊥-distance rows are
+    * filtered BEFORE the join, so early rounds ship only the reached
+    * frontier's neighborhoods), min-aggregates map-side-combined on
+    * `dst`, and checkpoints the new vector (flat plan per round). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bfsHops: rounds=$rounds")
+    val e = edges.repartition(col("src")).distinct().persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    var dist = nodes
+      .join(seeds.select(col("node")).distinct().withColumn("z", lit(0L)),
+        Seq("node"), "left_outer")
+      .select(col("node"), col("z").as("dist"))
+    for (_ <- 1 to rounds) {
+      val upd = e
+        .join(dist.where(col("dist").isNotNull)
+          .withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + 1L).as("nd"))
+      // Explicit null algebra (not `least`): engines disagree on
+      // NULL-vs-value semantics of LEAST, the CASE below does not.
+      dist = Ckpt.replace(
+        dist.join(upd, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            when(col("dist").isNull, col("nd"))
+              .when(col("nd").isNull, col("dist"))
+              .otherwise(least(col("dist"), col("nd"))).as("dist")),
+        dist)
+    }
+    val out = Ckpt.replace(
+      dist.select(col("node"), col("dist").cast(LongType).as("dist"),
+        when(col("dist").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("reached")),
+      dist)
     e.unpersist(); nodes.unpersist()
     out
   }

@@ -168,7 +168,7 @@ object Similarity {
         .join(vecs, Seq("cand_id"))
         .select(col("query_id"), lit(r.toLong).as("rank"), col("cand_id"),
           col("rel"), col("maxsim"), col("score"), col("qv"))
-      sel = sel.unionByName(pick).localCheckpoint(true)
+      sel = Ckpt.replace(sel.unionByName(pick), sel)
     }
     cand.unpersist()
     sel.drop("qv")

@@ -712,15 +712,16 @@ object TextAnalysis {
       // re-merge with the next symbol in the same round — exactly the
       // non-overlap rule. O(len²) array copies per word, bounded by
       // word length, never corpus size.
-      vocab = vocab.withColumn("syms",
+      vocab = Ckpt.replace(
+        vocab.withColumn("syms",
           aggregate(col("syms"), typedLit(Array.empty[String]),
             (acc, x) => when(
               size(acc) > 0 && element_at(acc, -1) === lit(lhs) &&
                 x === lit(rhs),
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(lit(lhs + rhs))))
-              .otherwise(concat(acc, array(x)))))
-        .localCheckpoint(true)
+              .otherwise(concat(acc, array(x))))),
+        vocab)
     }
     (vocab, merges.toSeq)
   }
