@@ -58,6 +58,17 @@ object RegistryRank {
   /** Label-propagation community detection: synchronous rounds
     * (unrolled in the oracle). */
   private val LpaIters = 4
+  /** k-core peel: degree threshold and synchronous peel rounds
+    * (unrolled in the oracle). k=3 on the support-gated graph peels
+    * for several rounds without emptying (probed: 1892 → ~1065 nodes
+    * over 5 rounds at sf0.01). */
+  private val KcoreK = 3
+  private val KcoreRounds = 5
+  /** Multi-source BFS: seed predicate (part keys divisible by this —
+    * distinct from PprSeedMod so the two seed families differ) and
+    * relaxation rounds (unrolled in the oracle). */
+  private val BfsSeedMod = 100L
+  private val BfsRounds = 4
 
   // ---------------------------------------------------------------------
   // Oracle SQL builders (DuckDB dialect)
@@ -335,6 +346,61 @@ object RegistryRank {
        |$roundCtes""".stripMargin
   }
 
+  /** Shared gated-graph CTEs (`e0(src, dst)` symmetric, support ≥
+    * [[TriMinSupport]]) — the same graph [[lpaOracle]] builds inline. */
+  private val gatedGraphCte: String =
+    s"""pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+       |    a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey),
+       |und AS (SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $TriMinSupport),
+       |e0 AS (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b AS src, a AS dst FROM und)""".stripMargin
+
+  /** Unrolled-CTE replay of [[Graph.kCore]] over the support-gated
+    * symmetric graph: each round keeps nodes of degree ≥ k and the
+    * edges among them. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src
+         |  HAVING count(*) >= $k),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $gatedGraphCte,
+       |$peels
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[Graph.bfsHops]]: seed-zero init, then
+    * `rounds` min-relaxation rounds with the same explicit NULL
+    * algebra as the Spark plan. */
+  private def bfsOracle(seedMod: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""u$i AS (SELECT e.dst AS node, min(d.dist) + 1 AS nd
+         |  FROM e0 e JOIN d${i - 1} d ON e.src = d.node
+         |  WHERE d.dist IS NOT NULL GROUP BY e.dst),
+         |d$i AS (SELECT d.node,
+         |    CASE WHEN d.dist IS NULL THEN u.nd
+         |      WHEN u.nd IS NULL THEN d.dist
+         |      ELSE least(d.dist, u.nd) END AS dist
+         |  FROM d${i - 1} d LEFT JOIN u$i u ON d.node = u.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $gatedGraphCte,
+       |d0 AS (SELECT DISTINCT src AS node,
+       |    CASE WHEN src % $seedMod = 0 THEN 0 ELSE NULL END AS dist
+       |  FROM e0),
+       |$steps
+       |SELECT node, CAST(coalesce(dist, -1) AS BIGINT) AS dist,
+       |  CAST(CASE WHEN dist IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS reached
+       |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -409,6 +475,37 @@ object RegistryRank {
           col("cluster_id").as("component_id"),
           col("cluster_size").as("component_size"))
         .orderBy("node")
+    }),
+    // k-core peel of the support-gated graph: bounded synchronous
+    // rounds dropping degree-<k nodes — the density gate between
+    // "connected at all" (components) and "tightly embedded". The
+    // node-sized survivor set broadcasts to the edges each round; the
+    // edge set only ever shrinks.
+    "gr_kcore" -> ((s, dir) => {
+      val gated = Graph
+        .coOrderedParts(t(s, dir, "lineitem"), distinct = false)
+        .where(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= TriMinSupport)
+      val sym = gated.select(col("src"), col("dst"))
+        .unionAll(gated.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.kCore(sym, KcoreK, KcoreRounds).orderBy("node")
+    }),
+    // Multi-source BFS hop distance from the seed set (part keys
+    // divisible by BfsSeedMod) over the same gated graph — exact
+    // within BfsRounds hops, NULL beyond; per-round traffic is the
+    // reached frontier's node vector only.
+    "gr_bfs" -> ((s, dir) => {
+      val gated = Graph
+        .coOrderedParts(t(s, dir, "lineitem"), distinct = false)
+        .where(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= TriMinSupport)
+      val sym = gated.select(col("src"), col("dst"))
+        .unionAll(gated.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .where(col("node") % BfsSeedMod === 0)
+      Graph.bfsHops(sym, seeds, BfsRounds).orderBy("node")
     }),
     // Per-node triangle counts via degree-ordered orientation — wedge
     // fanout O(√m) per node regardless of degree skew. The registry
@@ -509,6 +606,8 @@ object RegistryRank {
     "gr_pagerank_weighted" -> pageRankWeightedOracle(PageRankIters),
     "gr_hits" -> hitsOracle(HitsIters),
     "gr_label_prop" -> lpaOracle(LpaIters),
+    "gr_kcore" -> kcoreOracle(KcoreK, KcoreRounds),
+    "gr_bfs" -> bfsOracle(BfsSeedMod, BfsRounds),
     "dd_substring_spans" ->
       s"""WITH ${substringCtes(SubstringW)},
          |i AS (SELECT doc_id, pos,

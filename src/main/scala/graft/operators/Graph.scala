@@ -439,9 +439,12 @@ object Graph {
     *
     * After `rounds` rounds every node within `rounds` hops of a seed
     * holds its EXACT hop distance (BFS layers are monotone); nodes
-    * beyond stay NULL — both facts replayed by the unrolled-CTE
-    * oracle. Seeds are any one-column (`node`) relation; seeds that
-    * are not graph nodes are ignored.
+    * beyond emit the sentinel dist = −1 with reached = 0 (a NULL
+    * would be truthful too, but nullable bigints round-trip as NaN
+    * floats through arrow/pandas and break value comparison — the
+    * sentinel is unambiguous since real distances are ≥ 0). Seeds are
+    * any one-column (`node`) relation; seeds that are not graph nodes
+    * are ignored.
     *
     * Scale shape: identical to [[pageRankQ]] — the edge relation
     * partitions on `src` once and caches, each round moves only the
@@ -474,7 +477,8 @@ object Graph {
         dist)
     }
     val out = Ckpt.replace(
-      dist.select(col("node"), col("dist").cast(LongType).as("dist"),
+      dist.select(col("node"),
+        coalesce(col("dist"), lit(-1L)).cast(LongType).as("dist"),
         when(col("dist").isNotNull, lit(1L)).otherwise(lit(0L))
           .as("reached")),
       dist)

@@ -263,4 +263,65 @@ class GraphSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD"), s"plan was:\n$plan")
     assert(!plan.contains("Join"), s"plan was:\n$plan")
   }
+
+  test("kCore: K4 with a pendant path — the path peels over two " +
+      "rounds, the clique survives at degree 3") {
+    // K4 on 0..3, pendant path 3-4-5. Symmetric edges.
+    val und = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)) ++
+      Seq((3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2, rounds = 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L to 3L).map(n => (n, 3L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("kCore: k above the max degree empties the graph") {
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    assert(Graph.kCore(edges, k = 3, rounds = 2).count() == 0)
+  }
+
+  test("kCore: repeated invocations release their per-round edge " +
+      "checkpoints (call-scoped cache discipline)") {
+    val und = (for { a <- 0L to 5L; b <- 0L to 5L if a < b } yield (a, b))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    def run(): Unit = Graph.kCore(edges, 3, 3).collect()
+    run() // steady state
+    val before = spark.sparkContext.getPersistentRDDs.size
+    run(); run()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"persisted RDD count grew $before -> $after")
+  }
+
+  test("bfsHops: single seed on a path — exact hop layers inside the " +
+      "round budget, sentinel -1 beyond") {
+    val und = (0L to 4L).map(i => (i, i + 1))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, rounds = 3).orderBy("node")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L), (1L, 1L, 1L), (2L, 2L, 1L),
+      (3L, 3L, 1L), (4L, -1L, 0L), (5L, -1L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("bfsHops: two seeds meet in the middle; non-node seeds are " +
+      "ignored") {
+    val und = (0L to 4L).map(i => (i, i + 1))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 5L, 99L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, rounds = 4).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 2L),
+      (4L, 1L), (5L, 0L)), s"got ${got.toSeq}")
+  }
 }
