@@ -53,6 +53,9 @@ object RegistryRank {
   private val MinBucket = 16
   /** MAD anomaly threshold multiplier (|x − med| > k·MAD flags). */
   private val MadK = 3
+  /** PMI collocations: low-frequency gate and emitted top-N. */
+  private val PmiMinCount = 5L
+  private val PmiTopN = 20
   /** Triangle counting: minimum co-occurrence support per edge. */
   private val TriMinSupport = 2L
   /** Label-propagation community detection: synchronous rounds
@@ -549,6 +552,13 @@ object RegistryRank {
     "tx_lm_surprisal" -> ((s, dir) =>
       TextAnalysis.lmSurprisal(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // PMI collocations: top bigrams by exact-rational observed/chance
+    // ratio (log-free PMI ranking) over the bigram stream; one corpus
+    // pass, marginals re-aggregated from the pair table.
+    "tx_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        PmiMinCount, PmiTopN)
+        .orderBy("rank")),
     // BPE tokenizer-training merge candidates: frequency-weighted
     // adjacent character pairs counted on the distinct-word table.
     "tx_bpe_pairs" -> ((s, dir) =>
@@ -608,6 +618,28 @@ object RegistryRank {
     "gr_label_prop" -> lpaOracle(LpaIters),
     "gr_kcore" -> kcoreOracle(KcoreK, KcoreRounds),
     "gr_bfs" -> bfsOracle(BfsSeedMod, BfsRounds),
+    "tx_pmi_bigrams" ->
+      s"""WITH w AS (SELECT regexp_split_to_array(trim(lower(text)),
+         |    '\\s+') AS w FROM documents),
+         |bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+         |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+         |    FROM w WHERE len(w) >= 2)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |cl AS (SELECT w1, sum(c2) AS cl FROM c2 GROUP BY w1),
+         |cr AS (SELECT w2, sum(c2) AS cr FROM c2 GROUP BY w2),
+         |t AS (SELECT sum(c2) AS t FROM c2),
+         |sc AS (SELECT c2.w1, c2.w2, c2.c2,
+         |    CAST(CAST(c2.c2 AS HUGEINT) * t.t * 1000000
+         |      // (CAST(cl.cl AS HUGEINT) * cr.cr) AS BIGINT)
+         |      AS pmi_ratio_ppm
+         |  FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN t
+         |  WHERE c2.c2 >= $PmiMinCount),
+         |r AS (SELECT w1, w2, c2, pmi_ratio_ppm,
+         |    CAST(row_number() OVER (ORDER BY pmi_ratio_ppm DESC, w1, w2)
+         |      AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT w1, w2, c2, pmi_ratio_ppm, "rank" FROM r
+         |WHERE "rank" <= $PmiTopN ORDER BY "rank"""".stripMargin,
     "dd_substring_spans" ->
       s"""WITH ${substringCtes(SubstringW)},
          |i AS (SELECT doc_id, pos,

@@ -34,8 +34,13 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
   private val TempMixBudget = 130L
 
   /** The SAME bucket construction as TrainPrep.hashBucket, in DuckDB. */
-  private def hashBucketSql(x: String): String =
-    s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+  private def hashBucketSql(x: String, buckets: Int = 100): String =
+    s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 8)) AS BIGINT)" +
+      s" % $buckets"
+
+  /** Curriculum ordering: shard fan-out and difficulty-phase count. */
+  private val CurriculumShards = 8
+  private val CurriculumPhases = 3
 
   protected val trainprep: Map[String, Q] = Map(
     "tp_sample_hash" -> ((s, dir) =>
@@ -49,6 +54,14 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
     "tp_temperature_mix" -> ((s, dir) =>
       TrainPrep.temperatureMix(t(s, dir, "documents"), "doc_id",
         "source", TempMixBudget)
+        .orderBy("doc_id")),
+
+    // Length-curriculum schedule: per-shard easy-to-hard sort into
+    // contiguous phases — shard-bounded windows, no global row_number.
+    "tp_curriculum" -> ((s, dir) =>
+      TrainPrep.curriculum(t(s, dir, "documents"), "doc_id",
+        size(split(trim(col("text")), "\\s+")),
+        CurriculumShards, CurriculumPhases)
         .orderBy("doc_id")),
 
     // Two corpora (the fixture + a shifted-id copy standing in for a
@@ -184,6 +197,17 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
          |  FROM documents)
          |SELECT doc_id, bucket FROM b
          |WHERE bucket < $SamplePct ORDER BY doc_id""".stripMargin,
+    "tp_curriculum" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+         |      AS BIGINT) AS score,
+         |    ${hashBucketSql("doc_id", CurriculumShards)} AS shard
+         |  FROM documents)
+         |SELECT doc_id, score, shard,
+         |  CAST(ntile($CurriculumPhases) OVER w AS BIGINT) AS phase,
+         |  CAST(row_number() OVER w AS BIGINT) AS seq
+         |FROM s WINDOW w AS (PARTITION BY shard ORDER BY score, doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "tp_mix_weighted" ->
       s"""WITH a AS (SELECT doc_id FROM documents),
          |b AS (SELECT doc_id + $IdShift AS doc_id FROM documents),

@@ -568,6 +568,66 @@ object TextAnalysis {
           .otherwise(lit(0L)).as("bits_per_bigram_q"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): the top-N bigrams
+    * whose observed frequency most exceeds chance —
+    *
+    *   PMI(x,y) = log [ P(x,y) / (P(x)·P(y)) ]
+    *
+    * with all probabilities over the BIGRAM stream (P(x) = x's
+    * occurrences as a left token / T, P(y) as right / T, T = total
+    * bigrams) — the self-consistent estimator that needs no separate
+    * unigram pass. Log is monotone, so ranking happens on the exact
+    * rational ratio itself, emitted as parts-per-million:
+    *
+    *   pmi_ratio_ppm = c2 · T · 10⁶ div (cl · cr)
+    *
+    * in DECIMAL(38,0) (HUGEINT in the oracle) — zero float drift, no
+    * Long overflow until c2·T·10⁶ > 10³⁸. `minCount` is the standard
+    * low-frequency gate: a hapax pair scores PMI near log T by
+    * construction and would bury every real collocation.
+    *
+    * Scale shape: the corpus-sized stage is ONE bigram count
+    * (map-side combined, observed-vocab²-bounded exchange); marginals
+    * are vocab-bounded re-aggregations of that same table (never a
+    * second corpus pass), T is a one-row broadcast, and the global
+    * top-N is a TakeOrdered bounded heap, not a full sort. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+                      topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(trim(lower(col(textCol))), "\\s+")
+    val emptyBg = array().cast(ArrayType(StructType(Seq(
+      StructField("w1", StringType), StructField("w2", StringType)))))
+    val bigrams = df.select(
+        explode(when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => struct(element_at(w, i).as("w1"),
+                element_at(w, i + 1).as("w2"))))
+          .otherwise(emptyBg)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist()
+    val cl = c2.groupBy("w1").agg(sum("c2").as("cl"))
+    val cr = c2.groupBy("w2").agg(sum("c2").as("cr"))
+    val tot = c2.agg(sum("c2").as("t"))
+    val scored = c2.where(col("c2") >= minCount)
+      .join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c2"),
+        expr("CAST(c2 AS DECIMAL(38,0)) * t * 1000000 div (CAST(cl AS " +
+          "DECIMAL(38,0)) * cr)").cast(LongType).as("pmi_ratio_ppm"))
+    val top = scored
+      .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+      .limit(topN)
+    val out = top.withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2")))
+          .cast(LongType))
+      .select("w1", "w2", "c2", "pmi_ratio_ppm", "rank")
+      .localCheckpoint(true)
+    c2.unpersist()
+    out
+  }
+
   /** BPE merge-candidate counting (Sennrich et al. 2016 §3.2, the
     * counting stage of byte-pair-encoding tokenizer training): the
     * corpus-frequency-weighted count of every adjacent character pair,

@@ -373,6 +373,34 @@ object TrainPrep {
         expr("n_padding * 1000000 div (bucket * n_docs)").as("waste_ppm"))
   }
 
+  /** Per-shard CURRICULUM ordering: the easy-to-hard training schedule
+    * (Bengio et al. 2009) materialized as explicit (shard, phase, seq)
+    * coordinates — documents sort ascending by a difficulty score
+    * (token count here is the classic length curriculum; any scorer
+    * column plugs in, e.g. [[TextAnalysis.lmSurprisal]]'s
+    * bits_per_bigram_q for a perplexity curriculum), split into
+    * `numPhases` contiguous difficulty phases, with a deterministic
+    * consumption order inside each phase.
+    *
+    * The sort is PER [[hashBucket]] SHARD, not global: each shard is a
+    * uniform random sample of the corpus, so per-shard phase p holds
+    * (in distribution) the same difficulty band as a global phase p
+    * would, while the window runs on shard-bounded partitions — no
+    * single-partition global row_number, which is the scale-killer a
+    * naive curriculum sort ships. A trainer reads phase p as "phase p
+    * of every shard", shard-interleaved — the same contract as
+    * [[packSequences]] bins. Ties (equal score) break on doc_id, so
+    * the schedule is total and the oracle replays it exactly. */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: Column,
+                 numShards: Int, numPhases: Int): DataFrame = {
+    val w = Window.partitionBy("shard")
+      .orderBy(col("score"), col("doc_id"))
+    df.select(col(idCol).as("doc_id"), scoreCol.cast(LongType).as("score"))
+      .withColumn("shard", hashBucket(col("doc_id"), numShards))
+      .withColumn("phase", ntile(numPhases).over(w).cast(LongType))
+      .withColumn("seq", row_number().over(w).cast(LongType))
+  }
+
   /** Corpus card: the per-(source, lang) dataset report every corpus
     * release ships — document/token/char volumes, mean document length,
     * and the quality-gate pass rate — with ROLLUP subtotals per source

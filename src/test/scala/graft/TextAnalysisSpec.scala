@@ -461,4 +461,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("fully merged after 1 rounds"))
   }
+
+  test("pmiCollocations: exact ppm ratios, floor division, total " +
+      "tie-break, and the minCount gate") {
+    import spark.implicits._
+    // Bigrams: (x,y)×2, (x,z)×1, (w,z)×1; T=4; cl: x=3 w=1; cr: y=2 z=2.
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", 1L, 10)
+      .orderBy("rank")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      ("w", "z", 1L, 2000000L, 1L),   // 1·4·10⁶ / (1·2)
+      ("x", "y", 2L, 1333333L, 2L),   // 2·4·10⁶ / (3·2), floored
+      ("x", "z", 1L, 666666L, 3L)),   // 1·4·10⁶ / (3·2), floored
+      s"got ${got.toSeq}")
+    val gated = TextAnalysis.pmiCollocations(docs, "text", 2L, 10)
+      .select("w1", "w2").as[(String, String)].collect()
+    assert(gated.toSeq == Seq(("x", "y")))
+  }
 }

@@ -294,4 +294,27 @@ class TrainPrepSpec extends AnyFunSuite {
       ("sb", "(all)", 1L, 1L, 1L, 1000000L),
       ("(all)", "(all)", 3L, 3L, 2L, 666666L)))
   }
+
+  test("curriculum: per-shard dense seq, scores monotone along seq, " +
+      "phases contiguous and balanced within +-1") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, 1000L - i * 7 % 13)) // shuffled scores
+      .toDF("doc_id", "sc")
+    val got = graft.operators.TrainPrep
+      .curriculum(docs, "doc_id", col("sc"), numShards = 4, numPhases = 3)
+      .orderBy("shard", "seq")
+      .select("doc_id", "score", "shard", "phase", "seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 40)
+    got.groupBy(_._3).foreach { case (shard, rows) =>
+      // seq dense 1..n within the shard
+      assert(rows.map(_._5) == (1L to rows.size))
+      // scores non-decreasing, phases non-decreasing along seq
+      assert(rows.map(_._2) == rows.map(_._2).sorted, s"shard $shard")
+      assert(rows.map(_._4) == rows.map(_._4).sorted, s"shard $shard")
+      // ntile balance: phase sizes differ by at most one
+      val sizes = rows.groupBy(_._4).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"shard $shard sizes $sizes")
+    }
+  }
 }
