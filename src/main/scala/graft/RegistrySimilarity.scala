@@ -111,6 +111,14 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
       Similarity.lshTopK(t(s, dir, "embeddings"), NumQueries, TopK,
         NumPlanes, Dim, NumTables)
         .orderBy("query_id", "rank")),
+    // k-NN graph over the whole corpus: every vector's k nearest
+    // co-bucketed neighbors — LSH self-join on the (table, bucket)
+    // key (both sides partition on the key; no broadcast, no
+    // all-pairs), then the lshTopK two-phase bounded-heap ranking.
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), TopK, NumPlanes,
+        Dim, NumTables)
+        .orderBy("src_id", "rank")),
     // Retrieval-quality eval AS DATA: per-query recall@k / MRR of the
     // LSH index against the brute-force ground truth — the recall
     // contract SimilaritySpec asserts, promoted to an oracle-checked
@@ -678,6 +686,40 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
          |  FROM sc)
          |SELECT query_id, cand_id, dot, cosine, "rank"
          |FROM r WHERE "rank" <= $TopK ORDER BY query_id, "rank"""".stripMargin
+    },
+    // k-NN graph: the sim_lsh_topk construction with EVERY vector as a
+    // query — candidate pairs from the multi-table bucket self-join,
+    // DISTINCT-collapsed, exact-scored, ranked per source node.
+    "sim_knn_graph" -> {
+      val bucketsByTable = (0 until NumTables).map { t =>
+        Similarity.planes(NumPlanes, Dim, t).map(p =>
+          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+      }
+      val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
+        s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |bk AS (
+         |$bk),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id <> b.vec_id),
+         |sc AS (
+         |  SELECT src_id, dst_id,
+         |    ${dotSql("sn.q", "dn.q")} AS dot, sn.nq AS nqs, dn.nq AS nqd
+         |  FROM cand
+         |  JOIN n sn ON sn.vec_id = cand.src_id
+         |  JOIN n dn ON dn.vec_id = cand.dst_id),
+         |r AS (
+         |  SELECT src_id, dst_id, dot,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqs AS DOUBLE)) * sqrt(CAST(nqd AS DOUBLE))) AS cosine,
+         |    CAST(row_number() OVER (PARTITION BY src_id ORDER BY dot DESC, dst_id) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT src_id, dst_id, dot, cosine, "rank"
+         |FROM r WHERE "rank" <= $TopK ORDER BY src_id, "rank"""".stripMargin
     },
     "sim_ivf_topk" ->
       s"""WITH $quantCte,

@@ -101,6 +101,62 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** k-NN GRAPH construction over the whole embedding corpus — every
+    * vector's k nearest LSH-co-bucketed neighbors, the input relation
+    * for graph-based corpus analysis (NN-descent seeding, mutual-kNN
+    * clustering, graph-connectivity dedup audits, kNN-classification
+    * smoke tests).
+    *
+    * Same multi-table sign-LSH candidate generation as [[lshTopK]],
+    * but with EVERY vector as a query: candidates are pairs sharing a
+    * bucket in ANY of the `numTables` tables, found by a SELF-JOIN on
+    * the (table, bucket) key — a shuffle join both of whose sides
+    * partition on the bucket key, never a broadcast (the "query side"
+    * here is the corpus itself) and never all-pairs. Scoring and
+    * ranking follow the [[lshTopK]] two-phase shape: per-(src, table,
+    * bucket) bounded heaps (partial ObjectHashAggregate before any
+    * exchange), cross-table dedup over ≤ numTables·k rows per node,
+    * final ≤ k-row heap per node. Tiebreak (dot desc, dst_id asc) and
+    * the emitted (dot, cosine, rank) match [[bruteForceTopK]], so
+    * recall against the exact graph is measurable with [[recallAtK]].
+    *
+    * A node co-bucketed with fewer than k others just emits fewer
+    * edges — the honest LSH contract; raise `numTables` for denser
+    * guarantees. Deterministic (md5-derived planes), so the DuckDB
+    * oracle replays the whole construction. */
+  def knnGraph(emb: DataFrame, k: Int, numPlanes: Int = 8, dim: Int = 64,
+               numTables: Int = 1): DataFrame = {
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
+      .select(col("vec_id"), col("q"), col("nq"),
+        posexplode(graft.functions.LshBuckets.lshBuckets(
+          col("q"), numTables, numPlanes, dim)).as(Seq("tbl", "bucket")))
+    val a = q.select(col("vec_id").as("src_id"), col("q").as("sv"),
+      col("nq").as("nqs"), col("tbl"), col("bucket"))
+    val b = q.select(col("vec_id").as("dst_id"), col("q").as("dv"),
+      col("nq").as("nqd"), col("tbl"), col("bucket"))
+    val scored = a.join(b, Seq("tbl", "bucket"))
+      .where(col("src_id") =!= col("dst_id"))
+      .withColumn("dot", dotQ(col("sv"), col("dv")))
+      .withColumn("cosine", col("dot").cast(DoubleType) /
+        (sqrt(col("nqs").cast(DoubleType)) *
+          sqrt(col("nqd").cast(DoubleType))))
+    scored
+      .groupBy("src_id", "tbl", "bucket")
+      .agg(graft.functions.TopKByDot.topK(k)(
+        col("dot"), col("dst_id"), col("cosine")).as("tk"))
+      .select(col("src_id"), explode(col("tk")).as("c"))
+      .groupBy(col("src_id"), col("c.cand_id").as("dst_id"))
+      .agg(min(col("c.dot")).as("dot"), min(col("c.cosine")).as("cosine"))
+      .groupBy("src_id")
+      .agg(graft.functions.TopKByDot.topK(k)(
+        col("dot"), col("dst_id"), col("cosine")).as("topk"))
+      .select(col("src_id"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("src_id"), col("c.cand_id").as("dst_id"),
+        col("c.dot").as("dot"), col("c.cosine").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
     * DIVERSIFIED re-rank: from each query's `pool`-deep relevance
     * candidates, greedily select `k` results trading relevance against

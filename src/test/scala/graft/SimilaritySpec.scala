@@ -622,4 +622,28 @@ class SimilaritySpec extends AnyFunSuite {
     val base = brute.select("query_id", "cand_id", "rank")
     assert(fused.except(base).isEmpty && base.except(fused).isEmpty)
   }
+
+  test("knnGraph restricted to a query set equals lshTopK — the graph " +
+      "is the all-queries generalization of the search") {
+    val knn = Similarity.knnGraph(fixtureEmb, 5, 4, 64, 8)
+      .where(col("src_id") < 8)
+      .select(col("src_id").as("query_id"), col("dst_id").as("cand_id"),
+        col("dot"), col("cosine"), col("rank"))
+    val lsh = Similarity.lshTopK(fixtureEmb, 8, 5, 4, 64, 8)
+    assert(knn.except(lsh).isEmpty && lsh.except(knn).isEmpty)
+  }
+
+  test("knnGraph: per-node ranks are dense from 1 and neighbors are " +
+      "distinct; no self-edges") {
+    val g = Similarity.knnGraph(fixtureEmb, 5, 4, 64, 8)
+      .select("src_id", "dst_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    assert(g.nonEmpty)
+    assert(g.forall { case (s, d, _) => s != d })
+    g.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.size),
+        s"node $s ranks ${rows.map(_._3).toSeq}")
+      assert(rows.map(_._2).distinct.size == rows.size, s"node $s dups")
+    }
+  }
 }
