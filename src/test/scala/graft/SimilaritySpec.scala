@@ -633,6 +633,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(knn.except(lsh).isEmpty && lsh.except(knn).isEmpty)
   }
 
+  test("mutual-kNN components partition the corpus: every vector " +
+      "appears once and cluster_size matches the actual group size") {
+    val g = Similarity.knnGraph(fixtureEmb, 5, 4, 64, 8)
+      .select("src_id", "dst_id")
+    val mutual = g.join(
+      g.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
+      Seq("src_id", "dst_id"), "left_semi")
+    val cc = graft.operators.Dedup.connectedComponents(
+      fixtureEmb.select(col("vec_id").as("doc_id")),
+      mutual.select(col("src_id").as("doc_a"), col("dst_id").as("doc_b")),
+      "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val n = fixtureEmb.count()
+    assert(cc.map(_._1).distinct.length.toLong == n)
+    cc.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.forall(_._3 == rows.size), s"cluster $cid size")
+      assert(cid == rows.map(_._1).min, s"cluster $cid not min-labeled")
+    }
+  }
+
   test("knnGraph: per-node ranks are dense from 1 and neighbors are " +
       "distinct; no self-edges") {
     val g = Similarity.knnGraph(fixtureEmb, 5, 4, 64, 8)
