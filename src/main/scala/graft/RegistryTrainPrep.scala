@@ -41,6 +41,10 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
   /** Curriculum ordering: shard fan-out and difficulty-phase count. */
   private val CurriculumShards = 8
   private val CurriculumPhases = 3
+  // Epoch-plan token budget: ~2x the sf0.01 fixture's total tokens, so
+  // the plan genuinely upsamples (epochs_ppm > 1e6) most sources while
+  // the temperature tilt still pushes some below others.
+  private val EpochBudget = 60000L
 
   protected val trainprep: Map[String, Q] = Map(
     "tp_sample_hash" -> ((s, dir) =>
@@ -63,6 +67,13 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
         size(split(trim(col("text")), "\\s+")),
         CurriculumShards, CurriculumPhases)
         .orderBy("doc_id")),
+
+    // Epoch plan: token-mass temperature weights → largest-remainder
+    // budget split → exact per-source repeat factors (ppm).
+    "tp_epoch_plan" -> ((s, dir) =>
+      TrainPrep.epochPlan(t(s, dir, "documents"), "text", "source",
+        EpochBudget)
+        .orderBy("source")),
 
     // Two corpora (the fixture + a shifted-id copy standing in for a
     // second source) mixed 80/20: each source keeps its own hash-space
@@ -197,6 +208,36 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
          |  FROM documents)
          |SELECT doc_id, bucket FROM b
          |WHERE bucket < $SamplePct ORDER BY doc_id""".stripMargin,
+    "tp_epoch_plan" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |    CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN s1 + 1
+         |         WHEN s1 * s1 > n_tokens THEN s1 - 1
+         |         ELSE s1 END AS weight
+         |  FROM (SELECT source, n_docs, n_tokens,
+         |      CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s1
+         |    FROM c)),
+         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wtot FROM w),
+         |a0 AS (SELECT source, n_docs, n_tokens, weight,
+         |    ($EpochBudget * weight) // wtot AS tgt0,
+         |    $EpochBudget * weight
+         |      - (($EpochBudget * weight) // wtot) * wtot AS rem
+         |  FROM w CROSS JOIN t),
+         |lf AS (SELECT $EpochBudget - CAST(sum(tgt0) AS BIGINT) AS lft
+         |  FROM a0),
+         |al AS (SELECT source, n_docs, n_tokens, weight,
+         |    tgt0 + CASE WHEN row_number()
+         |        OVER (ORDER BY rem DESC, source) <= lft
+         |      THEN 1 ELSE 0 END AS target_tokens
+         |  FROM a0 CROSS JOIN lf)
+         |SELECT source, n_docs, n_tokens, weight,
+         |  CAST(target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(target_tokens * 1000000 // n_tokens AS BIGINT)
+         |    AS epochs_ppm
+         |FROM al ORDER BY source""".stripMargin,
     "tp_curriculum" ->
       s"""WITH s AS (SELECT doc_id,
          |    CAST(len(regexp_split_to_array(trim(text), '\\s+'))

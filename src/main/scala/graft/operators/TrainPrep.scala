@@ -373,6 +373,53 @@ object TrainPrep {
         expr("n_padding * 1000000 div (bucket * n_docs)").as("waste_ppm"))
   }
 
+  /** EPOCH PLAN: the per-source repeat-factor table a mixture recipe
+    * compiles to before training — given a total token `budget` and
+    * temperature-scaled source weights (α = 1/2 via exact integer
+    * isqrt over source token mass, the [[temperatureMix]] weighting
+    * applied to tokens instead of documents), apportion the budget by
+    * largest remainder and express each source's share as an exact
+    * repeat factor:
+    *
+    *   epochs_ppm = target_tokens · 10⁶ div n_tokens
+    *
+    * — > 10⁶ means the source is seen more than once per pass
+    * (upsampled/multi-epoch, the small-high-quality-corpus case),
+    * < 10⁶ means a subsample. This is the planning half of mixture
+    * execution; [[temperatureMix]]/[[sampleWeighted]] are the
+    * row-level enforcement half.
+    *
+    * One corpus pass (map-side-combined token count per source), then
+    * source-cardinality-bounded arithmetic — the window orders ~tens
+    * of sources, never rows. */
+  def epochPlan(df: DataFrame, textCol: String, domainCol: String,
+                budget: Long): DataFrame = {
+    require(budget >= 1, s"epochPlan: budget=$budget")
+    val perSrc = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col(textCol)), "\\s+")).cast(LongType))
+          .as("n_tokens"))
+    val s1 = floor(sqrt(col("n_tokens").cast(DoubleType))).cast(LongType)
+    val weighted = perSrc.withColumn("weight",
+      when((s1 + 1) * (s1 + 1) <= col("n_tokens"), s1 + 1)
+        .when(s1 * s1 > col("n_tokens"), s1 - 1)
+        .otherwise(s1))
+    val wtot = weighted.agg(sum("weight").as("wtot"))
+    val alloc0 = weighted.crossJoin(broadcast(wtot))
+      .withColumn("tgt0", expr(s"$budget * weight div wtot"))
+      .withColumn("rem", expr(s"$budget * weight - tgt0 * wtot"))
+    val leftover = alloc0.agg((lit(budget) - sum("tgt0")).as("lft"))
+    val wOrd = Window.orderBy(desc("rem"), col(domainCol))
+    alloc0.crossJoin(broadcast(leftover))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("target_tokens", col("tgt0") +
+        when(col("rn").cast(LongType) <= col("lft"), 1L).otherwise(0L))
+      .withColumn("epochs_ppm",
+        expr("target_tokens * 1000000 div n_tokens"))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        col("weight"), col("target_tokens"), col("epochs_ppm"))
+  }
+
   /** Per-shard CURRICULUM ordering: the easy-to-hard training schedule
     * (Bengio et al. 2009) materialized as explicit (shard, phase, seq)
     * coordinates — documents sort ascending by a difficulty score

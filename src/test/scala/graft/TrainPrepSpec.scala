@@ -295,6 +295,23 @@ class TrainPrepSpec extends AnyFunSuite {
       ("(all)", "(all)", 3L, 3L, 2L, 666666L)))
   }
 
+  test("epochPlan: exact isqrt token weights, remainder-free split, " +
+      "ppm repeat factors") {
+    import spark.implicits._
+    // A: 16 tokens (weight isqrt=4), B: 4 tokens (weight 2); budget 12
+    // over wtot 6 → A target 8 (0.5 epochs), B target 4 (1.0 epochs).
+    val docs = Seq(
+      ("A", 1L, "a b c d e f g h"), ("A", 2L, "a b c d e f g h"),
+      ("B", 3L, "x y z w")).toDF("source", "doc_id", "text")
+    val got = graft.operators.TrainPrep
+      .epochPlan(docs, "text", "source", 12L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      ("A", 2L, 16L, 4L, 8L, 500000L),
+      ("B", 1L, 4L, 2L, 4L, 1000000L)), s"got ${got.toSeq}")
+  }
+
   test("curriculum: per-shard dense seq, scores monotone along seq, " +
       "phases contiguous and balanced within +-1") {
     import spark.implicits._
