@@ -186,6 +186,53 @@ object Registry {
           col("l_discount").cast(DecimalType(4, 2)))).as("revenue"),
           count(lit(1)).as("n"))),
 
+    // TPC-H Q10 shape (returned-item report): quarter-filtered orders
+    // join returned lineitems and customers; nation broadcast; top 20
+    // accounts by lost revenue — filters reach the scans, the nation
+    // dim broadcasts, the top-k is a bounded TakeOrdered.
+    "q10_returned" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+        .select("o_orderkey", "o_custkey")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          ord("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          asDouble(col("c_acctbal")).as("c_acctbal"), col("n_name"))
+        .agg(asDouble(sum(dec2("l_extendedprice") *
+          (one - col("l_discount").cast(DecimalType(4, 2)))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): the quantity rollup runs
+    // FIRST (map-side-combined, order-key-bounded) and its HAVING cut
+    // shrinks the join input to the few hundred qualifying orders
+    // before any customer data moves.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(asDouble(sum(dec2("l_quantity"))).as("sum_qty"))
+        .where(col("sum_qty") > 250.0)
+      big.join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast(StringType).as("o_orderdate"),
+          asDouble(col("o_totalprice")).as("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Corpus-level vocabulary statistics: global 3-gram frequencies,
     // top 20 — the one heavy text AGGREGATION next to the per-document
     // text operators (shuffle on the shingle, map-side combine).
@@ -286,6 +333,33 @@ object Registry {
         |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "q10_returned" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST('1.00' AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+        |  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, big.sum_qty
+        |FROM big
+        |JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
