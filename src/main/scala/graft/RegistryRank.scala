@@ -350,29 +350,35 @@ object RegistryRank {
   }
 
   /** Shared gated-graph CTEs (`e0(src, dst)` symmetric, support ≥
-    * [[TriMinSupport]]) — the same graph [[lpaOracle]] builds inline. */
-  private val gatedGraphCte: String =
-    s"""pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+    * [[TriMinSupport]]) — the same graph [[lpaOracle]] builds inline.
+    * `mat` = "MATERIALIZED " for consumers that reference `e0` more
+    * than once downstream. */
+  private def gatedGraphCte(mat: String = ""): String =
+    s"""pr AS $mat(SELECT DISTINCT a.l_orderkey AS ok,
        |    a.l_partkey AS pa, b.l_partkey AS pb
        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
        |    AND a.l_partkey < b.l_partkey),
-       |und AS (SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+       |und AS $mat(SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
        |  HAVING count(*) >= $TriMinSupport),
-       |e0 AS (SELECT a AS src, b AS dst FROM und
+       |e0 AS $mat(SELECT a AS src, b AS dst FROM und
        |  UNION ALL SELECT b AS src, a AS dst FROM und)""".stripMargin
 
   /** Unrolled-CTE replay of [[Graph.kCore]] over the support-gated
     * symmetric graph: each round keeps nodes of degree ≥ k and the
-    * edges among them. */
+    * edges among them. Every round CTE is MATERIALIZED: e(i−1) is
+    * referenced twice per round (degree count + edge filter), and an
+    * inlined CTE would re-evaluate the whole upstream chain per
+    * reference — 2^rounds blowup (observed: the un-hinted form spilled
+    * tens of GB at sf0.1; the [[bpeTrainOracle]] precedent). */
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { i =>
-      s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src
+      s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
          |  HAVING count(*) >= $k),
-         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
          |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH $gatedGraphCte,
+    s"""WITH ${gatedGraphCte("MATERIALIZED ")},
        |$peels
        |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
        |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
@@ -380,21 +386,23 @@ object RegistryRank {
 
   /** Unrolled-CTE replay of [[Graph.bfsHops]]: seed-zero init, then
     * `rounds` min-relaxation rounds with the same explicit NULL
-    * algebra as the Spark plan. */
+    * algebra as the Spark plan. MATERIALIZED for the same
+    * double-reference reason as [[kcoreOracle]] (d(i−1) feeds both
+    * the relaxation and the carry-forward). */
   private def bfsOracle(seedMod: Long, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
-      s"""u$i AS (SELECT e.dst AS node, min(d.dist) + 1 AS nd
+      s"""u$i AS MATERIALIZED (SELECT e.dst AS node, min(d.dist) + 1 AS nd
          |  FROM e0 e JOIN d${i - 1} d ON e.src = d.node
          |  WHERE d.dist IS NOT NULL GROUP BY e.dst),
-         |d$i AS (SELECT d.node,
+         |d$i AS MATERIALIZED (SELECT d.node,
          |    CASE WHEN d.dist IS NULL THEN u.nd
          |      WHEN u.nd IS NULL THEN d.dist
          |      ELSE least(d.dist, u.nd) END AS dist
          |  FROM d${i - 1} d LEFT JOIN u$i u ON d.node = u.node)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH $gatedGraphCte,
-       |d0 AS (SELECT DISTINCT src AS node,
+    s"""WITH ${gatedGraphCte("MATERIALIZED ")},
+       |d0 AS MATERIALIZED (SELECT DISTINCT src AS node,
        |    CASE WHEN src % $seedMod = 0 THEN 0 ELSE NULL END AS dist
        |  FROM e0),
        |$steps

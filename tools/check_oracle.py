@@ -2,19 +2,24 @@
 """Local dev harness (not part of the library): replicate the driver's
 DuckDB-oracle compare against the Verify output dir.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [fromName]
+
+The optional 3rd arg resumes a long run: only queries whose name sorts
+>= fromName are checked (names run in sorted order).
 """
 import sys, json, glob
 import duckdb
 import pandas as pd
 
 sf, out = sys.argv[1], sys.argv[2]
+from_name = sys.argv[3] if len(sys.argv) > 3 else ""
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-oracle = json.load(open(f"{out}/oracle_sql.json"))
+oracle = {k: v for k, v in json.load(open(f"{out}/oracle_sql.json")).items()
+          if k >= from_name}
 fails = 0
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{out}/{name}/*.parquet")
