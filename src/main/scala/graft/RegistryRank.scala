@@ -518,6 +518,15 @@ object RegistryRank {
         .where(col("node") % BfsSeedMod === 0)
       Graph.bfsHops(sym, seeds, BfsRounds).orderBy("node")
     }),
+    // Edge-level Jaccard similarity of endpoint neighborhoods — the
+    // graph-sparsification keep-score; common counts ride the same
+    // oriented triangle enumeration as gr_triangles.
+    "gr_edge_jaccard" -> ((s, dir) =>
+      Graph.edgeJaccard(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false)
+          .where(col("src") < col("dst")),
+        TriMinSupport)
+        .orderBy("node_a", "node_b")),
     // Per-node triangle counts via degree-ordered orientation — wedge
     // fanout O(√m) per node regardless of degree skew. The registry
     // instantiation gates edges at ≥ TriMinSupport co-occurrences (the
@@ -626,6 +635,31 @@ object RegistryRank {
     "gr_label_prop" -> lpaOracle(LpaIters),
     "gr_kcore" -> kcoreOracle(KcoreK, KcoreRounds),
     "gr_bfs" -> bfsOracle(BfsSeedMod, BfsRounds),
+    // Edge Jaccard: the oracle counts common neighbors by the direct
+    // neighborhood-intersect join (a formulation change the parity
+    // contract is designed to absorb); und/e0 are referenced several
+    // times → MATERIALIZED.
+    "gr_edge_jaccard" ->
+      s"""WITH ${gatedGraphCte("MATERIALIZED ")},
+         |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d
+         |  FROM e0 GROUP BY src),
+         |com AS MATERIALIZED (SELECT u.a, u.b, CAST(count(*) AS BIGINT) AS c
+         |  FROM und u
+         |  JOIN e0 x ON x.src = u.a
+         |  JOIN e0 y ON y.src = u.b AND y.dst = x.dst
+         |  GROUP BY u.a, u.b)
+         |SELECT u.a AS node_a, u.b AS node_b,
+         |  coalesce(c.c, 0) AS common,
+         |  da.d AS degree_a, db.d AS degree_b,
+         |  CASE WHEN da.d + db.d - 2 - coalesce(c.c, 0) > 0
+         |    THEN coalesce(c.c, 0) * 1000000
+         |      // (da.d + db.d - 2 - coalesce(c.c, 0))
+         |    ELSE 0 END AS jaccard_ppm
+         |FROM und u
+         |JOIN deg da ON u.a = da.src
+         |JOIN deg db ON u.b = db.src
+         |LEFT JOIN com c ON u.a = c.a AND u.b = c.b
+         |ORDER BY node_a, node_b""".stripMargin,
     "tx_pmi_bigrams" ->
       s"""WITH w AS (SELECT regexp_split_to_array(trim(lower(text)),
          |    '\\s+') AS w FROM documents),

@@ -29,6 +29,13 @@ object Sessions {
   def get(appName: String): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Ckpt.release unpersists superseded localCheckpoint RDDs by
+    // design; each emits a WARN ("lineage truncated ... cannot be
+    // recomputed") that is the intended outcome, not a problem —
+    // silence that one logger so real warnings stay visible.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

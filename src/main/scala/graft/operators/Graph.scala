@@ -506,6 +506,71 @@ object Graph {
     * wedges at all unless its neighbors out-rank it. Two shuffle joins
     * (wedge build on u's out-list, closure probe on (u, w)) and two
     * key-bounded aggregates; nothing is ever all-pairs. */
+  /** EDGE-level structural similarity: for every undirected gated edge
+    * (a, b), the Jaccard overlap of the endpoint neighborhoods —
+    *
+    *   common(a,b)   = |N(a) ∩ N(b)|   (= triangles through the edge)
+    *   jaccard_ppm   = common · 10⁶ div ((dₐ−1) + (d_b−1) − common)
+    *
+    * — the local-similarity score graph sparsifiers keep edges by
+    * (Satuluri et al. 2011) and near-dup cluster audits read as "how
+    * much of these two documents' neighborhoods agree". Exact integer
+    * ppm; an isolated pair (both degrees 1) scores 0 by convention.
+    *
+    * Scale shape: common counts come from the SAME degree-ordered
+    * oriented triangle enumeration as [[triangleCounts]] (wedge fanout
+    * O(√m) per node regardless of skew) — each closed triangle is
+    * exploded to its three undirected edges and counted, so the edge
+    * relation is touched by key-bounded joins only, never by a
+    * neighborhood-list cross product. */
+  def edgeJaccard(pairs: DataFrame, minSupport: Long = 1L): DataFrame = {
+    val und = pairs
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .where(col("w") >= minSupport)
+      .select("a", "b")
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = o.join(
+      o.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+    val tri = wedges.join(o.select(col("u"), col("v").as("w")),
+      Seq("u", "w"))
+    val edgeHits = tri
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    und
+      .join(deg.select(col("n").as("a"), col("d").as("degree_a")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("degree_b")), Seq("b"))
+      .join(edgeHits, Seq("a", "b"), "left_outer")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        col("degree_a").cast(LongType).as("degree_a"),
+        col("degree_b").cast(LongType).as("degree_b"))
+      .withColumn("jaccard_ppm",
+        when(col("degree_a") + col("degree_b") - 2 - col("common") > 0,
+          expr("common * 1000000 div " +
+            "(degree_a + degree_b - 2 - common)"))
+          .otherwise(lit(0L)))
+  }
+
   def triangleCounts(pairs: DataFrame, minSupport: Long = 1L): DataFrame = {
     val und = pairs
       .select(least(col("src"), col("dst")).as("a"),

@@ -264,6 +264,25 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"plan was:\n$plan")
   }
 
+  test("edgeJaccard: exact common-neighbor counts and ppm overlap on " +
+      "K4 with a pendant path") {
+    // K4 on 0..3, pendant path 3-4-5 (same fixture as the kCore test).
+    val und = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)) ++
+      Seq((3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.edgeJaccard(edges).orderBy("node_a", "node_b")
+      .select("node_a", "node_b", "common", "jaccard_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (0L, 1L, 2L, 1000000L), (0L, 2L, 2L, 1000000L),
+      (0L, 3L, 2L, 666666L),  // d0=3, d3=4: 2·10⁶ div 3
+      (1L, 2L, 2L, 1000000L), (1L, 3L, 2L, 666666L),
+      (2L, 3L, 2L, 666666L),
+      (3L, 4L, 0L, 0L), (4L, 5L, 0L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
   test("kCore: K4 with a pendant path — the path peels over two " +
       "rounds, the clique survives at degree 3") {
     // K4 on 0..3, pendant path 3-4-5. Symmetric edges.
