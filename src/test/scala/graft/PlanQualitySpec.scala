@@ -626,4 +626,69 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(spread >= salts / 2,
       s"hot key spread over only $spread of $salts salts")
   }
+
+  test("sim_knn_graph: the corpus self-join shuffles on the bucket " +
+      "key once size-based broadcast is off (no broadcast HINT on a " +
+      "corpus side) and ranks via partial bounded heaps") {
+    // At fixture scale AQE rightly broadcasts the tiny side; the
+    // scale property under test is that the PLAN carries no broadcast
+    // hint — with size-based broadcast disabled the bucket join must
+    // degrade to a shuffle join, which is what a 10⁹-vector corpus
+    // would run.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planString(Registry.queries("sim_knn_graph")(spark, dir))
+      val cand = plan.split("\n").filter(l =>
+        l.contains("Join") && l.contains("bucket"))
+      assert(cand.nonEmpty && cand.forall(l => !l.contains("Broadcast")),
+        s"bucket join must not broadcast a corpus side:\n$plan")
+      // Two-phase exact top-k: the bounded-heap aggregate must appear
+      // in partial (map-side) mode before the final per-node merge.
+      assert(plan.contains("ObjectHashAggregate"), s"plan was:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q18_big_orders: the quantity rollup's HAVING cut runs BELOW " +
+      "the customer join") {
+    val plan = planString(Registry.queries("q18_big_orders")(spark, dir))
+    // Bottom-up: partial agg on l_orderkey, its sum filter, THEN the
+    // joins. toString prints top-down, so the deepest HashAggregate
+    // must sit at a later index than every join.
+    val lastJoin = Seq("BroadcastHashJoin", "SortMergeJoin",
+      "ShuffledHashJoin").map(plan.lastIndexOf).max
+    val deepAgg = plan.lastIndexOf("HashAggregate")
+    assert(deepAgg > lastJoin,
+      s"quantity rollup must run below the joins:\n$plan")
+    assert(plan.contains("TakeOrdered"), s"plan was:\n$plan")
+  }
+
+  test("gr_kcore: the returned plan is flat (checkpointed peeled " +
+      "edges, no join history), and a single peel round semi-joins " +
+      "the broadcast survivor set") {
+    // The registry query's final plan: every peel round is sealed
+    // behind its checkpoint, so the visible plan must be the flat
+    // degree count over an ExistingRDD — constant in `rounds`.
+    val plan = planString(Registry.queries("gr_kcore")(spark, dir))
+    assert(plan.contains("ExistingRDD") && !plan.contains("Join"),
+      s"plan was:\n$plan")
+    // One round's INTERNAL shape (pre-checkpoint): both survivor
+    // semi-joins broadcast the node-sized keep set.
+    import spark.implicits._
+    val e = (for { a <- 0L to 5L; b <- 0L to 5L if a != b } yield (a, b))
+      .toList.toDF("src", "dst")
+    val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .where($"d" >= 3).select($"src".as("n"))
+    val round = e
+      .join(broadcast(keep.select($"n".as("src"))), Seq("src"), "left_semi")
+      .join(broadcast(keep.select($"n".as("dst"))), Seq("dst"), "left_semi")
+    val rp = planString(round)
+    assert(rp.contains("BroadcastHashJoin") && rp.contains("LeftSemi"),
+      s"round plan was:\n$rp")
+  }
 }
