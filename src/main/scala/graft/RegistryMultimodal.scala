@@ -29,6 +29,13 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
         .select(col("doc_id"), col("n_frames"),
           concat_ws("|", col("frame_md5s")).as("frames"))
         .orderBy("doc_id")),
+    // Exact media dedup: digest-only — payload bytes never shuffle.
+    "mm_content_dedup" -> ((s, dir) =>
+      Multimodal.contentDedup(mmPayload(s, dir)).orderBy("doc_id")),
+    // pHash-shaped near-dup candidate buckets over the decoded coarse
+    // features — the LSH bucket shape on the multimodal column.
+    "mm_phash_buckets" -> ((s, dir) =>
+      Multimodal.phashBuckets(mmPayload(s, dir)).orderBy("doc_id")),
     // Embedding-cosine near-dup: exact duplicates are synthesized under
     // shifted ids (the fixture's random vectors are near-orthogonal), so
     // the LSH-bucketed pair pass must recover exactly those pairs.
@@ -64,6 +71,33 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
         |  CAST(list_min(bytes) AS BIGINT) AS byte_min,
         |  CAST(list_max(bytes) AS BIGINT) AS byte_max
         |FROM b ORDER BY doc_id""".stripMargin,
+    "mm_content_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS payload_md5 FROM documents),
+        |g AS (SELECT payload_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |    min(doc_id) AS first_id
+        |  FROM d GROUP BY payload_md5)
+        |SELECT d.doc_id, d.payload_md5, g.n_copies,
+        |  CAST(CASE WHEN d.doc_id = g.first_id THEN 1 ELSE 0 END
+        |    AS BIGINT) AS keep
+        |FROM d JOIN g USING (payload_md5) ORDER BY doc_id""".stripMargin,
+    "mm_phash_buckets" ->
+      """WITH b AS (SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> unicode(text[i:i])) AS bytes
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(len(bytes) AS BIGINT) AS n,
+        |    CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS s
+        |  FROM b),
+        |p AS (SELECT doc_id,
+        |    md5(CAST(n // 64 AS VARCHAR) || ':' ||
+        |      CAST(s // 4096 AS VARCHAR)) AS phash
+        |  FROM f),
+        |g AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_bucket
+        |  FROM p GROUP BY phash)
+        |SELECT p.doc_id, p.phash, g.n_bucket,
+        |  CAST(CASE WHEN g.n_bucket > 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_candidate
+        |FROM p JOIN g USING (phash) ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id,
         |  CAST(floor((length(text) - 1) / 64) + 1 AS BIGINT) AS n_frames,

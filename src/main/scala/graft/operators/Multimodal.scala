@@ -88,6 +88,42 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "byte_sum", "byte_min", "byte_max")
   }
 
+  /** Exact CONTENT dedup over binary payloads — the first pass every
+    * image/audio corpus runs (identical bytes are the bulk of crawl
+    * duplication): md5 the payload, keep the lowest id per digest.
+    * Payloads never shuffle — only (id, digest) rows reach the
+    * exchange, the [[graft.operators.Dedup]] digest-only convention
+    * applied to media bytes. */
+  def contentDedup(df: DataFrame): DataFrame = {
+    val d = df.select(col("doc_id"), md5(col("payload")).as("payload_md5"))
+    val g = d.groupBy("payload_md5")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("first_id"))
+    d.join(g, Seq("payload_md5"))
+      .select(col("doc_id"), col("payload_md5"), col("n_copies"),
+        when(col("doc_id") === col("first_id"), 1L).otherwise(0L)
+          .as("keep"))
+  }
+
+  /** Perceptual-hash-style NEAR-dup bucketing: quantize the decoded
+    * coarse features (here [[FakeCodec]] byte stats; a real build uses
+    * a pHash/dHash over decoded pixels — same bytes-in, code-out
+    * contract) into a band code, then bucket-join — media near-dup
+    * candidates without any pairwise compare, the [[Dedup]] LSH shape
+    * on the multimodal column. Payloads stop at the decode; only
+    * (id, code) rows flow. */
+  def phashBuckets(df: DataFrame, sizeBand: Int = 64,
+                   sumBand: Int = 4096): DataFrame = {
+    val f = decodeFeatures(df)
+    val p = f.select(col("doc_id"),
+      md5(concat_ws(":",
+        expr(s"CAST(n_bytes div $sizeBand AS STRING)"),
+        expr(s"CAST(byte_sum div $sumBand AS STRING)"))).as("phash"))
+    val g = p.groupBy("phash").agg(count(lit(1)).as("n_bucket"))
+    p.join(g, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_bucket"),
+        when(col("n_bucket") > 1, 1L).otherwise(0L).as("is_candidate"))
+  }
+
   /** Frame sampling ("video" payloads): one 16-byte frame every
     * `stride` bytes, fingerprinted with md5 — expression-only
     * (`sequence` + `transform` higher-order functions, whole-stage

@@ -90,4 +90,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("n_frames") == 1L)
     assert(r(1).getSeq[String](2).size == 1)
   }
+
+  test("contentDedup keeps the lowest id per identical payload") {
+    val r = Multimodal.contentDedup(
+      Multimodal.asBinaryPayload(
+        docs(1L -> "same", 2L -> "same", 3L -> "other"),
+        "doc_id", "text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_copies", "keep")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 0L), (3L, 1L, 1L)))
+  }
+
+  test("phashBuckets co-buckets payloads with matching coarse bands; " +
+      "empty payload is a valid bucket") {
+    // "aaaa" and "aaab" share (len div 64 = 0, sum div 4096 = 0) with
+    // every short string — all three docs land in one bucket; the
+    // empty payload (sum 0, len 0) lands there too.
+    val r = Multimodal.phashBuckets(
+      Multimodal.asBinaryPayload(
+        docs(1L -> "aaaa", 2L -> "aaab", 3L -> ""),
+        "doc_id", "text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_bucket", "is_candidate")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 1L)),
+      s"got ${r.toSeq}")
+  }
 }
