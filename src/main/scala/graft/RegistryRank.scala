@@ -451,7 +451,7 @@ object RegistryRank {
     "gr_hits" -> ((s, dir) =>
       Graph.hitsQ(
         Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
-        HitsIters)
+        HitsIters, symmetric = true)
         .orderBy("node")),
     // Label-propagation communities of the support-gated co-order
     // graph — the near-linear community baseline where components are

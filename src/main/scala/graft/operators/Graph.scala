@@ -274,10 +274,19 @@ object Graph {
     * moves one node-sized vector to its co-located edge cache and
     * aggregates map-side-combined on the other end; edges never
     * re-shuffle. The two scalar totals per round are Σraw aggregates
-    * broadcast back — node-bounded, never collected. */
-  def hitsQ(edges: DataFrame, iters: Int): DataFrame = {
+    * broadcast back — node-bounded, never collected.
+    *
+    * `symmetric = true` declares the input contains BOTH orientations
+    * of every edge (the [[coOrderedParts]] contract): then
+    * Σ_{(u,v)} auth(v) = Σ_{(v,u)} auth(v), so the hub gather can ride
+    * the src-partitioned cache too and the second edge-sized
+    * materialization is skipped — half the cache footprint and one
+    * repartition less, identical results (spec-pinned). */
+  def hitsQ(edges: DataFrame, iters: Int,
+            symmetric: Boolean = false): DataFrame = {
     val eS = edges.repartition(col("src")).distinct().persist()
-    val eD = edges.repartition(col("dst")).distinct().persist()
+    val eD = if (symmetric) eS
+      else edges.repartition(col("dst")).distinct().persist()
     val nodes = eS.select(col("src").as("node")).distinct().persist()
     val n = nodes.count()
     require(n > 0, "hitsQ: empty edge set")
@@ -307,11 +316,21 @@ object Graph {
           .agg(sum(col("hub_q").cast(DecimalType(38, 0))).as("raw"))
           .withColumnRenamed("dst", "node"),
         "auth_q", auths)
+      // Symmetric graphs gather hubs over the SAME src-partitioned
+      // cache (Σ_{(u,v)} auth(v) = Σ_{(v,u)} auth(v)) — joining the
+      // src-cached relation on dst instead would re-exchange the edge
+      // set every round.
       hubs = normalized(
-        eD.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src"))
-          .agg(sum(col("auth_q").cast(DecimalType(38, 0))).as("raw"))
-          .withColumnRenamed("src", "node"),
+        if (symmetric)
+          eS.join(auths.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst"))
+            .agg(sum(col("auth_q").cast(DecimalType(38, 0))).as("raw"))
+            .withColumnRenamed("dst", "node")
+        else
+          eD.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src"))
+            .agg(sum(col("auth_q").cast(DecimalType(38, 0))).as("raw"))
+            .withColumnRenamed("src", "node"),
         "hub_q", hubs)
     }
     val out = Ckpt.replace(
@@ -322,7 +341,9 @@ object Graph {
           (col("hub_q").cast("double") / lit(Scale.toDouble)).as("hub"),
           (col("auth_q").cast("double") / lit(Scale.toDouble)).as("auth")),
       hubs, auths)
-    eS.unpersist(); eD.unpersist(); nodes.unpersist()
+    eS.unpersist()
+    if (!symmetric) eD.unpersist()
+    nodes.unpersist()
     out
   }
 

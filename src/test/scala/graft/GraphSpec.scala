@@ -177,6 +177,17 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, u, u), (2L, u, u), (3L, u, u), (4L, u, u)))
   }
 
+  test("hitsQ symmetric fast path equals the two-cache path on a " +
+      "symmetric graph") {
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val a = Graph.hitsQ(edges, 3).orderBy("node").collect().map(_.toSeq)
+    val b = Graph.hitsQ(edges, 3, symmetric = true).orderBy("node")
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("hitsQ result is lineage-severed like pageRankQ") {
     val edges = (1L to 4L).flatMap(s => Seq((0L, s), (s, 0L)))
       .toDF("src", "dst")
