@@ -568,6 +568,53 @@ object TextAnalysis {
           .otherwise(lit(0L)).as("bits_per_bigram_q"))
   }
 
+  /** LINEAR quality-MODEL scoring — the model-based filter stage
+    * (fastText/logreg quality classifiers in DCLM/FineWeb-style
+    * curation) with a FIXED integer weight vector standing in for
+    * trained weights: the contract is features-in, integer-logit-out,
+    * and swapping the constants for trained values changes no
+    * plumbing. Features come from the ONE fused text pass
+    * ([[graft.functions.QualityCounts]]) as exact ppm / bit-length
+    * integers:
+    *
+    *   score_q = wStop·stop_ppm − wPunct·punct_ppm
+    *             + wLen·bitlen(n_tokens) − bias
+    *   keep_model = score_q > 0
+    *
+    * Zero float drift, total ordering, trivially portable to the
+    * oracle. One narrow map; the filter composes with scan pushdown
+    * at any scale. */
+  def qualityModelScore(df: DataFrame, idCol: String, textCol: String,
+                        wStop: Long, wPunct: Long, wLen: Long,
+                        bias: Long): DataFrame = {
+    val c = graft.functions.QualityCounts
+      .qualityCounts(col(textCol), stopwords.toMap.apply("en"))
+    val nChars = c.getItem(0)
+    val nTok = c.getItem(1)
+    val nPunct = c.getItem(2)
+    val nStop = c.getItem(3)
+    df.select(col(idCol),
+        when(nTok > 0, nStop * 1000000L cast LongType).otherwise(0L)
+          .as("snum"),
+        nTok.cast(LongType).as("n_tokens"),
+        when(nChars > 0, nPunct * 1000000L cast LongType).otherwise(0L)
+          .as("pnum"),
+        nChars.cast(LongType).as("n_chars"))
+      .select(col(idCol),
+        when(col("n_tokens") > 0, expr("snum div n_tokens"))
+          .otherwise(0L).as("stop_ppm"),
+        when(col("n_chars") > 0, expr("pnum div n_chars"))
+          .otherwise(0L).as("punct_ppm"),
+        when(col("n_tokens") > 0,
+          length(bin(col("n_tokens"))).cast(LongType)).otherwise(0L)
+          .as("len_bits"))
+      .withColumn("score_q",
+        lit(wStop) * col("stop_ppm") - lit(wPunct) * col("punct_ppm") +
+          lit(wLen) * col("len_bits") - lit(bias))
+      .withColumn("keep_model",
+        when(col("score_q") > 0, 1L).otherwise(0L))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990): the top-N bigrams
     * whose observed frequency most exceeds chance —
     *

@@ -462,6 +462,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(err.getMessage.contains("fully merged after 1 rounds"))
   }
 
+  test("qualityModelScore: exact integer logit and threshold on " +
+      "hand-computed features") {
+    import spark.implicits._
+    // doc 1: 4 tokens, 2 stopwords ("the","of"), 15 chars, 0 punct:
+    //   stop_ppm 500000, punct_ppm 0, len_bits 3 (bin(4)=100)
+    //   score = 3*500000 + 20000*3 - 300000 = 1260000 > 0 → keep
+    // doc 2: 2 tokens "!!!" "???" → 6 punct of 7 chars:
+    //   stop_ppm 0, punct_ppm 857142, len_bits 2 (bin(2)=10)
+    //   score = -5*857142 + 20000*2 - 300000 = -4545710 → drop
+    val docs = Seq((1L, "the cat of hats"), (2L, "!!! ???"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .qualityModelScore(docs, "doc_id", "text", 3L, 5L, 20000L, 300000L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 500000L, 0L, 3L, 1260000L, 1L),
+      (2L, 0L, 857142L, 2L, -4545710L, 0L)), s"got ${got.toSeq}")
+  }
+
   test("pmiCollocations: exact ppm ratios, floor division, total " +
       "tie-break, and the minCount gate") {
     import spark.implicits._
