@@ -30,6 +30,12 @@ private[graft] trait RegistryText extends RegistryShared {
       TextAnalysis.qualityModelScore(t(s, dir, "documents"), "doc_id",
         "text", QmWStop, QmWPunct, QmWLen, QmBias)
         .orderBy("doc_id")),
+    // DSIR importance weights: target = the lang='en' subset, base =
+    // the whole corpus; one tokenization counts both LMs.
+    "tx_dsir_score" -> ((s, dir) =>
+      TextAnalysis.dsirScore(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy("doc_id")),
     "tx_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -134,6 +140,36 @@ private[graft] trait RegistryText extends RegistryShared {
          |    AS BIGINT) AS keep_model
          |FROM f ORDER BY doc_id""".stripMargin
     },
+    "tx_dsir_score" ->
+      """WITH tk AS (SELECT doc_id, lang = 'en' AS is_target,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cb,
+        |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ct
+        |  FROM tk GROUP BY t),
+        |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS tb,
+        |    CAST(sum(ct) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM c),
+        |imp AS (SELECT t,
+        |    CAST(length(bin((tb + v) // (cb + 1))) AS BIGINT)
+        |      - CAST(length(bin((tt + v) // (ct + 1))) AS BIGINT)
+        |      AS imp_bits
+        |  FROM c CROSS JOIN tot),
+        |pd AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(imp.imp_bits) AS BIGINT) AS imp_bits_total
+        |  FROM tk JOIN imp USING (t) GROUP BY tk.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_target,
+        |  coalesce(pd.n_tokens, 0) AS n_tokens,
+        |  coalesce(pd.imp_bits_total, 0) AS imp_bits_total,
+        |  CASE WHEN coalesce(pd.n_tokens, 0) > 0
+        |    THEN pd.imp_bits_total * 1000000 // pd.n_tokens
+        |    ELSE 0 END AS score_ppm
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "tx_quality" -> {
       val en = inList(TextAnalysis.stopwords.toMap.apply("en"))
       s"""WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),

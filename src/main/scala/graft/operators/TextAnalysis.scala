@@ -680,6 +680,59 @@ object TextAnalysis {
     out
   }
 
+  /** DSIR-style IMPORTANCE scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank every
+    * document by how much more a TARGET-corpus language model likes it
+    * than the base-corpus model — the importance weight that selects
+    * web data "similar to" a trusted target set. The paper uses hashed
+    * n-gram feature LMs; here the two LMs are add-one unigram models
+    * in the [[lmSurprisal]] integer-bit convention (bit-length of the
+    * reciprocal probability — no ln, no float drift):
+    *
+    *   bits_x(w)    = bitlen( (T_x + V) div (c_x(w) + 1) )
+    *   imp(w)       = bits_base(w) − bits_target(w)
+    *   score_ppm(d) = Σ_{w∈d} imp(w) · 10⁶ div n_tokens(d)
+    *
+    * positive = the target model finds the document easier than the
+    * base model → select. V is the SHARED corpus vocabulary, so both
+    * models smooth over the same event space.
+    *
+    * Scale shape: ONE corpus tokenization counts both models (the
+    * target count is a conditional sum in the same aggregate — the
+    * target corpus is a subset of the base, per the paper's setup);
+    * the three totals broadcast; per-token importance lives on the
+    * vocab-bounded count table; the re-join to document tokens
+    * shuffles on the token key with map-side-combined per-doc sums. */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                targetPred: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        targetPred.as("is_target"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+    val counts = toks.groupBy("t")
+      .agg(count(lit(1)).as("cb"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum("cb").as("tb"), sum("ct").as("tt"),
+      count(lit(1)).as("v"))
+    val imp = counts.crossJoin(broadcast(totals))
+      .select(col("t"),
+        (length(bin(expr("(tb + v) div (cb + 1)"))).cast(LongType) -
+          length(bin(expr("(tt + v) div (ct + 1)"))).cast(LongType))
+          .as("imp_bits"))
+    val perDoc = toks.join(imp, Seq("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("imp_bits").as("imp_bits_total"))
+    df.select(col(idCol).as("doc_id"), targetPred.as("is_target"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("is_target"), 1L).otherwise(0L).as("is_target"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("imp_bits_total"), lit(0L)).as("imp_bits_total"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          expr("imp_bits_total * 1000000 div n_tokens"))
+          .otherwise(lit(0L)).as("score_ppm"))
+  }
+
   /** BPE merge-candidate counting (Sennrich et al. 2016 §3.2, the
     * counting stage of byte-pair-encoding tokenizer training): the
     * corpus-frequency-weighted count of every adjacent character pair,

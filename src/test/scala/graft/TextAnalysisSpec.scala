@@ -482,6 +482,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, 0L, 857142L, 2L, -4545710L, 0L)), s"got ${got.toSeq}")
   }
 
+  test("dsirScore: documents made of target-corpus vocabulary " +
+      "outscore documents made of base-only vocabulary") {
+    import spark.implicits._
+    // targets speak {alpha, beta}; non-targets speak {gamma, delta};
+    // doc 5 mixes both and must land strictly between.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha alpha beta beta", true),
+      (3L, "gamma delta gamma delta", false),
+      (4L, "delta delta gamma gamma", false),
+      (5L, "alpha beta gamma delta", false)
+    ).toDF("doc_id", "text", "tgt")
+    val got = TextAnalysis.dsirScore(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("tgt"))
+      .orderBy("doc_id")
+      .select("doc_id", "score_ppm")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L) && got(3L) == got(4L))
+    assert(got(1L) > got(5L) && got(5L) > got(3L),
+      s"expected target > mixed > base-only, got $got")
+  }
+
   test("pmiCollocations: exact ppm ratios, floor division, total " +
       "tie-break, and the minCount gate") {
     import spark.implicits._
