@@ -45,6 +45,10 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
   // the plan genuinely upsamples (epochs_ppm > 1e6) most sources while
   // the temperature tilt still pushes some below others.
   private val EpochBudget = 60000L
+  // Importance-resampling acceptance slope: fixture dsir scores sit in
+  // ~[-300k, 0] ppm, so slope 4 spreads acceptance rates across the
+  // full [0, 1e6] range — both verdicts well-populated.
+  private val RsSlope = 4L
 
   protected val trainprep: Map[String, Q] = Map(
     "tp_sample_hash" -> ((s, dir) =>
@@ -74,6 +78,15 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
       TrainPrep.epochPlan(t(s, dir, "documents"), "text", "source",
         EpochBudget)
         .orderBy("source")),
+
+    // DSIR selection: importance scores → clipped-linear acceptance
+    // rates → deterministic hash-ppm resampling.
+    "tp_importance_resample" -> ((s, dir) =>
+      TrainPrep.importanceResample(
+        TextAnalysis.dsirScore(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en"),
+        "doc_id", "score_ppm", RsSlope)
+        .orderBy("doc_id")),
 
     // Two corpora (the fixture + a shifted-id copy standing in for a
     // second source) mixed 80/20: each source keeps its own hash-space
@@ -208,6 +221,46 @@ private[graft] trait RegistryTrainPrep extends RegistryShared {
          |  FROM documents)
          |SELECT doc_id, bucket FROM b
          |WHERE bucket < $SamplePct ORDER BY doc_id""".stripMargin,
+    "tp_importance_resample" ->
+      s"""WITH tk AS (SELECT doc_id, lang = 'en' AS is_target,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents),
+         |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cb,
+         |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ct
+         |  FROM tk GROUP BY t),
+         |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS tb,
+         |    CAST(sum(ct) AS BIGINT) AS tt,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM c),
+         |imp AS (SELECT t,
+         |    CAST(length(bin((tb + v) // (cb + 1))) AS BIGINT)
+         |      - CAST(length(bin((tt + v) // (ct + 1))) AS BIGINT)
+         |      AS imp_bits
+         |  FROM c CROSS JOIN tot),
+         |pd AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(imp.imp_bits) AS BIGINT) AS imp_bits_total
+         |  FROM tk JOIN imp USING (t) GROUP BY tk.doc_id),
+         |sc AS (SELECT d.doc_id,
+         |    CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+         |      AS is_target,
+         |    coalesce(pd.n_tokens, 0) AS n_tokens,
+         |    coalesce(pd.imp_bits_total, 0) AS imp_bits_total,
+         |    CASE WHEN coalesce(pd.n_tokens, 0) > 0
+         |      THEN pd.imp_bits_total * 1000000 // pd.n_tokens
+         |      ELSE 0 END AS score_ppm
+         |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+         |r AS (SELECT *,
+         |    least(1000000, greatest(0, 1000000 + $RsSlope * score_ppm))
+         |      AS rate_ppm,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 1000000 AS hash_ppm
+         |  FROM sc)
+         |SELECT doc_id, is_target, n_tokens, imp_bits_total, score_ppm,
+         |  rate_ppm, hash_ppm,
+         |  CAST(CASE WHEN hash_ppm < rate_ppm THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "tp_epoch_plan" ->
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))

@@ -373,6 +373,34 @@ object TrainPrep {
         expr("n_padding * 1000000 div (bucket * n_docs)").as("waste_ppm"))
   }
 
+  /** IMPORTANCE RESAMPLING — the selection half of DSIR
+    * ([[TextAnalysis.dsirScore]] is the scoring half): accept each
+    * document with probability proportional to its importance weight,
+    * realized deterministically as a [[hashBucket]]-ppm draw against a
+    * clipped-linear acceptance rate
+    *
+    *   rate_ppm = clamp(10⁶ + slope · score_ppm, 0, 10⁶)
+    *   keep     = hash_ppm(doc_id) < rate_ppm
+    *
+    * (the linearization of the paper's exp(score/T) around 0 — exact
+    * integer, engine-portable, and monotone in the score, which is the
+    * property resampling needs). All of [[sampleByHash]]'s
+    * reproducibility holds: re-runs keep the same rows, raising
+    * `slope` only sharpens the same selection. The score join is
+    * doc-keyed; the accept decision is a narrow filter. */
+  def importanceResample(scored: DataFrame, idCol: String,
+                         scoreCol: String, slope: Long): DataFrame = {
+    val rate = least(lit(1000000L),
+      greatest(lit(0L), lit(1000000L) + lit(slope) * col(scoreCol)))
+    val hppm = pmod(conv(substring(md5(col(idCol).cast(StringType)), 1, 8),
+      16, 10).cast(LongType), lit(1000000L))
+    scored
+      .withColumn("rate_ppm", rate)
+      .withColumn("hash_ppm", hppm)
+      .withColumn("keep",
+        when(col("hash_ppm") < col("rate_ppm"), 1L).otherwise(0L))
+  }
+
   /** EPOCH PLAN: the per-source repeat-factor table a mixture recipe
     * compiles to before training — given a total token `budget` and
     * temperature-scaled source weights (α = 1/2 via exact integer

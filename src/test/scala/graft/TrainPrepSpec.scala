@@ -295,6 +295,23 @@ class TrainPrepSpec extends AnyFunSuite {
       ("(all)", "(all)", 3L, 3L, 2L, 666666L)))
   }
 
+  test("importanceResample: rates clamp to [0, 1e6] and a max-rate " +
+      "row always keeps") {
+    import spark.implicits._
+    val scored = Seq((1L, 0L), (2L, -200000L), (3L, -900000L))
+      .toDF("doc_id", "score_ppm")
+    val got = graft.operators.TrainPrep
+      .importanceResample(scored, "doc_id", "score_ppm", 4L)
+      .orderBy("doc_id")
+      .select("doc_id", "rate_ppm", "keep")
+      .as[(Long, Long, Long)].collect()
+    // score 0 → rate 1e6 (every hash draw < 1e6 → always keep);
+    // -200000·4 → rate 200000; -900000·4 clamps to 0 → never keep.
+    assert(got(0) == ((1L, 1000000L, 1L)), s"got ${got.toSeq}")
+    assert(got(1)._2 == 200000L)
+    assert(got(2) == ((3L, 0L, 0L)), s"got ${got.toSeq}")
+  }
+
   test("epochPlan: exact isqrt token weights, remainder-free split, " +
       "ppm repeat factors") {
     import spark.implicits._
