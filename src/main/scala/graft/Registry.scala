@@ -186,6 +186,30 @@ object Registry {
           col("l_discount").cast(DecimalType(4, 2)))).as("revenue"),
           count(lit(1)).as("n"))),
 
+    // TPC-H Q14 shape (type revenue share): month-filtered lineitems
+    // join the broadcast part dim; one aggregate emits the class
+    // numerator, the total, and their double ratio — conditional
+    // aggregation over a dimension attribute.
+    "q14_type_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-02-01").cast(TimestampType))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val rev = dec2("l_extendedprice") *
+        (one - col("l_discount").cast(DecimalType(4, 2)))
+      li.join(broadcast(t(s, dir, "part")
+          .select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          asDouble(sum(when(col("p_type") === "ECONOMY", rev)
+            .otherwise(lit(new java.math.BigDecimal("0.00"))
+              .cast(DecimalType(18, 2))))).as("economy_revenue"),
+          asDouble(sum(rev)).as("total_revenue"))
+        .select(col("economy_revenue"), col("total_revenue"),
+          (col("economy_revenue") * 100.0 / col("total_revenue"))
+            .as("economy_share"))
+    }),
+
     // TPC-H Q10 shape (returned-item report): quarter-filtered orders
     // join returned lineitems and customers; nation broadcast; top 20
     // accounts by lost revenue — filters reach the scans, the nation
@@ -333,6 +357,25 @@ object Registry {
         |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "q14_type_share" ->
+      """WITH j AS (
+        |  SELECT p.p_type,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST('1.00' AS DECIMAL(3,2)) -
+        |       CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1996-02-01'),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev
+        |      ELSE CAST('0.00' AS DECIMAL(18,2)) END) AS DOUBLE)
+        |      AS economy_revenue,
+        |    CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        |  FROM j)
+        |SELECT economy_revenue, total_revenue,
+        |  economy_revenue * 100.0 / total_revenue AS economy_share
+        |FROM a""".stripMargin,
     "q10_returned" ->
       """SELECT c.c_custkey, c.c_name,
         |  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name,
