@@ -205,4 +205,47 @@ private[graft] trait RegistryShared {
 
   protected def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
+
+  // Quality-model weights (stand-in for trained classifier weights;
+  // interpolated into BOTH the batch and streaming oracles). Bias
+  // picked so the sf0.01 fixture splits ~261 keep / 239 drop.
+  protected val QmWStop = 3L
+  protected val QmWPunct = 5L
+  protected val QmWLen = 20000L
+  protected val QmBias = 300000L
+
+  /** The tx_quality_model oracle body, shared with its streaming dual
+    * (a drained deduplicated stream must equal the batch scoring
+    * value-for-value). */
+  protected def qualityModelOracleSql: String = {
+    val en = inList(graft.operators.TextAnalysis.stopwords.toMap
+      .apply("en"))
+    s"""WITH w AS (SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(text) AS BIGINT) AS n_chars,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(text) - len(regexp_replace(text,
+       |    '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(w, t -> t IN ($en))) AS BIGINT)
+       |    AS n_stopwords
+       |FROM w),
+       |f AS (SELECT doc_id,
+       |  CASE WHEN n_tokens > 0 THEN n_stopwords * 1000000 // n_tokens
+       |    ELSE 0 END AS stop_ppm,
+       |  CASE WHEN n_chars > 0 THEN n_punct * 1000000 // n_chars
+       |    ELSE 0 END AS punct_ppm,
+       |  CASE WHEN n_tokens > 0
+       |    THEN CAST(length(bin(n_tokens)) AS BIGINT)
+       |    ELSE 0 END AS len_bits
+       |FROM m)
+       |SELECT doc_id, stop_ppm, punct_ppm, len_bits,
+       |  $QmWStop * stop_ppm - $QmWPunct * punct_ppm
+       |    + $QmWLen * len_bits - $QmBias AS score_q,
+       |  CAST(CASE WHEN $QmWStop * stop_ppm - $QmWPunct * punct_ppm
+       |    + $QmWLen * len_bits - $QmBias > 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS keep_model
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 }

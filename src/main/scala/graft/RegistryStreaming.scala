@@ -61,6 +61,24 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         .orderBy("doc_id")
     }),
 
+    // Streaming quality-model scoring: the same doubled document
+    // stream, watermark-bounded dedup state, then the batch scorer's
+    // narrow scoring map — drained output must equal the batch query
+    // value-for-value (the shared oracle).
+    "st_quality_model" -> ((s, dir) => {
+      def docStream() = Tables.loadStream(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + lit(1000000000L)).as("ts"))
+      graft.streaming.StreamOps.runToCompletion(s,
+        docStream().unionAll(docStream()),
+        st => operators.TextAnalysis.qualityModelScore(
+          st.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("doc_id"),
+          "doc_id", "text", QmWStop, QmWPunct, QmWLen, QmBias),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .orderBy("doc_id")
+    }),
+
     // Streaming exact dedup: the same file streamed twice (UNION ALL of
     // two identical sources), deduplicated on event_id with watermarked,
     // BOUNDED state (dropDuplicatesWithinWatermark — state evicts once
@@ -237,6 +255,8 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
     "st_corpus_prep" ->
       s"""WITH ${qualityLangCtesOver("documents", PipelineLang)}
          |SELECT doc_id, n_tokens FROM q ORDER BY doc_id""".stripMargin,
+    // Drained streaming scoring == batch scoring, value-for-value.
+    "st_quality_model" -> qualityModelOracleSql,
     // Identical to the batch sessionize oracle: custom streaming state
     // must agree with the window formulation bit-for-bit.
     "st_stateful_sessions" -> sessionizeOracleSql,

@@ -14,14 +14,6 @@ private[graft] trait RegistryText extends RegistryShared {
   // ---------------------------------------------------------------------
 
   private val HeavyHittersK = 25
-  // Quality-model weights (stand-in for trained classifier weights;
-  // the SAME constants are interpolated into the oracle). Bias picked
-  // so the sf0.01 fixture splits ~261 keep / 239 drop — both verdicts
-  // well-populated.
-  private val QmWStop = 3L
-  private val QmWPunct = 5L
-  private val QmWLen = 20000L
-  private val QmBias = 300000L
 
   protected val text: Map[String, Q] = Map(
     // Model-based quality filter: fixed-weight integer logit over the
@@ -110,36 +102,7 @@ private[graft] trait RegistryText extends RegistryShared {
          |    THEN CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w)
          |    ELSE 0.0 END AS avg_token_len
          |FROM w ORDER BY doc_id""".stripMargin,
-    "tx_quality_model" -> {
-      val en = inList(TextAnalysis.stopwords.toMap.apply("en"))
-      s"""WITH w AS (SELECT doc_id, text,
-         |    regexp_split_to_array(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(text) AS BIGINT) AS n_chars,
-         |  CAST(len(w) AS BIGINT) AS n_tokens,
-         |  CAST(len(text) - len(regexp_replace(text,
-         |    '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
-         |  CAST(len(list_filter(w, t -> t IN ($en))) AS BIGINT)
-         |    AS n_stopwords
-         |FROM w),
-         |f AS (SELECT doc_id,
-         |  CASE WHEN n_tokens > 0 THEN n_stopwords * 1000000 // n_tokens
-         |    ELSE 0 END AS stop_ppm,
-         |  CASE WHEN n_chars > 0 THEN n_punct * 1000000 // n_chars
-         |    ELSE 0 END AS punct_ppm,
-         |  CASE WHEN n_tokens > 0
-         |    THEN CAST(length(bin(n_tokens)) AS BIGINT)
-         |    ELSE 0 END AS len_bits
-         |FROM m)
-         |SELECT doc_id, stop_ppm, punct_ppm, len_bits,
-         |  $QmWStop * stop_ppm - $QmWPunct * punct_ppm
-         |    + $QmWLen * len_bits - $QmBias AS score_q,
-         |  CAST(CASE WHEN $QmWStop * stop_ppm - $QmWPunct * punct_ppm
-         |    + $QmWLen * len_bits - $QmBias > 0 THEN 1 ELSE 0 END
-         |    AS BIGINT) AS keep_model
-         |FROM f ORDER BY doc_id""".stripMargin
-    },
+    "tx_quality_model" -> qualityModelOracleSql,
     "tx_dsir_score" ->
       """WITH tk AS (SELECT doc_id, lang = 'en' AS is_target,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
