@@ -316,14 +316,6 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
        |    (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM $cSrc) c),
        |$aName AS (SELECT vec_id, cid FROM ${aName}s WHERE rn = 1)""".stripMargin
 
-  /** The unrolled k-means training chain, shared by every oracle that
-    * consumes the trained codebook (sim_kmeans, sim_ivf_trained,
-    * dd_semantic_dedup): expects a CTE `v(vec_id, q)` in scope, defines
-    * `vn` (with norms) and `c0`..`c$KMeansIter`, generated from the
-    * same constants as the Spark loop — per-dim BIGINT sums, truncating
-    * `//` means (DuckDB `//` and Spark `div` both truncate toward zero
-    * on all signs), empty clusters keeping the previous centroid via
-    * the per-dim LEFT JOIN COALESCE. */
   /** The chain, parameterized for REUSE PER SUBSPACE (sim_pq_trained
     * trains 8 independent sub-codebooks — one chain each, names
     * prefixed, over the slice CTE `vName`, at the subspace's `dim`).
@@ -353,6 +345,14 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
        |$iters""".stripMargin
   }
 
+  /** The unrolled k-means training chain, shared by every oracle that
+    * consumes the trained codebook (sim_kmeans, sim_ivf_trained,
+    * dd_semantic_dedup): expects a CTE `v(vec_id, q)` in scope, defines
+    * `vn` (with norms) and `c0`..`c$KMeansIter`, generated from the
+    * same constants as the Spark loop — per-dim BIGINT sums, truncating
+    * `//` means (DuckDB `//` and Spark `div` both truncate toward zero
+    * on all signs), empty clusters keeping the previous centroid via
+    * the per-dim LEFT JOIN COALESCE. */
   private lazy val kmeansChainCtes: String =
     kmeansChainFor("", "v", Dim, NumCentroids, KMeansIter)
 

@@ -26,16 +26,57 @@ object Sessions {
       // to TimestampType in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Ckpt.release unpersists superseded localCheckpoint RDDs by
+    * design; each emits a WARN ("...lineage has been truncated and
+    * cannot be recomputed after unpersisting") that is the intended
+    * outcome, not a problem. Deny exactly that message — a level
+    * override on the RDD logger would also swallow legitimate
+    * cache-loss / recompute warnings from the same class. */
+  private object LineageTruncationFilter
+      extends org.apache.logging.log4j.core.filter.AbstractFilter {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.Marker
+    import org.apache.logging.log4j.core.Filter.Result
+    import org.apache.logging.log4j.core.{LogEvent, Logger => CoreLogger}
+    import org.apache.logging.log4j.message.Message
+
+    private def decide(loggerName: String, msg: String): Result =
+      if (loggerName != null && msg != null &&
+          loggerName.startsWith("org.apache.spark.rdd.") &&
+          msg.contains("cannot be recomputed after unpersisting"))
+        Result.DENY
+      else Result.NEUTRAL
+
+    // A context-wide filter is consulted BOTH pre-event-construction
+    // (the Logger/... overloads) and with the built LogEvent — cover
+    // every message-bearing path.
+    override def filter(e: LogEvent): Result =
+      decide(e.getLoggerName, e.getMessage.getFormattedMessage)
+    override def filter(l: CoreLogger, lv: Level, m: Marker,
+                        msg: String, params: AnyRef*): Result =
+      decide(l.getName, msg)
+    override def filter(l: CoreLogger, lv: Level, m: Marker,
+                        msg: Any, t: Throwable): Result =
+      decide(l.getName, String.valueOf(msg))
+    override def filter(l: CoreLogger, lv: Level, m: Marker,
+                        msg: Message, t: Throwable): Result =
+      decide(l.getName,
+        if (msg == null) null else msg.getFormattedMessage)
+  }
+
+  private val filterInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def get(appName: String): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    // Ckpt.release unpersists superseded localCheckpoint RDDs by
-    // design; each emits a WARN ("lineage truncated ... cannot be
-    // recomputed") that is the intended outcome, not a problem —
-    // silence that one logger so real warnings stay visible.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    if (filterInstalled.compareAndSet(false, true)) {
+      LineageTruncationFilter.start()
+      ctx.getConfiguration.addFilter(LineageTruncationFilter)
+      ctx.updateLoggers()
+    }
     s
   }
 }

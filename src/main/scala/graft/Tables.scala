@@ -27,17 +27,20 @@ object Tables {
     *    the session time zone is pinned to UTC (Sessions.builder) — the
     *    same naive micros DuckDB reads, so oracle parity holds;
     *  - TimestampType passes through. */
-  private def canonTs(dt: DataType): Option[Column => Column] = dt match {
-    case LongType => Some(c => expr("timestamp_micros(ts div 1000)"))
-    case TimestampNTZType => Some(c => c.cast(TimestampType))
+  private def canonTs(name: String, dt: DataType): Option[Column] = dt match {
+    // `div` (integral) has no Column-API spelling, so the LongType
+    // branch is built from the column NAME — taking a Column and
+    // ignoring it was a reuse trap (the old lambda hardcoded `ts`).
+    case LongType => Some(expr(s"timestamp_micros(`$name` div 1000)"))
+    case TimestampNTZType => Some(col(name).cast(TimestampType))
     case _ => None
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      canonTs(df.schema("ts").dataType)
-        .map(f => df.withColumn("ts", f(col("ts")))).getOrElse(df)
+      canonTs("ts", df.schema("ts").dataType)
+        .map(c => df.withColumn("ts", c)).getOrElse(df)
     else df
   }
 
@@ -53,8 +56,8 @@ object Tables {
     val df = spark.readStream.schema(raw.schema)
       .parquet(s"$dir/{$name}.parquet")
     if (name == "events")
-      canonTs(raw.schema("ts").dataType)
-        .map(f => df.withColumn("ts", f(col("ts")))).getOrElse(df)
+      canonTs("ts", raw.schema("ts").dataType)
+        .map(c => df.withColumn("ts", c)).getOrElse(df)
     else df
   }
 }

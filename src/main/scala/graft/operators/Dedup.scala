@@ -430,22 +430,6 @@ object Dedup {
         (col(idCol) === col("canonical_id")).as("is_canonical"))
   }
 
-  /** Benchmark DECONTAMINATION audit — the n-gram-overlap check every
-    * serious training-data pipeline runs before release (e.g. GPT-3
-    * App. C / PaLM §6.1: drop training documents sharing n-grams with
-    * the eval suite): every training document is labeled with how many
-    * of its distinct word `n`-grams also occur in the eval corpus, plus
-    * the keep/drop verdict. Zero-hit documents ARE in the output (count
-    * 0, contaminated false) — the audit covers the whole corpus.
-    *
-    * Scale shape: the eval side is a benchmark suite — thousands of
-    * documents, not billions — so its distinct shingle set is
-    * BROADCAST; the training corpus then runs one narrow explode, one
-    * broadcast-hash LEFT join (no shuffle of the corpus), and one
-    * re-aggregation keyed on doc_id with map-side combine. Nothing
-    * about this plan changes when the training side grows 1000×. If
-    * the eval set ever outgrew broadcast, the same plan degrades to a
-    * shuffle join on the shingle — semantics identical. */
   /** Benchmark DECONTAMINATION as a DROP (the enforcement twin of
     * [[contaminationAudit]]): remove every training document sharing at
     * least one distinct word `n`-gram with the eval corpus. Same plan
@@ -463,6 +447,22 @@ object Dedup {
     train.join(hitDocs, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark DECONTAMINATION audit — the n-gram-overlap check every
+    * serious training-data pipeline runs before release (e.g. GPT-3
+    * App. C / PaLM §6.1: drop training documents sharing n-grams with
+    * the eval suite): every training document is labeled with how many
+    * of its distinct word `n`-grams also occur in the eval corpus, plus
+    * the keep/drop verdict. Zero-hit documents ARE in the output (count
+    * 0, contaminated false) — the audit covers the whole corpus.
+    *
+    * Scale shape: the eval side is a benchmark suite — thousands of
+    * documents, not billions — so its distinct shingle set is
+    * BROADCAST; the training corpus then runs one narrow explode, one
+    * broadcast-hash LEFT join (no shuffle of the corpus), and one
+    * re-aggregation keyed on doc_id with map-side combine. Nothing
+    * about this plan changes when the training side grows 1000×. If
+    * the eval set ever outgrew broadcast, the same plan degrades to a
+    * shuffle join on the shingle — semantics identical. */
   def contaminationAudit(train: DataFrame, eval: DataFrame, idCol: String,
                          textCol: String, n: Int = 3): DataFrame = {
     val evalGrams = eval

@@ -338,14 +338,6 @@ object Events {
       .groupBy("hod").pivot("event_type", EventTypes).agg(sum(col("vm")))
       .na.fill(0L, EventTypes)
 
-  /** Exact per-type value quantiles (p25/p50/p75). The probabilities are
-    * exact binary fractions and the inputs are integer micros, so the
-    * linear interpolation `lower + (upper-lower)·frac` is EXACT in
-    * double on every engine — no last-ulp divergence. Scale note: exact
-    * `percentile` buffers each group's values (sorted) — fine for a
-    * bounded type dictionary; for high-cardinality groups swap to
-    * `approx_percentile` (bounded sketch, but merge-order-sensitive, so
-    * it cannot be oracle-hashed). */
   /** Audience-overlap matrix: for every pair of event types, the exact
     * count and Jaccard similarity (ppm) of their distinct-user sets —
     * the cohort-overlap report behind "do viewers also purchase"
@@ -411,6 +403,14 @@ object Events {
         (col("abs_dev") > lit(k.toDouble) * col("mad")).as("is_anomaly"))
   }
 
+  /** Exact per-type value quantiles (p25/p50/p75). The probabilities are
+    * exact binary fractions and the inputs are integer micros, so the
+    * linear interpolation `lower + (upper-lower)·frac` is EXACT in
+    * double on every engine — no last-ulp divergence. Scale note: exact
+    * `percentile` buffers each group's values (sorted) — fine for a
+    * bounded type dictionary; for high-cardinality groups swap to
+    * `approx_percentile` (bounded sketch, but merge-order-sensitive, so
+    * it cannot be oracle-hashed). */
   def valueQuantiles(df: DataFrame): DataFrame =
     df.select(col("event_type"), micros(col("value")).as("vm"))
       .groupBy("event_type")

@@ -460,7 +460,9 @@ object Graph {
     *
     * After `rounds` rounds every node within `rounds` hops of a seed
     * holds its EXACT hop distance (BFS layers are monotone); nodes
-    * beyond emit the sentinel dist = −1 with reached = 0 (a NULL
+    * beyond emit the sentinel dist = −1 with reached = 0. The node
+    * universe is src ∪ dst, so DIRECTED input is fine — sink-only
+    * nodes get a row too (a NULL
     * would be truthful too, but nullable bigints round-trip as NaN
     * floats through arrow/pandas and break value comparison — the
     * sentinel is unambiguous since real distances are ≥ 0). Seeds are
@@ -476,7 +478,12 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"bfsHops: rounds=$rounds")
     val e = edges.repartition(col("src")).distinct().persist()
-    val nodes = e.select(col("src").as("node")).distinct().persist()
+    // Node universe = src ∪ dst, so sink-only nodes of a DIRECTED input
+    // still appear in the output (reached via their in-edges, or with
+    // the −1 sentinel); on symmetric input the union is a no-op. Both
+    // projections read the one cached edge relation.
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     var dist = nodes
       .join(seeds.select(col("node")).distinct().withColumn("z", lit(0L)),
         Seq("node"), "left_outer")
@@ -507,26 +514,6 @@ object Graph {
     out
   }
 
-  /** Per-node triangle counts over the undirected co-occurrence graph —
-    * the clustering-structure primitive behind community detection,
-    * spam-graph signals, and local clustering coefficients (degree and
-    * triangle count per node; the coefficient is one division away).
-    *
-    * Input is one row per (occurrence, canonical pair): support = row
-    * count per pair; edges below `minSupport` co-occurrences are
-    * dropped before any triangle work (repeated co-occurrence is the
-    * usual noise gate on co-occurrence graphs).
-    *
-    * Scale shape — DEGREE-ORDERED ORIENTATION (the Suri–Vassilvitskii
-    * MapReduce triangle-counting design): every undirected edge is
-    * oriented from its (degree, id)-smaller endpoint, making the graph
-    * a DAG in which each triangle appears as exactly one wedge
-    * u→v, u→w closed by v→w. Wedge generation fans out per node by
-    * ORIENTED out-degree, which is O(√m) on any graph regardless of
-    * raw-degree skew — a celebrity node of degree 10⁶ contributes no
-    * wedges at all unless its neighbors out-rank it. Two shuffle joins
-    * (wedge build on u's out-list, closure probe on (u, w)) and two
-    * key-bounded aggregates; nothing is ever all-pairs. */
   /** EDGE-level structural similarity: for every undirected gated edge
     * (a, b), the Jaccard overlap of the endpoint neighborhoods —
     *
@@ -537,6 +524,12 @@ object Graph {
     * (Satuluri et al. 2011) and near-dup cluster audits read as "how
     * much of these two documents' neighborhoods agree". Exact integer
     * ppm; an isolated pair (both degrees 1) scores 0 by convention.
+    *
+    * Input contract: `pairs` carries ONE row per co-occurrence in a
+    * SINGLE orientation (like [[triangleCounts]]). Symmetric input
+    * (both orientations per co-occurrence) double-counts support
+    * against `minSupport` — dedup orientations first if gating, or
+    * double the threshold.
     *
     * Scale shape: common counts come from the SAME degree-ordered
     * oriented triangle enumeration as [[triangleCounts]] (wedge fanout
@@ -592,6 +585,26 @@ object Graph {
           .otherwise(lit(0L)))
   }
 
+  /** Per-node triangle counts over the undirected co-occurrence graph —
+    * the clustering-structure primitive behind community detection,
+    * spam-graph signals, and local clustering coefficients (degree and
+    * triangle count per node; the coefficient is one division away).
+    *
+    * Input is one row per (occurrence, canonical pair): support = row
+    * count per pair; edges below `minSupport` co-occurrences are
+    * dropped before any triangle work (repeated co-occurrence is the
+    * usual noise gate on co-occurrence graphs).
+    *
+    * Scale shape — DEGREE-ORDERED ORIENTATION (the Suri–Vassilvitskii
+    * MapReduce triangle-counting design): every undirected edge is
+    * oriented from its (degree, id)-smaller endpoint, making the graph
+    * a DAG in which each triangle appears as exactly one wedge
+    * u→v, u→w closed by v→w. Wedge generation fans out per node by
+    * ORIENTED out-degree, which is O(√m) on any graph regardless of
+    * raw-degree skew — a celebrity node of degree 10⁶ contributes no
+    * wedges at all unless its neighbors out-rank it. Two shuffle joins
+    * (wedge build on u's out-list, closure probe on (u, w)) and two
+    * key-bounded aggregates; nothing is ever all-pairs. */
   def triangleCounts(pairs: DataFrame, minSupport: Long = 1L): DataFrame = {
     val und = pairs
       .select(least(col("src"), col("dst")).as("a"),

@@ -33,7 +33,6 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => floor(x.cast(DoubleType) * scale).cast(LongType))
 
-  /** Exact BIGINT dot product of two array<bigint> columns. */
   /** Exact BIGINT dot — fused native kernel ([[graft.functions
     * .DotProduct]]); the HOF formulation below is its spec-pinned
     * reference. One dot per candidate pair is the hot loop of every
@@ -360,12 +359,12 @@ object Similarity {
       .select("vec_a", "vec_b", "bucket", "dot", "cosine")
   }
 
-  /** One Lloyd's assignment step: each vector to its L2-nearest
-    * centroid. Distance is exact BIGINT |v|² − 2·v·c + |c|² (== Σ(v−c)²
-    * — |v|² is per-vector constant but kept so the argmin key replays
-    * verbatim in SQL); argmin via `min(struct(dist, cid))` —
-    * lexicographic, tie → smaller cid, identical in DuckDB. */
-  /** Narrow L2-argmin assignment against a DRIVER-SIDE codebook: one
+  /** Narrow L2-argmin assignment against a DRIVER-SIDE codebook —
+    * Lloyd's assignment step with exact BIGINT distance
+    * |v|² − 2·v·c + |c|² (== Σ(v−c)²; the |v|² term is per-vector
+    * constant but kept so the argmin key replays verbatim in SQL, and
+    * the lexicographic (dist, cid) tie-break — tie → smaller cid — is
+    * identical in DuckDB): one
     * inline struct per centroid, `array_min` takes the lexicographic
     * (dist, cid) minimum — the same argmin + tie-break as a
     * crossJoin/groupBy formulation, but as a single codegen projection

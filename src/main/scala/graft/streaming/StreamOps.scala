@@ -375,20 +375,6 @@ object StreamOps {
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Execute a streaming transform of a parquet-file stream to
-    * completion (Trigger.AvailableNow) and return the materialized
-    * result — the bridge that lets the driver's batch-style oracle check
-    * a genuinely streaming plan. `complete` mode keeps every group in
-    * the sink table.
-    *
-    * `shufflePartitions` pins the STATE partition count for this query
-    * (streaming plans snapshot the conf at start; the session value is
-    * restored after). Stateful operators pay per-partition state-store
-    * machinery every micro-batch — a stream-stream join keeps 4 stores
-    * per partition — so at local/fixture scale a small count wins
-    * (measured: the interval join drops 5.7 s → 2.3 s going 32 → 8).
-    * On a real cluster SIZE IT UP to the executor count: state
-    * partitioning is a throughput knob, not semantics. */
   /** STREAMING KEYED UPSERT sink — the streaming dual of
     * [[graft.operators.Form700Pipeline.writeUpsert]]: each micro-batch
     * is one upsert chunk, merged latest-batch-wins on `key` into an
@@ -493,7 +479,22 @@ object StreamOps {
     spark.read.parquet(s"$path/gen_${gen.get()}")
   }
 
-  /** `singleBatchSources`: indices of sources (union order) whose rows
+  /** Execute a streaming transform of a parquet-file stream to
+    * completion (Trigger.AvailableNow) and return the materialized
+    * result — the bridge that lets the driver's batch-style oracle check
+    * a genuinely streaming plan. `complete` mode keeps every group in
+    * the sink table.
+    *
+    * `shufflePartitions` pins the STATE partition count for this query
+    * (streaming plans snapshot the conf at start; the session value is
+    * restored after). Stateful operators pay per-partition state-store
+    * machinery every micro-batch — a stream-stream join keeps 4 stores
+    * per partition — so at local/fixture scale a small count wins
+    * (measured: the interval join drops 5.7 s → 2.3 s going 32 → 8).
+    * On a real cluster SIZE IT UP to the executor count: state
+    * partitioning is a throughput knob, not semantics.
+    *
+    * `singleBatchSources`: indices of sources (union order) whose rows
     * must all arrive in ONE micro-batch, CHECKED from the query's
     * progress after the drain. [[statefulScd2]] needs this for its
     * events source: it sorts by event time only WITHIN a batch, and a

@@ -343,6 +343,21 @@ class GraphSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("bfsHops: directed input — sink-only nodes appear, reached " +
+      "along in-edges or with the sentinel") {
+    // 2 and 4 never occur as src; a src-only node universe would drop
+    // them from the output entirely.
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, rounds = 2).orderBy("node")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L), (1L, 1L, 1L), (2L, 2L, 1L),
+      (3L, -1L, 0L), (4L, -1L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
   test("bfsHops: two seeds meet in the middle; non-node seeds are " +
       "ignored") {
     val und = (0L to 4L).map(i => (i, i + 1))
