@@ -269,7 +269,43 @@ object RegistryForm700 {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  /** O5 audit-report oracle: per-table rows_expected == rows_written ==
+    * the row count of that table's OWN cleaned-frame oracle, wrapped as
+    * a count CTE — reusing the same SQL keeps the audit and the content
+    * checks structurally in lockstep (a clean-rule change moves both or
+    * neither). The catalog metadata columns (dataset name, four-by-four,
+    * create-vs-replace mode) are generated from the same driver-side
+    * catalog the write consults, including the deterministic
+    * assignFourByFour id for not-yet-created tables. status is the
+    * SUCCESS literal: if the Spark write ever loses rows, the Spark
+    * side reports FAILURE and the hash compare catches it. */
+  private def auditOracle(base: Map[String, String]): String = {
+    val tableToOracle = Seq(
+      "cover" -> "e1_cover_clean", "comments" -> "e1_comments",
+      "scheduleA1" -> "e1_schedule_a1", "scheduleA2" -> "e1_schedule_a2",
+      "scheduleB" -> "e1_schedule_b_sink", "scheduleC" -> "e1_schedule_c",
+      "scheduleD" -> "e1_schedule_d", "scheduleE" -> "e1_schedule_e")
+    def q(s: String): String = s.replace("'", "''")
+    val ctes = tableToOracle.map { case (name, key) =>
+      s"t_$name AS (\n${base(key)}\n)"
+    }.mkString(",\n")
+    val rows = tableToOracle.map { case (name, _) =>
+      val spec = P.catalog(name)
+      val mode = if (spec.needsCreate) "create" else "replace"
+      val fxf = if (spec.needsCreate) P.assignFourByFour(spec.datasetName)
+        else spec.fourByFour
+      s"""SELECT '${q(name)}' AS table_name,
+         |  '${q(spec.datasetName)}' AS dataset_name,
+         |  '${q(fxf)}' AS four_by_four, '$mode' AS mode,
+         |  (SELECT count(*) FROM t_$name) AS rows_expected,
+         |  (SELECT count(*) FROM t_$name) AS rows_written,
+         |  'SUCCESS' AS status""".stripMargin
+    }
+    s"WITH $ctes\nSELECT * FROM (\n${rows.mkString("\nUNION ALL\n")}" +
+      "\n) ORDER BY table_name"
+  }
+
+  private val baseOracles: Map[String, String] = Map(
     "e1_cover_clean" -> coverCleanSql(coverCte),
     "e1_cover_redacted" -> coverCleanSql(coverCteFor(OracleRedactedPages)),
 
@@ -492,7 +528,11 @@ object RegistryForm700 {
          |SELECT ${coverSelectList(snake)} FROM cser2
          |ORDER BY filing_id""".stripMargin
     }
-    // e1_audit: no oracle (side-effecting sink) → driver rows-only
-    // check.
   )
+
+  // e1_audit was the registry's one rows-only entry (side-effecting
+  // sink); the report itself is pure, so it now carries the
+  // catalog+count oracle built above.
+  val oracles: Map[String, String] =
+    baseOracles + ("e1_audit" -> auditOracle(baseOracles))
 }

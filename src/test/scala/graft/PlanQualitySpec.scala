@@ -691,4 +691,55 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rp.contains("BroadcastHashJoin") && rp.contains("LeftSemi"),
       s"round plan was:\n$rp")
   }
+
+  test("correlated subqueries decorrelate: q4/q17/q21 carry ZERO " +
+      "surviving subquery expressions; semi/anti joins replace them") {
+    // The 100 TB claim behind RegistryOlap: the correlated form the
+    // user writes must become ordinary joins (RewritePredicateSubquery
+    // / RewriteCorrelatedScalarSubquery), never a per-outer-row
+    // re-execution. A surviving SubqueryExpression in the OPTIMIZED
+    // plan is exactly that regression.
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    def subqueryCount(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions
+          .map(_.collect { case s: SubqueryExpression => s }.size).sum
+      }.sum
+
+    val q4 = Registry.queries("q4_exists")(spark, dir)
+    assert(subqueryCount(q4) == 0, "q4 EXISTS must decorrelate")
+    assert(planString(q4).contains("LeftSemi"),
+      "q4 must plan the EXISTS as a left semi join")
+
+    val q17 = Registry.queries("q17_small_qty")(spark, dir)
+    assert(subqueryCount(q17) == 0,
+      "q17 correlated scalar aggregate must decorrelate")
+    val p17 = planString(q17)
+    assert(p17.contains("Join"),
+      s"q17 threshold must join back, not re-execute per row:\n$p17")
+
+    val q21 = Registry.queries("q21_waiting")(spark, dir)
+    assert(subqueryCount(q21) == 0,
+      "q21 EXISTS + NOT EXISTS must both decorrelate")
+    val p21 = planString(q21)
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21 needs one semi and one anti join:\n$p21")
+  }
+
+  test("q22: correlated NOT EXISTS decorrelates to a LeftAnti; only " +
+      "the uncorrelated scalar average survives as a one-shot subquery") {
+    import org.apache.spark.sql.catalyst.expressions.{
+      ScalarSubquery, SubqueryExpression}
+    val q22 = Registry.queries("q22_prospects")(spark, dir)
+    val survivors = q22.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect { case s: SubqueryExpression => s })
+    }.flatten
+    // Exactly one survivor, scalar and UNCORRELATED (executed once,
+    // broadcast as a literal — not per-row work).
+    assert(survivors.size == 1 &&
+      survivors.head.isInstanceOf[ScalarSubquery] &&
+      survivors.head.children.isEmpty,
+      s"survivors: $survivors")
+    assert(planString(q22).contains("LeftAnti"))
+  }
 }
