@@ -604,9 +604,10 @@ object Registry {
   val queries: Map[String, Q] =
     core ++ cleaning ++ restructure ++ RegistryExt.queries ++
       RegistryForm700.queries ++ RegistryRank.queries ++
-      RegistryOlap.queries
+      RegistryGraph.queries ++ RegistryOlap.queries
   val oracles: Map[String, String] =
     coreOracles ++ cleaningOracles ++ restructureOracles ++
       RegistryExt.oracles ++ RegistryForm700.oracles ++
-      RegistryRank.oracles ++ RegistryOlap.oracles
+      RegistryRank.oracles ++ RegistryGraph.oracles ++
+      RegistryOlap.oracles
 }

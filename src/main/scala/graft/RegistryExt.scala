@@ -22,15 +22,16 @@ import graft.operators._
   *    deterministically, mirrored in the oracle.
   */
 object RegistryExt
-    extends RegistryDedup with RegistrySimilarity with RegistryTrainPrep
+    extends RegistryDedup with RegistryIndex with RegistryTrainPrep
     with RegistryText with RegistryEvents with RegistryMultimodal
     with RegistryStreaming {
 
   val queries: Map[String, Q] =
-    dedup ++ similarity ++ text ++ events ++ streaming ++ multimodal ++
-      trainprep
+    dedup ++ similarity ++ index ++ text ++ events ++ streaming ++
+      multimodal ++ trainprep
   val oracles: Map[String, String] =
-    dedupOracles ++ similarityOracles ++ textOracles ++ eventsOracles ++
-      streamingOracles ++ multimodalOracles ++ trainprepOracles
+    dedupOracles ++ similarityOracles ++ indexOracles ++ textOracles ++
+      eventsOracles ++ streamingOracles ++ multimodalOracles ++
+      trainprepOracles
 }
 

@@ -1,0 +1,487 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Graph-analytics registry (split out of [[RegistryRank]] once the
+  * family outgrew it): link-importance (PageRank / personalized /
+  * weighted, HITS), structure (connected components, label-propagation
+  * communities, k-core, multi-source BFS), and local-density signals
+  * (triangles / clustering coefficient, edge Jaccard) — all over the
+  * co-ordered-parts graph derived from lineitem.
+  *
+  * Same determinism contract as [[Registry]]: exact fixed-point integer
+  * iteration, every oracle unrolls the same number of rounds as CTEs
+  * from the SAME constants as the Spark plan, total ORDER BY everywhere.
+  */
+object RegistryGraph {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // Shared constants — referenced by BOTH plans and oracle SQL.
+  /** PageRank iteration count (unrolled in the oracle). */
+  private val PageRankIters = 3
+  // Personalized-PageRank seed predicate: part keys divisible by 10
+  // (~10% of nodes) — appears verbatim in plan and oracle.
+  private val PprSeedMod = 10L
+  /** HITS iteration count (each = auth + hub half-round, unrolled). */
+  private val HitsIters = 3
+  /** Minimum co-occurrence support per edge of the GATED graph (the
+    * standard noise cut on co-occurrence graphs — a single shared
+    * order is coincidence, repeat co-ordering is structure). */
+  private val TriMinSupport = 2L
+  /** Label-propagation community detection: synchronous rounds
+    * (unrolled in the oracle). */
+  private val LpaIters = 4
+  /** k-core peel: degree threshold and synchronous peel rounds
+    * (unrolled in the oracle). k=3 on the support-gated graph peels
+    * for several rounds without emptying (probed: 1892 → ~1065 nodes
+    * over 5 rounds at sf0.01). */
+  private val KcoreK = 3
+  private val KcoreRounds = 5
+  /** Multi-source BFS: seed predicate (part keys divisible by this —
+    * distinct from PprSeedMod so the two seed families differ) and
+    * relaxation rounds (unrolled in the oracle). */
+  private val BfsSeedMod = 100L
+  private val BfsRounds = 4
+
+  /** The support-gated UNDIRECTED co-order graph, single orientation
+    * (src < dst) — the Spark-side twin of [[gatedGraphCte]]'s `und`. */
+  private def gatedEdges(s: SparkSession, dir: String): DataFrame =
+    Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false)
+      .where(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= TriMinSupport)
+
+  /** Both orientations of [[gatedEdges]] — what the symmetric-input
+    * kernels (LPA, k-core, BFS) consume. */
+  private def gatedSym(s: SparkSession, dir: String): DataFrame = {
+    val gated = gatedEdges(s, dir)
+    gated.select(col("src"), col("dst"))
+      .unionAll(gated.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL builders (DuckDB dialect)
+  // ---------------------------------------------------------------------
+
+  /** Unrolled-CTE replay of [[Graph.pageRankQ]] over the co-ordered-parts
+    * graph: r0 = uniform, then `iters` exact integer damped rounds. */
+  private def pageRankOracle(iters: Int): String = {
+    val S = Graph.Scale
+    val dn = Graph.DampNum
+    val dd = Graph.DampDen
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst, sum(($dn * r${i - 1}.rank_q) // ($dd * d.outdeg)) AS c
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+         |r$i AS (SELECT d.src AS node,
+         |    (3 * $S) // ($dd * nn.n) + coalesce(c$i.c, 0) AS rank_q
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c$i ON d.src = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, $S // nn.n AS rank_q FROM deg CROSS JOIN nn),
+       |$rounds
+       |SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
+       |  CAST(rank_q AS DOUBLE) / $S.0 AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[Graph.personalizedPageRankQ]]: seed-only
+    * init and seed-only teleport base, propagation rounds identical to
+    * [[pageRankOracle]]. */
+  private def pprOracle(iters: Int, seedMod: Long): String = {
+    val S = Graph.Scale
+    val dn = Graph.DampNum
+    val dd = Graph.DampDen
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst, sum(($dn * r${i - 1}.rank_q) // ($dd * d.outdeg)) AS c
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN deg d ON e.src = d.src GROUP BY e.dst),
+         |r$i AS (SELECT sd.node,
+         |    sd.is_seed * ((3 * $S) // ($dd * ns.n)) + coalesce(c$i.c, 0) AS rank_q
+         |  FROM sd CROSS JOIN ns LEFT JOIN c$i ON sd.node = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |sd AS (SELECT src AS node,
+       |    CAST(CASE WHEN src % $seedMod = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+       |  FROM deg),
+       |ns AS (SELECT count(*) AS n FROM sd WHERE is_seed = 1),
+       |r0 AS (SELECT node, is_seed * ($S // ns.n) AS rank_q
+       |  FROM sd CROSS JOIN ns),
+       |$rounds
+       |SELECT r.node, sd.is_seed, CAST(r.rank_q AS BIGINT) AS rank_q,
+       |  CAST(r.rank_q AS DOUBLE) / $S.0 AS rank
+       |FROM r$iters r JOIN sd ON r.node = sd.node ORDER BY r.node""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[Graph.labelPropagationQ]] over the
+    * support-gated co-order graph: l0 = own id, then `iters`
+    * synchronous argmax rounds with the total (count DESC, label ASC)
+    * tie-break. The oracle's row_number window IS the same argmax as
+    * the plan's `min(struct(-c, label))` — the orderings coincide. */
+  private def lpaOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""t$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node
+         |  GROUP BY e.dst, l.label),
+         |l$i AS (SELECT node, label FROM (
+         |    SELECT node, label, row_number()
+         |      OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |    FROM t$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+       |    a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey),
+       |und AS (SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $TriMinSupport),
+       |e AS (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b AS src, a AS dst FROM und),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$rounds,
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+       |  FROM l$iters GROUP BY label)
+       |SELECT l.node, l.label AS community, sz.community_size
+       |FROM l$iters l JOIN sz ON l.label = sz.label
+       |ORDER BY node""".stripMargin
+  }
+
+  /** The weighted twin: edge weight = number of distinct co-ordering
+    * orders (the multiplicity [[Graph.coOrderedParts]] emits with
+    * `distinct = false`), contributions ∝ w/W(u). */
+  private def pageRankWeightedOracle(iters: Int): String = {
+    val S = Graph.Scale
+    val dn = Graph.DampNum
+    val dd = Graph.DampDen
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst,
+         |    sum(($dn * r${i - 1}.rank_q * e.w) // ($dd * t.wtot)) AS c
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN tot t ON e.src = t.src GROUP BY e.dst),
+         |r$i AS (SELECT t.src AS node,
+         |    (3 * $S) // ($dd * nn.n) + coalesce(c$i.c, 0) AS rank_q
+         |  FROM tot t CROSS JOIN nn LEFT JOIN c$i ON t.src = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+       |    a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM pr GROUP BY src, dst),
+       |tot AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+       |  FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM tot),
+       |r0 AS (SELECT src AS node, $S // nn.n AS rank_q
+       |  FROM tot CROSS JOIN nn),
+       |$rounds
+       |SELECT node, CAST(rank_q AS BIGINT) AS rank_q,
+       |  CAST(rank_q AS DOUBLE) / $S.0 AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[Graph.hitsQ]]: uniform init, then `iters`
+    * rounds of (auth gather → L1 normalize, hub gather → L1 normalize)
+    * in the same exact integer arithmetic — gathered sums widen to
+    * HUGEINT (the decimal(38,0) twin of the Spark side) before the
+    * ·Scale // tot normalization, and every round's vector lands back
+    * in BIGINT. CTEs are MATERIALIZED: each round references the
+    * previous vector and the edge relation twice, so plain CTEs would
+    * re-expand the lineitem self-join exponentially in `iters`. */
+  private def hitsOracle(iters: Int): String = {
+    val S = Graph.Scale
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node,
+         |    CAST(sum(h${i - 1}.hub_q) AS HUGEINT) AS raw
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY e.dst),
+         |a$i AS MATERIALIZED (SELECT nd.node,
+         |    CAST(coalesce(ar.raw, 0) * $S
+         |      // (SELECT sum(raw) FROM ar$i) AS BIGINT) AS auth_q
+         |  FROM nd LEFT JOIN ar$i ar ON nd.node = ar.node),
+         |hr$i AS MATERIALIZED (SELECT e.src AS node,
+         |    CAST(sum(a$i.auth_q) AS HUGEINT) AS raw
+         |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY e.src),
+         |h$i AS MATERIALIZED (SELECT nd.node,
+         |    CAST(coalesce(hr.raw, 0) * $S
+         |      // (SELECT sum(raw) FROM hr$i) AS BIGINT) AS hub_q
+         |  FROM nd LEFT JOIN hr$i hr ON nd.node = hr.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |nn AS (SELECT count(*) AS n FROM nd),
+       |h0 AS (SELECT node, $S // nn.n AS hub_q FROM nd CROSS JOIN nn),
+       |$rounds
+       |SELECT nd.node AS node, h$iters.hub_q, a$iters.auth_q,
+       |  CAST(h$iters.hub_q AS DOUBLE) / $S.0 AS hub,
+       |  CAST(a$iters.auth_q AS DOUBLE) / $S.0 AS auth
+       |FROM nd JOIN h$iters ON nd.node = h$iters.node
+       |JOIN a$iters ON nd.node = a$iters.node
+       |ORDER BY nd.node""".stripMargin
+  }
+
+  /** Shared gated-graph CTEs (`e0(src, dst)` symmetric, support ≥
+    * [[TriMinSupport]]) — the same graph [[lpaOracle]] builds inline.
+    * `mat` = "MATERIALIZED " for consumers that reference `e0` more
+    * than once downstream. */
+  private def gatedGraphCte(mat: String = ""): String =
+    s"""pr AS $mat(SELECT DISTINCT a.l_orderkey AS ok,
+       |    a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey),
+       |und AS $mat(SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $TriMinSupport),
+       |e0 AS $mat(SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b AS src, a AS dst FROM und)""".stripMargin
+
+  /** Unrolled-CTE replay of [[Graph.kCore]] over the support-gated
+    * symmetric graph: each round keeps nodes of degree ≥ k and the
+    * edges among them. Every round CTE is MATERIALIZED: e(i−1) is
+    * referenced twice per round (degree count + edge filter), and an
+    * inlined CTE would re-evaluate the whole upstream chain per
+    * reference — 2^rounds blowup (observed: the un-hinted form spilled
+    * tens of GB at sf0.1; the RegistryRank bpeTrainOracle precedent). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+         |  HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${gatedGraphCte("MATERIALIZED ")},
+       |$peels
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[Graph.bfsHops]]: seed-zero init, then
+    * `rounds` min-relaxation rounds with the same explicit NULL
+    * algebra as the Spark plan. MATERIALIZED for the same
+    * double-reference reason as [[kcoreOracle]] (d(i−1) feeds both
+    * the relaxation and the carry-forward). */
+  private def bfsOracle(seedMod: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""u$i AS MATERIALIZED (SELECT e.dst AS node, min(d.dist) + 1 AS nd
+         |  FROM e0 e JOIN d${i - 1} d ON e.src = d.node
+         |  WHERE d.dist IS NOT NULL GROUP BY e.dst),
+         |d$i AS MATERIALIZED (SELECT d.node,
+         |    CASE WHEN d.dist IS NULL THEN u.nd
+         |      WHEN u.nd IS NULL THEN d.dist
+         |      ELSE least(d.dist, u.nd) END AS dist
+         |  FROM d${i - 1} d LEFT JOIN u$i u ON d.node = u.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${gatedGraphCte("MATERIALIZED ")},
+       |d0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+       |    CASE WHEN src % $seedMod = 0 THEN 0 ELSE NULL END AS dist
+       |  FROM e0),
+       |$steps
+       |SELECT node, CAST(coalesce(dist, -1) AS BIGINT) AS dist,
+       |  CAST(CASE WHEN dist IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS reached
+       |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // Damped PageRank over the co-ordered-parts graph — exact integer
+    // iteration, the oracle unrolls all rounds as CTEs (same convention
+    // as sim_kmeans). Edges partition once and cache; each round moves
+    // only the node-sized rank vector.
+    "gr_pagerank" -> ((s, dir) =>
+      Graph.pageRankQ(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
+        PageRankIters)
+        .orderBy("node")),
+    // Personalized PageRank: teleport mass returns only to the seed
+    // set (part keys divisible by PprSeedMod) — proximity-to-seeds
+    // ranking instead of global importance; same exact integer rounds,
+    // oracle unrolled with the seed indicator riding every CTE.
+    "gr_ppr" -> ((s, dir) => {
+      val edges = Graph.coOrderedParts(t(s, dir, "lineitem"),
+        distinct = false)
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .where(col("node") % PprSeedMod === 0)
+      Graph.personalizedPageRankQ(edges, seeds, PageRankIters)
+        .orderBy("node")
+    }),
+    // Weighted PageRank: mass flows ∝ co-occurrence support (the
+    // multiplicity the simple-graph variant flattens away).
+    "gr_pagerank_weighted" -> ((s, dir) =>
+      Graph.pageRankWeightedQ(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
+        PageRankIters)
+        .orderBy("node")),
+    // HITS hubs & authorities over the same graph — the second classic
+    // link-importance signal; L1-normalized exact fixed-point rounds,
+    // oracle unrolled (both half-rounds per iteration as CTEs).
+    "gr_hits" -> ((s, dir) =>
+      Graph.hitsQ(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false),
+        HitsIters, symmetric = true)
+        .orderBy("node")),
+    // Label-propagation communities of the support-gated co-order
+    // graph — the near-linear community baseline where components are
+    // too coarse; synchronous rounds with a total tie-break (fully
+    // deterministic LPA), per-node argmax as a map-side-combinable
+    // min(struct) — no window sort, no skew sensitivity.
+    "gr_label_prop" -> ((s, dir) =>
+      Graph.labelPropagationQ(gatedSym(s, dir), LpaIters).orderBy("node")),
+    // Connected components of the support-gated co-order graph —
+    // the large-star/small-star kernel (Dedup.connectedComponents)
+    // applied to a second graph family: which product groups actually
+    // ship together once coincidence is gated out.
+    "gr_components" -> ((s, dir) => {
+      val gated = gatedEdges(s, dir)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      val nodes = gated.select(col("doc_a").as("doc_id"))
+        .unionAll(gated.select(col("doc_b").as("doc_id"))).distinct()
+      Dedup.connectedComponents(nodes, gated, "doc_id")
+        .select(col("doc_id").as("node"),
+          col("cluster_id").as("component_id"),
+          col("cluster_size").as("component_size"))
+        .orderBy("node")
+    }),
+    // k-core peel of the support-gated graph: bounded synchronous
+    // rounds dropping degree-<k nodes — the density gate between
+    // "connected at all" (components) and "tightly embedded". The
+    // node-sized survivor set broadcasts to the edges each round; the
+    // edge set only ever shrinks.
+    "gr_kcore" -> ((s, dir) =>
+      Graph.kCore(gatedSym(s, dir), KcoreK, KcoreRounds).orderBy("node")),
+    // Multi-source BFS hop distance from the seed set (part keys
+    // divisible by BfsSeedMod) over the same gated graph — exact
+    // within BfsRounds hops, NULL beyond; per-round traffic is the
+    // reached frontier's node vector only.
+    "gr_bfs" -> ((s, dir) => {
+      val sym = gatedSym(s, dir)
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .where(col("node") % BfsSeedMod === 0)
+      Graph.bfsHops(sym, seeds, BfsRounds).orderBy("node")
+    }),
+    // Edge-level Jaccard similarity of endpoint neighborhoods — the
+    // graph-sparsification keep-score; common counts ride the same
+    // oriented triangle enumeration as gr_triangles.
+    "gr_edge_jaccard" -> ((s, dir) =>
+      Graph.edgeJaccard(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false)
+          .where(col("src") < col("dst")),
+        TriMinSupport)
+        .orderBy("node_a", "node_b")),
+    // Per-node triangle counts via degree-ordered orientation — wedge
+    // fanout O(√m) per node regardless of degree skew. The registry
+    // instantiation gates edges at ≥ TriMinSupport co-occurrences; the
+    // ungated dense-graph path is exercised by GraphSpec.
+    "gr_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(
+        Graph.coOrderedParts(t(s, dir, "lineitem"), distinct = false)
+          .where(col("src") < col("dst")),
+        TriMinSupport)
+        .orderBy("node"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "gr_pagerank" -> pageRankOracle(PageRankIters),
+    "gr_ppr" -> pprOracle(PageRankIters, PprSeedMod),
+    "gr_pagerank_weighted" -> pageRankWeightedOracle(PageRankIters),
+    "gr_hits" -> hitsOracle(HitsIters),
+    "gr_label_prop" -> lpaOracle(LpaIters),
+    "gr_kcore" -> kcoreOracle(KcoreK, KcoreRounds),
+    "gr_bfs" -> bfsOracle(BfsSeedMod, BfsRounds),
+    // Edge Jaccard: the oracle counts common neighbors by the direct
+    // neighborhood-intersect join (a formulation change the parity
+    // contract is designed to absorb); und/e0 are referenced several
+    // times → MATERIALIZED.
+    "gr_edge_jaccard" ->
+      s"""WITH ${gatedGraphCte("MATERIALIZED ")},
+         |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d
+         |  FROM e0 GROUP BY src),
+         |com AS MATERIALIZED (SELECT u.a, u.b, CAST(count(*) AS BIGINT) AS c
+         |  FROM und u
+         |  JOIN e0 x ON x.src = u.a
+         |  JOIN e0 y ON y.src = u.b AND y.dst = x.dst
+         |  GROUP BY u.a, u.b)
+         |SELECT u.a AS node_a, u.b AS node_b,
+         |  coalesce(c.c, 0) AS common,
+         |  da.d AS degree_a, db.d AS degree_b,
+         |  CASE WHEN da.d + db.d - 2 - coalesce(c.c, 0) > 0
+         |    THEN coalesce(c.c, 0) * 1000000
+         |      // (da.d + db.d - 2 - coalesce(c.c, 0))
+         |    ELSE 0 END AS jaccard_ppm
+         |FROM und u
+         |JOIN deg da ON u.a = da.src
+         |JOIN deg db ON u.b = db.src
+         |LEFT JOIN com c ON u.a = c.a AND u.b = c.b
+         |ORDER BY node_a, node_b""".stripMargin,
+    "gr_components" ->
+      s"""WITH RECURSIVE pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+         |    a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |und AS (SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+         |  HAVING count(*) >= $TriMinSupport),
+         |edges AS (SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b AS src, a AS dst FROM und),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (SELECT src AS node, least(src, min(dst)) AS component_id
+         |  FROM reach GROUP BY src),
+         |sz AS (SELECT component_id, CAST(count(*) AS BIGINT)
+         |    AS component_size
+         |  FROM lbl GROUP BY component_id)
+         |SELECT l.node, l.component_id, s.component_size
+         |FROM lbl l JOIN sz s USING (component_id)
+         |ORDER BY node""".stripMargin,
+    "gr_triangles" ->
+      s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+        |    a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+        |  HAVING count(*) >= $TriMinSupport),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        |  GROUP BY n),
+        |o AS (SELECT
+        |    CASE WHEN x.d < y.d OR (x.d = y.d AND und.a < und.b)
+        |      THEN und.a ELSE und.b END AS u,
+        |    CASE WHEN x.d < y.d OR (x.d = y.d AND und.a < und.b)
+        |      THEN und.b ELSE und.a END AS v
+        |  FROM und JOIN deg x ON und.a = x.n JOIN deg y ON und.b = y.n),
+        |tri AS (SELECT e1.u, e1.v, e2.v AS w
+        |  FROM o e1 JOIN o e2 ON e1.v = e2.u
+        |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT u AS node FROM tri UNION ALL
+        |        SELECT v AS node FROM tri UNION ALL
+        |        SELECT w AS node FROM tri)
+        |  GROUP BY node)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |  coalesce(pn.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.d >= 2
+        |    THEN (2 * coalesce(pn.n_triangles, 0) * 1000000)
+        |      // (CAST(deg.d AS BIGINT) * (deg.d - 1))
+        |    ELSE 0 END AS clustering_ppm
+        |FROM deg LEFT JOIN pn ON deg.n = pn.node
+        |ORDER BY node""".stripMargin
+  )
+}
