@@ -110,10 +110,18 @@ object Multimodal {
     * contract) into a band code, then bucket-join — media near-dup
     * candidates without any pairwise compare, the [[Dedup]] LSH shape
     * on the multimodal column. Payloads stop at the decode; only
-    * (id, code) rows flow. */
+    * (id, code) rows flow.
+    *
+    * `decode` is the codec seam: any bytes-in/features-out stage that
+    * emits `(doc_id, n_bytes, byte_sum, …)` plugs in — the banding,
+    * bucket-join, and candidate marking are codec-agnostic
+    * (MultimodalSpec proves the swap with a second codec over a
+    * different byte layout). */
   def phashBuckets(df: DataFrame, sizeBand: Int = 64,
-                   sumBand: Int = 4096): DataFrame = {
-    val f = decodeFeatures(df)
+                   sumBand: Int = 4096,
+                   decode: DataFrame => DataFrame = decodeFeatures)
+      : DataFrame = {
+    val f = decode(df)
     val p = f.select(col("doc_id"),
       md5(concat_ws(":",
         expr(s"CAST(n_bytes div $sizeBand AS STRING)"),

@@ -117,4 +117,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 1L)),
       s"got ${r.toSeq}")
   }
+
+  test("phashBuckets codec seam: a second codec over a DIFFERENT byte " +
+      "layout swaps in and changes which docs co-bucket — banding and " +
+      "bucket-join are codec-agnostic") {
+    import spark.implicits._
+    // Codec 2: payload is little-endian u16 values (a different byte
+    // layout than FakeCodec's raw byte stream) — same
+    // bytes-in/features-out contract: (doc_id, n_bytes, byte_sum).
+    def u16Decode(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val vals = bytes.grouped(2).map(p =>
+            (p(0) & 0xff) + (if (p.length > 1) (p(1) & 0xff) << 8 else 0))
+          (id, (bytes.length / 2).toLong, vals.map(_.toLong).sum)
+        })
+        .toDF("doc_id", "n_bytes", "byte_sum")
+    // A=[0x00,0x01] u16=256 bytesum=1; B=[0xFF,0x01] u16=511
+    // bytesum=256; C=[0x07,0x07] u16=1799 bytesum=14. With
+    // sizeBand=1, sumBand=256: FakeCodec co-buckets {A,C} (byte sums
+    // 1,14 → band 0; B's 256 → band 1); the u16 codec co-buckets
+    // {A,B} (sums 256,511 → band 1; C's 1799 → band 7).
+    val payloads = Seq(
+      1L -> Array[Byte](0x00, 0x01),
+      2L -> Array[Byte](0xFF.toByte, 0x01),
+      3L -> Array[Byte](0x07, 0x07)).toDF("doc_id", "payload")
+    def candidates(decode: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Set[Long] =
+      Multimodal.phashBuckets(payloads, sizeBand = 1, sumBand = 256,
+          decode = decode)
+        .where(col("is_candidate") === 1L)
+        .select("doc_id").as[Long].collect().toSet
+    assert(candidates(Multimodal.decodeFeatures) == Set(1L, 3L))
+    assert(candidates(u16Decode) == Set(1L, 2L))
+  }
 }

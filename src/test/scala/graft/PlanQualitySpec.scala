@@ -742,4 +742,117 @@ class PlanQualitySpec extends AnyFunSuite {
       s"survivors: $survivors")
     assert(planString(q22).contains("LeftAnti"))
   }
+
+  /** Max shuffle-read RECORDS over all tasks of `action` — the
+    * deterministic proxy for per-task time in a linear pass (same rows
+    * → same work; wall-clock is noisy on a shared host). */
+  private def maxTaskShuffleRecords(action: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val perTask = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) perTask.add(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      action
+      org.apache.spark.graftbridge.ListenerBridge.drain(sc, 30000L)
+    } finally sc.removeSparkListener(listener)
+    var max = 0L
+    perTask.forEach(r => max = math.max(max, r))
+    max
+  }
+
+  test("skew evidence: plain asofJoin's window exchange lands the hot " +
+      "key's rows on ONE task; asofJoin2Level's largest task is " +
+      "bucket-bounded (measured per-task shuffle-read distribution)") {
+    // The 1-level degradation, MEASURED — not just the exchange key
+    // asserted structurally above. AQE off for the measurement: AQE
+    // cannot skew-split a window exchange anyway (the partition key
+    // itself must bound the task — exactly what is under test), and
+    // toy-scale partition coalescing would blur which rows share a
+    // task.
+    import spark.implicits._
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 36k probes, 80% on hot key 1; 20 right keys × 200 ticks.
+      // The action SUMS the carried column — count() alone would let
+      // Catalyst prune the unreferenced window (and its exchange)
+      // right out of the plan, measuring nothing.
+      val hotRows = 28800
+      val taggedTotal = 36000 + 4000 // probes + right rows, unioned
+      val left = spark.range(36000).select(
+        when($"id" < hotRows, 1L)
+          .otherwise(lit(2L) + pmod($"id", lit(19L))).as("key"),
+        ($"id" * 29L % 50000L).as("t"), $"id".as("probe_id"))
+      val right = spark.range(20L * 200L).select(
+        ($"id" % 20L + 1L).as("key"),
+        (($"id" / 20L) * 250L + $"id" % 20L).as("t"),
+        $"id".as("v"))
+      left.cache().count(); right.cache().count()
+      try {
+        val max1 = maxTaskShuffleRecords(
+          Joins.asofJoin(left, right, "key", "t", Seq("v"))
+            .agg(sum($"v")).collect())
+        val max2 = maxTaskShuffleRecords(
+          Joins.asofJoin2Level(left, right, "key", "t", Seq("v"),
+            bucketWidth = 1000L).agg(sum($"v")).collect())
+        // 1-level: one task reads AT LEAST every hot-key row (left
+        // probes + that key's right rows) — the whole key on one task.
+        assert(max1 >= hotRows,
+          s"plain asofJoin hot task read $max1 < $hotRows records")
+        // 2-level: the largest task holds key-BUCKETS, not keys — no
+        // task is lower-bounded by the hot key any more, and the
+        // distribution sits near ideal flatness (test session runs 4
+        // shuffle partitions).
+        val flat = taggedTotal / 4
+        assert(max2 < hotRows && max2 <= 2 * flat,
+          s"2level max task $max2 vs hot $hotRows, ideal-flat $flat " +
+            s"(1level max was $max1)")
+      } finally { left.unpersist(); right.unpersist() }
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("skew evidence: plain sessionize concentrates a hot user on one " +
+      "task; sessionize2Level's largest task is day-bounded (measured)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val baseUs = 1704067200L * 1000000L // 2024-01-01 00:00 UTC
+      val hotRows = 32000L
+      val total = 40000
+      // Hot user 1: 32k events, 96 s apart → 900/day over ~36 days.
+      // Cold users 2..51: 160 events each (8k total).
+      val events = spark.range(total).select(
+        $"id".as("event_id"),
+        when($"id" < hotRows, 1L)
+          .otherwise(lit(2L) + pmod($"id", lit(50L))).as("user_id"),
+        timestamp_micros(
+          when($"id" < hotRows, lit(baseUs) + $"id" * 96L * 1000000L)
+            .otherwise(lit(baseUs) + $"id" * 17L * 1000000L)).as("ts"))
+      events.cache().count()
+      try {
+        val max1 = maxTaskShuffleRecords(
+          Events.sessionize(events, 1800L).count())
+        val max2 = maxTaskShuffleRecords(
+          Events.sessionize2Level(events, 1800L).count())
+        assert(max1 >= hotRows,
+          s"plain sessionize hot task read $max1 < $hotRows records")
+        // (user, day) partitioning: no task lower-bounded by the hot
+        // user; distribution near ideal flatness at 4 shuffle
+        // partitions.
+        val flat = total / 4
+        assert(max2 < hotRows && max2 <= 2 * flat,
+          s"2level max task $max2 vs hot $hotRows, ideal-flat $flat " +
+            s"(1level max was $max1)")
+      } finally events.unpersist()
+    } finally conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
