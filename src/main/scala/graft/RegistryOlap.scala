@@ -138,6 +138,188 @@ private[graft] object RegistryOlap {
       |ORDER BY c.c_nationkey""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // TPC-H breadth beyond the subquery quartet: the remaining classic
+  // query shapes expressible on the fixture schema (no partsupp table,
+  // so the Q2/Q11/Q16/Q20 shapes re-target lineitem/supplier links —
+  // same optimizer surface, different column names). Shared
+  // determinism rule: money math in exact DECIMAL, cast to DOUBLE only
+  // at the output edge; doubles are only compared against values
+  // derived from identical exact operands.
+  // ---------------------------------------------------------------------
+
+  /** Exact-decimal revenue term — the one spelling both engines run. */
+  private val Vol = "CAST(l.l_extendedprice AS DECIMAL(18,2)) * " +
+    "(1 - CAST(l.l_discount AS DECIMAL(4,2)))"
+
+  // Q2 shape: for each small part, the supplier(s) with the MINIMAL
+  // account balance among its (lineitem-linked) suppliers — a
+  // correlated scalar MIN over a two-table subquery, decorrelated to a
+  // per-part aggregate joined back. Balance equality is raw-parquet
+  // double equality (no arithmetic) — engine-safe.
+  private val q2 = sqlPair("q2", Seq("part", "supplier", "lineitem"),
+    """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_acctbal
+      |FROM {part} p
+      |JOIN {lineitem} l ON l.l_partkey = p.p_partkey
+      |JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+      |WHERE p.p_size <= 5
+      |  AND s.s_acctbal = (
+      |    SELECT MIN(s2.s_acctbal)
+      |    FROM {supplier} s2 JOIN {lineitem} l2
+      |      ON l2.l_suppkey = s2.s_suppkey
+      |    WHERE l2.l_partkey = p.p_partkey)
+      |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin)
+
+  // Q7 shape: shipping volume between two nation pairs by ship year —
+  // the six-table join with a symmetric two-pair nation predicate.
+  private val q7 = sqlPair("q7",
+    Seq("lineitem", "supplier", "orders", "customer", "nation"),
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM($Vol) AS DOUBLE) AS revenue, COUNT(*) AS n
+      |FROM {lineitem} l
+      |JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+      |JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+      |JOIN {customer} c ON c.c_custkey = o.o_custkey
+      |JOIN {nation} n1 ON n1.n_nationkey = s.s_nationkey
+      |JOIN {nation} n2 ON n2.n_nationkey = c.c_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+
+  // Q8 shape: one nation's market share of a part-type's revenue by
+  // order year. Both sums are exact decimals; the share divides their
+  // DOUBLE casts (identical operands → identical IEEE quotient).
+  private val q8 = sqlPair("q8",
+    Seq("lineitem", "supplier", "orders", "part", "nation"),
+    s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CASE WHEN n.n_name = 'NATION_3' THEN $Vol
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_vol,
+      |  CAST(SUM($Vol) AS DOUBLE) AS total_vol,
+      |  CAST(SUM(CASE WHEN n.n_name = 'NATION_3' THEN $Vol
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM($Vol) AS DOUBLE) AS mkt_share
+      |FROM {lineitem} l
+      |JOIN {part} p ON p.p_partkey = l.l_partkey
+      |JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+      |JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+      |JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_type = 'ECONOMY'
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  // Q9 shape: profit by supplier nation and order year, with
+  // p_retailprice·quantity standing in for the missing ps_supplycost —
+  // the five-table join whose aggregate subtracts two exact-decimal
+  // products.
+  private val q9 = sqlPair("q9",
+    Seq("lineitem", "supplier", "orders", "part", "nation"),
+    s"""SELECT n.n_name AS nation,
+      |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM($Vol
+      |    - CAST(p.p_retailprice AS DECIMAL(18,2))
+      |      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+      |FROM {lineitem} l
+      |JOIN {part} p ON p.p_partkey = l.l_partkey
+      |JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+      |JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+      |JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_name LIKE 'small%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  // Q11 shape: parts whose value exceeds 1.5× the per-part average —
+  // GROUP BY + HAVING against two UNCORRELATED scalar aggregates. The
+  // real Q11's fixed fraction is scale-dependent (its spec divides by
+  // SF; a fixed 0.001 selects 68 parts at sf0.01 and ZERO at sf0.1,
+  // where part count is 10×), so the average-relative form is the
+  // scale-free spelling. The comparison is all-BIGINT: exact-decimal
+  // sums × 100 are integral cents, so both engines compare identical
+  // integers — no float anywhere.
+  private val q11 = sqlPair("q11", Seq("lineitem"),
+    """SELECT l.l_partkey,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS part_value
+      |FROM {lineitem} l
+      |GROUP BY l.l_partkey
+      |HAVING CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+      |    AS BIGINT)
+      |  * (SELECT COUNT(DISTINCT l2.l_partkey) FROM {lineitem} l2) * 2
+      |  > (SELECT CAST(SUM(CAST(l3.l_extendedprice AS DECIMAL(18,2)))
+      |      * 100 AS BIGINT) FROM {lineitem} l3) * 3
+      |ORDER BY part_value DESC, l_partkey""".stripMargin)
+
+  // Q13 shape: distribution of per-customer order counts — LEFT OUTER
+  // join with a composite ON predicate, then a second aggregation over
+  // the first's results (customers with zero orders land in the
+  // c_count = 0 bucket, not dropped).
+  private val q13 = sqlPair("q13", Seq("customer", "orders"),
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM {customer} c LEFT JOIN {orders} o
+      |    ON o.o_custkey = c.c_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) cc
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  // Q15 shape: supplier(s) achieving the MAXIMUM quarterly revenue —
+  // a derived aggregate referenced twice (join side + scalar MAX
+  // subquery), compared in exact DECIMAL.
+  private val q15 = sqlPair("q15", Seq("supplier", "lineitem"),
+    """WITH revenue AS (
+      |  SELECT l.l_suppkey AS supplier_no,
+      |    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS total_revenue
+      |  FROM {lineitem} l
+      |  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l.l_suppkey)
+      |SELECT s.s_suppkey, s.s_name,
+      |  CAST(r.total_revenue AS DOUBLE) AS total_revenue
+      |FROM {supplier} s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin)
+
+  // Q16 shape: supplier counts per part attribute group, excluding a
+  // supplier denylist via NOT IN (SELECT …) — the null-aware anti
+  // join (the fixture has negative-balance suppliers, so the denylist
+  // is non-empty), plus COUNT(DISTINCT).
+  private val q16 = sqlPair("q16", Seq("part", "supplier", "lineitem"),
+    """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+      |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand <> 'Brand#45'
+      |  AND p.p_size <= 10
+      |  AND l.l_suppkey NOT IN (
+      |    SELECT s.s_suppkey FROM {supplier} s WHERE s.s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+
+  // Q19 shape: revenue under three OR'd brand/size/quantity predicate
+  // groups riding one equi-join — the disjunctive-pushdown exercise
+  // (Catalyst must keep the equi conjunct hash-joinable and push the
+  // OR of per-side predicates to both scans).
+  private val q19 = sqlPair("q19", Seq("lineitem", "part"),
+    s"""SELECT CAST(SUM($Vol) AS DOUBLE) AS revenue, COUNT(*) AS n
+      |FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+      |       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+      |       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity >= 20 AND l.l_quantity <= 30)""".stripMargin)
+
+  // Q20 shape: suppliers who moved > 50 units of any 'small' part — an
+  // IN subquery whose body nests a second IN and a grouped HAVING (the
+  // decorrelation stack: semi join over an aggregate over a semi join).
+  private val q20 = sqlPair("q20", Seq("supplier", "lineitem", "part"),
+    """SELECT s.s_suppkey, s.s_name FROM {supplier} s
+      |WHERE s.s_suppkey IN (
+      |  SELECT l.l_suppkey FROM {lineitem} l
+      |  WHERE l.l_partkey IN (
+      |    SELECT p.p_partkey FROM {part} p WHERE p.p_name LIKE 'small%')
+      |  GROUP BY l.l_suppkey, l.l_partkey
+      |  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50)
+      |ORDER BY s.s_suppkey""".stripMargin)
+
+  // ---------------------------------------------------------------------
   // Set operations — the DataFrame API surface (intersect / except /
   // intersectAll / exceptAll), each planned as one hash-aggregated
   // semi/anti join on the value — no sort, no all-pairs.
@@ -229,6 +411,23 @@ private[graft] object RegistryOlap {
           coalesce(col("hod"), lit(-1L)).as("hod"),
           col("gid"), col("n_events"), col("value_micros"))
         .orderBy("gid", "event_type", "hod")
+    }),
+    // CUBE — all 2^k grouping sets through the dedicated Dataset.cube
+    // API (ev_grouping_sets spells the same sets explicitly; this pins
+    // the shorthand surface). Same one-Expand plan, same sentinels.
+    "ev_cube" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_type"),
+        hour(col("ts")).cast(LongType).as("hod"),
+        Events.micros(col("value")).as("vm"))
+      e.cube(col("event_type"), col("hod"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_events"),
+          sum(col("vm")).as("value_micros"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("hod"), lit(-1L)).as("hod"),
+          col("gid"), col("n_events"), col("value_micros"))
+        .orderBy("gid", "event_type", "hod")
     })
   )
 
@@ -242,6 +441,16 @@ private[graft] object RegistryOlap {
         |  count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS value_micros
         |FROM e
         |GROUP BY GROUPING SETS ((event_type, hod), (event_type), (hod), ())
+        |ORDER BY gid, event_type, hod""".stripMargin,
+    "ev_cube" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events)
+        |SELECT COALESCE(event_type, '(all)') AS event_type,
+        |  COALESCE(hod, -1) AS hod,
+        |  CAST(GROUPING(event_type, hod) AS BIGINT) AS gid,
+        |  count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS value_micros
+        |FROM e
+        |GROUP BY CUBE (event_type, hod)
         |ORDER BY gid, event_type, hod""".stripMargin
   )
 
@@ -249,13 +458,33 @@ private[graft] object RegistryOlap {
     "q4_exists" -> q4._1,
     "q17_small_qty" -> q17._1,
     "q21_waiting" -> q21._1,
-    "q22_prospects" -> q22._1
+    "q22_prospects" -> q22._1,
+    "q2_min_supplier" -> q2._1,
+    "q7_volume" -> q7._1,
+    "q8_mkt_share" -> q8._1,
+    "q9_profit" -> q9._1,
+    "q11_important_parts" -> q11._1,
+    "q13_custdist" -> q13._1,
+    "q15_top_supplier" -> q15._1,
+    "q16_supplier_cnt" -> q16._1,
+    "q19_disjunctive" -> q19._1,
+    "q20_nested_in" -> q20._1
   ) ++ setOps ++ groupingSetsQ
 
   val oracles: Map[String, String] = Map(
     "q4_exists" -> q4._2,
     "q17_small_qty" -> q17._2,
     "q21_waiting" -> q21._2,
-    "q22_prospects" -> q22._2
+    "q22_prospects" -> q22._2,
+    "q2_min_supplier" -> q2._2,
+    "q7_volume" -> q7._2,
+    "q8_mkt_share" -> q8._2,
+    "q9_profit" -> q9._2,
+    "q11_important_parts" -> q11._2,
+    "q13_custdist" -> q13._2,
+    "q15_top_supplier" -> q15._2,
+    "q16_supplier_cnt" -> q16._2,
+    "q19_disjunctive" -> q19._2,
+    "q20_nested_in" -> q20._2
   ) ++ setOpsOracles ++ groupingSetsOracles
 }
