@@ -171,6 +171,8 @@ private[graft] object RegistryOlap {
 
   // Q7 shape: shipping volume between two nation pairs by ship year —
   // the six-table join with a symmetric two-pair nation predicate.
+  // Nations 3/19 are chosen because sf0.001 populates only 10 supplier
+  // nations; these two exist at every fixture scale.
   private val q7 = sqlPair("q7",
     Seq("lineitem", "supplier", "orders", "customer", "nation"),
     s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -182,8 +184,8 @@ private[graft] object RegistryOlap {
       |JOIN {customer} c ON c.c_custkey = o.o_custkey
       |JOIN {nation} n1 ON n1.n_nationkey = s.s_nationkey
       |JOIN {nation} n2 ON n2.n_nationkey = c.c_nationkey
-      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+      |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3')
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 
   // Q8 shape: one nation's market share of a part-type's revenue by

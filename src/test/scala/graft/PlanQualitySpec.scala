@@ -743,6 +743,63 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(planString(q22).contains("LeftAnti"))
   }
 
+  test("TPC-H breadth decorrelates: q2/q20 carry no surviving " +
+      "subqueries; q15/q11 keep only uncorrelated one-shot scalars; " +
+      "q16's NOT IN is a null-aware anti join, never a nested loop") {
+    import org.apache.spark.sql.catalyst.expressions.{
+      ScalarSubquery, SubqueryExpression}
+    def survivors(df: DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.flatMap(_.collect { case s: SubqueryExpression => s })
+      }.flatten
+
+    // q2: correlated scalar MIN over a two-table subquery → per-part
+    // aggregate joined back, zero surviving subqueries.
+    val q2 = Registry.queries("q2_min_supplier")(spark, dir)
+    assert(survivors(q2).isEmpty, "q2 correlated MIN must decorrelate")
+    assert(planString(q2).contains("Join"))
+
+    // q20: IN over (IN + grouped HAVING) → stacked semi joins, zero
+    // surviving subqueries.
+    val q20 = Registry.queries("q20_nested_in")(spark, dir)
+    assert(survivors(q20).isEmpty, "q20 nested IN must decorrelate")
+    assert(planString(q20).contains("LeftSemi"))
+
+    // q15 / q11: the only survivors are UNCORRELATED scalars —
+    // executed once, broadcast as literals, never per-row work.
+    val s15 = survivors(Registry.queries("q15_top_supplier")(spark, dir))
+    assert(s15.size == 1 && s15.head.isInstanceOf[ScalarSubquery] &&
+      s15.head.children.isEmpty, s"q15 survivors: $s15")
+    val s11 = survivors(
+      Registry.queries("q11_important_parts")(spark, dir))
+    assert(s11.size == 2 &&
+      s11.forall(s => s.isInstanceOf[ScalarSubquery] &&
+        s.children.isEmpty), s"q11 survivors: $s11")
+
+    // q16: single-column NOT IN — the null-aware anti join; a plan
+    // that degrades to a per-row nested loop would die at scale.
+    val p16 = planString(Registry.queries("q16_supplier_cnt")(spark, dir))
+    assert(p16.contains("LeftAnti") && !p16.contains("Cartesian"),
+      s"q16 must plan an anti join:\n$p16")
+  }
+
+  test("q19 disjunctive predicates: the equi conjunct stays a hash " +
+      "join and the OR'd per-side predicates reach both parquet scans") {
+    val df = Registry.queries("q19_disjunctive")(spark, dir)
+    val plan = planString(df)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"q19 must keep the equi join:\n$plan")
+    // Catalyst's CNF extraction must derive a per-side filter from the
+    // OR groups: the part scan's pushed filters mention p_brand, the
+    // lineitem scan's mention l_quantity.
+    val scans = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .toSeq
+    assert(scans.exists(_.contains("p_brand")),
+      s"part-side OR filter must push down:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("l_quantity")),
+      s"lineitem-side OR filter must push down:\n${scans.mkString("\n")}")
+  }
+
   /** Max shuffle-read RECORDS over all tasks of `action` — the
     * deterministic proxy for per-task time in a linear pass (same rows
     * → same work; wall-clock is noisy on a shared host). */
