@@ -362,6 +362,91 @@ private[graft] object RegistryOlap {
     })
   )
 
+  // FULL OUTER reconciliation — the one join type the registry lacked:
+  // per-customer finished vs open order books, both exclusive sides
+  // kept (the side marker distinguishes them), USING-style key
+  // coalescing through the Seq-column DataFrame join.
+  private val fullOuterQ: Map[String, Q] = Map(
+    "j3_full_outer" -> ((s, dir) => {
+      def side(status: String, alias: String) =
+        t(s, dir, "orders").filter(col("o_orderstatus") === status)
+          .groupBy("o_custkey").agg(count(lit(1)).as(alias))
+      side("F", "n_finished")
+        .join(side("O", "n_open"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_finished"), lit(0L)).as("n_finished"),
+          coalesce(col("n_open"), lit(0L)).as("n_open"),
+          when(col("n_finished").isNull, "open_only")
+            .when(col("n_open").isNull, "finished_only")
+            .otherwise("both").as("side"))
+        .orderBy("o_custkey")
+    })
+  )
+
+  private val fullOuterOracle: Map[String, String] = Map(
+    "j3_full_outer" ->
+      """WITH f AS (SELECT o_custkey, count(*) AS n_finished FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |o AS (SELECT o_custkey, count(*) AS n_open FROM orders
+        |  WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  coalesce(n_finished, 0) AS n_finished,
+        |  coalesce(n_open, 0) AS n_open,
+        |  CASE WHEN n_finished IS NULL THEN 'open_only'
+        |    WHEN n_open IS NULL THEN 'finished_only'
+        |    ELSE 'both' END AS side
+        |FROM f FULL OUTER JOIN o USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin
+  )
+
+  // Rank-family window breadth: rank / dense_rank / percent_rank over
+  // an ordering with HEAVY ties (order year within priority — rank and
+  // dense_rank must actually diverge), plus first_value / nth_value
+  // over the tie-broken total ordering with an EXPLICIT ROWS frame
+  // (both engines' default frame is RANGE, whose peer semantics differ
+  // from ROWS under ties — pinning ROWS keeps the two in lockstep).
+  // percent_rank divides identical integers on both engines;
+  // nth_value's leading nulls coalesce to -1 so the column stays
+  // integral (a null would surface as NaN in the driver's
+  // dtype-sensitive compare).
+  private val rankFamilyQ: Map[String, Q] = Map(
+    "win_rank_family" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast(LongType).as("yr"))
+      val wTies = Window.partitionBy("o_orderpriority").orderBy("yr")
+      val wTotal = Window.partitionBy("o_orderpriority")
+        .orderBy("yr", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_orderkey"), col("o_orderpriority"), col("yr"),
+          rank().over(wTies).cast(LongType).as("rnk"),
+          dense_rank().over(wTies).cast(LongType).as("drnk"),
+          percent_rank().over(wTies).as("prnk"),
+          first_value(col("o_orderkey")).over(wTotal).as("first_key"),
+          coalesce(nth_value(col("o_orderkey"), 3).over(wTotal),
+            lit(-1L)).as("third_key"))
+        .orderBy("o_orderpriority", "yr", "o_orderkey")
+    })
+  )
+
+  private val rankFamilyOracle: Map[String, String] = Map(
+    "win_rank_family" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders)
+        |SELECT o_orderkey, o_orderpriority, yr,
+        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  percent_rank() OVER wt AS prnk,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  coalesce(nth_value(o_orderkey, 3) OVER wf, -1) AS third_key
+        |FROM o
+        |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY yr),
+        |  wf AS (PARTITION BY o_orderpriority ORDER BY yr, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, yr, o_orderkey""".stripMargin
+  )
+
   private val setOpsOracles: Map[String, String] = Map(
     "set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -471,7 +556,7 @@ private[graft] object RegistryOlap {
     "q16_supplier_cnt" -> q16._1,
     "q19_disjunctive" -> q19._1,
     "q20_nested_in" -> q20._1
-  ) ++ setOps ++ groupingSetsQ
+  ) ++ setOps ++ groupingSetsQ ++ fullOuterQ ++ rankFamilyQ
 
   val oracles: Map[String, String] = Map(
     "q4_exists" -> q4._2,
@@ -488,5 +573,6 @@ private[graft] object RegistryOlap {
     "q16_supplier_cnt" -> q16._2,
     "q19_disjunctive" -> q19._2,
     "q20_nested_in" -> q20._2
-  ) ++ setOpsOracles ++ groupingSetsOracles
+  ) ++ setOpsOracles ++ groupingSetsOracles ++
+    fullOuterOracle ++ rankFamilyOracle
 }
