@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 
 /** Similarity/ANN family of the extension registry — brute-force/LSH/
-  * IVF/PQ/IVFADC/SQ top-k, k-means training, index persistence,
-  * recall eval. See [[RegistryShared]]. */
+  * IVF top-k, k-means training, MMR/RRF re-ranking, kNN graph, SemDeDup,
+  * recall eval. The compressed/persisted index family (PQ/SQ/IVFADC,
+  * index lifecycle) lives in the [[RegistryIndex]] subtrait. See
+  * [[RegistryShared]]. */
 private[graft] trait RegistrySimilarity extends RegistryShared {
   // ---------------------------------------------------------------------
   // Similarity search

@@ -193,6 +193,24 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         .orderBy("view_event_id", "click_event_id")
     }),
 
+    // FULL OUTER stream-stream interval join: matched pairs emit on
+    // arrival; unmatched rows emit null-extended only once the
+    // watermark proves no partner can arrive. The oracle encodes that
+    // watermark cutoff explicitly (final watermark = the slower side's
+    // max event time minus the delay) — the honest drained-output
+    // contract for outer streaming joins, where rows in the tail
+    // window legitimately stay buffered at end of stream.
+    "st_outer_join" -> ((s, dir) => {
+      val src = Tables.loadStream(s, dir, "events")
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        df => graft.streaming.StreamOps.streamFullOuterJoin(
+          df.where(col("event_type") === "view"),
+          df.where(col("event_type") === "click"),
+          StreamJoinWindowSeconds),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .orderBy("user_id", "view_event_id", "click_event_id")
+    }),
+
     // Stream-STATIC enrichment: each streamed event picks up its user's
     // total count from a batch-side dimension (broadcast — stateless,
     // no watermark, no state store). Oracle = the same join in batch.
@@ -282,6 +300,38 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
          |  AND c_us >= v_us
          |  AND c_us <= v_us + ${StreamJoinWindowSeconds * 1000000L}
          |ORDER BY view_event_id, click_event_id""".stripMargin,
+    // Batch full outer join FILTERED to what the streaming engine has
+    // proven by end of drain: matched pairs always; an unmatched view
+    // once the watermark passed its whole match window (v + W < wm);
+    // an unmatched click once the watermark passed its time (clicks
+    // only match older-or-equal views). wm = min of the two sides'
+    // max event times minus the 1-hour delay — the engine's global
+    // watermark after the final no-data batch.
+    "st_outer_join" -> {
+      val wUs = StreamJoinWindowSeconds * 1000000L
+      val delayUs = 3600L * 1000000L
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |v AS (SELECT user_id, event_id AS view_event_id, us AS v_us
+         |  FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id AS c_user_id,
+         |  event_id AS click_event_id, us AS c_us
+         |  FROM e WHERE event_type = 'click'),
+         |wm AS (SELECT least((SELECT max(v_us) FROM v),
+         |    (SELECT max(c_us) FROM c)) - $delayUs AS w),
+         |j AS (SELECT * FROM v FULL OUTER JOIN c
+         |  ON v.user_id = c.c_user_id
+         |  AND c_us >= v_us AND c_us <= v_us + $wUs)
+         |SELECT coalesce(j.user_id, j.c_user_id) AS user_id,
+         |  coalesce(view_event_id, -1) AS view_event_id,
+         |  coalesce(click_event_id, -1) AS click_event_id,
+         |  coalesce(v_us, -1) AS v_us, coalesce(c_us, -1) AS c_us
+         |FROM j, wm
+         |WHERE (view_event_id IS NOT NULL AND click_event_id IS NOT NULL)
+         |   OR (click_event_id IS NULL AND v_us + $wUs < wm.w)
+         |   OR (view_event_id IS NULL AND c_us < wm.w)
+         |ORDER BY user_id, view_event_id, click_event_id""".stripMargin
+    },
     "st_static_enrich" ->
       """WITH dim AS (SELECT user_id, count(*) AS user_events
         |  FROM events GROUP BY user_id)

@@ -193,6 +193,39 @@ object StreamOps {
         unix_micros(col("c_ts")).as("c_us"))
   }
 
+  /** FULL OUTER stream-stream interval join — [[streamIntervalJoin]]'s
+    * outer twin: matched pairs emit on arrival exactly as the inner
+    * form, and each side's UNMATCHED rows emit null-extended once the
+    * watermark proves no future partner can arrive (view: watermark
+    * past `v_ts + window`; click: watermark past `c_ts` — clicks only
+    * match older-or-equal views). Emission is therefore
+    * watermark-gated: at end of a bounded drain the final watermark
+    * sits `delay` behind the slower side's max event time, so
+    * unmatched rows inside that tail stay buffered — the registry
+    * oracle encodes exactly this cutoff rather than pretending the
+    * drain equals a batch full outer join. Nullable ids/times coalesce
+    * to −1 so the relational output stays integral. */
+  def streamFullOuterJoin(views: DataFrame, clicks: DataFrame,
+                          windowSeconds: Long,
+                          delay: String = "1 hour"): DataFrame = {
+    val v = views.select(col("user_id"),
+        col("event_id").as("view_event_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", delay)
+    val c = clicks.select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_event_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    v.join(c, col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+        "full_outer")
+      .select(
+        coalesce(col("user_id"), col("c_user_id")).as("user_id"),
+        coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+        coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"),
+        coalesce(unix_micros(col("v_ts")), lit(-1L)).as("v_us"),
+        coalesce(unix_micros(col("c_ts")), lit(-1L)).as("c_us"))
+  }
+
   /** Stream-STATIC enrichment join: attach dimension attributes to each
     * streaming row. Stateless — the static side is planned per
     * micro-batch like any batch relation (broadcast here: a dimension
