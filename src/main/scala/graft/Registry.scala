@@ -604,10 +604,11 @@ object Registry {
   val queries: Map[String, Q] =
     core ++ cleaning ++ restructure ++ RegistryExt.queries ++
       RegistryForm700.queries ++ RegistryRank.queries ++
-      RegistryGraph.queries ++ RegistryOlap.queries
+      RegistryGraph.queries ++ RegistryOlap.queries ++
+      RegistryScalar.queries
   val oracles: Map[String, String] =
     coreOracles ++ cleaningOracles ++ restructureOracles ++
       RegistryExt.oracles ++ RegistryForm700.oracles ++
       RegistryRank.oracles ++ RegistryGraph.oracles ++
-      RegistryOlap.oracles
+      RegistryOlap.oracles ++ RegistryScalar.oracles
 }

@@ -321,6 +321,23 @@ private[graft] object RegistryOlap {
       |  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50)
       |ORDER BY s.s_suppkey""".stripMargin)
 
+  // LATERAL correlated derived table — per-customer top-2 orders by
+  // price through a LATERAL subquery with ORDER BY + LIMIT (the
+  // top-N-per-group idiom in its declarative form). Catalyst must
+  // decorrelate the per-row LIMIT into a window-rank filter join
+  // (DecorrelateInnerQuery) — PlanQualitySpec asserts no per-outer-row
+  // re-execution survives. Both engines accept the same comma-LATERAL
+  // spelling.
+  private val qLateral = sqlPair("lat", Seq("customer", "orders"),
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM {customer} c,
+      |  LATERAL (SELECT o.o_orderkey, o.o_totalprice
+      |           FROM {orders} o
+      |           WHERE o.o_custkey = c.c_custkey
+      |           ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |           LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+
   // ---------------------------------------------------------------------
   // Set operations — the DataFrame API surface (intersect / except /
   // intersectAll / exceptAll), each planned as one hash-aggregated
@@ -555,7 +572,8 @@ private[graft] object RegistryOlap {
     "q15_top_supplier" -> q15._1,
     "q16_supplier_cnt" -> q16._1,
     "q19_disjunctive" -> q19._1,
-    "q20_nested_in" -> q20._1
+    "q20_nested_in" -> q20._1,
+    "lat_topn_per_group" -> qLateral._1
   ) ++ setOps ++ groupingSetsQ ++ fullOuterQ ++ rankFamilyQ
 
   val oracles: Map[String, String] = Map(
@@ -572,7 +590,8 @@ private[graft] object RegistryOlap {
     "q15_top_supplier" -> q15._2,
     "q16_supplier_cnt" -> q16._2,
     "q19_disjunctive" -> q19._2,
-    "q20_nested_in" -> q20._2
+    "q20_nested_in" -> q20._2,
+    "lat_topn_per_group" -> qLateral._2
   ) ++ setOpsOracles ++ groupingSetsOracles ++
     fullOuterOracle ++ rankFamilyOracle
 }

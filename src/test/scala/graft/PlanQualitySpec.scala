@@ -783,6 +783,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q16 must plan an anti join:\n$p16")
   }
 
+  test("lat_topn_per_group: the LATERAL ORDER BY+LIMIT subquery " +
+      "decorrelates to a window-rank filter join — no per-outer-row " +
+      "re-execution, no nested loop") {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    val df = Registry.queries("lat_topn_per_group")(spark, dir)
+    val survivors = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect { case s: SubqueryExpression => s })
+    }.flatten
+    assert(survivors.isEmpty,
+      s"lateral subquery must decorrelate: $survivors")
+    val plan = planString(df)
+    // Decorrelation turns the per-row LIMIT into a rank computation —
+    // and this engine's own TopKPerKey rewrite then replaces the
+    // window-rank with a bounded per-key heap (no per-group sort at
+    // all). Accept either; what must NOT appear is a per-row loop.
+    assert(plan.contains("TopKPerKey") || plan.contains("Window"),
+      s"per-group LIMIT must become a rank/heap, not re-execution:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"lateral must not plan a per-row loop:\n$plan")
+  }
+
   test("q19 disjunctive predicates: the equi conjunct stays a hash " +
       "join and the OR'd per-side predicates reach both parquet scans") {
     val df = Registry.queries("q19_disjunctive")(spark, dir)
