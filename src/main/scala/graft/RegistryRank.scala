@@ -52,6 +52,13 @@ object RegistryRank {
   /** PMI collocations: low-frequency gate and emitted top-N. */
   private val PmiMinCount = 5L
   private val PmiTopN = 20
+  /** Unigram tokenizer: max piece length, multi-char vocab cap, and
+    * the oracle's DP unroll depth (must be ≥ the longest corpus word;
+    * fixture max is 8 — the gate fails loudly if a regenerated
+    * fixture ever exceeds it, rather than silently dropping words). */
+  private val UniMaxPiece = 4
+  private val UniTopMulti = 64
+  private val UniDpRounds = 16
 
   // ---------------------------------------------------------------------
   // Oracle SQL builders (DuckDB dialect)
@@ -167,6 +174,93 @@ object RegistryRank {
   }
 
 
+  /** Shared unigram-tokenizer CTEs: tokenization, piece-occurrence
+    * table (every 1..maxPiece-char substring of every distinct word,
+    * weighted by word frequency), the single-chars ∪ top-multi
+    * vocabulary, and integer-surprisal costs — ending in
+    * `vc(piece, occ, cost_q)`. Same constants as the Spark plan. */
+  private def unigramCtes(maxPiece: Int, topMulti: Int): String =
+    s"""tok AS MATERIALIZED (SELECT unnest(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents),
+       |wf AS MATERIALIZED (SELECT t, CAST(count(*) AS BIGINT) AS freq
+       |  FROM tok GROUP BY t),
+       |c1 AS (SELECT t, freq,
+       |    unnest(generate_series(1, least(len(t), $maxPiece))) AS k
+       |  FROM wf),
+       |c2 AS (SELECT t, freq, k,
+       |    unnest(generate_series(1, len(t) - k + 1)) AS st
+       |  FROM c1),
+       |occ AS MATERIALIZED (SELECT substr(t, st, k) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS occ
+       |  FROM c2 GROUP BY 1),
+       |voc AS MATERIALIZED (
+       |  SELECT piece, occ FROM occ WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, occ FROM (SELECT piece, occ FROM occ
+       |    WHERE len(piece) >= 2
+       |    ORDER BY occ DESC, piece LIMIT $topMulti)),
+       |tt AS (SELECT CAST(sum(occ) AS BIGINT) AS tot FROM voc),
+       |vc AS MATERIALIZED (SELECT piece, occ,
+       |    CAST(length(bin(tt.tot // occ)) AS BIGINT) AS cost_q
+       |  FROM voc CROSS JOIN tt)""".stripMargin
+
+  private def unigramVocabOracle(maxPiece: Int, topMulti: Int): String =
+    s"""WITH ${unigramCtes(maxPiece, topMulti)}
+       |SELECT piece, occ, cost_q,
+       |  CAST(row_number() OVER (ORDER BY occ DESC, piece) AS BIGINT)
+       |    AS "rank"
+       |FROM vc ORDER BY "rank"""".stripMargin
+
+  /** Encode replay: per-word matches against the vocabulary, then the
+    * minimum-bits DP unrolled as `rounds` MATERIALIZED position CTEs
+    * (u(i) accumulates dp(0..i); each round references the running
+    * union once and the match table once). The (cost, n_pieces)
+    * objective rides one BIGINT (cost·Scale + pieces), so min() is
+    * scalar — the same packing as the Spark fold. */
+  private def unigramEncodeOracle(maxPiece: Int, topMulti: Int,
+                                  rounds: Int): String = {
+    val scale = TextAnalysis.UnigramScale
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT m.t, $i AS pos,
+         |    min(u.v + m.enc) AS v
+         |  FROM m JOIN u${i - 1} u ON u.t = m.t AND u.pos = $i - m.k
+         |  WHERE m.e = $i GROUP BY m.t),
+         |u$i AS MATERIALIZED (SELECT * FROM u${i - 1}
+         |  UNION ALL SELECT * FROM d$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${unigramCtes(maxPiece, topMulti)},
+       |wl AS MATERIALIZED (SELECT DISTINCT t FROM tok),
+       |m1 AS (SELECT t,
+       |    unnest(generate_series(1, least(len(t), $maxPiece))) AS k
+       |  FROM wl),
+       |m2 AS (SELECT t, k,
+       |    unnest(generate_series(1, len(t) - k + 1)) AS st
+       |  FROM m1),
+       |m AS MATERIALIZED (SELECT m2.t,
+       |    CAST(m2.st + m2.k - 1 AS INT) AS e, CAST(m2.k AS INT) AS k,
+       |    v.cost_q * $scale + 1 AS enc
+       |  FROM m2 JOIN vc v ON v.piece = substr(m2.t, m2.st, m2.k)),
+       |u0 AS MATERIALIZED (SELECT t, 0 AS pos, CAST(0 AS BIGINT) AS v
+       |  FROM wl),
+       |$steps,
+       |fin AS (SELECT u.t, u.v FROM u$rounds u
+       |  JOIN wl w ON w.t = u.t AND u.pos = len(w.t)),
+       |ws AS (SELECT t, v % $scale AS np, v // $scale AS wbits
+       |  FROM fin),
+       |td AS (SELECT doc_id, unnest(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents)
+       |SELECT td.doc_id, count(*) AS n_words,
+       |  CAST(sum(len(td.t)) AS BIGINT) AS n_chars,
+       |  CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(ws.wbits) AS BIGINT) AS bits_total,
+       |  CAST(sum(ws.np) AS BIGINT) * 1000000 // count(*)
+       |    AS pieces_per_word_ppm
+       |FROM td JOIN ws ON td.t = ws.t
+       |GROUP BY td.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -227,6 +321,20 @@ object RegistryRank {
       TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
         BpeMerges)
         .orderBy("doc_id")),
+    // Unigram-LM (SentencePiece-style) vocabulary: single-char
+    // coverage set plus the top multi-char substrings, each costed by
+    // integer surprisal — the second tokenizer family next to BPE.
+    "tx_unigram_vocab" -> ((s, dir) =>
+      TextAnalysis.unigramVocab(t(s, dir, "documents"), "text",
+        UniMaxPiece, UniTopMulti)
+        .orderBy("rank")),
+    // Encode side: per-doc piece counts under minimum-bits Viterbi
+    // segmentation of the distinct-word table (one aggregate-fold DP
+    // per word; the corpus is tokenized once, never re-segmented).
+    "tx_unigram_encode" -> ((s, dir) =>
+      TextAnalysis.unigramEncode(t(s, dir, "documents"), "doc_id",
+        "text", UniMaxPiece, UniTopMulti)
+        .orderBy("doc_id")),
     // Robust MAD anomaly flags over hourly ingest volumes — exact
     // half/quarter-integer medians, bit-identical cross-engine.
     "ev_anomaly_mad" -> ((s, dir) =>
@@ -261,6 +369,9 @@ object RegistryRank {
   val oracles: Map[String, String] = Map(
     "tx_bpe_train" -> bpeTrainOracle(BpeMerges),
     "tx_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+    "tx_unigram_vocab" -> unigramVocabOracle(UniMaxPiece, UniTopMulti),
+    "tx_unigram_encode" ->
+      unigramEncodeOracle(UniMaxPiece, UniTopMulti, UniDpRounds),
     "tx_pmi_bigrams" ->
       s"""WITH w AS (SELECT regexp_split_to_array(trim(lower(text)),
          |    '\\s+') AS w FROM documents),

@@ -890,4 +890,122 @@ object TextAnalysis {
     }
     (vocab, merges.toSeq)
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — the second tokenizer
+  // family next to BPE. Model: vocabulary = EVERY single character in
+  // the corpus (coverage guarantee — the segmentation DP always has a
+  // path) plus the `topMulti` highest-frequency substrings of length
+  // 2..`maxPiece` over the distinct-word table (ties lexicographic).
+  // Piece cost is the integer surprisal bitlen(totalOcc div occ) —
+  // the [[lmSurprisal]] bits convention — so frequent long pieces
+  // out-compete their characters and segmentation minimizes total
+  // bits, the unigram-LM objective in drift-free integer form.
+  // ------------------------------------------------------------------
+
+  /** Encoded DP cell: cost·Scale + pieceCount packs the lexicographic
+    * (cost, n_pieces) objective into one BIGINT so the per-position
+    * minimum is a scalar `min` on both engines. */
+  val UnigramScale = 1000000L
+
+  /** Piece-occurrence table `(piece, occ)`: every substring of length
+    * 1..`maxPiece` of every distinct word, occurrences weighted by
+    * word frequency (overlaps count — each start position is an
+    * occurrence). Corpus text is read once; everything downstream is
+    * piece-table-sized. */
+  private def unigramPieceOcc(df: DataFrame, textCol: String,
+                              maxPiece: Int): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), least(length(col("t")), lit(maxPiece))),
+          k => transform(sequence(lit(1), length(col("t")) - k + 1),
+            st => col("t").substr(st, k))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("occ"))
+
+  /** The trained vocabulary `(piece, occ, cost_q)` — single chars plus
+    * the top-`topMulti` multi-char pieces. The top-N cut is the only
+    * driver-bounded step (vocab-sized, the k-means-centroid
+    * precedent); the corpus never moves. */
+  private def unigramVocabFrame(df: DataFrame, textCol: String,
+                                maxPiece: Int, topMulti: Int): DataFrame = {
+    val occ = unigramPieceOcc(df, textCol, maxPiece)
+    val vocab = occ.where(length(col("piece")) === 1)
+      .unionByName(occ.where(length(col("piece")) >= 2)
+        .orderBy(col("occ").desc, col("piece")).limit(topMulti))
+    val total = vocab.agg(sum("occ").as("tot"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("piece"), col("occ"),
+        length(bin(expr("tot div occ"))).cast(LongType).as("cost_q"))
+  }
+
+  /** The vocabulary as a query: `(piece, occ, cost_q, rank)`, ranked
+    * by (occ DESC, piece). */
+  def unigramVocab(df: DataFrame, textCol: String, maxPiece: Int,
+                   topMulti: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    unigramVocabFrame(df, textCol, maxPiece, topMulti)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("occ").desc, col("piece")))
+        .cast(LongType))
+  }
+
+  /** Per-document encoding under the unigram vocabulary: minimum-bits
+    * Viterbi segmentation of each DISTINCT word (a per-word DP over
+    * its ≤ maxPiece-char suffix matches — one `aggregate` fold, no
+    * per-row loop outside codegen), then documents join the word
+    * table. The DP objective (cost, n_pieces) is packed into one
+    * BIGINT ([[UnigramScale]]) so min() is scalar; single-char
+    * coverage makes every position reachable. Word-table-sized
+    * shuffles only — the corpus is tokenized once and never
+    * re-segmented, the [[bpeEncode]] discipline. */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+                    maxPiece: Int, topMulti: Int): DataFrame = {
+    val vocab = unigramVocabFrame(df, textCol, maxPiece, topMulti)
+    val wl = df.select(
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .distinct()
+    // every (end, len) window of the word that is a vocab piece,
+    // carried as enc = cost·Scale + 1 (the DP edge weight)
+    val cand = wl.select(col("t"), explode(flatten(
+        transform(sequence(lit(1), least(length(col("t")), lit(maxPiece))),
+          k => transform(sequence(lit(1), length(col("t")) - k + 1),
+            st => struct((st + k - 1).cast(IntegerType).as("e"),
+              k.cast(IntegerType).as("k"),
+              col("t").substr(st, k).as("piece")))))).as("m"))
+      .select(col("t"), col("m.e").as("e"), col("m.k").as("k"),
+        col("m.piece").as("piece"))
+    val matches = cand.join(broadcast(vocab), Seq("piece"))
+      .select(col("t"), struct(col("e"), col("k"),
+        (col("cost_q") * UnigramScale + 1L).as("enc")).as("m"))
+      .groupBy("t").agg(collect_list("m").as("ms"))
+    // dp(0) = 0; dp(i) = min over matches ending at i of
+    // dp(i−k) + enc. acc is 1-indexed (acc[i+1] = dp(i)).
+    val dp = matches.select(col("t"),
+      aggregate(
+        sequence(lit(1), length(col("t"))),
+        array(lit(0L)),
+        (acc, i) => array_append(acc,
+          array_min(filter(
+            transform(col("ms"), m =>
+              when(m.getField("e") === i,
+                element_at(acc,
+                  (i - m.getField("k") + 1).cast(IntegerType)) +
+                  m.getField("enc"))),
+            x => x.isNotNull))),
+        acc => element_at(acc, -1)).as("v"))
+    val wstats = dp.select(col("t"),
+      expr(s"v % $UnigramScale").as("np"),
+      expr(s"v div $UnigramScale").as("wbits"))
+    df.select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .join(wstats, Seq("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("t"))).cast(LongType).as("n_chars"),
+        sum("np").cast(LongType).as("n_pieces"),
+        sum("wbits").cast(LongType).as("bits_total"))
+      .withColumn("pieces_per_word_ppm",
+        expr("n_pieces * 1000000 div n_words"))
+  }
 }

@@ -522,4 +522,54 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("w1", "w2").as[(String, String)].collect()
     assert(gated.toSeq == Seq(("x", "y")))
   }
+
+  test("unigramVocab: every corpus character is covered, even " +
+      "outside the multi-piece top-N; costs order by frequency") {
+    val docs = Seq((1L, "abab abab abab zq")).toDF("doc_id", "text")
+    val v = TextAnalysis.unigramVocab(docs, "text", 4, 2)
+      .select("piece", "occ", "cost_q")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // single chars a,b,z,q all present despite topMulti = 2
+    assert(Set("a", "b", "z", "q").subsetOf(v.keySet))
+    // the dominant multi piece made the cut; a rare one costs more
+    assert(v.contains("ab"))
+    assert(v("ab")._3 <= v("z")._3,
+      s"frequent piece must not cost more bits than a rare one: $v")
+  }
+
+  test("unigramEncode: the aggregate-fold DP equals brute-force " +
+      "min-(bits, pieces) segmentation on every word") {
+    val docs = Seq(
+      (1L, "abab abab xy"),
+      (2L, "abab cdcd cdcd"),
+      (3L, "zq abab cdcd")).toDF("doc_id", "text")
+    val maxPiece = 4
+    val top = 8
+    val vocab = TextAnalysis.unigramVocab(docs, "text", maxPiece, top)
+      .select("piece", "cost_q").as[(String, Long)].collect().toMap
+    def bruteWord(w: String): (Long, Long) = {
+      val memo = scala.collection.mutable.Map[Int, (Long, Long)]()
+      def go(i: Int): (Long, Long) =
+        if (i == 0) (0L, 0L)
+        else memo.getOrElseUpdate(i,
+          (1 to math.min(maxPiece, i)).flatMap { k =>
+            vocab.get(w.substring(i - k, i)).map { c =>
+              val (pb, pn) = go(i - k)
+              (pb + c, pn + 1L)
+            }
+          }.min)
+      go(w.length)
+    }
+    val want = docs.as[(Long, String)].collect().map { case (id, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+")
+      val st = ws.map(bruteWord)
+      id -> ((ws.length.toLong, st.map(_._2).sum, st.map(_._1).sum))
+    }.toMap
+    val got = TextAnalysis
+      .unigramEncode(docs, "doc_id", "text", maxPiece, top)
+      .select("doc_id", "n_words", "n_pieces", "bits_total")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want, s"got $got want $want")
+  }
 }
