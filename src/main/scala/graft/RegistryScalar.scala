@@ -98,6 +98,39 @@ object RegistryScalar {
         .orderBy("o_custkey", "o_orderstatus")
     }),
 
+    // Aggregate-function breadth: count_if, bool_and/bool_or,
+    // min_by/max_by (against a UNIQUE packed ordering key — on a tied
+    // plain key both engines pick arbitrarily), and population
+    // variance derived from exact integer sums (the squared sum
+    // accumulates in DECIMAL — event values reach ~490 so vm² sums
+    // overflow BIGINT; the only float is the final division of
+    // identical operands). DuckDB spells min_by/max_by as
+    // arg_min/arg_max — same semantics.
+    "a3_agg_breadth" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        col("event_id"),
+        graft.operators.Events.micros(col("value")).as("vm"))
+      val key = col("vm") * 100000000L + col("event_id")
+      e.groupBy("event_type").agg(
+          count_if(col("vm") > 500000L).as("n_big"),
+          bool_and(col("vm") > 250000L).as("all_mid"),
+          bool_or(col("vm") > 990000L).as("any_huge"),
+          min_by(col("event_id"), key).as("min_event"),
+          max_by(col("event_id"), key).as("max_event"),
+          count(lit(1)).as("n"),
+          sum(col("vm")).as("sx"),
+          sum(col("vm").cast(DecimalType(19, 0)) * col("vm"))
+            .as("sxx"))
+        .select(col("event_type"), col("n_big"), col("all_mid"),
+          col("any_huge"), col("min_event"), col("max_event"), col("n"),
+          (expr("CAST(n AS DECIMAL(38,0)) * sxx") -
+            expr("CAST(sx AS DECIMAL(38,0)) * sx")).cast(DoubleType)
+            .divide(expr("CAST(n AS DECIMAL(38,0)) * n")
+              .cast(DoubleType))
+            .as("var_pop"))
+        .orderBy("event_type")
+    }),
+
     // ArrayType in the middle: per-customer sorted status set with
     // membership, intersect, except, and first-element reads,
     // serialized back to strings at the edge.
@@ -117,6 +150,24 @@ object RegistryScalar {
   )
 
   val oracles: Map[String, String] = Map(
+    "a3_agg_breadth" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |a AS (SELECT event_type,
+        |  CAST(count_if(vm > 500000) AS BIGINT) AS n_big,
+        |  bool_and(vm > 250000) AS all_mid,
+        |  bool_or(vm > 990000) AS any_huge,
+        |  arg_min(event_id, vm * 100000000 + event_id) AS min_event,
+        |  arg_max(event_id, vm * 100000000 + event_id) AS max_event,
+        |  count(*) AS n, CAST(sum(vm) AS BIGINT) AS sx,
+        |  sum(CAST(vm AS DECIMAL(19,0)) * vm) AS sxx
+        |FROM e GROUP BY event_type)
+        |SELECT event_type, n_big, all_mid, any_huge, min_event,
+        |  max_event, n,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) AS var_pop
+        |FROM a ORDER BY event_type""".stripMargin,
     "f6_string_ops" ->
       """SELECT c_custkey,
         |  upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
