@@ -218,8 +218,11 @@ object RegistryRank {
     * union once and the match table once). The (cost, n_pieces)
     * objective rides one BIGINT (cost·Scale + pieces), so min() is
     * scalar — the same packing as the Spark fold. */
-  private def unigramEncodeOracle(maxPiece: Int, topMulti: Int,
-                                  rounds: Int): String = {
+  /** The match table + unrolled DP chain shared by the encode and EM
+    * oracles: `m(t, e, k, piece, enc)` and `u$rounds(t, pos, v)` — the
+    * full DP surface, every prefix's packed minimum. */
+  private def unigramDpCtes(maxPiece: Int, topMulti: Int,
+                            rounds: Int): String = {
     val scale = TextAnalysis.UnigramScale
     val steps = (1 to rounds).map { i =>
       s"""d$i AS MATERIALIZED (SELECT m.t, $i AS pos,
@@ -229,7 +232,7 @@ object RegistryRank {
          |u$i AS MATERIALIZED (SELECT * FROM u${i - 1}
          |  UNION ALL SELECT * FROM d$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${unigramCtes(maxPiece, topMulti)},
+    s"""${unigramCtes(maxPiece, topMulti)},
        |wl AS MATERIALIZED (SELECT DISTINCT t FROM tok),
        |m1 AS (SELECT t,
        |    unnest(generate_series(1, least(len(t), $maxPiece))) AS k
@@ -239,11 +242,17 @@ object RegistryRank {
        |  FROM m1),
        |m AS MATERIALIZED (SELECT m2.t,
        |    CAST(m2.st + m2.k - 1 AS INT) AS e, CAST(m2.k AS INT) AS k,
-       |    v.cost_q * $scale + 1 AS enc
+       |    v.piece, v.cost_q * $scale + 1 AS enc
        |  FROM m2 JOIN vc v ON v.piece = substr(m2.t, m2.st, m2.k)),
        |u0 AS MATERIALIZED (SELECT t, 0 AS pos, CAST(0 AS BIGINT) AS v
        |  FROM wl),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  private def unigramEncodeOracle(maxPiece: Int, topMulti: Int,
+                                  rounds: Int): String = {
+    val scale = TextAnalysis.UnigramScale
+    s"""WITH ${unigramDpCtes(maxPiece, topMulti, rounds)},
        |fin AS (SELECT u.t, u.v FROM u$rounds u
        |  JOIN wl w ON w.t = u.t AND u.pos = len(w.t)),
        |ws AS (SELECT t, v % $scale AS np, v // $scale AS wbits
@@ -259,6 +268,46 @@ object RegistryRank {
        |    AS pieces_per_word_ppm
        |FROM td JOIN ws ON td.t = ws.t
        |GROUP BY td.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** EM replay: the same DP surface, then the backtrack walk unrolled
+    * as `rounds` MATERIALIZED state CTEs — at each step the on-path
+    * match (dp(pos−k) + enc = dp(pos)) with the smallest (k, piece)
+    * is emitted and the position advances by k (words at position 0
+    * simply stop matching). Emitted pieces recount weighted by word
+    * frequency and re-cost — the Spark fold's exact mirror. */
+  private def unigramEmOracle(maxPiece: Int, topMulti: Int,
+                              rounds: Int): String = {
+    val walk = (1 to rounds).map { i =>
+      s"""wc$i AS MATERIALIZED (SELECT s.t, s.pos, m.k, m.piece
+         |  FROM wk${i - 1} s
+         |  JOIN m ON m.t = s.t AND m.e = s.pos
+         |  JOIN u$rounds a ON a.t = s.t AND a.pos = s.pos - m.k
+         |  JOIN u$rounds b ON b.t = s.t AND b.pos = s.pos
+         |  WHERE s.pos > 0 AND a.v + m.enc = b.v),
+         |wp$i AS MATERIALIZED (SELECT t, pos, k, piece FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY t
+         |      ORDER BY k, piece) AS rn FROM wc$i) WHERE rn = 1),
+         |wk$i AS MATERIALIZED (SELECT t, CAST(pos - k AS INT) AS pos
+         |  FROM wp$i)""".stripMargin
+    }.mkString(",\n")
+    val emits = (1 to rounds)
+      .map(i => s"SELECT t, piece FROM wp$i").mkString("\n  UNION ALL ")
+    s"""WITH ${unigramDpCtes(maxPiece, topMulti, rounds)},
+       |wk0 AS MATERIALIZED (SELECT t, CAST(len(t) AS INT) AS pos
+       |  FROM wl),
+       |$walk,
+       |em AS MATERIALIZED (
+       |  $emits),
+       |occ2 AS MATERIALIZED (SELECT em.piece,
+       |    CAST(sum(wf.freq) AS BIGINT) AS seg_occ
+       |  FROM em JOIN wf ON wf.t = em.t GROUP BY em.piece),
+       |t2 AS (SELECT CAST(sum(seg_occ) AS BIGINT) AS tot FROM occ2)
+       |SELECT piece, seg_occ,
+       |  CAST(length(bin(t2.tot // seg_occ)) AS BIGINT) AS cost2_q,
+       |  CAST(row_number() OVER (ORDER BY seg_occ DESC, piece)
+       |    AS BIGINT) AS "rank"
+       |FROM occ2 CROSS JOIN t2 ORDER BY "rank"""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -335,6 +384,13 @@ object RegistryRank {
       TextAnalysis.unigramEncode(t(s, dir, "documents"), "doc_id",
         "text", UniMaxPiece, UniTopMulti)
         .orderBy("doc_id")),
+    // One hard-EM round: Viterbi-backtrack every word's optimal
+    // segmentation, recount pieces from the actual segmentations,
+    // re-cost, prune never-used pieces — the SentencePiece E/M steps.
+    "tx_unigram_em" -> ((s, dir) =>
+      TextAnalysis.unigramEmVocab(t(s, dir, "documents"), "text",
+        UniMaxPiece, UniTopMulti)
+        .orderBy("rank")),
     // Robust MAD anomaly flags over hourly ingest volumes — exact
     // half/quarter-integer medians, bit-identical cross-engine.
     "ev_anomaly_mad" -> ((s, dir) =>
@@ -372,6 +428,8 @@ object RegistryRank {
     "tx_unigram_vocab" -> unigramVocabOracle(UniMaxPiece, UniTopMulti),
     "tx_unigram_encode" ->
       unigramEncodeOracle(UniMaxPiece, UniTopMulti, UniDpRounds),
+    "tx_unigram_em" ->
+      unigramEmOracle(UniMaxPiece, UniTopMulti, UniDpRounds),
     "tx_pmi_bigrams" ->
       s"""WITH w AS (SELECT regexp_split_to_array(trim(lower(text)),
          |    '\\s+') AS w FROM documents),

@@ -950,6 +950,45 @@ object TextAnalysis {
         .cast(LongType))
   }
 
+  /** Shared per-word DP: `(t, ms, dp)` where `ms` is the word's vocab
+    * match list — struct(e, k, enc, piece), `enc` = cost·Scale + 1 —
+    * and `dp` the FULL 1-indexed DP array (`dp[i+1]` = packed minimum
+    * for the length-i prefix; dp(0) = 0; dp(i) = min over matches
+    * ending at i of dp(i−k) + enc). One `aggregate` fold per word;
+    * single-char coverage makes every position reachable. */
+  private def unigramWordDp(df: DataFrame, textCol: String,
+                            maxPiece: Int, topMulti: Int): DataFrame = {
+    val vocab = unigramVocabFrame(df, textCol, maxPiece, topMulti)
+    val wl = df.select(
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .distinct()
+    val cand = wl.select(col("t"), explode(flatten(
+        transform(sequence(lit(1), least(length(col("t")), lit(maxPiece))),
+          k => transform(sequence(lit(1), length(col("t")) - k + 1),
+            st => struct((st + k - 1).cast(IntegerType).as("e"),
+              k.cast(IntegerType).as("k"),
+              col("t").substr(st, k).as("piece")))))).as("m"))
+      .select(col("t"), col("m.e").as("e"), col("m.k").as("k"),
+        col("m.piece").as("piece"))
+    val matches = cand.join(broadcast(vocab), Seq("piece"))
+      .select(col("t"), struct(col("e"), col("k"),
+        (col("cost_q") * UnigramScale + 1L).as("enc"),
+        col("piece")).as("m"))
+      .groupBy("t").agg(collect_list("m").as("ms"))
+    matches.select(col("t"), col("ms"),
+      aggregate(
+        sequence(lit(1), length(col("t"))),
+        array(lit(0L)),
+        (acc, i) => array_append(acc,
+          array_min(filter(
+            transform(col("ms"), m =>
+              when(m.getField("e") === i,
+                element_at(acc,
+                  (i - m.getField("k") + 1).cast(IntegerType)) +
+                  m.getField("enc"))),
+            x => x.isNotNull)))).as("dp"))
+  }
+
   /** Per-document encoding under the unigram vocabulary: minimum-bits
     * Viterbi segmentation of each DISTINCT word (a per-word DP over
     * its ≤ maxPiece-char suffix matches — one `aggregate` fold, no
@@ -961,39 +1000,8 @@ object TextAnalysis {
     * re-segmented, the [[bpeEncode]] discipline. */
   def unigramEncode(df: DataFrame, idCol: String, textCol: String,
                     maxPiece: Int, topMulti: Int): DataFrame = {
-    val vocab = unigramVocabFrame(df, textCol, maxPiece, topMulti)
-    val wl = df.select(
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
-      .distinct()
-    // every (end, len) window of the word that is a vocab piece,
-    // carried as enc = cost·Scale + 1 (the DP edge weight)
-    val cand = wl.select(col("t"), explode(flatten(
-        transform(sequence(lit(1), least(length(col("t")), lit(maxPiece))),
-          k => transform(sequence(lit(1), length(col("t")) - k + 1),
-            st => struct((st + k - 1).cast(IntegerType).as("e"),
-              k.cast(IntegerType).as("k"),
-              col("t").substr(st, k).as("piece")))))).as("m"))
-      .select(col("t"), col("m.e").as("e"), col("m.k").as("k"),
-        col("m.piece").as("piece"))
-    val matches = cand.join(broadcast(vocab), Seq("piece"))
-      .select(col("t"), struct(col("e"), col("k"),
-        (col("cost_q") * UnigramScale + 1L).as("enc")).as("m"))
-      .groupBy("t").agg(collect_list("m").as("ms"))
-    // dp(0) = 0; dp(i) = min over matches ending at i of
-    // dp(i−k) + enc. acc is 1-indexed (acc[i+1] = dp(i)).
-    val dp = matches.select(col("t"),
-      aggregate(
-        sequence(lit(1), length(col("t"))),
-        array(lit(0L)),
-        (acc, i) => array_append(acc,
-          array_min(filter(
-            transform(col("ms"), m =>
-              when(m.getField("e") === i,
-                element_at(acc,
-                  (i - m.getField("k") + 1).cast(IntegerType)) +
-                  m.getField("enc"))),
-            x => x.isNotNull))),
-        acc => element_at(acc, -1)).as("v"))
+    val dp = unigramWordDp(df, textCol, maxPiece, topMulti)
+      .select(col("t"), element_at(col("dp"), -1).as("v"))
     val wstats = dp.select(col("t"),
       expr(s"v % $UnigramScale").as("np"),
       expr(s"v div $UnigramScale").as("wbits"))
@@ -1007,5 +1015,67 @@ object TextAnalysis {
         sum("wbits").cast(LongType).as("bits_total"))
       .withColumn("pieces_per_word_ppm",
         expr("n_pieces * 1000000 div n_words"))
+  }
+
+  /** One hard-EM re-estimation round over the unigram model — the
+    * SentencePiece training loop's E/M steps in Viterbi (hard) form:
+    * E = backtrack each word's minimum-bits segmentation (the unique
+    * path under the deterministic smallest-(k, piece) tie rule at
+    * every position), M = recount pieces from those segmentations
+    * (weighted by word frequency) and re-cost them by integer
+    * surprisal. Pieces the optimal segmentations never use drop out —
+    * the SentencePiece prune step. Returns
+    * `(piece, seg_occ, cost2_q, rank)`.
+    *
+    * The backtrack is a second `aggregate` fold per word (state =
+    * (position, pieces-so-far); each step consumes ≥ 1 character, so
+    * word-length iterations always terminate); everything downstream
+    * is piece-table-sized. */
+  def unigramEmVocab(df: DataFrame, textCol: String, maxPiece: Int,
+                     topMulti: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wdp = unigramWordDp(df, textCol, maxPiece, topMulti)
+    val segs = wdp.select(col("t"),
+      aggregate(
+        sequence(lit(1), length(col("t"))),
+        struct(length(col("t")).cast(IntegerType).as("pos"),
+          array().cast(ArrayType(StringType)).as("ps")),
+        (st, _) => {
+          val pos = st.getField("pos")
+          // the on-path match at `pos`: dp(pos−k) + enc == dp(pos);
+          // ties resolve to the smallest (k, piece) — array_min's
+          // struct ordering, mirrored by the oracle's row_number.
+          val choice = array_min(filter(
+            transform(col("ms"), m =>
+              when(m.getField("e") === pos &&
+                element_at(col("dp"),
+                  (pos - m.getField("k") + 1).cast(IntegerType)) +
+                  m.getField("enc") ===
+                  element_at(col("dp"), (pos + 1).cast(IntegerType)),
+                struct(m.getField("k").as("k"),
+                  m.getField("piece").as("piece")))),
+            x => x.isNotNull))
+          when(pos > 0,
+            struct((pos - choice.getField("k")).cast(IntegerType)
+              .as("pos"),
+              array_append(st.getField("ps"), choice.getField("piece"))
+                .as("ps")))
+            .otherwise(st)
+        },
+        st => st.getField("ps")).as("pieces"))
+    val wf = df.select(
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+    val occ2 = segs.join(wf, Seq("t"))
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("seg_occ"))
+    val tot2 = occ2.agg(sum("seg_occ").as("tot"))
+    occ2.crossJoin(broadcast(tot2))
+      .select(col("piece"), col("seg_occ"),
+        length(bin(expr("tot div seg_occ"))).cast(LongType)
+          .as("cost2_q"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("seg_occ").desc, col("piece")))
+        .cast(LongType))
   }
 }

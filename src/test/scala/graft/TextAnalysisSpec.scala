@@ -572,4 +572,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got == want, s"got $got want $want")
   }
+
+  test("unigramEmVocab: EM piece counts are CONSISTENT with the " +
+      "encode totals (Σ seg_occ = Σ per-doc n_pieces), every counted " +
+      "piece is in the original vocabulary, and never-used pieces " +
+      "are pruned") {
+    val docs = Seq(
+      (1L, "abab abab xy"),
+      (2L, "abab cdcd cdcd"),
+      (3L, "zq abab cdcd")).toDF("doc_id", "text")
+    val em = TextAnalysis.unigramEmVocab(docs, "text", 4, 8)
+      .select("piece", "seg_occ").as[(String, Long)].collect().toMap
+    val v1 = TextAnalysis.unigramVocab(docs, "text", 4, 8)
+      .select("piece").as[String].collect().toSet
+    assert(em.keySet.subsetOf(v1), "EM can only recount v1 pieces")
+    assert(em.keySet.size < v1.size,
+      "some v1 pieces must be pruned (never on an optimal path)")
+    val totalPieces = TextAnalysis
+      .unigramEncode(docs, "doc_id", "text", 4, 8)
+      .agg(org.apache.spark.sql.functions.sum("n_pieces"))
+      .as[Long].head()
+    assert(em.values.sum == totalPieces,
+      s"EM counts ${em.values.sum} vs encode total $totalPieces")
+  }
 }
