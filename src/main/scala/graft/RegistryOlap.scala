@@ -248,6 +248,25 @@ private[graft] object RegistryOlap {
       |      * 100 AS BIGINT) FROM {lineitem} l3) * 3
       |ORDER BY part_value DESC, l_partkey""".stripMargin)
 
+  // Q12 shape: order-priority mix per line status over a ship-date
+  // year (l_shipmode/commitdate have no fixture columns;
+  // l_linestatus buckets the lines and o_orderpriority provides the
+  // high/low split — same conditional-aggregation-over-join surface).
+  // Completes the set: all 22 TPC-H query shapes now have a green
+  // registry row.
+  private val q12 = sqlPair("q12", Seq("orders", "lineitem"),
+    """SELECT l.l_linestatus,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT',
+      |    '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM {orders} o JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l.l_linestatus
+      |ORDER BY l.l_linestatus""".stripMargin)
+
   // Q13 shape: distribution of per-customer order counts — LEFT OUTER
   // join with a composite ON predicate, then a second aggregation over
   // the first's results (customers with zero orders land in the
@@ -568,6 +587,7 @@ private[graft] object RegistryOlap {
     "q8_mkt_share" -> q8._1,
     "q9_profit" -> q9._1,
     "q11_important_parts" -> q11._1,
+    "q12_priority_mix" -> q12._1,
     "q13_custdist" -> q13._1,
     "q15_top_supplier" -> q15._1,
     "q16_supplier_cnt" -> q16._1,
@@ -586,6 +606,7 @@ private[graft] object RegistryOlap {
     "q8_mkt_share" -> q8._2,
     "q9_profit" -> q9._2,
     "q11_important_parts" -> q11._2,
+    "q12_priority_mix" -> q12._2,
     "q13_custdist" -> q13._2,
     "q15_top_supplier" -> q15._2,
     "q16_supplier_cnt" -> q16._2,

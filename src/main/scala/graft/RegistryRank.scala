@@ -412,6 +412,23 @@ object RegistryRank {
       TrainPrep.lengthBuckets(t(s, dir, "documents"), "doc_id", "text",
         MinBucket)
         .orderBy("bucket")),
+    // Streaming dual of the unigram encode: the word-stats model is
+    // trained in BATCH (the deployed shape — a tokenizer model is a
+    // static artifact); each streamed document explodes to words,
+    // joins the static model, and aggregates per doc in complete
+    // mode. Identical aggregation code below the source (one
+    // definition site, TextAnalysis.unigramDocEncode); drained output
+    // equals the batch query value-for-value — one shared oracle.
+    "st_unigram_encode" -> ((s, dir) => {
+      val wstats = TextAnalysis.unigramWordStats(
+        t(s, dir, "documents"), "text", UniMaxPiece, UniTopMulti)
+      graft.streaming.StreamOps.runToCompletion(s,
+        Tables.loadStream(s, dir, "documents"),
+        st => TextAnalysis.unigramDocEncode(st, "doc_id", "text",
+          wstats),
+        shufflePartitions = Some(8))
+        .orderBy("doc_id")
+    }),
     // Streaming corpus card (detail level): live per-(source, lang)
     // volumes/quality, catalog-bounded state, drained == batch detail.
     "st_corpus_card" -> ((s, dir) =>
@@ -430,6 +447,9 @@ object RegistryRank {
       unigramEncodeOracle(UniMaxPiece, UniTopMulti, UniDpRounds),
     "tx_unigram_em" ->
       unigramEmOracle(UniMaxPiece, UniTopMulti, UniDpRounds),
+    // the streaming dual drains to the same values — shared oracle
+    "st_unigram_encode" ->
+      unigramEncodeOracle(UniMaxPiece, UniTopMulti, UniDpRounds),
     "tx_pmi_bigrams" ->
       s"""WITH w AS (SELECT regexp_split_to_array(trim(lower(text)),
          |    '\\s+') AS w FROM documents),

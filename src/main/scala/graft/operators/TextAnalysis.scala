@@ -999,15 +999,29 @@ object TextAnalysis {
     * shuffles only — the corpus is tokenized once and never
     * re-segmented, the [[bpeEncode]] discipline. */
   def unigramEncode(df: DataFrame, idCol: String, textCol: String,
-                    maxPiece: Int, topMulti: Int): DataFrame = {
-    val dp = unigramWordDp(df, textCol, maxPiece, topMulti)
+                    maxPiece: Int, topMulti: Int): DataFrame =
+    unigramDocEncode(df, idCol, textCol,
+      unigramWordStats(df, textCol, maxPiece, topMulti))
+
+  /** The per-word model the encode serves from: `(t, np, wbits)` —
+    * each distinct word's optimal piece count and total bits. This is
+    * the trained artifact a streaming dual joins as a STATIC side. */
+  def unigramWordStats(df: DataFrame, textCol: String, maxPiece: Int,
+                       topMulti: Int): DataFrame =
+    unigramWordDp(df, textCol, maxPiece, topMulti)
       .select(col("t"), element_at(col("dp"), -1).as("v"))
-    val wstats = dp.select(col("t"),
-      expr(s"v % $UnigramScale").as("np"),
-      expr(s"v div $UnigramScale").as("wbits"))
-    df.select(col(idCol).as("doc_id"),
+      .select(col("t"),
+        expr(s"v % $UnigramScale").as("np"),
+        expr(s"v div $UnigramScale").as("wbits"))
+
+  /** The document-side aggregation over a word-stats model — shared by
+    * the batch encode and its streaming dual (identical plan below the
+    * source, one definition site). */
+  def unigramDocEncode(docs: DataFrame, idCol: String, textCol: String,
+                       wordStats: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
-      .join(wstats, Seq("t"))
+      .join(wordStats, Seq("t"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("t"))).cast(LongType).as("n_chars"),
@@ -1015,7 +1029,6 @@ object TextAnalysis {
         sum("wbits").cast(LongType).as("bits_total"))
       .withColumn("pieces_per_word_ppm",
         expr("n_pieces * 1000000 div n_words"))
-  }
 
   /** One hard-EM re-estimation round over the unigram model — the
     * SentencePiece training loop's E/M steps in Viterbi (hard) form:
