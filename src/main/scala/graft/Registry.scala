@@ -296,6 +296,29 @@ object Registry {
       s.read.schema(n.schema).json(out)
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
+    }),
+    // Schema EVOLUTION at the source: two parquet generations — the
+    // second gains a column — read back through mergeSchema, old rows
+    // null-filling the new column (sentineled to keep the relational
+    // edge integral). The ingest-drift capability every long-lived
+    // pipeline eventually needs; the oracle derives the same rows from
+    // the generation rule.
+    "k_schema_evolution" -> ((s, dir) => {
+      val base = graft.Scratch.dir("graft_schema_evo")
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(base + "/g1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+        .write.mode("overwrite").parquet(base + "/g2")
+      s.read.option("mergeSchema", "true")
+        .parquet(base + "/g1", base + "/g2")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          coalesce(col("o_totalprice"), lit(-1.0)).as("o_totalprice"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -440,7 +463,12 @@ object Registry {
     "k_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "k_json_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "k_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice
+        |    ELSE -1.0 END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 
   // ---------------------------------------------------------------------
