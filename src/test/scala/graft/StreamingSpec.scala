@@ -398,4 +398,41 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("source", "lang").collect().map(_.toSeq).toSeq
     assert(got == want)
   }
+
+  test("checkpoint restart: a second run resumes from the persisted " +
+      "offsets AND the restored dedup state suppresses cross-run " +
+      "duplicates exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = graft.Scratch.dir("graft_ckpt_src")
+    val ckpt = graft.Scratch.dir("graft_ckpt_state")
+    val sink = graft.Scratch.dir("graft_ckpt_sink")
+    def docs(ids: Range) = ids.map(i =>
+        (i.toLong, s"doc $i", new java.sql.Timestamp(1700000000000L + i)))
+      .toDF("doc_id", "text", "ts")
+    val schema = docs(0 until 1).schema
+    // The dedup delay is huge, so the watermark never passes ANY row:
+    // a cross-run duplicate can only be dropped by the RESTORED state
+    // store, never by late-arrival filtering — state recovery is the
+    // thing proven, not offset bookkeeping alone.
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "100000 hours")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .select("doc_id", "text")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", sink)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    docs(0 until 50).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce() // run 1: docs 0..49
+    docs(25 until 75).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce() // "restart": docs 25..74 arrive; 25..49 are dups
+    val got = spark.read.parquet(sink).select("doc_id")
+      .as[Long].collect().sorted
+    assert(got.toSeq == (0L until 75L),
+      s"each doc exactly once across restart; got ${got.length} rows")
+  }
 }
