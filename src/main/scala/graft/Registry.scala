@@ -319,6 +319,21 @@ object Registry {
           col("o_orderstatus"),
           coalesce(col("o_totalprice"), lit(-1.0)).as("o_totalprice"))
         .orderBy("o_orderkey")
+    }),
+    // Small-file compaction: the orders table deliberately fragmented
+    // into 64 files, rewritten to size-targeted files, read back
+    // losslessly (the oracle is the table itself). LayoutSpec asserts
+    // the file count actually collapses and the sizing math.
+    "k_compact" -> ((s, dir) => {
+      val frag = graft.Scratch.dir("graft_compact_src")
+      val out = graft.Scratch.dir("graft_compact_dst")
+      t(s, dir, "orders").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      Layout.compact(s, frag, out, targetBytes = 64L << 20)
+      s.read.parquet(out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -468,6 +483,9 @@ object Registry {
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice
         |    ELSE -1.0 END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "k_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 

@@ -79,4 +79,31 @@ object Layout {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(dir)
+
+  /** Small-file COMPACTION — the table-maintenance pass every
+    * long-lived ingest needs: streaming/chunked writers fragment a
+    * directory into per-trigger files, and at 100 TB the resulting
+    * listing/open overhead (and 1-row row groups) dominates scan cost
+    * long before data size does. Rewrites `srcDir` into
+    * ⌈bytes/targetBytes⌉ files at `dstDir` — sizing from the ACTUAL
+    * on-disk bytes, not a guessed file count — and returns
+    * (filesBefore, filesAfter, bytes). Content is untouched: the
+    * rewrite is a plain scan → coalesce → write (no shuffle —
+    * coalesce only glues input splits together). */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+              dstDir: String, targetBytes: Long): (Long, Long, Long) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    spark.read.parquet(srcDir)
+      .coalesce(nOut.toInt)
+      .write.mode("overwrite").parquet(dstDir)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (parts.length.toLong, after.toLong, bytes)
+  }
 }

@@ -87,4 +87,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(xAvg <= 24 && yAvg <= 24, s"loose tiles: xAvg=$xAvg yAvg=$yAvg")
     assert(stats.forall { case (_, _, xe, ye) => xe <= 48 && ye <= 48 })
   }
+
+  test("compact: 64-way fragmentation collapses to the size-targeted " +
+      "file count, content unchanged") {
+    import spark.implicits._
+    val frag = graft.Scratch.dir("graft_spec_compact_src")
+    val out = graft.Scratch.dir("graft_spec_compact_dst")
+    val df = spark.range(20000)
+      .select($"id", md5($"id".cast("string")).as("payload"))
+    df.repartition(64).write.mode("overwrite").parquet(frag)
+    // huge target → everything fits one file
+    val (before, after, bytes) =
+      graft.operators.Layout.compact(spark, frag, out, 1L << 30)
+    assert(before == 64L, s"fragmented write should leave 64 files: $before")
+    assert(after == 1L, s"one output file expected: $after")
+    assert(bytes > 0L)
+    val got = spark.read.parquet(out).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == df.orderBy("id").as[(Long, String)].collect().toSeq)
+    // a target forcing a split: ceil(bytes / (bytes/3)) ≈ 3-4 files
+    val third = math.max(1L, bytes / 3)
+    val (_, after2, _) =
+      graft.operators.Layout.compact(spark, frag, out, third)
+    assert(after2 >= 3L && after2 <= 4L,
+      s"size-targeted split expected ~3 files: $after2")
+  }
 }
