@@ -436,11 +436,15 @@ private[graft] object RegistryOlap {
   )
 
   // Rank-family window breadth: rank / dense_rank / percent_rank over
-  // an ordering with HEAVY ties (order year within priority — rank and
-  // dense_rank must actually diverge), plus first_value / nth_value
-  // over the tie-broken total ordering with an EXPLICIT ROWS frame
-  // (both engines' default frame is RANGE, whose peer semantics differ
-  // from ROWS under ties — pinning ROWS keeps the two in lockstep).
+  // an ordering WITH ties (order year within customer — same-year
+  // orders make rank and dense_rank actually diverge), plus
+  // first_value / nth_value over the tie-broken total ordering with an
+  // EXPLICIT ROWS frame (both engines' default frame is RANGE, whose
+  // peer semantics differ from ROWS under ties — pinning ROWS keeps
+  // the two in lockstep). The windows partition by o_custkey — a
+  // high-cardinality key, so the exchange scales; partitioning by the
+  // 5-value priority would be the hot-partition shape the 2-level
+  // operators exist to avoid.
   // percent_rank divides identical integers on both engines;
   // nth_value's leading nulls coalesce to -1 so the column stays
   // integral (a null would surface as NaN in the driver's
@@ -449,38 +453,38 @@ private[graft] object RegistryOlap {
     "win_rank_family" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val o = t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderkey"), col("o_custkey"),
         year(col("o_orderdate")).cast(LongType).as("yr"))
-      val wTies = Window.partitionBy("o_orderpriority").orderBy("yr")
-      val wTotal = Window.partitionBy("o_orderpriority")
+      val wTies = Window.partitionBy("o_custkey").orderBy("yr")
+      val wTotal = Window.partitionBy("o_custkey")
         .orderBy("yr", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      o.select(col("o_orderkey"), col("o_orderpriority"), col("yr"),
+      o.select(col("o_orderkey"), col("o_custkey"), col("yr"),
           rank().over(wTies).cast(LongType).as("rnk"),
           dense_rank().over(wTies).cast(LongType).as("drnk"),
           percent_rank().over(wTies).as("prnk"),
           first_value(col("o_orderkey")).over(wTotal).as("first_key"),
           coalesce(nth_value(col("o_orderkey"), 3).over(wTotal),
             lit(-1L)).as("third_key"))
-        .orderBy("o_orderpriority", "yr", "o_orderkey")
+        .orderBy("o_custkey", "yr", "o_orderkey")
     })
   )
 
   private val rankFamilyOracle: Map[String, String] = Map(
     "win_rank_family" ->
-      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+      """WITH o AS (SELECT o_orderkey, o_custkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders)
-        |SELECT o_orderkey, o_orderpriority, yr,
+        |SELECT o_orderkey, o_custkey, yr,
         |  CAST(rank() OVER wt AS BIGINT) AS rnk,
         |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
         |  percent_rank() OVER wt AS prnk,
         |  first_value(o_orderkey) OVER wf AS first_key,
         |  coalesce(nth_value(o_orderkey, 3) OVER wf, -1) AS third_key
         |FROM o
-        |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY yr),
-        |  wf AS (PARTITION BY o_orderpriority ORDER BY yr, o_orderkey
+        |WINDOW wt AS (PARTITION BY o_custkey ORDER BY yr),
+        |  wf AS (PARTITION BY o_custkey ORDER BY yr, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderpriority, yr, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, yr, o_orderkey""".stripMargin
   )
 
   private val setOpsOracles: Map[String, String] = Map(
