@@ -821,6 +821,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lineitem-side OR filter must push down:\n${scans.mkString("\n")}")
   }
 
+  test("unigram tokenizer: document TEXT never reaches an exchange — " +
+      "every shuffle carries word/piece-sized rows only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def exchanges(p: SparkPlan): Seq[Exchange] = p.collect {
+      case e: Exchange => Seq(e)
+      case q: QueryStageExec => exchanges(q.plan)
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+    }.flatten
+    for (q <- Seq("tx_unigram_encode", "tx_unigram_em",
+        "tx_unigram_vocab")) {
+      val df = Registry.queries(q)(spark, dir)
+      df.collect()
+      val ex = exchanges(df.queryExecution.executedPlan)
+      assert(ex.nonEmpty, s"$q should shuffle word-sized relations")
+      val carrying = ex.filter(_.output.exists(_.name == "text"))
+      assert(carrying.isEmpty,
+        s"$q must not shuffle document text:\n${carrying.mkString("\n")}")
+    }
+  }
+
   /** Max shuffle-read RECORDS over all tasks of `action` — the
     * deterministic proxy for per-task time in a linear pass (same rows
     * → same work; wall-clock is noisy on a shared host). */
