@@ -940,7 +940,10 @@ object TextAnalysis {
   }
 
   /** The vocabulary as a query: `(piece, occ, cost_q, rank)`, ranked
-    * by (occ DESC, piece). */
+    * by (occ DESC, piece). The un-partitioned rank window runs over
+    * the VOCABULARY (single-chars + topMulti rows, bounded model
+    * state), never the corpus — the single-partition WindowExec is
+    * deliberate and safe at any corpus scale. */
   def unigramVocab(df: DataFrame, textCol: String, maxPiece: Int,
                    topMulti: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1083,6 +1086,8 @@ object TextAnalysis {
       .select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy("piece").agg(sum("freq").as("seg_occ"))
     val tot2 = occ2.agg(sum("seg_occ").as("tot"))
+    // rank window over the (vocab-bounded) re-counted piece table —
+    // same single-partition-is-deliberate note as [[unigramVocab]]
     occ2.crossJoin(broadcast(tot2))
       .select(col("piece"), col("seg_occ"),
         length(bin(expr("tot div seg_occ"))).cast(LongType)
