@@ -51,6 +51,23 @@ object RegistryScalar {
         concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
         .orderBy("c_custkey")),
 
+    // Unicode NFC normalization — the canonical-composition pass run
+    // before hashing/dedup, as a native codegen Expression (Spark has
+    // no builtin; DuckDB's nfc_normalize is the oracle twin). Every
+    // document gets a DECOMPOSED suffix (e + combining acute) so the
+    // composition is exercised on every row: the normalized form is
+    // one codepoint shorter and its md5 proves byte-level agreement.
+    "f8_nfc_normalize" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(" cafe"), lit("\u0301"))
+      val norm = graft.functions.NfcNormalize.nfcNormalize(raw)
+      t(s, dir, "documents").select(col("doc_id"),
+          length(raw).cast(LongType).as("len_raw"),
+          length(norm).cast(LongType).as("len_nfc"),
+          (length(raw) =!= length(norm)).as("nfc_changed"),
+          md5(norm).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Datetime-function batch over orders: calendar parts, truncation,
     // interval arithmetic, month end, exact micros epoch. The
     // day-count to Y2K is integer micros arithmetic rather than a
@@ -168,6 +185,15 @@ object RegistryScalar {
         |      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
         |    / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) AS var_pop
         |FROM a ORDER BY event_type""".stripMargin,
+    "f8_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id, text || ' cafe' || chr(769) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        |  length(raw) <> length(nfc_normalize(raw)) AS nfc_changed,
+        |  md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "f6_string_ops" ->
       """SELECT c_custkey,
         |  upper(c_name) AS uname, lower(c_mktsegment) AS lseg,

@@ -62,4 +62,22 @@ class CleaningSpec extends AnyFunSuite {
       Cleaning.projectToSchema(df, Seq("nope")).collect()
     }
   }
+
+  test("nfcNormalize: composes decomposed sequences, identity on " +
+      "already-NFC and ASCII, null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "cafe\u0301"),   // decomposed: e + combining acute
+      (2L, "caf\u00e9"),    // already composed NFC — identity
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = df.select(col("id"),
+        graft.functions.NfcNormalize.nfcNormalize(col("s")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).get == "caf\u00e9" && got(1L).get.length == 4)
+    assert(got(2L).get == "caf\u00e9")
+    assert(got(3L).get == "plain ascii")
+    assert(got(4L).isEmpty, "null propagates")
+  }
 }
