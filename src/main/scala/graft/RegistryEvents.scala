@@ -214,6 +214,15 @@ private[graft] trait RegistryEvents extends RegistryShared {
         Joins.asofJoin(views, clicks, "user_id", "us",
           Seq("click_us", "click_vm"))
       }),
+    // FORWARD as-of join: every view picks up the user's EARLIEST
+    // click at-or-after it — the look-ahead twin (reversed carry
+    // window, left-first tie order). Oracle = DuckDB's ASOF LEFT JOIN
+    // with the <= comparison, its native forward direction.
+    "ev_asof_forward" -> ((s, dir) =>
+      asofViewClick(s, dir) { (views, clicks) =>
+        Joins.asofJoinForward(views, clicks, "user_id", "us",
+          Seq("click_us", "click_vm"))
+      }),
     // The hot-key-safe two-level form — SAME oracle as ev_asof_join
     // (the value-for-value match proves the bucket-boundary repair
     // reproduces the plain carry exactly). Day-sized buckets.
@@ -480,6 +489,19 @@ private[graft] trait RegistryEvents extends RegistryShared {
         |  COALESCE(c.click_vm, -1) AS click_vm
         |FROM v ASOF LEFT JOIN c
         |  ON v.user_id = c.user_id AND v.us >= c.click_us
+        |ORDER BY event_id""".stripMargin,
+    "ev_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS click_us, max(vm) AS click_vm FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id, us)
+        |SELECT v.user_id, v.event_id, v.us,
+        |  COALESCE(c.click_us, -1) AS click_us,
+        |  COALESCE(c.click_vm, -1) AS click_vm
+        |FROM v ASOF LEFT JOIN c
+        |  ON v.user_id = c.user_id AND v.us <= c.click_us
         |ORDER BY event_id""".stripMargin,
     "ev_asof_join_2level" -> // same contract as the plain form
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -109,6 +109,31 @@ object Joins {
     lTagged.unionByName(rTagged)
   }
 
+  /** FORWARD as-of join — each left row picks up the value columns of
+    * the EARLIEST right row with the same key and `right.time >=
+    * left.time` (inclusive): the look-ahead twin of [[asofJoin]]
+    * (pandas `merge_asof(direction='forward')`, DuckDB `ASOF … ON l.t
+    * <= r.t`). Same union-and-carry shape with the window reversed —
+    * the first non-null right value in the [current, following] frame;
+    * LEFT rows sort before right rows at equal times so an equal-time
+    * right row is inside its left row's frame (forward-inclusive).
+    * Same preconditions and hot-key caveat as the backward form. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      timeCol: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // asofTagged tags left = 1, right = 0; DESCENDING side order puts
+    // left first at equal timestamps.
+    val w = Window.partitionBy(key)
+      .orderBy(col(timeCol), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    valueCols.foldLeft(asofTagged(left, right, key, timeCol, valueCols)) {
+        (df, c) =>
+      df.withColumn(c, first(col(s"`$c`"), ignoreNulls = true).over(w))
+      }
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+
   /** TWO-LEVEL as-of join — the hot-key mitigation [[asofJoin]]'s
     * scaladoc names, shipped (mirroring
     * [[graft.operators.Events.sessionize2Level]]): identical output,

@@ -182,6 +182,14 @@ class PropertySpec extends AnyFunSuite {
       }.sortBy(_._1)
       assert(got == want)
       assert(got2 == want, "2-level form diverged from the reference")
+      // FORWARD direction: earliest right at-or-after, same boundaries
+      val gotF = collect(graft.operators.Joins.asofJoinForward(
+        left, right, "k", "t", Seq("v")))
+      val wantF = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter(r => r._1 == k && r._2 >= t)
+        (i.toLong, if (m.isEmpty) -1L else m.minBy(_._2)._3)
+      }.sortBy(_._1)
+      assert(gotF == wantF, "forward form diverged from the reference")
     }
   }
 
