@@ -223,6 +223,14 @@ private[graft] trait RegistryEvents extends RegistryShared {
         Joins.asofJoinForward(views, clicks, "user_id", "us",
           Seq("click_us", "click_vm"))
       }),
+    // The forward direction's hot-key-safe two-level form — SAME
+    // oracle as ev_asof_forward (value-for-value match proves the
+    // later-bucket boundary repair reproduces the plain carry).
+    "ev_asof_forward_2level" -> ((s, dir) =>
+      asofViewClick(s, dir) { (views, clicks) =>
+        Joins.asofJoinForward2Level(views, clicks, "user_id", "us",
+          Seq("click_us", "click_vm"), bucketWidth = 86400L * 1000000L)
+      }),
     // The hot-key-safe two-level form — SAME oracle as ev_asof_join
     // (the value-for-value match proves the bucket-boundary repair
     // reproduces the plain carry exactly). Day-sized buckets.
@@ -491,6 +499,19 @@ private[graft] trait RegistryEvents extends RegistryShared {
         |  ON v.user_id = c.user_id AND v.us >= c.click_us
         |ORDER BY event_id""".stripMargin,
     "ev_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS click_us, max(vm) AS click_vm FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id, us)
+        |SELECT v.user_id, v.event_id, v.us,
+        |  COALESCE(c.click_us, -1) AS click_us,
+        |  COALESCE(c.click_vm, -1) AS click_vm
+        |FROM v ASOF LEFT JOIN c
+        |  ON v.user_id = c.user_id AND v.us <= c.click_us
+        |ORDER BY event_id""".stripMargin,
+    "ev_asof_forward_2level" -> // shares the plain forward contract
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),

@@ -203,6 +203,64 @@ object Joins {
         valueCols.map(c => s"__c_$c")): _*)
   }
 
+  /** TWO-LEVEL forward as-of join — [[asofJoinForward]]'s hot-key
+    * mitigation, the mirror of [[asofJoin2Level]]: level 1 carries the
+    * FIRST right value forward-to-backward within `(key, bucket)`
+    * partitions; level 2 repairs bucket boundaries on per-bucket
+    * summaries — each bucket's EARLIEST right row — carried in from
+    * strictly-LATER buckets (descending-bucket order, markers before
+    * their own bucket's summary, so a marker's carried-in value is the
+    * nearest later bucket's earliest row). Identical output to the
+    * plain form (shared oracle + property test). */
+  def asofJoinForward2Level(left: DataFrame, right: DataFrame,
+                            key: String, timeCol: String,
+                            valueCols: Seq[String],
+                            bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val tagged = asofTagged(left, right, key, timeCol, valueCols)
+      .withColumn("__bucket",
+        ((col(s"`$timeCol`") - pmod(col(s"`$timeCol`"), lit(bucketWidth)))
+          / bucketWidth).cast("long"))
+    // Level 1: forward carry within (key, bucket) — bounded partitions.
+    val w1 = Window.partitionBy(col(s"`$key`"), col("__bucket"))
+      .orderBy(col(s"`$timeCol`"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried1 = valueCols.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"__c_$c",
+        first(col(s"`$c`"), ignoreNulls = true).over(w1))
+    }
+    // Level 2: per-(key, bucket) EARLIEST right value (min(struct)),
+    // carried ACROSS buckets from the later side.
+    val summaries = tagged.where(col("__side") === 0)
+      .groupBy(col(s"`$key`"), col("__bucket"))
+      .agg(min(struct(col(s"`$timeCol`") +:
+        valueCols.map(c => col(s"`$c`")): _*)).as("__s"))
+      .select(col(s"`$key`"), col("__bucket"), lit(1).as("__kind"),
+        col("__s"))
+    val markers = tagged.select(col(s"`$key`"), col("__bucket")).distinct()
+      .select(col(s"`$key`"), col("__bucket"), lit(0).as("__kind"),
+        lit(null).cast(summaries.schema("__s").dataType).as("__s"))
+    // Descending buckets; a marker (kind 0) precedes its own bucket's
+    // summary (kind 1), so its last-non-null predecessor is the
+    // NEAREST strictly-later bucket's summary.
+    val w2 = Window.partitionBy(col(s"`$key`"))
+      .orderBy(col("__bucket").desc, col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carriedIn = markers.unionByName(summaries)
+      .withColumn("__in", last(col("__s"), ignoreNulls = true).over(w2))
+      .where(col("__kind") === 0)
+      .select(col(s"`$key`"), col("__bucket"), col("__in"))
+    val joined = carried1.join(carriedIn, Seq(key, "__bucket"), "left")
+    valueCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c,
+          coalesce(col(s"`__c_$c`"), col("__in").getField(c)))
+      }
+      .where(col("__side") === 1)
+      .drop(("__side" +: "__bucket" +: "__in" +:
+        valueCols.map(c => s"__c_$c")): _*)
+  }
+
   /** Interval-containment RANGE join: every (point, interval) pair with
     * `start <= t <= end` (inclusive both ends), with NO equi-key — the
     * second time-series join Spark lacks as a primitive (a bare

@@ -190,6 +190,10 @@ class PropertySpec extends AnyFunSuite {
         (i.toLong, if (m.isEmpty) -1L else m.minBy(_._2)._3)
       }.sortBy(_._1)
       assert(gotF == wantF, "forward form diverged from the reference")
+      val gotF2 = collect(graft.operators.Joins.asofJoinForward2Level(
+        left, right, "k", "t", Seq("v"), bucketWidth = 7L))
+      assert(gotF2 == wantF,
+        "forward 2-level form diverged from the reference")
     }
   }
 
