@@ -122,12 +122,24 @@ object RegistryScalar {
     // accumulates in DECIMAL — event values reach ~490 so vm² sums
     // overflow BIGINT; the only float is the final division of
     // identical operands). DuckDB spells min_by/max_by as
-    // arg_min/arg_max — same semantics.
+    // arg_min/arg_max — same semantics. The packed key `vm·1e18 +
+    // event_id` is collision-free by construction for 0 <= vm,
+    // event_id < 1e18 (exact DECIMAL(38,0) on Spark / HUGEINT in the
+    // oracle — DuckDB's arg_min has no struct-key overload), and a
+    // per-row assert_true fails the query LOUDLY — not flakily — if a
+    // regenerated fixture ever leaves that range.
     "a3_agg_breadth" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("event_type"),
         col("event_id"),
         graft.operators.Events.micros(col("value")).as("vm"))
-      val key = col("vm") * 100000000L + col("event_id")
+      val packBound = 1000000000000000000L // 1e18
+      val guard = assert_true(
+        col("event_id").between(0L, packBound - 1) &&
+          col("vm").between(0L, packBound - 1),
+        lit("a3_agg_breadth packed arg-key requires 0 <= event_id, vm < 1e18"))
+      val key = when(guard.isNull,
+        col("vm").cast(DecimalType(38, 0)) * lit(packBound) +
+          col("event_id"))
       e.groupBy("event_type").agg(
           count_if(col("vm") > 500000L).as("n_big"),
           bool_and(col("vm") > 250000L).as("all_mid"),
@@ -174,8 +186,10 @@ object RegistryScalar {
         |  CAST(count_if(vm > 500000) AS BIGINT) AS n_big,
         |  bool_and(vm > 250000) AS all_mid,
         |  bool_or(vm > 990000) AS any_huge,
-        |  arg_min(event_id, vm * 100000000 + event_id) AS min_event,
-        |  arg_max(event_id, vm * 100000000 + event_id) AS max_event,
+        |  arg_min(event_id, CAST(vm AS HUGEINT) * 1000000000000000000
+        |    + event_id) AS min_event,
+        |  arg_max(event_id, CAST(vm AS HUGEINT) * 1000000000000000000
+        |    + event_id) AS max_event,
         |  count(*) AS n, CAST(sum(vm) AS BIGINT) AS sx,
         |  sum(CAST(vm AS DECIMAL(19,0)) * vm) AS sxx
         |FROM e GROUP BY event_type)

@@ -44,6 +44,38 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         t(s, dir, "events"), SessionGapSeconds)
         .orderBy("user_id", "start_us")),
 
+    // CHAINED stateful operators in one streaming query: the events
+    // file streamed twice (at-least-once delivery), watermarked exact
+    // dedup, then session_window aggregation — two state stores, one
+    // watermark. A beyond-horizon sentinel (user −1, past gap + delay)
+    // advances the final watermark so every real session closes before
+    // the drain; the sentinel's own rows are filtered. Oracle = the
+    // batch composition: sessions over the UNIQUE events — the same
+    // SQL st_session_window is checked against.
+    "st_dedup_sessions" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      import s.implicits._
+      val batch = t(s, dir, "events")
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime +
+        (SessionGapSeconds + StreamOps.JoinWatermarkDelaySeconds + 3600) *
+          1000L)
+      val sentinelDir = graft.Scratch.dir("graft_st_ds_sentinel")
+      Seq((-1L, -1L, sentinelTs, 0.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .write.mode("overwrite").parquet(sentinelDir)
+      def evStream() = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+      val src = evStream().unionAll(evStream()).unionAll(
+        s.readStream.schema(s.read.parquet(sentinelDir).schema)
+          .parquet(sentinelDir))
+      StreamOps.runToCompletion(s, src,
+        StreamOps.dedupThenSessionWindow(_, SessionGapSeconds),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "start_us")
+    }),
+
     // Streaming corpus prep: the documents file streamed twice
     // (at-least-once delivery), quality + language predicates as
     // stateless filters on the scan, then watermark-bounded key dedup —
@@ -214,6 +246,22 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
     // Stream-STATIC enrichment: each streamed event picks up its user's
     // total count from a batch-side dimension (broadcast — stateless,
     // no watermark, no state store). Oracle = the same join in batch.
+    // Stream-side AS-OF against a slowly-changing static dimension (the
+    // feature-store lookup): the dimension is the batch SCD2 interval
+    // table built from the same events; each streamed event picks the
+    // version current at its event time. Stateless stream-static join —
+    // no watermark, no state store. Oracle = the batch composition
+    // (events × SCD2 intervals on the containment predicate).
+    "st_asof_enrich" -> ((s, dir) => {
+      val dim = Events.scd2(t(s, dir, "events"))
+      val src = Tables.loadStream(s, dir, "events")
+        .select("event_id", "user_id", "ts")
+      graft.streaming.StreamOps.runToCompletion(s, src,
+        graft.streaming.StreamOps.streamAsofEnrich(_, dim),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .orderBy("event_id")
+    }),
+
     "st_static_enrich" -> ((s, dir) => {
       val dim = t(s, dir, "events").groupBy("user_id")
         .agg(count(lit(1)).as("user_events"))
@@ -225,6 +273,29 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         .orderBy("event_id")
     })
   )
+
+  /** session_window semantics: window = [first event, last event + gap)
+    * — shared by the plain session query and the chained dedup→session
+    * query (dedup removes delivery retries, so both land on sessions
+    * over the unique events). */
+  private lazy val sessionWindowOracleSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, value,
+       |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |b AS (SELECT user_id, event_id, us, value,
+       |  CASE WHEN lag(us) OVER w IS NULL
+       |         OR us - lag(us) OVER w > ${SessionGapSeconds * 1000000L}
+       |       THEN 1 ELSE 0 END AS brk
+       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (SELECT user_id, us, value,
+       |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+       |FROM b)
+       |SELECT user_id, min(us) AS start_us,
+       |  max(us) + ${SessionGapSeconds * 1000000L} AS end_us,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, start_us""".stripMargin
 
   protected val streamingOracles: Map[String, String] = Map(
     // Identical to ev_hourly_rollup: the streaming plan must agree with
@@ -247,24 +318,11 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         |  TRUE AS hll_ok
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     // session_window semantics: window = [first event, last event + gap).
-    "st_session_window" ->
-      s"""WITH e AS (SELECT user_id, event_id, value,
-         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-         |b AS (SELECT user_id, event_id, us, value,
-         |  CASE WHEN lag(us) OVER w IS NULL
-         |         OR us - lag(us) OVER w > ${SessionGapSeconds * 1000000L}
-         |       THEN 1 ELSE 0 END AS brk
-         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-         |s AS (SELECT user_id, us, value,
-         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
-         |FROM b)
-         |SELECT user_id, min(us) AS start_us,
-         |  max(us) + ${SessionGapSeconds * 1000000L} AS end_us,
-         |  count(*) AS n_events,
-         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
-         |FROM s GROUP BY user_id, sid
-         |ORDER BY user_id, start_us""".stripMargin,
+    "st_session_window" -> sessionWindowOracleSql,
+    // The chained dedup→session query must land on the SAME sessions:
+    // duplicates are delivery retries, so the batch composition is just
+    // sessions over the unique events.
+    "st_dedup_sessions" -> sessionWindowOracleSql,
     "st_stream_dedup" ->
       """SELECT event_id, user_id, event_type
         |FROM events ORDER BY event_id""".stripMargin,
@@ -309,7 +367,10 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
     // watermark after the final no-data batch.
     "st_outer_join" -> {
       val wUs = StreamJoinWindowSeconds * 1000000L
-      val delayUs = 3600L * 1000000L
+      // Shared with streamFullOuterJoin's default watermark delay — one
+      // constant, so operator and oracle cannot desynchronize.
+      val delayUs =
+        graft.streaming.StreamOps.JoinWatermarkDelaySeconds * 1000000L
       s"""WITH e AS (SELECT user_id, event_id, event_type,
          |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
          |v AS (SELECT user_id, event_id AS view_event_id, us AS v_us
@@ -332,6 +393,34 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
          |   OR (view_event_id IS NULL AND c_us < wm.w)
          |ORDER BY user_id, view_event_id, click_event_id""".stripMargin
     },
+    // Batch dual of the streaming as-of enrichment: the SAME SCD2 CTE
+    // chain as scd2OracleSql (re-derived here so the interval table and
+    // the lookup live in one query), then events × intervals on the
+    // containment predicate. Every event lands inside exactly one of
+    // its user's intervals, so the inner join is lossless.
+    "st_asof_enrich" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type
+        |       THEN 1 ELSE 0 END AS chg
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (SELECT user_id, event_type, us,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |FROM b),
+        |g AS (SELECT user_id, version, min(event_type) AS state,
+        |  min(us) AS valid_from_us FROM r GROUP BY user_id, version),
+        |dim AS (SELECT user_id, version, state, valid_from_us,
+        |  coalesce(lead(valid_from_us)
+        |             OVER (PARTITION BY user_id ORDER BY version),
+        |           9223372036854775807) AS valid_to_us
+        |FROM g)
+        |SELECT ev.event_id, ev.user_id, ev.us, d.state, d.version
+        |FROM e ev JOIN dim d ON ev.user_id = d.user_id
+        |  AND ev.us >= d.valid_from_us AND ev.us < d.valid_to_us
+        |ORDER BY ev.event_id""".stripMargin,
     "st_static_enrich" ->
       """WITH dim AS (SELECT user_id, count(*) AS user_events
         |  FROM events GROUP BY user_id)

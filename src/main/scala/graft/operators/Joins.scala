@@ -152,6 +152,14 @@ object Joins {
     * `(key, bucket)`. A left row's answer is its level-1 within-bucket
     * carry, else the bucket's carried-in value.
     *
+    * Extra precondition over the plain form: right-side `valueCols`
+    * must be NON-NULL. Level 1 carries each value column independently
+    * (`last(ignoreNulls)` per column — it can mix values from
+    * different right rows when some are null) while level 2 carries
+    * one whole row (`max(struct)`), so the two forms agree — and the
+    * shared-oracle equivalence holds — only when no right value is
+    * null. Pre-coalesce nullable right columns before calling.
+    *
     * Verified value-for-value: registry `ev_asof_join_2level` shares
     * `ev_asof_join`'s DuckDB ASOF JOIN oracle, and a property test
     * compares both forms against a brute-force reference. */
@@ -211,7 +219,12 @@ object Joins {
     * strictly-LATER buckets (descending-bucket order, markers before
     * their own bucket's summary, so a marker's carried-in value is the
     * nearest later bucket's earliest row). Identical output to the
-    * plain form (shared oracle + property test). */
+    * plain form (shared oracle + property test).
+    *
+    * Same extra precondition as [[asofJoin2Level]]: right-side
+    * `valueCols` must be NON-NULL — level 1 carries columns
+    * independently while level 2 carries one `min(struct)` row, and
+    * they only agree when no right value is null. */
   def asofJoinForward2Level(left: DataFrame, right: DataFrame,
                             key: String, timeCol: String,
                             valueCols: Seq[String],

@@ -87,23 +87,40 @@ object Layout {
     * long before data size does. Rewrites `srcDir` into
     * ⌈bytes/targetBytes⌉ files at `dstDir` — sizing from the ACTUAL
     * on-disk bytes, not a guessed file count — and returns
-    * (filesBefore, filesAfter, bytes). Content is untouched: the
-    * rewrite is a plain scan → coalesce → write (no shuffle —
-    * coalesce only glues input splits together). */
+    * (filesBefore, filesAfter, bytes). File discovery is RECURSIVE, so
+    * Hive-partitioned / nested source layouts are sized correctly (the
+    * scan itself already reads them). Content is untouched: when the
+    * input has at least nOut splits the rewrite is scan → coalesce →
+    * write (no shuffle — coalesce only glues input splits together);
+    * when the input has FEWER partitions than nOut (coalesce can only
+    * merge, never split) it falls back to a round-robin repartition so
+    * the requested file count is actually honored. */
   def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
               dstDir: String, targetBytes: Long): (Long, Long, Long) = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fs = new org.apache.hadoop.fs.Path(srcDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val bytes = parts.map(_.getLen).sum
+    var nBefore = 0L
+    var bytes = 0L
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(srcDir), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        nBefore += 1; bytes += f.getLen
+      }
+    }
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    spark.read.parquet(srcDir)
-      .coalesce(nOut.toInt)
-      .write.mode("overwrite").parquet(dstDir)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstDir))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (parts.length.toLong, after.toLong, bytes)
+    val src = spark.read.parquet(srcDir)
+    val sized =
+      if (src.rdd.getNumPartitions >= nOut) src.coalesce(nOut.toInt)
+      else src.repartition(nOut.toInt)
+    sized.write.mode("overwrite").parquet(dstDir)
+    var after = 0L
+    val outIt = fs.listFiles(new org.apache.hadoop.fs.Path(dstDir), true)
+    while (outIt.hasNext) {
+      val f = outIt.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) after += 1
+    }
+    (nBefore, after, bytes)
   }
 }

@@ -29,6 +29,16 @@ import graft.operators.{Events, TextAnalysis, TrainPrep}
   */
 object StreamOps {
 
+  /** Default watermark delay (seconds) shared by every streaming join
+    * here AND by the registry oracles that encode its cutoff
+    * (`st_outer_join`'s watermark filter) — one constant so the
+    * operator default and the oracle's drained-output contract can
+    * never silently desynchronize. */
+  val JoinWatermarkDelaySeconds: Long = 3600L
+
+  private val JoinWatermarkDelay: String =
+    s"$JoinWatermarkDelaySeconds seconds"
+
   /** Streaming dual of [[Events.hourlyRollup]]: tumbling 1-hour window
     * with a 2-hour watermark. `countDistinct` is unsupported in
     * streaming, so exact distinct is `size(collect_set(...))` — state
@@ -93,6 +103,32 @@ object StreamOps {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"), col("value_micros"))
 
+  /** CHAINED stateful operators in ONE streaming query — watermarked
+    * exact dedup feeding a session-window aggregation: the
+    * at-least-once ingest shape (dedup the delivery retries, THEN
+    * sessionize) that would otherwise need two queries and an
+    * intermediate sink. Spark supports multiple stateful operators per
+    * query in append mode (dedup / time-window aggs / stream-stream
+    * joins); the one watermark declared on `ts` drives BOTH state
+    * stores — dedup keys evict once the watermark passes `ts + delay`,
+    * sessions emit once it passes their end.
+    *
+    * Scale shape: two state stores per partition instead of one, same
+    * single shuffle profile per micro-batch (dedup partitions on
+    * `event_id`, the session agg re-shuffles on `user_id`) — exactly
+    * what the two-query form pays, minus the intermediate sink's
+    * write+read. Drained-output contract: a session whose end lies
+    * within `delay` of the stream's max event time stays buffered —
+    * callers wanting batch parity append a beyond-horizon sentinel
+    * (registry `st_dedup_sessions` does; same discipline as
+    * `st_stateful_sessions`). */
+  def dedupThenSessionWindow(events: DataFrame, gapSeconds: Long,
+                             delay: String = JoinWatermarkDelay): DataFrame =
+    sessionWindowAgg(
+      events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("event_id"),
+      gapSeconds)
+
   /** Streaming exact dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
     * keeps a key's state only until the watermark passes `ts + delay`,
     * then evicts it — unlike `dropDuplicates(keys)` without the event-time
@@ -102,7 +138,7 @@ object StreamOps {
     * (retries, at-least-once sources); an event older than the watermark
     * is dropped as late data anyway, so post-eviction re-emission cannot
     * happen. */
-  def streamDedup(events: DataFrame, delay: String = "1 hour"): DataFrame =
+  def streamDedup(events: DataFrame, delay: String = JoinWatermarkDelay): DataFrame =
     events
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
@@ -148,7 +184,7 @@ object StreamOps {
     * delivery), so every output column is survivor-independent and the
     * result is deterministic. */
   def corpusPrepStream(docs: DataFrame, keepLang: String,
-                       delay: String = "1 hour"): DataFrame =
+                       delay: String = JoinWatermarkDelay): DataFrame =
     docs
       .where(TextAnalysis.qualityKeepCol(col("text")))
       .where(TextAnalysis.langGuessCol(col("text")) === keepLang)
@@ -178,7 +214,7 @@ object StreamOps {
     * oracle shape with the DuckDB BETWEEN formulation). */
   def streamIntervalJoin(views: DataFrame, clicks: DataFrame,
                          windowSeconds: Long,
-                         delay: String = "1 hour"): DataFrame = {
+                         delay: String = JoinWatermarkDelay): DataFrame = {
     val v = views.select(col("user_id"),
         col("event_id").as("view_event_id"), col("ts").as("v_ts"))
       .withWatermark("v_ts", delay)
@@ -207,7 +243,7 @@ object StreamOps {
     * to −1 so the relational output stays integral. */
   def streamFullOuterJoin(views: DataFrame, clicks: DataFrame,
                           windowSeconds: Long,
-                          delay: String = "1 hour"): DataFrame = {
+                          delay: String = JoinWatermarkDelay): DataFrame = {
     val v = views.select(col("user_id"),
         col("event_id").as("view_event_id"), col("ts").as("v_ts"))
       .withWatermark("v_ts", delay)
@@ -238,6 +274,36 @@ object StreamOps {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
                        key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key))
+
+  /** Stream-side AS-OF enrichment against a SLOWLY-CHANGING static
+    * dimension — the feature-store lookup: each streamed event joins
+    * the dimension VERSION that was current at its event time
+    * (`valid_from_us <= t < valid_to_us`), completing the as-of family
+    * ([[graft.operators.Joins.asofJoin]] batch×batch,
+    * [[streamIntervalJoin]] stream×stream) with the stream×versioned-
+    * static corner. `dim` is an SCD2-shaped relation — `(user_id,
+    * version, state, valid_from_us, valid_to_us)`, e.g.
+    * [[graft.operators.Events.scd2]]'s output — whose intervals tile
+    * each key's timeline, so every in-range event matches exactly one
+    * version and the inner join loses nothing.
+    *
+    * Stateless like [[enrichWithStatic]]: no watermark, no state store
+    * — the interval predicate rides on the broadcast equi-join, NOT a
+    * per-row scan. At 100 TB the dimension is versions-per-key ×
+    * keys; if that outgrows broadcast, drop the hint and pre-bucket
+    * both sides on the key — the join itself stays stateless either
+    * way. */
+  def streamAsofEnrich(events: DataFrame, dim: DataFrame): DataFrame = {
+    val d = broadcast(dim.select(col("user_id").as("d_user_id"),
+      col("version"), col("state"),
+      col("valid_from_us"), col("valid_to_us")))
+    events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .join(d, col("user_id") === col("d_user_id") &&
+        col("us") >= col("valid_from_us") &&
+        col("us") < col("valid_to_us"), "inner")
+      .select("event_id", "user_id", "us", "state", "version")
+  }
 
   // ------------------------------------------------------------------
   // Arbitrary-state sessionization (flatMapGroupsWithState)
