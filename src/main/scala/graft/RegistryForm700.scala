@@ -23,6 +23,8 @@ object RegistryForm700 {
   private val OraclePages = "/root/repo/src/main/resources/form700/pages"
   private val OracleRedactedPages =
     "/root/repo/src/main/resources/form700/pages_redacted"
+  private val OracleCorruptPages =
+    "/root/repo/src/main/resources/form700/pages_corrupt"
 
   private def tables(s: SparkSession): Map[String, DataFrame] =
     P.run(s, P.defaultPagesRoot, Some(P.fixtureDoubles))
@@ -266,6 +268,21 @@ object RegistryForm700 {
       graft.streaming.StreamOps
         .runUpsertToCompletion(s, stream, perBatch, "filing_id", out)
         .orderBy("filing_id")
+    }),
+
+    // S2 PARSE TOLERANCE (Form700.py:123-126: try/except around
+    // json.loads, print-and-continue): the corrupt fixture's page 2 is
+    // truncated mid-object. The tolerant reader drops it, the surviving
+    // page still yields its filings (guarded), and the audit report
+    // carries one per-page parse-status line — the bad page is COUNTED,
+    // not silently swallowed.
+    "e1_audit_pages" -> ((s, _) => {
+      val (pages, status) = graft.sources.Form700Source
+        .readPagesWithStatus(s, s"${P.defaultCorruptPagesRoot}/cover")
+      val survivors = graft.sources.Form700Source.cover(pages).count()
+      require(survivors > 0,
+        s"corrupt fixture: valid page produced no filings ($survivors)")
+      P.pageParseAudit(status, "cover").orderBy("page")
     })
   )
 
@@ -534,5 +551,16 @@ object RegistryForm700 {
   // sink); the report itself is pure, so it now carries the
   // catalog+count oracle built above.
   val oracles: Map[String, String] =
-    baseOracles + ("e1_audit" -> auditOracle(baseOracles))
+    baseOracles + ("e1_audit" -> auditOracle(baseOracles)) +
+      // Page parse status via DuckDB's own JSON validator over the raw
+      // page text — an independent judgment of which pages parse.
+      ("e1_audit_pages" ->
+        s"""SELECT 'cover' AS source,
+           |  CAST(regexp_extract(filename, 'page_(\\d+)\\.json', 1)
+           |    AS BIGINT) AS page,
+           |  json_valid(content) AS parse_ok,
+           |  CASE WHEN json_valid(content) THEN 'SUCCESS'
+           |       ELSE 'FAILURE' END AS status
+           |FROM read_text('$OracleCorruptPages/cover/*.json')
+           |ORDER BY page""".stripMargin)
 }

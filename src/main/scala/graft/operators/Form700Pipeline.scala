@@ -86,16 +86,22 @@ object Form700Pipeline {
     "cover/page_1.json", "cover/page_2.json",
     "schedules/page_1.json", "schedules/page_2.json")
 
+  /** The corrupt-page fixture (S2 parse tolerance — Form700.py:123-126):
+    * page 1 valid, page 2 truncated mid-object. */
+  private val corruptPageFiles = Seq(
+    "cover/page_1.json", "cover/page_2.json")
+
   /** Location of a page-fixture root as a `file:`-readable directory.
     * When the classpath copy sits on disk we use it directly; when it is
     * packaged inside a jar (sbt runMain), the files are extracted once
     * to a temp dir — Hadoop's FileSystem cannot read `jar:` URIs. */
-  private def fixtureRoot(resRoot: String): String = {
+  private def fixtureRoot(resRoot: String,
+                          files: Seq[String] = pageFiles): String = {
     val url = getClass.getResource(resRoot)
     if (url != null && url.getProtocol == "file") url.toString
     else {
       val tmp = java.nio.file.Files.createTempDirectory("graft_f700_pages")
-      pageFiles.foreach { rel =>
+      files.foreach { rel =>
         val in = getClass.getResourceAsStream(s"$resRoot/$rel")
         require(in != null, s"missing resource $resRoot/$rel")
         val dst = tmp.resolve(rel)
@@ -113,6 +119,10 @@ object Form700Pipeline {
     * values. */
   lazy val defaultRedactedPagesRoot: String =
     fixtureRoot("/form700/pages_redacted")
+
+  /** The corrupt-page fixture root (one valid page, one truncated). */
+  lazy val defaultCorruptPagesRoot: String =
+    fixtureRoot("/form700/pages_corrupt", corruptPageFiles)
 
   // ------------------------------------------------------------------
   // J1 — joinFilerToSchedule (Form700.py:346-352)
@@ -343,6 +353,20 @@ object Form700Pipeline {
   private def auditFrame(spark: SparkSession, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       auditSchema)
+
+  /** Per-page PARSE-STATUS audit — the accounting half of the
+    * reference's page-parse tolerance (Form700.py:123-126 catches a
+    * `json.loads` failure, prints "could not load content as json",
+    * and carries on; the failure reaches no report). Here the same
+    * tolerance is data: one audit line per fetched page with the
+    * reference's SUCCESS/FAILURE vocabulary, so a bad page is COUNTED
+    * in the job report instead of silently shrinking a table. Stays
+    * fully distributed — the status relation is one row per page, the
+    * page bodies themselves never leave their scan tasks. */
+  def pageParseAudit(status: DataFrame, source: String): DataFrame =
+    status.select(lit(source).as("source"),
+      col("page").cast(LongType).as("page"), col("parse_ok"),
+      when(col("parse_ok"), "SUCCESS").otherwise("FAILURE").as("status"))
 
   /** K5 incremental load (Form700.py:493-502): the reference REPLACES
     * the dataset with the first chunk and UPSERTS every later chunk.

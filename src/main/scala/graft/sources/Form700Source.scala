@@ -23,20 +23,59 @@ object Form700Source {
     "scheduleA1", "scheduleA2", "scheduleB", "scheduleC",
     "scheduleD", "scheduleE", "comments")
 
-  /** Read a paged source (S2/S3): page bodies come through the
-    * [[PagedJsonSource]] DataSourceV2 connector — one task per page,
-    * pluggable fetcher (file-backed here; an HTTP deployment registers
-    * its client as a [[PageFetcher]]) — and the one-object-per-response
-    * bodies decode through Spark's JSON reader with inferred schema,
-    * exactly as `spark.read.json` on files would. */
-  def readPages(spark: SparkSession, path: String): DataFrame = {
-    val bodies = spark.read
+  /** Name of the synthetic corrupt-record column [[readPagesWithStatus]]
+    * parses into (never part of any page's real schema). */
+  val CorruptPageCol = "_corrupt_page"
+
+  /** Read a paged source (S2/S3) TOLERANTLY: page bodies come through
+    * the [[PagedJsonSource]] DataSourceV2 connector — one task per
+    * page, pluggable fetcher (file-backed here; an HTTP deployment
+    * registers its client as a [[PageFetcher]]) — and decode via
+    * `from_json` in PERMISSIVE mode with a corrupt-record column, the
+    * Spark form of the reference's per-page try/except around
+    * `json.loads` (Form700.py:123-126: print "could not load content
+    * as json" and continue). Returns
+    *  - `pages`: the successfully parsed page objects (bad pages
+    *    DROPPED, exactly as the reference's `None` response is), and
+    *  - `status`: one row per page `(page, parse_ok)` — the accounting
+    *    the reference only printed, surfaced as data so the audit
+    *    report can count parse failures ([[graft.operators
+    *    .Form700Pipeline.pageParseAudit]]).
+    * The schema is inferred from the page bodies (malformed bodies
+    * contribute Spark's `_corrupt_record` inference column, which is
+    * stripped from the data schema). Two passes over the feed —
+    * inference + parse — the same cost class as `spark.read.json`. */
+  def readPagesWithStatus(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val raw = spark.read
       .format("graft.sources.PagedJsonSource")
       .option("path", path).load()
-      .select("body")
+    val bodies = raw.select("body")
       .as(org.apache.spark.sql.Encoders.STRING)
-    spark.read.json(bodies)
+    val inferredCorrupt =
+      spark.conf.get("spark.sql.columnNameOfCorruptRecord",
+        "_corrupt_record")
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      spark.read.json(bodies).schema
+        .filterNot(_.name == inferredCorrupt))
+    val parseSchema = dataSchema.add(CorruptPageCol,
+      org.apache.spark.sql.types.StringType)
+    val parsed = raw.withColumn("j",
+      from_json(col("body"), parseSchema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> CorruptPageCol)))
+    val status = parsed.select(col("page"),
+      col(s"j.$CorruptPageCol").isNull.as("parse_ok"))
+    val pages = parsed.where(col(s"j.$CorruptPageCol").isNull)
+      .select("j.*").drop(CorruptPageCol)
+    (pages, status)
   }
+
+  /** The parsed pages alone — [[readPagesWithStatus]] without the
+    * status relation. Malformed pages are dropped (reference parity);
+    * callers that must ACCOUNT for them use the two-sided form. */
+  def readPages(spark: SparkSession, path: String): DataFrame =
+    readPagesWithStatus(spark, path)._1
 
   /** S4 (Form700.py:146-158): pluck the `filings` array from every cover
     * page, concat across pages, flatten nested structs to dotted

@@ -105,4 +105,43 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     assert(perBatch.asScala.toSeq == Seq(1L, 1L, 1L, 1L))
   }
+
+  test("corrupt page: tolerated, dropped from data, counted in status " +
+      "(Form700.py:123-126)") {
+    class Mixed extends PageFetcher {
+      override def totalPages(): Int = 3
+      override def fetchPage(page: Int): String = page match {
+        case 2 => """{"filings": [{"filingId": "C2""" // truncated
+        case p => s"""{"filings": [{"filingId": "C$p"}]}"""
+      }
+    }
+    PagedJsonSource.registerFetcher("mixed3", new Mixed)
+    // route the registered fetcher through the Form700Source path by
+    // reading the raw feed the same way readPagesWithStatus does
+    val raw = spark.read.format("graft.sources.PagedJsonSource")
+      .option("fetcher", "mixed3").load()
+    // the public entry: file-backed variant via a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    (1 to 3).foreach { p =>
+      java.nio.file.Files.writeString(dir.resolve(s"page_$p.json"),
+        new Mixed().fetchPage(p))
+    }
+    val (pages, status) = graft.sources.Form700Source
+      .readPagesWithStatus(spark, dir.toUri.toString)
+    val st = status.orderBy("page").collect()
+    assert(st.map(r => (r.getInt(0), r.getBoolean(1))).toSeq ==
+      Seq((1, true), (2, false), (3, true)))
+    // bad page dropped, good pages parsed; schema carries no corrupt col
+    val filings = graft.sources.Form700Source.cover(pages)
+      .orderBy("filingId").collect().map(_.getString(0)).toSeq
+    assert(filings == Seq("C1", "C3"))
+    assert(!pages.columns.contains(
+      graft.sources.Form700Source.CorruptPageCol))
+    // the audit report counts the failure with the reference vocabulary
+    val audit = graft.operators.Form700Pipeline
+      .pageParseAudit(status, "cover").orderBy("page").collect()
+    assert(audit.map(_.getString(3)).toSeq ==
+      Seq("SUCCESS", "FAILURE", "SUCCESS"))
+    assert(raw.count() == 3) // the raw feed still surfaces every page
+  }
 }
