@@ -257,6 +257,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq) == got.map(_.toSeq))
   }
 
+  test("chained dedup → session_window in ONE query: a duplicate " +
+      "delivered in a LATER micro-batch is dropped; drained sessions " +
+      "equal the batch composition") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = StreamOps.dedupThenSessionWindow(streamDf, 1800L)
+      .writeStream.format("memory").queryName("st_spec_ds")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: first three events
+    ms.addData(rows.take(3)); q.processAllAvailable()
+    // batch 2: the SAME three re-delivered (at-least-once retries, still
+    // above the watermark so only dedup state can suppress them), the
+    // remaining events, and a beyond-horizon sentinel that closes every
+    // real session before the drain
+    val sentinel =
+      (99L, -1L, B + 3 * H + (1800L + 7200L) * 1000000L, "view", 0.0)
+    ms.addData((rows.take(3) ++ rows.drop(3)) :+ sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st_spec_ds").where(col("user_id") >= 0)
+      .orderBy("user_id", "start_us").collect().toSeq
+    val want = StreamOps.sessionWindowAgg(eventsDf(rows), 1800L)
+      .orderBy("user_id", "start_us").collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
+
   test("stream dedup suppresses dups, drops late ones, and purges state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
