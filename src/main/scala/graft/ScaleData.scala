@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DERIVED scale-step generator (not driver data): unions a source
+  * scale-factor directory `copies` times with disjoint key / time
+  * ranges per copy, so the iterative kernels can be MEASURED at ~10×
+  * the largest provided fixture (BASELINE.md records the resulting
+  * scaling curves). The driver's testdata tops out at sf0.1; design
+  * claims beyond that were plan-asserted only — this closes the gap
+  * with data.
+  *
+  * Per-copy transforms (copy 0 is the identity — sf1 ⊇ sf0.1):
+  *  - `lineitem` (the graph family's source): order/part/supp keys
+  *    offset by `i·10⁷` — ten disjoint co-order graphs. The offset is
+  *    divisible by the BFS/PPR seed mods (100, 10), so each copy seeds
+  *    the same node fraction and iteration workload scales cleanly.
+  *  - `events`: event/user ids offset by `i·10⁷`; `ts` offset by
+  *    `i·(span + 1 day)` so copies never share session/as-of windows.
+  *  - `documents`: doc ids offset; for i>0 every 5th word gets a
+  *    copy-specific suffix — enough shingle churn that copies are NOT
+  *    near-duplicates of each other (≈0.33⁵-gram survival ⇒ Jaccard
+  *    ≈0.2, far below dedup thresholds), while token counts / length
+  *    stats stay representative for the text kernels.
+  *  - `embeddings`: vec ids offset; for i>0 each dimension is
+  *    perturbed by a deterministic ±0.006 hash ramp — breaks exact
+  *    vector duplication (which would collapse kNN graphs) without
+  *    moving points between neighborhoods.
+  * The small TPC-H dimension tables pass through unscaled (the heavy
+  * kernels this dataset exists for do not read them at 10×; a dim
+  * join against a scaled fact still resolves for copy 0).
+  */
+object ScaleData {
+
+  private val KeyOffset = 10000000L // divisible by the seed mods 10/100
+
+  private def withCopies(spark: SparkSession, copies: Int)
+                        (one: Int => DataFrame): DataFrame =
+    (0 until copies).map(one).reduce(_.unionAll(_))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/scaledata/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Sessions.get("graft-scaledata")
+
+    def write(name: String, df: DataFrame, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$dst/$name.parquet")
+
+    // lineitem: disjoint key ranges per copy (graph source).
+    val li = Tables.load(spark, src, "lineitem")
+    write("lineitem", withCopies(spark, copies) { i =>
+      val off = lit(i * KeyOffset)
+      li.withColumn("l_orderkey", col("l_orderkey") + off)
+        .withColumn("l_partkey", col("l_partkey") + off)
+        .withColumn("l_suppkey", col("l_suppkey") + off)
+    }, 32)
+
+    // events: disjoint ids and time ranges per copy.
+    val ev = Tables.load(spark, src, "events")
+    val (minUs, maxUs) = {
+      val r = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val spanUs = maxUs - minUs + 86400L * 1000000L
+    write("events", withCopies(spark, copies) { i =>
+      val off = lit(i * KeyOffset)
+      ev.withColumn("event_id", col("event_id") + off)
+        .withColumn("user_id", col("user_id") + off)
+        .withColumn("ts",
+          timestamp_micros(unix_micros(col("ts")) + lit(i * spanUs)))
+    }, 32)
+
+    // documents: suffix every 5th word per copy — shingle-level churn.
+    val docs = Tables.load(spark, src, "documents")
+    write("documents", withCopies(spark, copies) { i =>
+      val base = docs.withColumn("doc_id", col("doc_id") + lit(i * KeyOffset))
+      if (i == 0) base
+      else base
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            (w: Column, j: Column) =>
+              when(j % 5 === 4, concat(w, lit(s"x$i"))).otherwise(w)),
+          " "))
+        .withColumn("n_chars", length(col("text")))
+    }, 16)
+
+    // embeddings: deterministic per-dimension perturbation per copy.
+    val emb = Tables.load(spark, src, "embeddings")
+    write("embeddings", withCopies(spark, copies) { i =>
+      val base = emb.withColumn("vec_id", col("vec_id") + lit(i * KeyOffset))
+      if (i == 0) base
+      else base.withColumn("embedding",
+        transform(col("embedding"), (x: Column, j: Column) =>
+          (x + ((pmod(col("vec_id") * 31 + j * lit(i), lit(7L)) - lit(3L))
+            .cast("float") * lit(0.002f))).cast("float")))
+    }, 8)
+
+    // dims: pass through unscaled.
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach(n => write(n, Tables.load(spark, src, n), 4))
+
+    Tables.all.foreach { n =>
+      val c = spark.read.parquet(s"$dst/$n.parquet").count()
+      println(s"[scaledata] $n: $c rows")
+    }
+    spark.stop()
+  }
+}

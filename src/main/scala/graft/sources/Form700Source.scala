@@ -31,20 +31,29 @@ object Form700Source {
     * the [[PagedJsonSource]] DataSourceV2 connector — one task per
     * page, pluggable fetcher (file-backed here; an HTTP deployment
     * registers its client as a [[PageFetcher]]) — and decode via
-    * `from_json` in PERMISSIVE mode with a corrupt-record column, the
-    * Spark form of the reference's per-page try/except around
-    * `json.loads` (Form700.py:123-126: print "could not load content
-    * as json" and continue). Returns
+    * `from_json`, with per-page parse tolerance: the Spark form of the
+    * reference's try/except around `json.loads` (Form700.py:123-126:
+    * print "could not load content as json" and continue). Returns
     *  - `pages`: the successfully parsed page objects (bad pages
     *    DROPPED, exactly as the reference's `None` response is), and
     *  - `status`: one row per page `(page, parse_ok)` — the accounting
     *    the reference only printed, surfaced as data so the audit
     *    report can count parse failures ([[graft.operators
     *    .Form700Pipeline.pageParseAudit]]).
+    *
+    * Validity is probed by a SEPARATE tiny parse (a one-field corrupt-
+    * record schema) and the filter applies to the raw body BELOW the
+    * data parse — deliberately, so the data `from_json` sits directly
+    * under each consumer's pluck and Catalyst's JSON-expression
+    * optimization can PRUNE its parse schema: a table that plucks one
+    * schedule array materializes just that array, not the whole page
+    * object (PlanQualitySpec asserts this). The body text is tokenized
+    * twice (validity probe + data parse) — cheap next to materializing
+    * 8 unused nested arrays per table at scale.
+    *
     * The schema is inferred from the page bodies (malformed bodies
     * contribute Spark's `_corrupt_record` inference column, which is
-    * stripped from the data schema). Two passes over the feed —
-    * inference + parse — the same cost class as `spark.read.json`. */
+    * stripped from the data schema). */
   def readPagesWithStatus(spark: SparkSession, path: String)
       : (DataFrame, DataFrame) = {
     val raw = spark.read
@@ -58,16 +67,17 @@ object Form700Source {
     val dataSchema = org.apache.spark.sql.types.StructType(
       spark.read.json(bodies).schema
         .filterNot(_.name == inferredCorrupt))
-    val parseSchema = dataSchema.add(CorruptPageCol,
-      org.apache.spark.sql.types.StringType)
-    val parsed = raw.withColumn("j",
-      from_json(col("body"), parseSchema, Map(
+    val probeSchema = new org.apache.spark.sql.types.StructType()
+      .add(CorruptPageCol, org.apache.spark.sql.types.StringType)
+    def parseOk = col("body").isNotNull &&
+      from_json(col("body"), probeSchema, Map(
         "mode" -> "PERMISSIVE",
-        "columnNameOfCorruptRecord" -> CorruptPageCol)))
-    val status = parsed.select(col("page"),
-      col(s"j.$CorruptPageCol").isNull.as("parse_ok"))
-    val pages = parsed.where(col(s"j.$CorruptPageCol").isNull)
-      .select("j.*").drop(CorruptPageCol)
+        "columnNameOfCorruptRecord" -> CorruptPageCol))
+        .getField(CorruptPageCol).isNull
+    val status = raw.select(col("page"), parseOk.as("parse_ok"))
+    val pages = raw.where(parseOk)
+      .select(from_json(col("body"), dataSchema).as("j"))
+      .select("j.*")
     (pages, status)
   }
 

@@ -956,4 +956,114 @@ class PlanQualitySpec extends AnyFunSuite {
       } finally events.unpersist()
     } finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("e1 page feed: plucking one schedule prunes the from_json parse " +
+      "schema to that schedule (nested JSON pruning)") {
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.types.StructType
+    val pages = graft.sources.Form700Source.readPages(spark,
+      s"${graft.operators.Form700Pipeline.defaultPagesRoot}/schedules")
+    val one = graft.sources.Form700Source.schedule(pages, "scheduleA1")
+    val parseSchemas = one.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case j: JsonToStructs => j.schema
+      })
+    }.flatten
+    assert(parseSchemas.nonEmpty, "expected a from_json parse in the plan")
+    val names = parseSchemas.flatMap {
+      case s: StructType => s.fieldNames.toSeq
+      case _ => Nil
+    }.toSet
+    assert(names.contains("scheduleA1"),
+      s"plucked schedule must stay in the parse schema: $names")
+    assert(!names.contains("scheduleB") && !names.contains("comments"),
+      s"unplucked schedules must be pruned from the parse schema " +
+        s"(the full page object would be decoded for every table): $names")
+    // the result is still correct under the pruned parse
+    assert(one.count() > 0)
+  }
+
+  test("nested parquet scan prunes unread struct fields (ReadSchema " +
+      "carries only the plucked subfield)") {
+    val pagesDir = graft.Scratch.dir("pq_nested_prune")
+    graft.sources.Form700Source.readPages(spark,
+      s"${graft.operators.Form700Pipeline.defaultPagesRoot}/cover")
+      .write.mode("overwrite").parquet(pagesDir)
+    val rd = spark.read.parquet(pagesDir)
+      .select(explode(col("filings")).as("f"))
+      .select(col("f.filerName"))
+    val plan = planString(rd)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("filerName"),
+      s"plucked nested field must be read: $readSchema")
+    assert(!readSchema.contains("departmentName") &&
+      !readSchema.contains("offices"),
+      s"sibling struct fields must not be read — at 100 TB this is the " +
+        s"difference between scanning one column and the whole nested " +
+        s"blob: $readSchema")
+  }
+
+  test("bucket pruning: an equality point lookup reads 1 of 8 buckets") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Joins.writeBucketed(li, "pq_li_bprune", "l_orderkey", 8)
+    // The planner drops bucketed-scan mode when nothing in the plan
+    // needs the hash distribution (better split parallelism); disable
+    // that heuristic so the scan keeps bucket identity and the
+    // equality predicate can prune to one bucket's files.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(autoKey, "false")
+    try {
+      val key = spark.table("pq_li_bprune").select(min("l_orderkey"))
+        .head().getLong(0)
+      val q = spark.table("pq_li_bprune")
+        .where(col("l_orderkey") === key)
+      val plan = planString(q)
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"point lookup must prune to one bucket:\n$plan")
+      assert(q.count() > 0)
+    } finally {
+      spark.conf.unset(autoKey)
+      spark.sql("DROP TABLE IF EXISTS pq_li_bprune")
+    }
+  }
+
+  test("bucket-count mismatch (8 vs 16): coalescing reads 16 as 8 and " +
+      "joins with NO exchange; without it at least one side re-shuffles") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Joins.writeBucketed(li, "pq_li_b8", "l_orderkey", 8)
+    Joins.writeBucketed(ord, "pq_ord_b16", "l_orderkey", 16)
+    val conf = spark.conf
+    val threshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def exchanges(): Int = {
+      val joined = spark.table("pq_li_b8")
+        .join(spark.table("pq_ord_b16"), Seq("l_orderkey"))
+      val plan = planString(joined).split("== Initial Plan ==").head
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    }
+    try {
+      // Operational default for mixed-bucket-count tables: coalesce the
+      // finer side down (16 → 8, within the 4× ratio cap) — the join
+      // stays exchange-free, each 8-bucket task reading two of the 16.
+      conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      assert(exchanges() == 0,
+        "bucket coalescing must make the mismatched join exchange-free")
+      // Without coalescing the bucket layouts are incompatible and at
+      // least one side pays a full shuffle — the cost the single
+      // bucket-count convention exists to avoid.
+      conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false")
+      assert(exchanges() >= 1,
+        "without coalescing a mismatched bucket join must re-shuffle")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      conf.unset("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
+      spark.sql("DROP TABLE IF EXISTS pq_li_b8")
+      spark.sql("DROP TABLE IF EXISTS pq_ord_b16")
+    }
+  }
 }
