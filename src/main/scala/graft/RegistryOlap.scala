@@ -558,6 +558,67 @@ private[graft] object RegistryOlap {
     })
   )
 
+  // TPC-DS-only shapes TPC-H lacks (the OLAP surface's last two
+  // uncovered patterns). ds_channel_rollup is the Q5 shape: several
+  // CHANNEL facts (orders = sales; returned lineitems = returns)
+  // UNION ALL'd, joined to one CONFORMED customer→nation dimension,
+  // rolled up with GROUPING_ID — the multi-fact conformed-dimension
+  // report every warehouse runs. Scale shape: the union is a scan-time
+  // concat (no shuffle), the dim join broadcasts, and ROLLUP is one
+  // expand+aggregate pass — per-channel partial aggregation happens
+  // below the single exchange. Exact cents arithmetic; '(all)'
+  // sentinels keep the compare NULL-free.
+  private val dsChannelRollup = sqlPair("ds_chan",
+    Seq("orders", "lineitem", "customer", "nation"),
+    """WITH sales AS (
+      |  SELECT 'order' AS channel, o_custkey AS custkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS amt_c
+      |  FROM {orders}
+      |  UNION ALL
+      |  SELECT 'return' AS channel, o.o_custkey AS custkey,
+      |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS amt_c
+      |  FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_returnflag = 'R'
+      |), conformed AS (
+      |  SELECT c_custkey, n_name
+      |  FROM {customer} JOIN {nation} ON c_nationkey = n_nationkey
+      |)
+      |SELECT COALESCE(channel, '(all)') AS channel,
+      |  COALESCE(n_name, '(all)') AS n_name,
+      |  CAST(GROUPING_ID(channel, n_name) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(amt_c) AS BIGINT) AS amount_cents
+      |FROM sales JOIN conformed ON custkey = c_custkey
+      |GROUP BY ROLLUP (channel, n_name)
+      |ORDER BY gid, channel, n_name""".stripMargin)
+
+  // The ICEBERG window-over-aggregate shape (TPC-DS Q47/Q57 family):
+  // aggregate to (nation, month) revenue, then a window RANKS the
+  // months WITHIN each nation over the aggregate's output and keeps
+  // the top 3 — the window's input is the grouped relation (cheap:
+  // nations × months rows), never the fact table, and it reuses the
+  // aggregate's hash partitioning on the nation key (no second
+  // exchange for the window). row_number with the month tie-break
+  // keeps the cut deterministic on both engines.
+  private val dsIcebergWindow = sqlPair("ds_ice",
+    Seq("orders", "customer", "nation"),
+    """WITH agg AS (
+      |  SELECT n_name,
+      |    substring(CAST(o_orderdate AS STRING), 1, 7) AS month,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM {orders}
+      |  JOIN {customer} ON o_custkey = c_custkey
+      |  JOIN {nation} ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, substring(CAST(o_orderdate AS STRING), 1, 7)
+      |), r AS (
+      |  SELECT n_name, month, rev_c,
+      |    CAST(row_number() OVER (PARTITION BY n_name
+      |      ORDER BY rev_c DESC, month) AS BIGINT) AS rk
+      |  FROM agg)
+      |SELECT n_name, month, rev_c, rk FROM r WHERE rk <= 3
+      |ORDER BY n_name, rk""".stripMargin)
+
   private val groupingSetsOracles: Map[String, String] = Map(
     "ev_grouping_sets" ->
       """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
@@ -597,7 +658,9 @@ private[graft] object RegistryOlap {
     "q16_supplier_cnt" -> q16._1,
     "q19_disjunctive" -> q19._1,
     "q20_nested_in" -> q20._1,
-    "lat_topn_per_group" -> qLateral._1
+    "lat_topn_per_group" -> qLateral._1,
+    "ds_channel_rollup" -> dsChannelRollup._1,
+    "ds_iceberg_window" -> dsIcebergWindow._1
   ) ++ setOps ++ groupingSetsQ ++ fullOuterQ ++ rankFamilyQ
 
   val oracles: Map[String, String] = Map(
@@ -616,7 +679,9 @@ private[graft] object RegistryOlap {
     "q16_supplier_cnt" -> q16._2,
     "q19_disjunctive" -> q19._2,
     "q20_nested_in" -> q20._2,
-    "lat_topn_per_group" -> qLateral._2
+    "lat_topn_per_group" -> qLateral._2,
+    "ds_channel_rollup" -> dsChannelRollup._2,
+    "ds_iceberg_window" -> dsIcebergWindow._2
   ) ++ setOpsOracles ++ groupingSetsOracles ++
     fullOuterOracle ++ rankFamilyOracle
 }

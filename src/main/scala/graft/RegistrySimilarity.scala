@@ -23,6 +23,16 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
   // recall@5 to ~0.7 at fixture scale (pinned by the SimilaritySpec
   // recall contract against brute-force ground truth).
   private val NumTables = 16
+  /** Bucket resolution for the SCALED kNN-graph twin. The LSH
+    * self-join's candidate-pair work is Σ_buckets occupancy² ≈
+    * N·(N/2^planes) per table — QUADRATIC in N at fixed planes (the
+    * sf0.01→sf1 scaling runs measured exponent 1.35 for the 4-plane
+    * form; BASELINE.md round 14). The operator's scale contract is
+    * therefore planes ≈ log₂(N / targetOccupancy): occupancy stays
+    * constant and pair work returns to ∝ N. 11 planes targets the
+    * ~20k-vector sf1 step (occupancy ≈ 10/table); the 4-plane original
+    * stays registered at the fixture-tuned recall point. */
+  private val NumPlanesScaled = 11
   protected val KMeansIter = 2
   // SemDeDup cosine cut: only exact/near-exact copies at fixture scale
   // (random vectors are near-orthogonal); the literal appears verbatim
@@ -118,6 +128,16 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     "sim_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(t(s, dir, "embeddings"), TopK, NumPlanes,
         Dim, NumTables)
+        .orderBy("src_id", "rank")),
+    // The SCALE form of the kNN graph: same construction at 11-plane
+    // bucket resolution — the planes ≈ log₂(N/occupancy) sizing rule
+    // (see NumPlanesScaled) that keeps the bucket self-join's pair
+    // work linear in corpus size. Sparser co-bucketing at fixture
+    // scale (the honest LSH recall trade the resolution rule makes);
+    // identical code path, own oracle at the scaled constant.
+    "sim_knn_graph_scaled" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), TopK,
+        NumPlanesScaled, Dim, NumTables)
         .orderBy("src_id", "rank")),
     // Mutual-kNN clustering: keep only edges where BOTH endpoints rank
     // each other (the standard symmetrization that kills hub-induced
@@ -375,6 +395,41 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
        |FROM s$k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** kNN-graph oracle generator, parameterized by bucket resolution so
+    * the plain (4-plane) and scaled (11-plane) registry twins replay
+    * the identical construction at their own constants. */
+  private def knnGraphOracle(numPlanes: Int): String = {
+    val bucketsByTable = (0 until NumTables).map { t =>
+      Similarity.planes(numPlanes, Dim, t).map(p =>
+        s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+    }
+    val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
+      s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $quantCte,
+       |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+       |bk AS (
+       |$bk),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id <> b.vec_id),
+       |sc AS (
+       |  SELECT src_id, dst_id,
+       |    ${dotSql("sn.q", "dn.q")} AS dot, sn.nq AS nqs, dn.nq AS nqd
+       |  FROM cand
+       |  JOIN n sn ON sn.vec_id = cand.src_id
+       |  JOIN n dn ON dn.vec_id = cand.dst_id),
+       |r AS (
+       |  SELECT src_id, dst_id, dot,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqs AS DOUBLE)) * sqrt(CAST(nqd AS DOUBLE))) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY src_id ORDER BY dot DESC, dst_id) AS BIGINT) AS "rank"
+       |  FROM sc)
+       |SELECT src_id, dst_id, dot, cosine, "rank"
+       |FROM r WHERE "rank" <= $TopK ORDER BY src_id, "rank"""".stripMargin
+  }
+
   protected val similarityOracles: Map[String, String] = Map(
     "sim_mmr" -> mmrOracle(TopK, MmrPool, MmrLamNum, MmrLamDen),
     "sim_kmeans" -> kmeansOracle,
@@ -538,37 +593,9 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     // k-NN graph: the sim_lsh_topk construction with EVERY vector as a
     // query — candidate pairs from the multi-table bucket self-join,
     // DISTINCT-collapsed, exact-scored, ranked per source node.
-    "sim_knn_graph" -> {
-      val bucketsByTable = (0 until NumTables).map { t =>
-        Similarity.planes(NumPlanes, Dim, t).map(p =>
-          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
-          .mkString(" || ")
-      }
-      val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
-        s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
-      }.mkString("\nUNION ALL ")
-      s"""WITH $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |bk AS (
-         |$bk),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
-         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
-         |  WHERE a.vec_id <> b.vec_id),
-         |sc AS (
-         |  SELECT src_id, dst_id,
-         |    ${dotSql("sn.q", "dn.q")} AS dot, sn.nq AS nqs, dn.nq AS nqd
-         |  FROM cand
-         |  JOIN n sn ON sn.vec_id = cand.src_id
-         |  JOIN n dn ON dn.vec_id = cand.dst_id),
-         |r AS (
-         |  SELECT src_id, dst_id, dot,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nqs AS DOUBLE)) * sqrt(CAST(nqd AS DOUBLE))) AS cosine,
-         |    CAST(row_number() OVER (PARTITION BY src_id ORDER BY dot DESC, dst_id) AS BIGINT) AS "rank"
-         |  FROM sc)
-         |SELECT src_id, dst_id, dot, cosine, "rank"
-         |FROM r WHERE "rank" <= $TopK ORDER BY src_id, "rank"""".stripMargin
-    },
+    "sim_knn_graph" -> knnGraphOracle(NumPlanes),
+    // The BUCKET-RESOLUTION-SCALED twin (see the query's comment).
+    "sim_knn_graph_scaled" -> knnGraphOracle(NumPlanesScaled),
     // Mutual-kNN components: the knn CTE chain, both-directions edge
     // filter, transitive min-reachability (the gr_components oracle
     // shape), singletons via the LEFT JOIN coalesce.

@@ -122,7 +122,17 @@ object Similarity {
     * A node co-bucketed with fewer than k others just emits fewer
     * edges — the honest LSH contract; raise `numTables` for denser
     * guarantees. Deterministic (md5-derived planes), so the DuckDB
-    * oracle replays the whole construction. */
+    * oracle replays the whole construction.
+    *
+    * SIZING RULE (measured — BASELINE.md round 14): pair work in the
+    * bucket self-join is Σ occupancy² ≈ N·(N/2^numPlanes) per table —
+    * QUADRATIC in N at fixed `numPlanes` (exp 1.35 across a 10× step
+    * at the fixture-tuned 4 planes). Size numPlanes ≈
+    * log₂(N / targetOccupancy) so occupancy stays constant and work
+    * returns to ∝ N (the 11-plane form measured exp 0.52 and 24×
+    * faster at the 20k-vector step). Fewer co-bucketed partners per
+    * node is the recall trade that rule makes — compensate with
+    * `numTables`, never with occupancy. */
   def knnGraph(emb: DataFrame, k: Int, numPlanes: Int = 8, dim: Int = 64,
                numTables: Int = 1): DataFrame = {
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
