@@ -44,7 +44,14 @@ object ScaleData {
     val dst = args.lift(1).getOrElse("/root/repo/scaledata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = Sessions.get("graft-scaledata")
+    run(spark, src, dst, copies)
+    spark.stop()
+  }
 
+  /** The derivation itself, session-supplied (tests reuse the shared
+    * session; `main` owns its own). */
+  def run(spark: SparkSession, src: String, dst: String,
+          copies: Int): Unit = {
     def write(name: String, df: DataFrame, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$dst/$name.parquet")
@@ -107,6 +114,5 @@ object ScaleData {
       val c = spark.read.parquet(s"$dst/$n.parquet").count()
       println(s"[scaledata] $n: $c rows")
     }
-    spark.stop()
   }
 }

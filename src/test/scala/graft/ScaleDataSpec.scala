@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants of the derived scale step (BASELINE.md round 14): the
+  * scaling measurements are only meaningful if the derived copies are
+  * disjoint in keys/time and NOT near-duplicates in content — a copy
+  * that collided or duplicated would silently change every kernel's
+  * workload shape. */
+class ScaleDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val out: String = {
+    val dir = Scratch.dir("scaledata_spec")
+    ScaleData.run(spark, "/root/testdata/sf0.001", dir, 3)
+    dir
+  }
+
+  test("copies multiply row counts and keep key/time ranges disjoint") {
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    assert(ev.count() == 3 * src.count())
+    // per-copy key ranges are disjoint: bucketing ids by the offset
+    // recovers exactly the copy index, and each bucket holds one copy
+    val byCopy = ev.groupBy((col("event_id") / 10000000L).cast("long")
+        .as("copy"))
+      .agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi"))
+      .orderBy("copy").collect()
+    assert(byCopy.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(byCopy.forall(_.getLong(1) == src.count()))
+    // time ranges are strictly ordered copy-to-copy (no window overlap)
+    byCopy.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(3).before(b.getTimestamp(2)),
+        s"copy time ranges overlap: ${a.getTimestamp(3)} vs " +
+          s"${b.getTimestamp(2)}")
+    }
+  }
+
+  test("document copies are NOT near-duplicates of their base doc " +
+      "(shingle overlap below dedup thresholds)") {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val base = docs.where(col("doc_id") < 10000000L)
+      .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    val copy1 = docs
+      .where(col("doc_id") >= 10000000L && col("doc_id") < 20000000L)
+      .select((col("doc_id") - 10000000L).as("b_id"),
+        col("text").as("c_text"))
+    // 5-gram word shingle Jaccard per (base, copy) pair — the quantity
+    // MinHash dedup estimates. Every-5th-word suffixing should push it
+    // far below any near-dup threshold (~0.7+).
+    def shingles(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(
+        slice(split(c, " "), 1, 10000),
+        (w: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+          concat_ws(" ", slice(split(c, " "), i + 1, lit(5)))))
+    val j = base.join(copy1, "b_id")
+      .select(
+        (size(array_intersect(shingles(col("b_text")),
+          shingles(col("c_text")))).cast("double") /
+          size(array_union(shingles(col("b_text")),
+            shingles(col("c_text")))).cast("double")).as("jac"))
+      .agg(max("jac"), avg("jac")).head()
+    assert(j.getDouble(0) < 0.6,
+      s"max cross-copy shingle Jaccard ${j.getDouble(0)} — copies " +
+        "would register as near-duplicates and distort dd_* scaling")
+    assert(j.getDouble(1) < 0.45, s"avg Jaccard ${j.getDouble(1)}")
+  }
+
+  test("embedding copies are perturbed (no exact-duplicate vectors), " +
+      "but stay within the same neighborhood") {
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val base = emb.where(col("vec_id") < 10000000L)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b"))
+    val copy1 = emb
+      .where(col("vec_id") >= 10000000L && col("vec_id") < 20000000L)
+      .select((col("vec_id") - 10000000L).as("b_id"),
+        col("embedding").as("c"))
+    val stats = base.join(copy1, "b_id")
+      .select(aggregate(zip_with(col("b"), col("c"),
+          (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
+            => abs(x - y)),
+        lit(0.0d), (acc: org.apache.spark.sql.Column,
+                    d: org.apache.spark.sql.Column) => acc + d).as("l1"))
+      .agg(min("l1"), max("l1")).head()
+    // perturbed: no copy is byte-identical to its base
+    assert(stats.getDouble(0) > 0.0,
+      "an embedding copy is identical to its base — kNN graphs would " +
+        "collapse onto duplicate points")
+    // bounded: per-dim |delta| <= 0.006, 64 dims -> L1 <= 0.384
+    assert(stats.getDouble(1) <= 0.385, s"L1 drift ${stats.getDouble(1)}")
+  }
+}
