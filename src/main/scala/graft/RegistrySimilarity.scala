@@ -160,6 +160,27 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
           col("cluster_size"))
         .orderBy("vec_id")
     }),
+    // The components dual at SCALED bucket resolution — the sf1
+    // scaling run showed sim_knn_components' exp 1.09 is the graph
+    // construction (gr_components itself is 0.38); this twin applies
+    // the planes ≈ log₂(N/occupancy) rule to the whole mutual-kNN
+    // clustering path.
+    "sim_knn_components_scaled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = Similarity.knnGraph(emb, TopK, NumPlanesScaled, Dim,
+        NumTables).select("src_id", "dst_id")
+      val mutual = g.join(
+        g.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
+        Seq("src_id", "dst_id"), "left_semi")
+      Dedup.connectedComponents(
+        emb.select(col("vec_id").as("doc_id")),
+        mutual.select(col("src_id").as("doc_a"),
+          col("dst_id").as("doc_b")),
+        "doc_id")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("cluster_size"))
+        .orderBy("vec_id")
+    }),
     // Retrieval-quality eval AS DATA: per-query recall@k / MRR of the
     // LSH index against the brute-force ground truth — the recall
     // contract SimilaritySpec asserts, promoted to an oracle-checked
@@ -430,6 +451,53 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
        |FROM r WHERE "rank" <= $TopK ORDER BY src_id, "rank"""".stripMargin
   }
 
+  /** Mutual-kNN components oracle generator, parameterized by
+    * bucket resolution like [[knnGraphOracle]]. */
+  private def knnComponentsOracle(numPlanes: Int): String = {
+      val bucketsByTable = (0 until NumTables).map { t =>
+        Similarity.planes(numPlanes, Dim, t).map(p =>
+          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+      }
+      val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
+        s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
+      }.mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |bk AS (
+         |$bk),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id <> b.vec_id),
+         |sc AS (
+         |  SELECT src_id, dst_id, ${dotSql("sn.q", "dn.q")} AS dot
+         |  FROM cand
+         |  JOIN n sn ON sn.vec_id = cand.src_id
+         |  JOIN n dn ON dn.vec_id = cand.dst_id),
+         |r AS (
+         |  SELECT src_id, dst_id,
+         |    CAST(row_number() OVER (PARTITION BY src_id
+         |      ORDER BY dot DESC, dst_id) AS BIGINT) AS "rank"
+         |  FROM sc),
+         |g AS (SELECT src_id, dst_id FROM r WHERE "rank" <= $TopK),
+         |m AS (SELECT a.src_id AS src, a.dst_id AS dst FROM g a
+         |  JOIN g b ON a.src_id = b.dst_id AND a.dst_id = b.src_id),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM m
+         |  UNION
+         |  SELECT r2.src, e.dst FROM reach r2 JOIN m e ON r2.dst = e.src),
+         |lbl AS (SELECT src AS node, least(src, min(dst)) AS cid
+         |  FROM reach GROUP BY src),
+         |lab AS (SELECT vec_id, coalesce(l.cid, vec_id) AS cluster_id
+         |  FROM v LEFT JOIN lbl l ON v.vec_id = l.node),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+         |    AS cluster_size
+         |  FROM lab GROUP BY cluster_id)
+         |SELECT vec_id, cluster_id, cluster_size FROM lab
+         |JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
+    }
+
   protected val similarityOracles: Map[String, String] = Map(
     "sim_mmr" -> mmrOracle(TopK, MmrPool, MmrLamNum, MmrLamDen),
     "sim_kmeans" -> kmeansOracle,
@@ -599,50 +667,9 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     // Mutual-kNN components: the knn CTE chain, both-directions edge
     // filter, transitive min-reachability (the gr_components oracle
     // shape), singletons via the LEFT JOIN coalesce.
-    "sim_knn_components" -> {
-      val bucketsByTable = (0 until NumTables).map { t =>
-        Similarity.planes(NumPlanes, Dim, t).map(p =>
-          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
-          .mkString(" || ")
-      }
-      val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
-        s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
-      }.mkString("\nUNION ALL ")
-      s"""WITH RECURSIVE $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |bk AS (
-         |$bk),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
-         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
-         |  WHERE a.vec_id <> b.vec_id),
-         |sc AS (
-         |  SELECT src_id, dst_id, ${dotSql("sn.q", "dn.q")} AS dot
-         |  FROM cand
-         |  JOIN n sn ON sn.vec_id = cand.src_id
-         |  JOIN n dn ON dn.vec_id = cand.dst_id),
-         |r AS (
-         |  SELECT src_id, dst_id,
-         |    CAST(row_number() OVER (PARTITION BY src_id
-         |      ORDER BY dot DESC, dst_id) AS BIGINT) AS "rank"
-         |  FROM sc),
-         |g AS (SELECT src_id, dst_id FROM r WHERE "rank" <= $TopK),
-         |m AS (SELECT a.src_id AS src, a.dst_id AS dst FROM g a
-         |  JOIN g b ON a.src_id = b.dst_id AND a.dst_id = b.src_id),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM m
-         |  UNION
-         |  SELECT r2.src, e.dst FROM reach r2 JOIN m e ON r2.dst = e.src),
-         |lbl AS (SELECT src AS node, least(src, min(dst)) AS cid
-         |  FROM reach GROUP BY src),
-         |lab AS (SELECT vec_id, coalesce(l.cid, vec_id) AS cluster_id
-         |  FROM v LEFT JOIN lbl l ON v.vec_id = l.node),
-         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
-         |    AS cluster_size
-         |  FROM lab GROUP BY cluster_id)
-         |SELECT vec_id, cluster_id, cluster_size FROM lab
-         |JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
-    },
+    "sim_knn_components" -> knnComponentsOracle(NumPlanes),
+    // The scaled-resolution components twin (see the query comment).
+    "sim_knn_components_scaled" -> knnComponentsOracle(NumPlanesScaled),
     "sim_ivf_topk" ->
       s"""WITH $quantCte,
          |${ivfOracleTail(
