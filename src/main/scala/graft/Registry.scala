@@ -48,8 +48,19 @@ object Registry {
         .agg(
           asDouble(sum(dec2("l_quantity"))).as("sum_qty"),
           asDouble(sum(dec2("l_extendedprice"))).as("sum_base_price"),
-          asDouble(sum(dec2("l_extendedprice") * (one - disc))).as("sum_disc_price"),
-          asDouble(sum(dec2("l_extendedprice") * (one - disc) * (one + tax))).as("sum_charge"),
+          // Money sums round to scale 2 (exact decimal rounding, the
+          // same on both engines for positive sums: Spark's decimal
+          // cast is HALF_UP, the oracle uses DuckDB ROUND — its
+          // decimal CAST truncates) BEFORE the double cast: a
+          // high-scale sum whose unscaled value exceeds 2^53 hits
+          // engine-divergent decimal→double rounding (DuckDB divides
+          // two doubles; Spark rounds the BigDecimal) — measured at
+          // the 10× scale step on sum_charge (scale 6, unscaled
+          // 2.8e16); at scale 2 the boundary moves out to ~$90 T.
+          asDouble(sum(dec2("l_extendedprice") * (one - disc))
+            .cast(DecimalType(38, 2))).as("sum_disc_price"),
+          asDouble(sum(dec2("l_extendedprice") * (one - disc) * (one + tax))
+            .cast(DecimalType(38, 2))).as("sum_charge"),
           (asDouble(sum(dec2("l_quantity"))) / count(lit(1))).as("avg_qty"),
           (asDouble(sum(dec2("l_extendedprice"))) / count(lit(1))).as("avg_price"),
           (asDouble(sum(disc)) / count(lit(1))).as("avg_disc"),
@@ -342,8 +353,8 @@ object Registry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,

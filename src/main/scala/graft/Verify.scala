@@ -7,11 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg (dev only; the driver passes two): run only
-    // queries whose name starts with the given prefix.
-    val prefix = args.lift(2).getOrElse("")
+    // queries whose name starts with one of the comma-separated
+    // prefixes.
+    val prefixes = args.lift(2).getOrElse("").split(",").toSeq
+    def matches(n: String) = prefixes.exists(n.startsWith)
     val spark = Sessions.get("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => matches(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -30,7 +32,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(_._1.startsWith(prefix))
+    val json = SparkEntry.oracleSql.filter(q => matches(q._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -11,12 +11,17 @@ import sys, json, glob
 import duckdb
 import pandas as pd
 
+import os
 sf, out = sys.argv[1], sys.argv[2]
 from_name = sys.argv[3] if len(sys.argv) > 3 else ""
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # driver fixtures are bare files; derived scale steps (ScaleData)
+    # are Spark-written directories — glob those
+    p = f"{sf}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = {k: v for k, v in json.load(open(f"{out}/oracle_sql.json")).items()
           if k >= from_name}
