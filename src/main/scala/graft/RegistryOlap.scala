@@ -147,7 +147,14 @@ private[graft] object RegistryOlap {
   // derived from identical exact operands.
   // ---------------------------------------------------------------------
 
-  /** Exact-decimal revenue term — the one spelling both engines run. */
+  /** Exact-decimal revenue term — the one spelling both engines run.
+    * CONVENTION (BASELINE.md round 14): corpus-level sums of this term
+    * go through `ROUND(SUM(...), 2)` before any DOUBLE cast — exact
+    * scale-2 rounding agrees between Spark (HALF_UP) and DuckDB
+    * (ROUND; its decimal CAST truncates), while an unrounded scale-4+
+    * sum whose unscaled value crosses 2^53 hits engine-divergent
+    * decimal→double rounding. Per-key grouped sums sit far below the
+    * boundary and may cast directly. */
   private val Vol = "CAST(l.l_extendedprice AS DECIMAL(18,2)) * " +
     "(1 - CAST(l.l_discount AS DECIMAL(4,2)))"
 
@@ -177,7 +184,7 @@ private[graft] object RegistryOlap {
     Seq("lineitem", "supplier", "orders", "customer", "nation"),
     s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-      |  CAST(SUM($Vol) AS DOUBLE) AS revenue, COUNT(*) AS n
+      |  CAST(ROUND(SUM($Vol), 2) AS DOUBLE) AS revenue, COUNT(*) AS n
       |FROM {lineitem} l
       |JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
       |JOIN {orders} o ON o.o_orderkey = l.l_orderkey
@@ -189,17 +196,18 @@ private[graft] object RegistryOlap {
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 
   // Q8 shape: one nation's market share of a part-type's revenue by
-  // order year. Both sums are exact decimals; the share divides their
-  // DOUBLE casts (identical operands → identical IEEE quotient).
+  // order year. Both sums are exact decimals rounded to scale 2 (the
+  // Vol convention); the share divides their DOUBLE casts (identical
+  // operands → identical IEEE quotient).
   private val q8 = sqlPair("q8",
     Seq("lineitem", "supplier", "orders", "part", "nation"),
     s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-      |  CAST(SUM(CASE WHEN n.n_name = 'NATION_3' THEN $Vol
-      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_vol,
-      |  CAST(SUM($Vol) AS DOUBLE) AS total_vol,
-      |  CAST(SUM(CASE WHEN n.n_name = 'NATION_3' THEN $Vol
-      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-      |    / CAST(SUM($Vol) AS DOUBLE) AS mkt_share
+      |  CAST(ROUND(SUM(CASE WHEN n.n_name = 'NATION_3' THEN $Vol
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS nation_vol,
+      |  CAST(ROUND(SUM($Vol), 2) AS DOUBLE) AS total_vol,
+      |  CAST(ROUND(SUM(CASE WHEN n.n_name = 'NATION_3' THEN $Vol
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |    / CAST(ROUND(SUM($Vol), 2) AS DOUBLE) AS mkt_share
       |FROM {lineitem} l
       |JOIN {part} p ON p.p_partkey = l.l_partkey
       |JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
@@ -216,9 +224,9 @@ private[graft] object RegistryOlap {
     Seq("lineitem", "supplier", "orders", "part", "nation"),
     s"""SELECT n.n_name AS nation,
       |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-      |  CAST(SUM($Vol
+      |  CAST(ROUND(SUM($Vol
       |    - CAST(p.p_retailprice AS DECIMAL(18,2))
-      |      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+      |      * CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS profit
       |FROM {lineitem} l
       |JOIN {part} p ON p.p_partkey = l.l_partkey
       |JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
@@ -318,7 +326,7 @@ private[graft] object RegistryOlap {
   // (Catalyst must keep the equi conjunct hash-joinable and push the
   // OR of per-side predicates to both scans).
   private val q19 = sqlPair("q19", Seq("lineitem", "part"),
-    s"""SELECT CAST(SUM($Vol) AS DOUBLE) AS revenue, COUNT(*) AS n
+    s"""SELECT CAST(ROUND(SUM($Vol), 2) AS DOUBLE) AS revenue, COUNT(*) AS n
       |FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
       |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
       |       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
