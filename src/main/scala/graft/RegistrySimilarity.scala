@@ -58,6 +58,30 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
   private val RrfK = 60
   private val RrfScale = 1000000000L
 
+  /** Mutual-kNN clustering, parameterized by bucket resolution like
+    * its oracle generator (`knnComponentsOracle`): keep only edges
+    * where BOTH endpoints rank each other (the symmetrization that
+    * kills hub-induced chaining), then connected components —
+    * isolated vectors stay singleton clusters. The mutuality check is
+    * a self-semi-join of the k-bounded edge list, never the corpus. */
+  private def knnComponentsQuery(s: SparkSession, dir: String,
+                                 numPlanes: Int): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val g = Similarity.knnGraph(emb, TopK, numPlanes, Dim, NumTables)
+      .select("src_id", "dst_id")
+    val mutual = g.join(
+      g.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
+      Seq("src_id", "dst_id"), "left_semi")
+    Dedup.connectedComponents(
+      emb.select(col("vec_id").as("doc_id")),
+      mutual.select(col("src_id").as("doc_a"),
+        col("dst_id").as("doc_b")),
+      "doc_id")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   protected val similarity: Map[String, Q] = Map(
     // SemDeDup's clustering primitive at LARGE k: one narrow projection
     // assigning every vector to its L2-nearest of 400 codebook entries,
@@ -144,43 +168,15 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     // chaining), then connected components — isolated vectors stay
     // singleton clusters. The mutuality check is a self-semi-join of
     // the k-bounded edge list, never the corpus.
-    "sim_knn_components" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val g = Similarity.knnGraph(emb, TopK, NumPlanes, Dim, NumTables)
-        .select("src_id", "dst_id")
-      val mutual = g.join(
-        g.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
-        Seq("src_id", "dst_id"), "left_semi")
-      Dedup.connectedComponents(
-        emb.select(col("vec_id").as("doc_id")),
-        mutual.select(col("src_id").as("doc_a"),
-          col("dst_id").as("doc_b")),
-        "doc_id")
-        .select(col("doc_id").as("vec_id"), col("cluster_id"),
-          col("cluster_size"))
-        .orderBy("vec_id")
-    }),
+    "sim_knn_components" -> ((s, dir) =>
+      knnComponentsQuery(s, dir, NumPlanes)),
     // The components dual at SCALED bucket resolution — the sf1
     // scaling run showed sim_knn_components' exp 1.09 is the graph
     // construction (gr_components itself is 0.38); this twin applies
     // the planes ≈ log₂(N/occupancy) rule to the whole mutual-kNN
     // clustering path.
-    "sim_knn_components_scaled" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val g = Similarity.knnGraph(emb, TopK, NumPlanesScaled, Dim,
-        NumTables).select("src_id", "dst_id")
-      val mutual = g.join(
-        g.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
-        Seq("src_id", "dst_id"), "left_semi")
-      Dedup.connectedComponents(
-        emb.select(col("vec_id").as("doc_id")),
-        mutual.select(col("src_id").as("doc_a"),
-          col("dst_id").as("doc_b")),
-        "doc_id")
-        .select(col("doc_id").as("vec_id"), col("cluster_id"),
-          col("cluster_size"))
-        .orderBy("vec_id")
-    }),
+    "sim_knn_components_scaled" -> ((s, dir) =>
+      knnComponentsQuery(s, dir, NumPlanesScaled)),
     // Retrieval-quality eval AS DATA: per-query recall@k / MRR of the
     // LSH index against the brute-force ground truth — the recall
     // contract SimilaritySpec asserts, promoted to an oracle-checked

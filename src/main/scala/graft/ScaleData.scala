@@ -99,11 +99,16 @@ object ScaleData {
     val emb = Tables.load(spark, src, "embeddings")
     write("embeddings", withCopies(spark, copies) { i =>
       val base = emb.withColumn("vec_id", col("vec_id") + lit(i * KeyOffset))
+      // j's coefficient is 1 (coprime with the modulus and never
+      // scaled by i), so the per-dimension delta is a RAMP across j
+      // for every copy — no copy index can degenerate it to a
+      // constant, and a zero delta across all dims is impossible
+      // (ScaleDataSpec checks every copy).
       if (i == 0) base
       else base.withColumn("embedding",
         transform(col("embedding"), (x: Column, j: Column) =>
-          (x + ((pmod(col("vec_id") * 31 + j * lit(i), lit(7L)) - lit(3L))
-            .cast("float") * lit(0.002f))).cast("float")))
+          (x + ((pmod(col("vec_id") * 31 + j + lit(i * 5L), lit(7L))
+            - lit(3L)).cast("float") * lit(0.002f))).cast("float")))
     }, 8)
 
     // dims: pass through unscaled.

@@ -8,8 +8,15 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg (dev only; the driver passes two): run only
     // queries whose name starts with one of the comma-separated
-    // prefixes.
-    val prefixes = args.lift(2).getOrElse("").split(",").toSeq
+    // prefixes. Empty elements are dropped (",q1" must not match
+    // everything); a filter arg with NO usable prefix is an error, not
+    // a silent empty run.
+    val rawFilter = args.lift(2)
+    val prefixes = rawFilter
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq(""))
+    require(prefixes.nonEmpty,
+      s"prefix filter '${rawFilter.getOrElse("")}' selects nothing")
     def matches(n: String) = prefixes.exists(n.startsWith)
     val spark = Sessions.get("graft-verify")
     new java.io.File(outDir).mkdirs()

@@ -69,7 +69,12 @@ object Form700Source {
         .filterNot(_.name == inferredCorrupt))
     val probeSchema = new org.apache.spark.sql.types.StructType()
       .add(CorruptPageCol, org.apache.spark.sql.types.StringType)
+    // Spark's from_json maps an empty/whitespace body to a NULL struct
+    // (not a corrupt-populated row), so blank bodies need their own
+    // clause — an empty 200 response is a parse FAILURE (DuckDB's
+    // json_valid('') agrees), not a page of nulls.
     def parseOk = col("body").isNotNull &&
+      trim(col("body")) =!= "" &&
       from_json(col("body"), probeSchema, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> CorruptPageCol))

@@ -109,9 +109,10 @@ class PagedJsonSourceSpec extends AnyFunSuite {
   test("corrupt page: tolerated, dropped from data, counted in status " +
       "(Form700.py:123-126)") {
     class Mixed extends PageFetcher {
-      override def totalPages(): Int = 3
+      override def totalPages(): Int = 4
       override def fetchPage(page: Int): String = page match {
         case 2 => """{"filings": [{"filingId": "C2""" // truncated
+        case 4 => "  " // blank 200 response — also a parse failure
         case p => s"""{"filings": [{"filingId": "C$p"}]}"""
       }
     }
@@ -122,7 +123,7 @@ class PagedJsonSourceSpec extends AnyFunSuite {
       .option("fetcher", "mixed3").load()
     // the public entry: file-backed variant via a temp dir
     val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
-    (1 to 3).foreach { p =>
+    (1 to 4).foreach { p =>
       java.nio.file.Files.writeString(dir.resolve(s"page_$p.json"),
         new Mixed().fetchPage(p))
     }
@@ -130,7 +131,7 @@ class PagedJsonSourceSpec extends AnyFunSuite {
       .readPagesWithStatus(spark, dir.toUri.toString)
     val st = status.orderBy("page").collect()
     assert(st.map(r => (r.getInt(0), r.getBoolean(1))).toSeq ==
-      Seq((1, true), (2, false), (3, true)))
+      Seq((1, true), (2, false), (3, true), (4, false)))
     // bad page dropped, good pages parsed; schema carries no corrupt col
     val filings = graft.sources.Form700Source.cover(pages)
       .orderBy("filingId").collect().map(_.getString(0)).toSeq
@@ -141,7 +142,7 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     val audit = graft.operators.Form700Pipeline
       .pageParseAudit(status, "cover").orderBy("page").collect()
     assert(audit.map(_.getString(3)).toSeq ==
-      Seq("SUCCESS", "FAILURE", "SUCCESS"))
-    assert(raw.count() == 3) // the raw feed still surfaces every page
+      Seq("SUCCESS", "FAILURE", "SUCCESS", "FAILURE"))
+    assert(raw.count() == 4) // the raw feed still surfaces every page
   }
 }

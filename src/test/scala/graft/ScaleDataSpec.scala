@@ -11,23 +11,29 @@ import org.apache.spark.sql.functions._
 class ScaleDataSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  // 8 copies so the perturbation checks cover copy indexes past any
+  // small-modulus degeneracy (a round-14 review found the original
+  // delta formula collapsed to a constant for copy 7).
+  private val Copies = 8
+
   private lazy val out: String = {
     val dir = Scratch.dir("scaledata_spec")
-    ScaleData.run(spark, "/root/testdata/sf0.001", dir, 3)
+    ScaleData.run(spark, "/root/testdata/sf0.001", dir, Copies)
     dir
   }
 
   test("copies multiply row counts and keep key/time ranges disjoint") {
     val src = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val ev = spark.read.parquet(s"$out/events.parquet")
-    assert(ev.count() == 3 * src.count())
+    assert(ev.count() == Copies * src.count())
     // per-copy key ranges are disjoint: bucketing ids by the offset
     // recovers exactly the copy index, and each bucket holds one copy
     val byCopy = ev.groupBy((col("event_id") / 10000000L).cast("long")
         .as("copy"))
       .agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi"))
       .orderBy("copy").collect()
-    assert(byCopy.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(byCopy.map(_.getLong(0)).toSeq ==
+      (0L until Copies.toLong).toSeq)
     assert(byCopy.forall(_.getLong(1) == src.count()))
     // time ranges are strictly ordered copy-to-copy (no window overlap)
     byCopy.sliding(2).foreach { case Array(a, b) =>
@@ -67,27 +73,31 @@ class ScaleDataSpec extends AnyFunSuite {
     assert(j.getDouble(1) < 0.45, s"avg Jaccard ${j.getDouble(1)}")
   }
 
-  test("embedding copies are perturbed (no exact-duplicate vectors), " +
-      "but stay within the same neighborhood") {
+  test("EVERY embedding copy is perturbed (no exact-duplicate vectors " +
+      "for any copy index), but stays within the same neighborhood") {
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
     val base = emb.where(col("vec_id") < 10000000L)
       .select(col("vec_id").as("b_id"), col("embedding").as("b"))
-    val copy1 = emb
-      .where(col("vec_id") >= 10000000L && col("vec_id") < 20000000L)
-      .select((col("vec_id") - 10000000L).as("b_id"),
-        col("embedding").as("c"))
-    val stats = base.join(copy1, "b_id")
-      .select(aggregate(zip_with(col("b"), col("c"),
-          (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
-            => abs(x - y)),
-        lit(0.0d), (acc: org.apache.spark.sql.Column,
-                    d: org.apache.spark.sql.Column) => acc + d).as("l1"))
-      .agg(min("l1"), max("l1")).head()
-    // perturbed: no copy is byte-identical to its base
-    assert(stats.getDouble(0) > 0.0,
-      "an embedding copy is identical to its base — kNN graphs would " +
-        "collapse onto duplicate points")
-    // bounded: per-dim |delta| <= 0.006, 64 dims -> L1 <= 0.384
-    assert(stats.getDouble(1) <= 0.385, s"L1 drift ${stats.getDouble(1)}")
+    (1 until Copies).foreach { i =>
+      val copyI = emb
+        .where(col("vec_id") >= i * 10000000L &&
+          col("vec_id") < (i + 1) * 10000000L)
+        .select((col("vec_id") - i * 10000000L).as("b_id"),
+          col("embedding").as("c"))
+      val stats = base.join(copyI, "b_id")
+        .select(aggregate(zip_with(col("b"), col("c"),
+            (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
+              => abs(x - y)),
+          lit(0.0d), (acc: org.apache.spark.sql.Column,
+                      d: org.apache.spark.sql.Column) => acc + d).as("l1"))
+        .agg(min("l1"), max("l1")).head()
+      // perturbed: no copy is byte-identical to its base
+      assert(stats.getDouble(0) > 0.0,
+        s"copy $i has an embedding identical to its base — kNN graphs " +
+          "would collapse onto duplicate points")
+      // bounded: per-dim |delta| <= 0.006, 64 dims -> L1 <= 0.384
+      assert(stats.getDouble(1) <= 0.385,
+        s"copy $i L1 drift ${stats.getDouble(1)}")
+    }
   }
 }
