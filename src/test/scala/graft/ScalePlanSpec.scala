@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+/** Plan properties AT the 10× derived step — the claims PlanQualitySpec
+  * asserts at sf0.001 re-checked against `scaledata/sf1` (6M-row
+  * lineitem, 1M events), where AQE has real statistics and could flip a
+  * strategy. Conditional: skips when the derived dataset has not been
+  * generated (`runMain graft.ScaleData`). */
+class ScalePlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/repo/scaledata/sf1"
+  private def have = new java.io.File(s"$dir/lineitem.parquet").isDirectory
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("sf1: the filer/dim joins still broadcast (dims stay unscaled)") {
+    assume(have, "derived sf1 not generated")
+    val plan = planString(Registry.queries("j1_filer_join")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"6M-row fact × 150k-row dim must broadcast the dim:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("sf1: q1 filter still reaches the parquet scan") {
+    assume(have, "derived sf1 not generated")
+    val plan = planString(Registry.queries("q1_agg")(spark, dir))
+    assert(plan.contains("PushedFilters: [") &&
+      !plan.toLowerCase.contains("pushedfilters: []"))
+  }
+
+  test("sf1: the 2-level as-of join keeps its (key, bucket) exchange " +
+      "— AQE does not re-plan the skew bound away") {
+    assume(have, "derived sf1 not generated")
+    val plan = planString(
+      Registry.queries("ev_asof_join_2level")(spark, dir))
+    assert("hashpartitioning\\(user_id[^)]*bucket".r
+        .findFirstIn(plan).isDefined,
+      s"level-1 exchange must key on (user_id, bucket) at 1M events:\n" +
+        plan.take(4000))
+  }
+
+  test("sf1: the kNN bucket self-join still shuffles both corpus sides " +
+      "(no broadcast of a 20k-vector side at real statistics)") {
+    assume(have, "derived sf1 not generated")
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the structural claim: no HINTED broadcast — disable size-based
+    // auto-broadcast like PlanQualitySpec's fixture-scale twin
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planString(graft.operators.Similarity.knnGraph(
+        Tables.load(spark, dir, "embeddings"), 5, 11, 64, 4))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"corpus side must never be broadcast by hint:\n${plan.take(4000)}")
+      assert(plan.contains("ObjectHashAggregate"),
+        "bounded-heap ranking must aggregate, not window")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
