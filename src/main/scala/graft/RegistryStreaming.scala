@@ -246,6 +246,40 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
     // Stream-STATIC enrichment: each streamed event picks up its user's
     // total count from a batch-side dimension (broadcast — stateless,
     // no watermark, no state store). Oracle = the same join in batch.
+    // CHAINED stream-stream join → windowed rollup in one query (the
+    // second multi-stateful shape): attribution pairs per (user,
+    // click-hour). Beyond-horizon sentinel events on BOTH sides
+    // advance the final watermark past every real window (the join
+    // shifts the downstream watermark by its interval bound); the
+    // sentinel user's rows are filtered. Oracle = the batch
+    // composition: range join then hour-bucketed counts.
+    "st_join_rollup" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      import s.implicits._
+      val batch = t(s, dir, "events")
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime +
+        (StreamOps.JoinWatermarkDelaySeconds + StreamJoinWindowSeconds +
+          3 * 3600) * 1000L)
+      val sentinelDir = graft.Scratch.dir("graft_st_jr_sentinel")
+      Seq((-1L, -101L, "view", sentinelTs), (-1L, -102L, "click", sentinelTs))
+        .toDF("user_id", "event_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(sentinelDir)
+      val ev = Tables.loadStream(s, dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+      val src = ev.unionAll(
+        s.readStream.schema(s.read.parquet(sentinelDir).schema)
+          .parquet(sentinelDir))
+      StreamOps.runToCompletion(s, src,
+        df => StreamOps.intervalJoinThenHourly(
+          df.where(col("event_type") === "view"),
+          df.where(col("event_type") === "click"),
+          StreamJoinWindowSeconds),
+        outputMode = "append", shufflePartitions = StreamStateParts)
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "hour_us")
+    }),
+
     // Stream-side AS-OF against a slowly-changing static dimension (the
     // feature-store lookup): the dimension is the batch SCD2 interval
     // table built from the same events; each streamed event picks the
@@ -393,6 +427,25 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
          |   OR (view_event_id IS NULL AND c_us < wm.w)
          |ORDER BY user_id, view_event_id, click_event_id""".stripMargin
     },
+    // Batch dual of the chained join→rollup: the inner range join,
+    // then counts per (user, epoch-aligned click hour).
+    "st_join_rollup" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |v AS (SELECT user_id, event_id AS view_event_id, us AS v_us
+         |  FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id AS c_user_id,
+         |  event_id AS click_event_id, us AS c_us
+         |  FROM e WHERE event_type = 'click'),
+         |j AS (SELECT v.user_id, c_us
+         |  FROM v JOIN c ON v.user_id = c_user_id
+         |    AND c_us >= v_us
+         |    AND c_us <= v_us + ${StreamJoinWindowSeconds * 1000000L})
+         |SELECT user_id,
+         |  (c_us // 3600000000) * 3600000000 AS hour_us,
+         |  count(*) AS n_pairs
+         |FROM j GROUP BY 1, 2
+         |ORDER BY user_id, hour_us""".stripMargin,
     // Batch dual of the streaming as-of enrichment: the SAME SCD2 CTE
     // chain as scd2OracleSql (re-derived here so the interval table and
     // the lookup live in one query), then events × intervals on the

@@ -262,6 +262,38 @@ object StreamOps {
         coalesce(unix_micros(col("c_ts")), lit(-1L)).as("c_us"))
   }
 
+  /** CHAINED stream-stream join → windowed aggregation in ONE query —
+    * the second multi-stateful shape next to [[dedupThenSessionWindow]]
+    * (dedup → session): the attribution join's matched pairs roll up
+    * per (user, click-hour) without an intermediate sink. Three state
+    * stores under the two input watermarks: the join buffers each
+    * side within its interval bound, and the downstream tumbling
+    * window receives the join-adjusted watermark (Spark subtracts the
+    * join's event-time range), emitting an hour once no pair for it
+    * can still arrive. Drained-output contract: windows within
+    * delay + interval of the stream tails stay buffered — the
+    * registry query appends beyond-horizon sentinels (same discipline
+    * as `st_dedup_sessions`). */
+  def intervalJoinThenHourly(views: DataFrame, clicks: DataFrame,
+                             windowSeconds: Long,
+                             delay: String = JoinWatermarkDelay)
+      : DataFrame = {
+    val v = views.select(col("user_id"),
+        col("event_id").as("view_event_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", delay)
+    val c = clicks.select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_event_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    v.join(c, col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") +
+          expr(s"INTERVAL $windowSeconds SECONDS"), "inner")
+      .groupBy(window(col("c_ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("user_id"),
+        unix_micros(col("window.start")).as("hour_us"), col("n_pairs"))
+  }
+
   /** Stream-STATIC enrichment join: attach dimension attributes to each
     * streaming row. Stateless — the static side is planned per
     * micro-batch like any batch relation (broadcast here: a dimension

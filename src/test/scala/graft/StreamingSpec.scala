@@ -287,6 +287,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.toSeq) == want.map(_.toSeq))
   }
 
+  test("chained interval join → hourly rollup in ONE query: pairs " +
+      "matched across micro-batches roll up; drained hours equal the " +
+      "batch composition") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "user_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val q = StreamOps.intervalJoinThenHourly(
+        streamDf.where(col("event_type") === "view"),
+        streamDf.where(col("event_type") === "click"), 1800L)
+      .writeStream.format("memory").queryName("st_spec_jr")
+      .outputMode(OutputMode.Append).start()
+    // attribution fixture: u1's clicks land 60 s / 120 s after its
+    // view (two pairs, one hour bucket); u2's second click falls
+    // OUTSIDE the 1800 s window (no pair); u3 clicks in a LATER hour
+    // than its view (pair in the click's hour). `rows` has no
+    // qualifying pairs at all, so this test builds its own.
+    val pairRows = Seq(
+      (1L, 1L, B, "view", 1.0),
+      (2L, 1L, B + 60L * 1000000L, "click", 1.0),
+      (3L, 1L, B + 120L * 1000000L, "click", 1.0),
+      (4L, 2L, B + H, "view", 1.0),
+      (5L, 2L, B + H + 2000L * 1000000L, "click", 1.0),
+      (6L, 3L, B + 2 * H - 300L * 1000000L, "view", 1.0),
+      (7L, 3L, B + 2 * H + 600L * 1000000L, "click", 1.0))
+    // batch 1: the views; batch 2: the clicks (so every pair matches
+    // ACROSS batches through join state) plus both-side sentinels that
+    // push the watermark past all real windows
+    ms.addData(pairRows.filter(_._4 == "view")); q.processAllAvailable()
+    val sEnd = B + 3 * H + (1800L + 7200L) * 1000000L
+    ms.addData(pairRows.filter(_._4 == "click") ++
+      Seq((90L, -1L, sEnd, "view", 0.0), (91L, -1L, sEnd, "click", 0.0)))
+    q.processAllAvailable()
+    // a third DATA batch runs under the watermark the sentinels
+    // advanced, so the closed windows emit synchronously —
+    // processAllAvailable does not wait for Spark's asynchronous
+    // no-data micro-batch (the registry query drains via
+    // Trigger.AvailableNow, which does)
+    ms.addData(Seq((92L, -1L, sEnd + H, "view", 0.0),
+      (93L, -1L, sEnd + H, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st_spec_jr").where(col("user_id") >= 0)
+      .orderBy("user_id", "hour_us").collect().toSeq
+    // batch composition on the same rows
+    val e = eventsDf(pairRows).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("v_us"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("us").as("c_us"))
+    val want = v.join(c, v("user_id") === c("cu") &&
+        col("c_us") >= col("v_us") &&
+        col("c_us") <= col("v_us") + 1800L * 1000000L)
+      .groupBy(col("user_id"),
+        ((col("c_us") / (3600L * 1000000L)).cast("long") *
+          (3600L * 1000000L)).as("hour_us"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id", "hour_us").collect().toSeq
+    assert(got.nonEmpty && got.map(_.toSeq) == want.map(_.toSeq))
+  }
+
   test("stream dedup suppresses dups, drops late ones, and purges state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
