@@ -214,6 +214,17 @@ private[graft] trait RegistryEvents extends RegistryShared {
         Joins.asofJoin(views, clicks, "user_id", "us",
           Seq("click_us", "click_vm"))
       }),
+    // NEAREST as-of join: each view matches the user's click CLOSEST
+    // in time, either direction; a distance tie resolves backward
+    // (pandas merge_asof direction='nearest'). Completes the
+    // direction family: backward / forward / nearest, each ±2-level.
+    // Oracle = both DuckDB ASOF directions stitched with the same
+    // integer distance CASE.
+    "ev_asof_nearest" -> ((s, dir) =>
+      asofViewClick(s, dir) { (views, clicks) =>
+        Joins.asofJoinNearest(views, clicks, "user_id", "us",
+          "event_id", Seq("click_us", "click_vm"))
+      }),
     // FORWARD as-of join: every view picks up the user's EARLIEST
     // click at-or-after it — the look-ahead twin (reversed carry
     // window, left-first tie order). Oracle = DuckDB's ASOF LEFT JOIN
@@ -497,6 +508,31 @@ private[graft] trait RegistryEvents extends RegistryShared {
         |  COALESCE(c.click_vm, -1) AS click_vm
         |FROM v ASOF LEFT JOIN c
         |  ON v.user_id = c.user_id AND v.us >= c.click_us
+        |ORDER BY event_id""".stripMargin,
+    // Nearest direction: both native ASOF directions as CTEs, stitched
+    // per view with the SAME integer distance compare as the Spark
+    // side (ties → backward).
+    "ev_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+        |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS click_us, max(vm) AS click_vm FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id, us),
+        |b AS (SELECT v.event_id, c.click_us AS b_us, c.click_vm AS b_vm
+        |  FROM v ASOF LEFT JOIN c
+        |  ON v.user_id = c.user_id AND v.us >= c.click_us),
+        |f AS (SELECT v.event_id, c.click_us AS f_us, c.click_vm AS f_vm
+        |  FROM v ASOF LEFT JOIN c
+        |  ON v.user_id = c.user_id AND v.us <= c.click_us)
+        |SELECT v.user_id, v.event_id, v.us,
+        |  COALESCE(CASE WHEN b_us IS NOT NULL AND
+        |      (f_us IS NULL OR v.us - b_us <= f_us - v.us)
+        |    THEN b_us ELSE f_us END, -1) AS click_us,
+        |  COALESCE(CASE WHEN b_us IS NOT NULL AND
+        |      (f_us IS NULL OR v.us - b_us <= f_us - v.us)
+        |    THEN b_vm ELSE f_vm END, -1) AS click_vm
+        |FROM v JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY event_id""".stripMargin,
     "ev_asof_forward" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -274,6 +274,47 @@ object Joins {
         valueCols.map(c => s"__c_$c")): _*)
   }
 
+  /** NEAREST as-of join — the third merge_asof direction
+    * (pandas `direction='nearest'`): each left row matches the right
+    * row with the same key whose time is CLOSEST in either direction;
+    * an exact tie in distance resolves BACKWARD (the at-or-before
+    * row), pandas' convention. Composed from the two directional
+    * carries — one backward pass, one forward pass, stitched per left
+    * row on `idCol` with an integer distance compare. No new shuffle
+    * shape: two union-and-carry passes plus one id-keyed join; a
+    * hot-key deployment swaps in the 2-level directional forms, the
+    * stitch is direction-agnostic.
+    *
+    * Preconditions: those of [[asofJoin]] / [[asofJoinForward]], plus
+    * `idCol` must uniquely identify left rows (the stitch key) and
+    * `__rt`/`__b_*`/`__f_*` must not collide with caller columns.
+    * Unmatched-on-both-sides rows carry nulls. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      timeCol: String, idCol: String,
+                      valueCols: Seq[String]): DataFrame = {
+    val rt = "__rt"
+    val r2 = right.withColumn(rt, col(s"`$timeCol`"))
+    val vc = valueCols :+ rt
+    val back = vc.foldLeft(asofJoin(left, r2, key, timeCol, vc)) {
+      (d, c) => d.withColumnRenamed(c, s"__b_$c")
+    }
+    val fwd = vc.foldLeft(
+        asofJoinForward(left, r2, key, timeCol, vc)
+          .select((idCol +: vc).map(c => col(s"`$c`")): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"__f_$c")
+    }
+    val joined = back.join(fwd, Seq(idCol))
+    val t = col(s"`$timeCol`")
+    val pickBackward = col(s"__b_$rt").isNotNull &&
+      (col(s"__f_$rt").isNull ||
+        (t - col(s"__b_$rt")) <= (col(s"__f_$rt") - t))
+    valueCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c, when(pickBackward, col(s"`__b_$c`"))
+          .otherwise(col(s"`__f_$c`")))
+      }
+      .drop(vc.flatMap(c => Seq(s"__b_$c", s"__f_$c")): _*)
+  }
+
   /** Interval-containment RANGE join: every (point, interval) pair with
     * `start <= t <= end` (inclusive both ends), with NO equi-key — the
     * second time-series join Spark lacks as a primitive (a bare

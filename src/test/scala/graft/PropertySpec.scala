@@ -194,6 +194,25 @@ class PropertySpec extends AnyFunSuite {
         left, right, "k", "t", Seq("v"), bucketWidth = 7L))
       assert(gotF2 == wantF,
         "forward 2-level form diverged from the reference")
+      // NEAREST direction: closest right in either direction, distance
+      // tie → backward (the stitch join reorders columns — read by
+      // name)
+      val gotN = graft.operators.Joins.asofJoinNearest(
+          left, right, "k", "t", "lid", Seq("v"))
+        .select("lid", "v").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(_._1).toSeq
+      val wantN = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter(_._1 == k)
+        if (m.isEmpty) (i.toLong, -1L)
+        else {
+          val best = m.minBy(r =>
+            (math.abs(r._2 - t), if (r._2 <= t) 0 else 1))
+          (i.toLong, best._3)
+        }
+      }.sortBy(_._1)
+      assert(gotN == wantN, "nearest form diverged from the reference")
     }
   }
 
