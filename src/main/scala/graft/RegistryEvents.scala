@@ -214,6 +214,15 @@ private[graft] trait RegistryEvents extends RegistryShared {
         Joins.asofJoin(views, clicks, "user_id", "us",
           Seq("click_us", "click_vm"))
       }),
+    // TOLERANCE-bounded as-of: the backward match only counts within
+    // 30 minutes (pandas merge_asof tolerance) — a stale click is a
+    // NON-match, the feature-freshness guard. Oracle = DuckDB ASOF
+    // with a distance CASE at the same constant.
+    "ev_asof_tolerance" -> ((s, dir) =>
+      asofViewClick(s, dir) { (views, clicks) =>
+        Joins.asofJoinTolerance(views, clicks, "user_id", "us",
+          Seq("click_us", "click_vm"), AsofToleranceUs)
+      }),
     // NEAREST as-of join: each view matches the user's click CLOSEST
     // in time, either direction; a distance tie resolves backward
     // (pandas merge_asof direction='nearest'). Completes the
@@ -509,6 +518,23 @@ private[graft] trait RegistryEvents extends RegistryShared {
         |FROM v ASOF LEFT JOIN c
         |  ON v.user_id = c.user_id AND v.us >= c.click_us
         |ORDER BY event_id""".stripMargin,
+    // Tolerance bound: the native backward ASOF, then the SAME
+    // distance constant nulls stale matches.
+    "ev_asof_tolerance" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+         |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, us AS click_us, max(vm) AS click_vm FROM e
+         |  WHERE event_type = 'click' GROUP BY user_id, us)
+         |SELECT v.user_id, v.event_id, v.us,
+         |  COALESCE(CASE WHEN v.us - c.click_us <= $AsofToleranceUs
+         |    THEN c.click_us END, -1) AS click_us,
+         |  COALESCE(CASE WHEN v.us - c.click_us <= $AsofToleranceUs
+         |    THEN c.click_vm END, -1) AS click_vm
+         |FROM v ASOF LEFT JOIN c
+         |  ON v.user_id = c.user_id AND v.us >= c.click_us
+         |ORDER BY event_id""".stripMargin,
     // Nearest direction: both native ASOF directions as CTEs, stitched
     // per view with the SAME integer distance compare as the Spark
     // side (ties → backward).

@@ -33,6 +33,9 @@ private[graft] trait RegistryShared {
   protected val NeardupPlanes = 8
   protected val Dim = 64
   protected val SessionGapSeconds = 1800L
+  /** Freshness bound for the tolerance-bounded as-of join (30 min in
+    * micros) — referenced by BOTH the plan and the oracle SQL. */
+  protected val AsofToleranceUs = 1800L * 1000000L
   /** HLL grading bound for the approx-rollup evals: |est − exact| ≤
     * max(1, exact·5%) — the EventsSpec/StreamingSpec bar (default HLL++
     * rsd 5%), in ppm so the grade is integer-exact. */

@@ -86,6 +86,34 @@ object Joins {
       .drop("__side")
   }
 
+  /** TOLERANCE-bounded backward as-of join — pandas
+    * `merge_asof(tolerance=...)`: the match additionally requires
+    * `left.time - right.time <= toleranceUs`; a staler match is a
+    * non-match (nulls), the feature-freshness guard every as-of
+    * deployment eventually needs (a price/feature older than the
+    * tolerance must not silently join). Same single-shuffle
+    * union-and-carry as [[asofJoin]]: the matched right TIME rides
+    * along as one extra carried column and one post-carry filter nulls
+    * out stale matches — no change to the exchange shape, so the
+    * 2-level hot-key discipline composes the same way.
+    *
+    * Same preconditions as [[asofJoin]], plus `__mt` must not collide
+    * with caller columns. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        timeCol: String, valueCols: Seq[String],
+                        toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"tolerance must be >= 0: $toleranceUs")
+    val mt = "__mt"
+    val r2 = right.withColumn(mt, col(s"`$timeCol`"))
+    val carried = asofJoin(left, r2, key, timeCol, valueCols :+ mt)
+    val fresh = col(s"`$mt`").isNotNull &&
+      (col(s"`$timeCol`") - col(s"`$mt`")) <= toleranceUs
+    valueCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(c, when(fresh, col(s"`$c`")))
+      }
+      .drop(mt)
+  }
+
   /** Both sides tagged and unioned for the as-of carry: `__side` 0 =
     * right (sorts first at equal times), 1 = left. */
   private def asofTagged(left: DataFrame, right: DataFrame, key: String,

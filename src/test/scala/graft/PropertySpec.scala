@@ -213,6 +213,15 @@ class PropertySpec extends AnyFunSuite {
         }
       }.sortBy(_._1)
       assert(gotN == wantN, "nearest form diverged from the reference")
+      // TOLERANCE bound: a backward match older than 5 ticks is a
+      // non-match
+      val gotT = collect(graft.operators.Joins.asofJoinTolerance(
+        left, right, "k", "t", Seq("v"), toleranceUs = 5L))
+      val wantT = ls.zipWithIndex.map { case ((k, t), i) =>
+        val m = rs.filter(r => r._1 == k && r._2 <= t && t - r._2 <= 5L)
+        (i.toLong, if (m.isEmpty) -1L else m.maxBy(_._2)._3)
+      }.sortBy(_._1)
+      assert(gotT == wantT, "tolerance form diverged from the reference")
     }
   }
 
