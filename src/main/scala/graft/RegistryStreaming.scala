@@ -243,9 +243,6 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         .orderBy("user_id", "view_event_id", "click_event_id")
     }),
 
-    // Stream-STATIC enrichment: each streamed event picks up its user's
-    // total count from a batch-side dimension (broadcast — stateless,
-    // no watermark, no state store). Oracle = the same join in batch.
     // CHAINED stream-stream join → windowed rollup in one query (the
     // second multi-stateful shape): attribution pairs per (user,
     // click-hour). Beyond-horizon sentinel events on BOTH sides
@@ -296,6 +293,9 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         .orderBy("event_id")
     }),
 
+    // Stream-STATIC enrichment: each streamed event picks up its user's
+    // total count from a batch-side dimension (broadcast — stateless,
+    // no watermark, no state store). Oracle = the same join in batch.
     "st_static_enrich" -> ((s, dir) => {
       val dim = t(s, dir, "events").groupBy("user_id")
         .agg(count(lit(1)).as("user_events"))

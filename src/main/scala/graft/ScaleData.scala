@@ -95,20 +95,35 @@ object ScaleData {
         .withColumn("n_chars", length(col("text")))
     }, 16)
 
-    // embeddings: deterministic per-dimension perturbation per copy.
+    // embeddings: each copy ROTATES the dimension order by a distinct
+    // amount (i·7 mod 64 — all ten rotations distinct), then adds a
+    // deterministic mod-13 micro-perturbation keyed on the BASE id.
+    // Rotation is the load-bearing part: it decorrelates every copy
+    // from the base AND from every other copy (a rotated random
+    // vector is near-orthogonal to the original), so each copy
+    // occupies its own kNN neighborhood — a shift-only perturbation
+    // keeps all ten siblings cosine-identical clones of one point,
+    // which degenerates every ANN kernel measured at sf1 (two
+    // review rounds proved modular-shift schemes also collapse to ≤7
+    // distinct variants). The micro-perturbation (±0.006, keyed on
+    // the base id so the formula cannot cancel against the copy
+    // offset) breaks residual exactness; ScaleDataSpec asserts both
+    // properties per copy.
     val emb = Tables.load(spark, src, "embeddings")
     write("embeddings", withCopies(spark, copies) { i =>
       val base = emb.withColumn("vec_id", col("vec_id") + lit(i * KeyOffset))
-      // j's coefficient is 1 (coprime with the modulus and never
-      // scaled by i), so the per-dimension delta is a RAMP across j
-      // for every copy — no copy index can degenerate it to a
-      // constant, and a zero delta across all dims is impossible
-      // (ScaleDataSpec checks every copy).
       if (i == 0) base
-      else base.withColumn("embedding",
-        transform(col("embedding"), (x: Column, j: Column) =>
-          (x + ((pmod(col("vec_id") * 31 + j + lit(i * 5L), lit(7L))
-            - lit(3L)).cast("float") * lit(0.002f))).cast("float")))
+      else {
+        val r = (i * 7) % 64
+        val rotated =
+          concat(slice(col("embedding"), r + 1, 64 - r),
+            slice(col("embedding"), 1, r))
+        val baseId = col("vec_id") - lit(i * KeyOffset)
+        base.withColumn("embedding",
+          transform(rotated, (x: Column, j: Column) =>
+            (x + ((pmod(baseId * 31 + j + lit(i * 3L), lit(13L))
+              - lit(6L)).cast("float") * lit(0.001f))).cast("float")))
+      }
     }, 8)
 
     // dims: pass through unscaled.

@@ -98,7 +98,12 @@ object Joins {
     * 2-level hot-key discipline composes the same way.
     *
     * Same preconditions as [[asofJoin]], plus `__mt` must not collide
-    * with caller columns. */
+    * with caller columns, and right-side `valueCols` must be NON-NULL
+    * (the 2-level forms' precondition, for the same reason: each value
+    * column carries independently via `last(ignoreNulls)`, so a null
+    * in the matched row would let a STALER row's value slip past the
+    * freshness gate keyed on the carried match time — pre-coalesce
+    * nullable right columns). */
   def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
                         timeCol: String, valueCols: Seq[String],
                         toleranceUs: Long): DataFrame = {
@@ -314,9 +319,13 @@ object Joins {
     * stitch is direction-agnostic.
     *
     * Preconditions: those of [[asofJoin]] / [[asofJoinForward]], plus
-    * `idCol` must uniquely identify left rows (the stitch key) and
-    * `__rt`/`__b_*`/`__f_*` must not collide with caller columns.
-    * Unmatched-on-both-sides rows carry nulls. */
+    * `idCol` must uniquely identify left rows (the stitch key),
+    * `__rt`/`__b_*`/`__f_*` must not collide with caller columns, and
+    * right-side `valueCols` must be NON-NULL (the 2-level forms'
+    * precondition: per-column `last/first(ignoreNulls)` carries could
+    * otherwise mix a different row's value with the direction chosen
+    * by the carried match time). Unmatched-on-both-sides rows carry
+    * nulls. */
   def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
                       timeCol: String, idCol: String,
                       valueCols: Seq[String]): DataFrame = {

@@ -73,31 +73,39 @@ class ScaleDataSpec extends AnyFunSuite {
     assert(j.getDouble(1) < 0.45, s"avg Jaccard ${j.getDouble(1)}")
   }
 
-  test("EVERY embedding copy is perturbed (no exact-duplicate vectors " +
-      "for any copy index), but stays within the same neighborhood") {
+  test("EVERY embedding copy is decorrelated from the base AND from " +
+      "every other copy (distinct rotations — no clone neighborhoods)") {
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
-    val base = emb.where(col("vec_id") < 10000000L)
-      .select(col("vec_id").as("b_id"), col("embedding").as("b"))
-    (1 until Copies).foreach { i =>
-      val copyI = emb
-        .where(col("vec_id") >= i * 10000000L &&
-          col("vec_id") < (i + 1) * 10000000L)
-        .select((col("vec_id") - i * 10000000L).as("b_id"),
-          col("embedding").as("c"))
-      val stats = base.join(copyI, "b_id")
-        .select(aggregate(zip_with(col("b"), col("c"),
+    def copyOf(i: Int) = emb
+      .where(col("vec_id") >= i * 10000000L &&
+        col("vec_id") < (i + 1) * 10000000L)
+      .select((col("vec_id") - i * 10000000L).as("b_id"),
+        col("embedding").as(s"e$i"))
+    def l1Stats(i: Int, k: Int) =
+      copyOf(i).join(copyOf(k), "b_id")
+        .select(aggregate(zip_with(col(s"e$i"), col(s"e$k"),
             (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column)
               => abs(x - y)),
           lit(0.0d), (acc: org.apache.spark.sql.Column,
                       d: org.apache.spark.sql.Column) => acc + d).as("l1"))
-        .agg(min("l1"), max("l1")).head()
-      // perturbed: no copy is byte-identical to its base
-      assert(stats.getDouble(0) > 0.0,
-        s"copy $i has an embedding identical to its base — kNN graphs " +
-          "would collapse onto duplicate points")
-      // bounded: per-dim |delta| <= 0.006, 64 dims -> L1 <= 0.384
-      assert(stats.getDouble(1) <= 0.385,
-        s"copy $i L1 drift ${stats.getDouble(1)}")
+        .agg(min("l1"), avg("l1")).head()
+    // every copy vs the base, and every adjacent copy pair: rotation
+    // must decorrelate (avg L1 far beyond the ±0.006 micro-
+    // perturbation's 0.384 cap), and nothing may be identical
+    (1 until Copies).foreach { i =>
+      val vsBase = l1Stats(0, i)
+      assert(vsBase.getDouble(0) > 0.0,
+        s"copy $i has an embedding identical to its base")
+      assert(vsBase.getDouble(1) > 1.0,
+        s"copy $i is not decorrelated from base (avg L1 " +
+          s"${vsBase.getDouble(1)}) — clone neighborhoods would " +
+          "degenerate every ANN kernel at sf1")
+      if (i + 1 < Copies) {
+        val vsNext = l1Stats(i, i + 1)
+        assert(vsNext.getDouble(0) > 0.0 && vsNext.getDouble(1) > 1.0,
+          s"copies $i and ${i + 1} are clones (min " +
+            s"${vsNext.getDouble(0)}, avg ${vsNext.getDouble(1)})")
+      }
     }
   }
 }

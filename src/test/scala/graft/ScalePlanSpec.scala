@@ -50,11 +50,14 @@ class ScalePlanSpec extends AnyFunSuite {
     val conf = spark.conf
     val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
     // the structural claim: no HINTED broadcast — disable size-based
-    // auto-broadcast like PlanQualitySpec's fixture-scale twin
+    // auto-broadcast like PlanQualitySpec's fixture-scale twin. The
+    // REGISTERED scaled query is what's planned, so the test tracks
+    // the registry's own resolution/k constants instead of hardcoding
+    // them.
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = planString(graft.operators.Similarity.knnGraph(
-        Tables.load(spark, dir, "embeddings"), 5, 11, 64, 4))
+      val plan = planString(
+        Registry.queries("sim_knn_graph_scaled")(spark, dir))
       assert(!plan.contains("BroadcastHashJoin"),
         s"corpus side must never be broadcast by hint:\n${plan.take(4000)}")
       assert(plan.contains("ObjectHashAggregate"),
