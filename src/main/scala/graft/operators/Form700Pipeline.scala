@@ -240,16 +240,33 @@ object Form700Pipeline {
     * pinned, lazy end to end: nothing executes until a sink action. */
   def run(spark: SparkSession, pagesRoot: String,
           doublesByTable: Option[Map[String, Set[String]]] = None)
-      : Map[String, DataFrame] = {
-    val coverRaw = Form700Source.cover(
-      Form700Source.readPages(spark, s"$pagesRoot/cover"))
-    val schedulesRaw = Form700Source.schedules(
-      Form700Source.readPages(spark, s"$pagesRoot/schedules"))
+      : Map[String, DataFrame] = runWithPageAudit(
+    spark, pagesRoot, doublesByTable)._1
+
+  /** [[run]] plus the per-feed page-parse audit ([[pageParseAudit]]
+    * over both page feeds' status relations — the S2 tolerance's
+    * accounting, Form700.py:123-126): the job-report shape that counts
+    * a malformed page instead of silently shrinking a table. The
+    * status relations come from the SAME tolerant read the tables are
+    * built from — no second pass over the feed is planned. */
+  def runWithPageAudit(spark: SparkSession, pagesRoot: String,
+                       doublesByTable: Option[Map[String, Set[String]]] =
+                         None)
+      : (Map[String, DataFrame], DataFrame) = {
+    val (coverPages, coverStatus) =
+      Form700Source.readPagesWithStatus(spark, s"$pagesRoot/cover")
+    val (schedPages, schedStatus) =
+      Form700Source.readPagesWithStatus(spark, s"$pagesRoot/schedules")
+    val coverRaw = Form700Source.cover(coverPages)
+    val schedulesRaw = Form700Source.schedules(schedPages)
     val joined = joinFilerToSchedule(schedulesRaw, coverRaw)
-    (joined + ("cover" -> coverRaw)).map { case (n, df) =>
+    val tables = (joined + ("cover" -> coverRaw)).map { case (n, df) =>
       n -> clean(df, catalog(n),
         doublesByTable.map(_.getOrElse(n, Set.empty)))
     }
+    val audit = pageParseAudit(coverStatus, "cover")
+      .unionByName(pageParseAudit(schedStatus, "schedules"))
+    (tables, audit)
   }
 
   /** Both privacy variants — the reference runs the whole pipeline

@@ -285,4 +285,23 @@ class Form700PipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage == "down" && attempts == 4)
   }
+
+  test("runWithPageAudit: the tables plus a per-page parse-status " +
+      "report from the same tolerant read (all SUCCESS on the clean " +
+      "fixture)") {
+    import graft.operators.{Form700Pipeline => P}
+    val (tables, audit) = P.runWithPageAudit(spark, P.defaultPagesRoot,
+      Some(P.fixtureDoubles))
+    assert(tables.keySet.contains("cover") && tables.size == 8)
+    val rows = audit.orderBy("source", "page").collect()
+    // 2 cover pages + 2 schedule pages, every one a parse SUCCESS
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("cover", 1L), ("cover", 2L),
+        ("schedules", 1L), ("schedules", 2L)))
+    assert(rows.forall(_.getString(3) == "SUCCESS"))
+    // the tables from the audited run equal the plain run's
+    assert(tables("cover").collect().toSeq ==
+      P.run(spark, P.defaultPagesRoot, Some(P.fixtureDoubles))("cover")
+        .collect().toSeq)
+  }
 }
