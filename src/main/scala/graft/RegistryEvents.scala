@@ -234,6 +234,15 @@ private[graft] trait RegistryEvents extends RegistryShared {
         Joins.asofJoinNearest(views, clicks, "user_id", "us",
           "event_id", Seq("click_us", "click_vm"))
       }),
+    // The nearest direction's hot-key-safe form: 2-level directional
+    // carries under the same stitch — SAME oracle as the plain
+    // nearest (the equivalence contract all the 2-level twins carry).
+    "ev_asof_nearest_2level" -> ((s, dir) =>
+      asofViewClick(s, dir) { (views, clicks) =>
+        Joins.asofJoinNearest(views, clicks, "user_id", "us",
+          "event_id", Seq("click_us", "click_vm"),
+          bucketWidth = Some(86400L * 1000000L))
+      }),
     // FORWARD as-of join: every view picks up the user's EARLIEST
     // click at-or-after it — the look-ahead twin (reversed carry
     // window, left-first tie order). Oracle = DuckDB's ASOF LEFT JOIN
@@ -343,6 +352,32 @@ private[graft] trait RegistryEvents extends RegistryShared {
       |SELECT user_id, us AS last_us, event_id AS last_event_id,
       |  event_type AS last_type
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Nearest as-of oracle — both native ASOF directions stitched with
+    * the integer distance compare (ties → backward); shared by the
+    * plain and 2-level nearest forms. */
+  protected lazy val asofNearestOracleSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
+      |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, us AS click_us, max(vm) AS click_vm FROM e
+      |  WHERE event_type = 'click' GROUP BY user_id, us),
+      |b AS (SELECT v.event_id, c.click_us AS b_us, c.click_vm AS b_vm
+      |  FROM v ASOF LEFT JOIN c
+      |  ON v.user_id = c.user_id AND v.us >= c.click_us),
+      |f AS (SELECT v.event_id, c.click_us AS f_us, c.click_vm AS f_vm
+      |  FROM v ASOF LEFT JOIN c
+      |  ON v.user_id = c.user_id AND v.us <= c.click_us)
+      |SELECT v.user_id, v.event_id, v.us,
+      |  COALESCE(CASE WHEN b_us IS NOT NULL AND
+      |      (f_us IS NULL OR v.us - b_us <= f_us - v.us)
+      |    THEN b_us ELSE f_us END, -1) AS click_us,
+      |  COALESCE(CASE WHEN b_us IS NOT NULL AND
+      |      (f_us IS NULL OR v.us - b_us <= f_us - v.us)
+      |    THEN b_vm ELSE f_vm END, -1) AS click_vm
+      |FROM v JOIN b USING (event_id) JOIN f USING (event_id)
+      |ORDER BY event_id""".stripMargin
 
   // SCD2 run compression — shared verbatim by the batch build (ev_scd2)
   // and its streaming CDC dual (st_scd2): two implementations, one
@@ -537,29 +572,10 @@ private[graft] trait RegistryEvents extends RegistryShared {
          |ORDER BY event_id""".stripMargin,
     // Nearest direction: both native ASOF directions as CTEs, stitched
     // per view with the SAME integer distance compare as the Spark
-    // side (ties → backward).
-    "ev_asof_nearest" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        |  CAST(floor(value * 1000000) AS BIGINT) AS vm FROM events),
-        |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
-        |c AS (SELECT user_id, us AS click_us, max(vm) AS click_vm FROM e
-        |  WHERE event_type = 'click' GROUP BY user_id, us),
-        |b AS (SELECT v.event_id, c.click_us AS b_us, c.click_vm AS b_vm
-        |  FROM v ASOF LEFT JOIN c
-        |  ON v.user_id = c.user_id AND v.us >= c.click_us),
-        |f AS (SELECT v.event_id, c.click_us AS f_us, c.click_vm AS f_vm
-        |  FROM v ASOF LEFT JOIN c
-        |  ON v.user_id = c.user_id AND v.us <= c.click_us)
-        |SELECT v.user_id, v.event_id, v.us,
-        |  COALESCE(CASE WHEN b_us IS NOT NULL AND
-        |      (f_us IS NULL OR v.us - b_us <= f_us - v.us)
-        |    THEN b_us ELSE f_us END, -1) AS click_us,
-        |  COALESCE(CASE WHEN b_us IS NOT NULL AND
-        |      (f_us IS NULL OR v.us - b_us <= f_us - v.us)
-        |    THEN b_vm ELSE f_vm END, -1) AS click_vm
-        |FROM v JOIN b USING (event_id) JOIN f USING (event_id)
-        |ORDER BY event_id""".stripMargin,
+    // side (ties → backward). Shared verbatim by the 2-level form —
+    // the equivalence contract every 2-level twin carries.
+    "ev_asof_nearest" -> asofNearestOracleSql,
+    "ev_asof_nearest_2level" -> asofNearestOracleSql,
     "ev_asof_forward" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -328,16 +328,26 @@ object Joins {
     * nulls. */
   def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
                       timeCol: String, idCol: String,
-                      valueCols: Seq[String]): DataFrame = {
+                      valueCols: Seq[String],
+                      bucketWidth: Option[Long] = None): DataFrame = {
     val rt = "__rt"
     val r2 = right.withColumn(rt, col(s"`$timeCol`"))
     val vc = valueCols :+ rt
-    val back = vc.foldLeft(asofJoin(left, r2, key, timeCol, vc)) {
+    // bucketWidth selects the hot-key-safe 2-LEVEL directional carries
+    // (the stitch is direction-agnostic, so the bounded-task discipline
+    // composes for free; right values are non-null per the
+    // precondition, which is exactly the 2-level forms' own rule)
+    val backRaw = bucketWidth
+      .map(w => asofJoin2Level(left, r2, key, timeCol, vc, w))
+      .getOrElse(asofJoin(left, r2, key, timeCol, vc))
+    val fwdRaw = bucketWidth
+      .map(w => asofJoinForward2Level(left, r2, key, timeCol, vc, w))
+      .getOrElse(asofJoinForward(left, r2, key, timeCol, vc))
+    val back = vc.foldLeft(backRaw) {
       (d, c) => d.withColumnRenamed(c, s"__b_$c")
     }
     val fwd = vc.foldLeft(
-        asofJoinForward(left, r2, key, timeCol, vc)
-          .select((idCol +: vc).map(c => col(s"`$c`")): _*)) {
+        fwdRaw.select((idCol +: vc).map(c => col(s"`$c`")): _*)) {
       (d, c) => d.withColumnRenamed(c, s"__f_$c")
     }
     val joined = back.join(fwd, Seq(idCol))

@@ -213,6 +213,15 @@ class PropertySpec extends AnyFunSuite {
         }
       }.sortBy(_._1)
       assert(gotN == wantN, "nearest form diverged from the reference")
+      val gotN2 = graft.operators.Joins.asofJoinNearest(
+          left, right, "k", "t", "lid", Seq("v"),
+          bucketWidth = Some(7L))
+        .select("lid", "v").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .sortBy(_._1).toSeq
+      assert(gotN2 == wantN,
+        "nearest 2-level form diverged from the reference")
       // TOLERANCE bound: a backward match older than 5 ticks is a
       // non-match
       val gotT = collect(graft.operators.Joins.asofJoinTolerance(
