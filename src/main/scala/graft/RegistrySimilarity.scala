@@ -149,16 +149,20 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     // co-bucketed neighbors — LSH self-join on the (table, bucket)
     // key (both sides partition on the key; no broadcast, no
     // all-pairs), then the lshTopK two-phase bounded-heap ranking.
+    // Bucket resolution is AUTO-SIZED from the corpus count
+    // (Similarity.autoPlanes — planes ≈ log₂(N/occupancy)), so the
+    // default-named query is scale-safe BY CONSTRUCTION: 5 planes at
+    // the 500-vector fixture, 7 at sf0.1, 11 at the 20k-vector sf1
+    // step — the resolution the round-14 measurement proved necessary.
+    // The oracle derives the identical count from count(*).
     "sim_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(t(s, dir, "embeddings"), TopK, NumPlanes,
-        Dim, NumTables)
+      Similarity.knnGraph(t(s, dir, "embeddings"), TopK,
+        Similarity.AutoPlanes, Dim, NumTables)
         .orderBy("src_id", "rank")),
-    // The SCALE form of the kNN graph: same construction at 11-plane
-    // bucket resolution — the planes ≈ log₂(N/occupancy) sizing rule
-    // (see NumPlanesScaled) that keeps the bucket self-join's pair
-    // work linear in corpus size. Sparser co-bucketing at fixture
-    // scale (the honest LSH recall trade the resolution rule makes);
-    // identical code path, own oracle at the scaled constant.
+    // The PINNED-resolution twin (11 planes — the sizing the sf1 step
+    // derives): exercises the explicit-override path and keeps a
+    // fixed-constant reproduction point for the scaling tables in
+    // BASELINE.md; identical code path, own oracle at the constant.
     "sim_knn_graph_scaled" -> ((s, dir) =>
       Similarity.knnGraph(t(s, dir, "embeddings"), TopK,
         NumPlanesScaled, Dim, NumTables)
@@ -167,9 +171,10 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     // each other (the standard symmetrization that kills hub-induced
     // chaining), then connected components — isolated vectors stay
     // singleton clusters. The mutuality check is a self-semi-join of
-    // the k-bounded edge list, never the corpus.
+    // the k-bounded edge list, never the corpus. Auto-sized bucket
+    // resolution, like sim_knn_graph.
     "sim_knn_components" -> ((s, dir) =>
-      knnComponentsQuery(s, dir, NumPlanes)),
+      knnComponentsQuery(s, dir, Similarity.AutoPlanes)),
     // The components dual at SCALED bucket resolution — the sf1
     // scaling run showed sim_knn_components' exp 1.09 is the graph
     // construction (gr_components itself is 0.38); this twin applies
@@ -412,21 +417,46 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
        |FROM s$k ORDER BY query_id, rank""".stripMargin
   }
 
-  /** kNN-graph oracle generator, parameterized by bucket resolution so
-    * the plain (4-plane) and scaled (11-plane) registry twins replay
-    * the identical construction at their own constants. */
-  private def knnGraphOracle(numPlanes: Int): String = {
-    val bucketsByTable = (0 until NumTables).map { t =>
-      Similarity.planes(numPlanes, Dim, t).map(p =>
+  /** The [[Similarity.autoPlanes]] sizing rule as a DuckDB CTE — the
+    * smallest p in [MinAutoPlanes, MaxAutoPlanes] with
+    * `targetOccupancy · 2^p >= count(*)`, exact integer arithmetic, so
+    * the oracle derives the IDENTICAL plane count the Spark side
+    * computes from its `count()` at every scale factor. */
+  private def autoPlanesCte: String =
+    s"""pl AS (SELECT COALESCE(MIN(g.p), ${Similarity.MaxAutoPlanes}) AS p
+       |  FROM generate_series(${Similarity.MinAutoPlanes}, ${Similarity.MaxAutoPlanes}) g(p)
+       |  WHERE ${Similarity.AutoTargetOccupancy} * (CAST(1 AS BIGINT) << g.p)
+       |    >= (SELECT count(*) FROM v))""".stripMargin
+
+  /** Per-table bucket-key SQL: at a PINNED resolution the
+    * `numPlanes`-bit sign string; in AUTO mode the full
+    * MaxAutoPlanes-bit string truncated to the derived count (plane j
+    * is seed-independent of the total, so the prefix IS the j-plane
+    * bucket — the same bits the fused Spark kernel emits). */
+  private def bucketSqlByTable(numPlanes: Int,
+                               auto: Boolean): IndexedSeq[String] = {
+    val n = if (auto) Similarity.MaxAutoPlanes else numPlanes
+    (0 until NumTables).map { t =>
+      val bits = Similarity.planes(n, Dim, t).map(p =>
         s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
         .mkString(" || ")
+      if (auto) s"substr($bits, 1, (SELECT p FROM pl))" else bits
     }
+  }
+
+  /** kNN-graph oracle generator, parameterized by bucket resolution so
+    * the auto-sized default and the pinned (11-plane) registry twin
+    * replay the identical construction at their own resolution. */
+  private def knnGraphOracle(numPlanes: Int,
+                             auto: Boolean = false): String = {
+    val bucketsByTable = bucketSqlByTable(numPlanes, auto)
     val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
       s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
     }.mkString("\nUNION ALL ")
+    val plCte = if (auto) s"$autoPlanesCte,\n" else ""
     s"""WITH $quantCte,
        |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-       |bk AS (
+       |${plCte}bk AS (
        |$bk),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
@@ -449,18 +479,16 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
 
   /** Mutual-kNN components oracle generator, parameterized by
     * bucket resolution like [[knnGraphOracle]]. */
-  private def knnComponentsOracle(numPlanes: Int): String = {
-      val bucketsByTable = (0 until NumTables).map { t =>
-        Similarity.planes(numPlanes, Dim, t).map(p =>
-          s"(CASE WHEN ${planeDotSql("q", p)} >= 0 THEN '1' ELSE '0' END)")
-          .mkString(" || ")
-      }
+  private def knnComponentsOracle(numPlanes: Int,
+                                  auto: Boolean = false): String = {
+      val bucketsByTable = bucketSqlByTable(numPlanes, auto)
       val bk = bucketsByTable.zipWithIndex.map { case (b, t) =>
         s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
       }.mkString("\nUNION ALL ")
+      val plCte = if (auto) s"$autoPlanesCte,\n" else ""
       s"""WITH RECURSIVE $quantCte,
          |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |bk AS (
+         |${plCte}bk AS (
          |$bk),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
@@ -657,13 +685,13 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     // k-NN graph: the sim_lsh_topk construction with EVERY vector as a
     // query — candidate pairs from the multi-table bucket self-join,
     // DISTINCT-collapsed, exact-scored, ranked per source node.
-    "sim_knn_graph" -> knnGraphOracle(NumPlanes),
+    "sim_knn_graph" -> knnGraphOracle(0, auto = true),
     // The BUCKET-RESOLUTION-SCALED twin (see the query's comment).
     "sim_knn_graph_scaled" -> knnGraphOracle(NumPlanesScaled),
     // Mutual-kNN components: the knn CTE chain, both-directions edge
     // filter, transitive min-reachability (the gr_components oracle
     // shape), singletons via the LEFT JOIN coalesce.
-    "sim_knn_components" -> knnComponentsOracle(NumPlanes),
+    "sim_knn_components" -> knnComponentsOracle(0, auto = true),
     // The scaled-resolution components twin (see the query comment).
     "sim_knn_components_scaled" -> knnComponentsOracle(NumPlanesScaled),
     "sim_ivf_topk" ->

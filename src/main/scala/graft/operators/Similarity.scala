@@ -33,6 +33,41 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => floor(x.cast(DoubleType) * scale).cast(LongType))
 
+  /** Sentinel `numPlanes` value selecting AUTO bucket resolution —
+    * the scale-safe default for [[knnGraph]]/[[lshTopK]]. */
+  val AutoPlanes: Int = 0
+  /** Auto-sizing bounds/target: the derived plane count lives in
+    * [MinAutoPlanes, MaxAutoPlanes] and aims for ≈ AutoTargetOccupancy
+    * vectors per bucket per table. */
+  val MinAutoPlanes: Int = 4
+  val MaxAutoPlanes: Int = 16
+  val AutoTargetOccupancy: Long = 16L
+
+  /** AUTO bucket resolution from the corpus count — the sizing rule the
+    * round-14 10×-step measurement derived (BASELINE.md): pair work in
+    * an LSH bucket self-join is Σ occupancy² ≈ N·(N/2^planes) per
+    * table, QUADRATIC in N at any fixed plane count. The smallest
+    * planes p with `targetOccupancy · 2^p >= n` keeps per-bucket
+    * occupancy (and so per-vector pair work) CONSTANT as the corpus
+    * grows — work returns to ∝ N. Pure integer arithmetic so the
+    * DuckDB oracle computes the identical value from `count(*)`
+    * (no float log2 boundary cases). Capped at [[MaxAutoPlanes]]
+    * (16 planes serves `targetOccupancy · 2^16 ≈ 1M` vectors; beyond
+    * that raise the cap — bucket strings just get longer). */
+  def autoPlanes(n: Long,
+                 targetOccupancy: Long = AutoTargetOccupancy): Int = {
+    var p = MinAutoPlanes
+    while (p < MaxAutoPlanes && (targetOccupancy << p) < n) p += 1
+    p
+  }
+
+  /** Resolve a caller `numPlanes`: [[AutoPlanes]] derives the count
+    * from one cheap `count()` over the corpus (parquet metadata count —
+    * no data scan), anything positive is a pinned override (spec
+    * reproducibility, oracle twins at a fixed resolution). */
+  private def resolvePlanes(emb: DataFrame, numPlanes: Int): Int =
+    if (numPlanes == AutoPlanes) autoPlanes(emb.count()) else numPlanes
+
   /** Exact BIGINT dot — fused native kernel ([[graft.functions
     * .DotProduct]]); the HOF formulation below is its spec-pinned
     * reference. One dot per candidate pair is the hot loop of every
@@ -132,14 +167,21 @@ object Similarity {
     * returns to ∝ N (the 11-plane form measured exp 0.52 and 24×
     * faster at the 20k-vector step). Fewer co-bucketed partners per
     * node is the recall trade that rule makes — compensate with
-    * `numTables`, never with occupancy. */
-  def knnGraph(emb: DataFrame, k: Int, numPlanes: Int = 8, dim: Int = 64,
-               numTables: Int = 1): DataFrame = {
+    * `numTables`, never with occupancy.
+    *
+    * The DEFAULT `numPlanes` is [[AutoPlanes]]: the resolution is
+    * derived from the corpus count by [[autoPlanes]], so a caller with
+    * defaults gets the scale-safe sizing automatically — the rule is
+    * enforced in code, not by documentation. Pass a positive
+    * `numPlanes` to pin a resolution (spec reproducibility). */
+  def knnGraph(emb: DataFrame, k: Int, numPlanes: Int = AutoPlanes,
+               dim: Int = 64, numTables: Int = 1): DataFrame = {
+    val planesN = resolvePlanes(emb, numPlanes)
     val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("nq"),
         posexplode(graft.functions.LshBuckets.lshBuckets(
-          col("q"), numTables, numPlanes, dim)).as(Seq("tbl", "bucket")))
+          col("q"), numTables, planesN, dim)).as(Seq("tbl", "bucket")))
     val a = q.select(col("vec_id").as("src_id"), col("q").as("sv"),
       col("nq").as("nqs"), col("tbl"), col("bucket"))
     val b = q.select(col("vec_id").as("dst_id"), col("q").as("dv"),
@@ -764,10 +806,17 @@ object Similarity {
     * them into one task), then cross-table dedup and the final heap
     * both run over ≤ numTables·k rows per query. The union top-k is
     * contained in the union of per-table top-ks, so the staging loses
-    * nothing. */
+    * nothing.
+    *
+    * Default `numPlanes` is [[AutoPlanes]] — resolution derived from
+    * the corpus count ([[autoPlanes]]), the same enforced-in-code
+    * sizing rule as [[knnGraph]]. Here the fixed-resolution failure is
+    * per-QUERY work growing ∝ N/2^planes rather than a quadratic
+    * self-join, but the fix is the same constant-occupancy rule. */
   def lshTopK(emb: DataFrame, numQueries: Long, k: Int,
-              numPlanes: Int = 8, dim: Int = 64,
+              numPlanes: Int = AutoPlanes, dim: Int = 64,
               numTables: Int = 1): DataFrame = {
+    val planesN = resolvePlanes(emb, numPlanes)
     // All numTables bucket keys from ONE fused codegen pass
     // (functions/LshBuckets) — the array(lshBucket, ...) formulation
     // paid numTables · numPlanes separate HOF dot products per row.
@@ -775,7 +824,7 @@ object Similarity {
       .withColumn("nq", dotQ(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("nq"),
         posexplode(graft.functions.LshBuckets.lshBuckets(
-          col("q"), numTables, numPlanes, dim)).as(Seq("tbl", "bucket")))
+          col("q"), numTables, planesN, dim)).as(Seq("tbl", "bucket")))
     val queries = q.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nq").as("nqq"), col("tbl"), col("bucket"))

@@ -81,6 +81,104 @@ final class FilePageFetcher(path: String) extends PageFetcher {
   }
 }
 
+/** LIVE-HTTP fetcher — the S1/S2 seam carried over a real socket,
+  * matching the reference's client shape (Form700.py:107-127) exactly:
+  *
+  *  - S1 session auth: one POST to `authUrl` with a form body
+  *    `UserName=...&Password=...`, the password BASE64-DECODED first
+  *    (F8 — Form700.py:112: `base64.b64decode(self.password)`); the
+  *    response's session cookie rides every page request.
+  *  - S2 page fetch: a POST per page to `pageUrl` with the reference's
+  *    query params (`AgencyPrefix`, `CurrentPageIndex`, `PageSize`,
+  *    `IsRedacted` — Form700.py:121), `content-type: application/json`
+  *    headers and the session cookie (Form700.py:122).
+  *  - S3 page bound: `totalPages()` fetches page 1 and reads
+  *    `totalMatchingPages` from the body — the field the reference's
+  *    loop re-reads each iteration (Form700.py:144).
+  *
+  * JDK-only (`HttpURLConnection`), serializable (all fields are
+  * strings/primitives); the session cookie is `@transient lazy`, so
+  * the driver authenticates once for planning and each executor
+  * re-authenticates on its first fetch — auth-is-construction (S1) on
+  * every JVM that talks to the API. `PagedJsonSourceSpec` proves the
+  * whole path against an in-JVM loopback HTTP server (cookie checked
+  * per page request, decoded password checked at auth). */
+final class HttpPageFetcher(
+    authUrl: String, pageUrl: String, username: String,
+    passwordB64: String, agencyPrefix: String = "SF",
+    isRedacted: Boolean = false, pageSize: Int = 1000)
+    extends PageFetcher {
+
+  @transient private lazy val cookie: String = grabCookies()
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private def open(url: String): java.net.HttpURLConnection = {
+    val c = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("POST")
+    c.setConnectTimeout(30000)
+    c.setReadTimeout(30000)
+    c
+  }
+
+  private def readBody(c: java.net.HttpURLConnection): String = {
+    require(c.getResponseCode / 100 == 2,
+      s"HTTP ${c.getResponseCode} from ${c.getURL}")
+    val in = c.getInputStream
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => out.write(buf, 0, n))
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** S1 (Form700.py:107-113): form-POST the credentials — password
+    * base64-decoded (F8) — and keep the session cookie. */
+  private def grabCookies(): String = {
+    val password = new String(
+      java.util.Base64.getDecoder.decode(passwordB64), "UTF-8")
+    val c = open(authUrl)
+    c.setDoOutput(true)
+    c.setRequestProperty("content-type",
+      "application/x-www-form-urlencoded")
+    val body = s"UserName=${enc(username)}&Password=${enc(password)}"
+    val os = c.getOutputStream
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    try {
+      readBody(c)
+      val setCookie = c.getHeaderField("Set-Cookie")
+      require(setCookie != null, s"no session cookie from $authUrl")
+      setCookie.split(";")(0)
+    } finally c.disconnect()
+  }
+
+  /** S2 (Form700.py:115-127): one POST per page, reference params as
+    * the query string, session cookie attached. */
+  private def request(page: Int): String = {
+    val qs = s"AgencyPrefix=${enc(agencyPrefix)}" +
+      s"&CurrentPageIndex=$page&PageSize=$pageSize" +
+      s"&IsRedacted=${if (isRedacted) "True" else "False"}"
+    val c = open(s"$pageUrl?$qs")
+    c.setRequestProperty("content-type", "application/json")
+    c.setRequestProperty("Cookie", cookie)
+    try readBody(c) finally c.disconnect()
+  }
+
+  /** S3: the reference's loop bound, read from the page-1 body
+    * (`responseJson['totalMatchingPages']` — Form700.py:144). */
+  override def totalPages(): Int =
+    "\"totalMatchingPages\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(request(1))
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"page 1 of $pageUrl has no totalMatchingPages"))
+
+  override def fetchPage(page: Int): String = request(page)
+}
+
 /** DataSourceV2 paged-JSON source (S1–S3 as a first-class connector):
   * `spark.read.format("graft.sources.PagedJsonSource")` with either
   * `.option("path", dir)` (file-backed) or `.option("fetcher", name)`

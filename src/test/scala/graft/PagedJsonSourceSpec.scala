@@ -106,6 +106,97 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(perBatch.asScala.toSeq == Seq(1L, 1L, 1L, 1L))
   }
 
+  test("loopback HTTP: HttpPageFetcher carries S1 auth + S2 paging " +
+      "through the registered DSv2 path (Form700.py:107-127 shape)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.nio.charset.StandardCharsets.UTF_8
+    def fixtureText(p: Int): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        java.net.URI.create(s"$coverDir/page_$p.json"))), UTF_8)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val authBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pageReqs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(UTF_8)
+      x.sendResponseHeaders(code, b.length)
+      try x.getResponseBody.write(b) finally x.getResponseBody.close()
+    }
+    // S1: the session-auth endpoint — form-POST credentials in, session
+    // cookie out (the password arrives DECODED: Form700.py:112).
+    server.createContext("/auth", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        authBodies.add(new String(x.getRequestBody.readAllBytes(), UTF_8))
+        x.getResponseHeaders.add("Set-Cookie", "session=tok123; Path=/")
+        respond(x, 200, "ok")
+      }
+    })
+    // S2: the paged endpoint — session cookie required, reference query
+    // params, fixture page bodies (totalMatchingPages included).
+    server.createContext("/api/cover", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val q = Option(x.getRequestURI.getQuery).getOrElse("")
+        pageReqs.add(q + "|cookie=" +
+          Option(x.getRequestHeaders.getFirst("Cookie")).getOrElse("") +
+          "|ct=" +
+          Option(x.getRequestHeaders.getFirst("Content-type")).getOrElse(""))
+        if (!Option(x.getRequestHeaders.getFirst("Cookie"))
+            .exists(_.contains("session=tok123"))) respond(x, 403, "no auth")
+        else {
+          val page = "CurrentPageIndex=(\\d+)".r.findFirstMatchIn(q)
+            .map(_.group(1).toInt).getOrElse(0)
+          if (page >= 1 && page <= 2) respond(x, 200, fixtureText(page))
+          else respond(x, 404, "no such page")
+        }
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val passwordB64 = java.util.Base64.getEncoder
+        .encodeToString("s3cret!".getBytes(UTF_8))
+      val fetcher = new graft.sources.HttpPageFetcher(
+        s"http://127.0.0.1:$port/auth",
+        s"http://127.0.0.1:$port/api/cover", "etl_user", passwordB64)
+      PagedJsonSource.registerFetcher("loopback_http", fetcher)
+      val viaHttp = spark.read.format("graft.sources.PagedJsonSource")
+        .option("fetcher", "loopback_http").load()
+        .orderBy("page").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      // the live-HTTP read is byte-identical to the file-backed one
+      val viaFiles = spark.read.format("graft.sources.PagedJsonSource")
+        .option("path", coverDir).load()
+        .orderBy("page").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(viaHttp.toSeq == viaFiles.toSeq)
+      // ... and parses to the same cover rows downstream
+      val parsed = Form700Source.cover(
+        spark.read.json(spark.createDataset(viaHttp.map(_._2).toSeq)(
+          org.apache.spark.sql.Encoders.STRING)))
+      assert(parsed.count() > 0)
+      // S1: auth happened, with the reference's form fields and the
+      // base64-DECODED password
+      import scala.jdk.CollectionConverters._
+      assert(authBodies.asScala.nonEmpty)
+      assert(authBodies.asScala.forall(b =>
+        b.contains("UserName=etl_user") &&
+          b.contains("Password=s3cret%21")))
+      // S2: every page request carried the reference params, the JSON
+      // content type, and the session cookie
+      val reqs = pageReqs.asScala.toSeq
+      assert(reqs.nonEmpty)
+      assert(reqs.forall(r => r.contains("AgencyPrefix=SF") &&
+        r.contains("PageSize=1000") && r.contains("IsRedacted=False") &&
+        r.contains("cookie=session=tok123") &&
+        r.contains("ct=application/json")))
+      // S3: the bound came from page 1's totalMatchingPages (a probe
+      // fetch of page 1, then the planned pages 1..2)
+      val pagesAsked = reqs.flatMap(r =>
+        "CurrentPageIndex=(\\d+)".r.findFirstMatchIn(r).map(_.group(1).toInt))
+      assert(pagesAsked.toSet == Set(1, 2))
+    } finally server.stop(0)
+  }
+
   test("corrupt page: tolerated, dropped from data, counted in status " +
       "(Form700.py:123-126)") {
     class Mixed extends PageFetcher {

@@ -654,6 +654,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("autoPlanes: constant-occupancy sizing — smallest p with " +
+      "occupancy·2^p >= n, clamped to [4, 16]") {
+    // the fixture scale ladder: 500 → 5, 2000 → 7, 20000 → 11 (the
+    // resolution the sf1 measurement derived — BASELINE.md round 14)
+    assert(Similarity.autoPlanes(500L) == 5)
+    assert(Similarity.autoPlanes(2000L) == 7)
+    assert(Similarity.autoPlanes(20000L) == 11)
+    // clamps: tiny corpora floor at MinAutoPlanes, huge at MaxAutoPlanes
+    assert(Similarity.autoPlanes(1L) == 4)
+    assert(Similarity.autoPlanes(0L) == 4)
+    assert(Similarity.autoPlanes(Long.MaxValue / 4) == 16)
+    // exact power-of-two boundary: occupancy<<p == n picks p, not p+1
+    assert(Similarity.autoPlanes(16L << 6) == 6)
+    assert(Similarity.autoPlanes((16L << 6) + 1) == 7)
+  }
+
+  test("knnGraph default (AutoPlanes) equals the pinned derived " +
+      "resolution — auto is a sizing rule, not a semantic change") {
+    val derived = Similarity.autoPlanes(fixtureEmb.count())
+    val auto = Similarity.knnGraph(fixtureEmb, 5, numTables = 8)
+    val pinned = Similarity.knnGraph(fixtureEmb, 5, derived, 64, 8)
+    assert(auto.except(pinned).isEmpty && pinned.except(auto).isEmpty)
+  }
+
   test("knnGraph: per-node ranks are dense from 1 and neighbors are " +
       "distinct; no self-edges") {
     val g = Similarity.knnGraph(fixtureEmb, 5, 4, 64, 8)

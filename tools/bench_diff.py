@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Local dev harness (not part of the library): diff two bench records.
+
+Usage: python3 tools/bench_diff.py <old> <new> [threshold]
+
+Accepts any of the bench formats this repo produces:
+  - driver BENCH_r{N}.json  (dict with a "tail" string of per-query
+    JSON lines, possibly truncated at the head — whole lines survive)
+  - a raw `sbt runMain graft.Bench` capture (lines with an optional
+    "[info] " prefix; per-query lines plus the headline line)
+  - a bare headline JSON with "queries"/"norm"/"spread" maps
+
+Joins the two records on query name and compares CANARY-NORMALIZED
+values (sec / canary_sec — the host-speed-corrected number; falls back
+to raw sec when a side has no norm). Reports:
+  - movers with |ratio| above the threshold (default 1.5x), flagged
+    NOISE? when the delta is within the rep spread of either side
+  - added / removed queries
+  - headline totals and canaries when present
+"""
+import sys, json, re
+
+
+def parse_lines(text):
+    """Pull per-query dicts + headline dicts out of any line soup."""
+    queries, heads = {}, []
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("[info]"):
+            line = line[len("[info]"):].strip()
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue  # truncated fragment (bounded log capture)
+        if "query" in d and "sec" in d:
+            queries[d["query"]] = d
+        elif d.get("metric") == "total":
+            heads.append(d)
+    return queries, heads
+
+
+def load(path):
+    raw = open(path).read()
+    queries, heads = {}, []
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict):
+        if "tail" in d:  # driver BENCH_r{N}.json
+            queries, heads = parse_lines(d["tail"])
+            if isinstance(d.get("parsed"), dict):
+                heads.append(d["parsed"])
+        elif d.get("metric") == "total":  # bare headline
+            heads = [d]
+    if not queries and not heads:  # raw capture / jsonl
+        queries, heads = parse_lines(raw)
+    # fold headline maps into per-query rows (headline wins only where
+    # no per-query line survived truncation)
+    head = next((h for h in heads if "queries" in h), None)
+    if head:
+        for name, sec in head.get("queries", {}).items():
+            row = queries.setdefault(name, {"query": name, "sec": sec})
+            row.setdefault("sec", sec)
+            if name in head.get("norm", {}):
+                row.setdefault("norm", head["norm"][name])
+            if name in head.get("spread", {}):
+                row.setdefault("spread", head["spread"][name])
+    summary = next((h for h in heads if "value" in h), None)
+    return queries, summary
+
+
+def norm_of(row):
+    v = row.get("norm")
+    return float(v) if v is not None else None
+
+
+def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old, old_head = load(old_path)
+    new, new_head = load(new_path)
+    if not old or not new:
+        sys.exit(f"no per-query rows parsed: old={len(old)} new={len(new)}")
+
+    for label, head, n in (("old", old_head, len(old)),
+                           ("new", new_head, len(new))):
+        if head:
+            print(f"{label}: total={head.get('value')}s "
+                  f"n={head.get('n_queries')} canary={head.get('canary_sec')}s "
+                  f"sf={head.get('sf')} ({n} per-query rows parsed)")
+        else:
+            print(f"{label}: {n} per-query rows parsed (no headline)")
+
+    both = sorted(set(old) & set(new))
+    use_norm = all(norm_of(old[q]) and norm_of(new[q]) for q in both)
+    unit = "norm (sec/canary)" if use_norm else "sec (no canary on a side)"
+    print(f"\ncomparing {len(both)} shared queries on {unit}; "
+          f"movers beyond {threshold}x:")
+
+    movers = []
+    for q in both:
+        ov = norm_of(old[q]) if use_norm else float(old[q]["sec"])
+        nv = norm_of(new[q]) if use_norm else float(new[q]["sec"])
+        if ov <= 0 or nv <= 0:
+            continue
+        ratio = nv / ov
+        if ratio >= threshold or ratio <= 1.0 / threshold:
+            # a delta inside either side's rep spread is contention, not
+            # a plan change — flag instead of suppressing
+            spread = max(float(old[q].get("spread", 0)),
+                         float(new[q].get("spread", 0)))
+            dsec = abs(float(new[q]["sec"]) - float(old[q]["sec"]))
+            movers.append((ratio, q, ov, nv, dsec <= spread))
+    for ratio, q, ov, nv, noisy in sorted(movers, key=lambda m: -m[0]):
+        tag = "  NOISE? (within rep spread)" if noisy else ""
+        print(f"  {q}: {ov:.2f} -> {nv:.2f}  ({ratio:.2f}x){tag}")
+    if not movers:
+        print("  (none)")
+
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    if added:
+        secs = ", ".join(f"{q}={new[q]['sec']}s" for q in added)
+        print(f"\nadded ({len(added)}): {secs}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+
+
+if __name__ == "__main__":
+    main()
