@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Each query runs `SPARK_GRAFT_BENCH_REPS` times
@@ -17,6 +18,41 @@ import org.apache.spark.sql.SparkSession
   * hosts/rounds without contention adjudication.
   */
 object Bench {
+
+  /** Per-query resource metrics — seconds alone can hide a
+    * memory-bound or shuffle-heavy plan that still fits at sf0.1 but
+    * dies at 100 TB. Sums task-level shuffle read/write bytes and
+    * tracks the max per-task peak execution memory between resets; the
+    * listener bus is async, so [[settle]] gives in-flight taskEnd
+    * events a bounded window to drain before a read (bytes are
+    * diagnostics — a rarely-lost tail event shifts a number by one
+    * task, never corrupts timing). */
+  private final class MetricsListener extends SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val peakMem = new AtomicLong
+    @volatile private var lastEventNs = 0L
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+        lastEventNs = System.nanoTime()
+      }
+    }
+    def reset(): Unit = {
+      shuffleRead.set(0); shuffleWrite.set(0); peakMem.set(0)
+    }
+    /** Wait until no taskEnd has arrived for 50 ms (cap 500 ms). */
+    def settle(): Unit = {
+      val deadline = System.nanoTime() + 500L * 1000000L
+      while (System.nanoTime() < deadline &&
+          System.nanoTime() - lastEventNs < 50L * 1000000L)
+        Thread.sleep(5)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,19 +78,36 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query resource metrics (shuffle bytes, peak task memory):
+    // reset before each rep, captured after the LAST successful rep —
+    // bytes are plan-deterministic across reps, so last == any.
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    val resources =
+      scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     // Optional args = query-name filter, for timing one query while
     // iterating. The driver passes no args → full suite.
     val selected = if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      val times = (1 to reps).flatMap { r =>
+        metrics.reset()
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column. A count() here
         // would let Catalyst prune projections entirely and time only
         // the scan for map-only queries.
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          // capture resources on the FINAL rep only (bytes are
+          // plan-deterministic; the settle's 50 ms quiet window would
+          // otherwise cost reps× per query)
+          if (r == reps) {
+            metrics.settle()
+            resources(name) = (metrics.shuffleRead.get(),
+              metrics.shuffleWrite.get(), metrics.peakMem.get())
+          }
+          Some(dt)
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -100,11 +153,23 @@ object Bench {
     val norms = results
       .collect { case (k, Some((mn, _))) => s"\"" + k + "\":" + nm(mn) }
       .mkString("{", ",", "}")
+    // Resource metrics (diagnostics for scale grading): shuffle bytes
+    // written, shuffle bytes read, max per-task peak execution memory.
+    def mb(v: Long): String = f"${v / 1e6}%.1f"
+    def res(k: String): String = resources.get(k)
+      .map { case (rd, wr, pk) =>
+        s""","shuffle_mb":${mb(wr)},"shuffle_read_mb":${mb(rd)}""" +
+          s""","peak_task_mem_mb":${mb(pk)}"""
+      }.getOrElse("")
+    val shuffleMap = results
+      .collect { case (k, Some(_)) if resources.contains(k) =>
+        s"\"" + k + "\":" + mb(resources(k)._2) }
+      .mkString("{", ",", "}")
     val head = s""""metric":"total","unit":"sec","value":${ms(total)},"sf":"$sfDir","reps":$reps,"stat":"min","canary_sec":${ms(canary)},"n_queries":${ok.size}"""
-    println(s"""{$head,"queries":$qs,"spread":$spreads,"norm":$norms,"errors":$errJson}""")
+    println(s"""{$head,"queries":$qs,"spread":$spreads,"norm":$norms,"shuffle_mb":$shuffleMap,"errors":$errJson}""")
     results.foreach {
       case (k, Some((mn, mx))) =>
-        println(s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)}}""")
+        println(s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)}${res(k)}}""")
       case (k, None) =>
         println(s"""{"query":"$k","error":"${errors.getOrElse(k, "?")}"}""")
     }

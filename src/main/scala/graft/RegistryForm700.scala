@@ -17,14 +17,21 @@ import graft.operators.{Form700Pipeline => P, Restructure}
 object RegistryForm700 {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Source-tree fixture path for the DuckDB side (driver runs on this
-    * machine; content is byte-identical to the classpath copy Spark
-    * reads). */
-  private val OraclePages = "/root/repo/src/main/resources/form700/pages"
-  private val OracleRedactedPages =
-    "/root/repo/src/main/resources/form700/pages_redacted"
-  private val OracleCorruptPages =
-    "/root/repo/src/main/resources/form700/pages_corrupt"
+  /** Fixture paths for the DuckDB side, derived from the SAME
+    * `fixtureRoot` resolution the Spark queries read through
+    * (classpath copy on disk, or the one-time temp extraction when the
+    * resources are packaged in a jar) — the two sides cannot diverge
+    * across checkouts or packaging modes. DuckDB takes a bare path:
+    * strip the `file:` scheme (any number of slashes — `file:/p` from
+    * a URL, `file:///p` from a URI — collapses to the same POSIX
+    * path). */
+  private def oracleRoot(sparkRoot: String): String =
+    sparkRoot.replaceFirst("^file:/*", "/")
+  private lazy val OraclePages = oracleRoot(P.defaultPagesRoot)
+  private lazy val OracleRedactedPages =
+    oracleRoot(P.defaultRedactedPagesRoot)
+  private lazy val OracleCorruptPages =
+    oracleRoot(P.defaultCorruptPagesRoot)
 
   private def tables(s: SparkSession): Map[String, DataFrame] =
     P.run(s, P.defaultPagesRoot, Some(P.fixtureDoubles))
@@ -268,6 +275,28 @@ object RegistryForm700 {
       graft.streaming.StreamOps
         .runUpsertToCompletion(s, stream, perBatch, "filing_id", out)
         .orderBy("filing_id")
+    }),
+
+    // TIME TRAVEL over the generation-dir upsert: three chunks (full
+    // load, page-2 correction, page-1 correction), then the table read
+    // AS OF generation 1 — the snapshot BEFORE the page-1 correction
+    // landed. Generations are immutable, so the result is exactly the
+    // latest-wins merge of chunks 0..1 (the e1_audit_upsert oracle),
+    // even though gen 2 exists and differs — the lakehouse
+    // snapshot-as-of contract on the reference's own chunked layout.
+    "k_time_travel" -> ((s, _) => {
+      val root = P.defaultPagesRoot
+      val out = graft.Scratch.dir("graft_k_ttravel")
+      def coverOf(path: String) =
+        P.clean(graft.sources.Form700Source.cover(
+          graft.sources.Form700Source.readPages(s, path)),
+          P.catalog("cover"), Some(Set.empty))
+      val chunks = Seq(coverOf(s"$root/cover"),
+        coverOf(s"$root/cover/page_2.json"),
+        coverOf(s"$root/cover/page_1.json"))
+      P.writeUpsert(s, "cover", chunks, "filing_id", out,
+        graft.operators.RetryPolicy.NoWait)
+      P.upsertedTableAsOf(s, "cover", out, gen = 1).orderBy("filing_id")
     }),
 
     // S2 PARSE TOLERANCE (Form700.py:123-126: try/except around
@@ -552,15 +581,28 @@ object RegistryForm700 {
   // catalog+count oracle built above.
   val oracles: Map[String, String] =
     baseOracles + ("e1_audit" -> auditOracle(baseOracles)) +
+      // Time travel to generation 1 = the latest-wins merge of chunks
+      // 0..1 — BY CONSTRUCTION the e1_audit_upsert oracle, verbatim:
+      // the snapshot ignores chunk 2 even though gen 2 exists.
+      ("k_time_travel" -> baseOracles("e1_audit_upsert")) +
       // Page parse status via DuckDB's own JSON validator over the raw
-      // page text — an independent judgment of which pages parse.
+      // page text — an independent judgment of which pages parse. A
+      // usable page must be a JSON OBJECT (the reference immediately
+      // subscripts responseJson['totalMatchingPages'] — Form700.py:144
+      // — so a valid-but-non-object body is as unusable as a parse
+      // failure); `json_type(try_cast(...))` is NULL for invalid JSON,
+      // so one predicate covers both. This matches the Spark probe's
+      // struct-schema semantics (Form700Source.readPagesWithStatus) on
+      // any input, not just the current fixtures.
       ("e1_audit_pages" ->
         s"""SELECT 'cover' AS source,
            |  CAST(regexp_extract(filename, 'page_(\\d+)\\.json', 1)
            |    AS BIGINT) AS page,
-           |  json_valid(content) AS parse_ok,
-           |  CASE WHEN json_valid(content) THEN 'SUCCESS'
-           |       ELSE 'FAILURE' END AS status
+           |  COALESCE(json_type(TRY_CAST(content AS JSON)) = 'OBJECT',
+           |    false) AS parse_ok,
+           |  CASE WHEN COALESCE(
+           |      json_type(TRY_CAST(content AS JSON)) = 'OBJECT', false)
+           |    THEN 'SUCCESS' ELSE 'FAILURE' END AS status
            |FROM read_text('$OracleCorruptPages/cover/*.json')
            |ORDER BY page""".stripMargin)
 }

@@ -27,9 +27,17 @@ import org.apache.spark.sql.functions._
   *    perturbed by a deterministic ±0.006 hash ramp — breaks exact
   *    vector duplication (which would collapse kNN graphs) without
   *    moving points between neighborhoods.
-  * The small TPC-H dimension tables pass through unscaled (the heavy
-  * kernels this dataset exists for do not read them at 10×; a dim
-  * join against a scaled fact still resolves for copy 0).
+  *  - `orders` / `customer` / `part` / `supplier`: keys offset IN
+  *    LOCKSTEP with the facts that reference them (`o_orderkey`/
+  *    `l_orderkey`, `o_custkey`/`c_custkey`, `p_partkey`/`l_partkey`,
+  *    `s_suppkey`/`l_suppkey`), so every fact-to-dim join resolves for
+  *    EVERY copy — the whole registry is semantically valid at the
+  *    derived step, not just the dim-free kernels (a pass-through dim
+  *    would leave 90% of fact rows unmatched and silently measure a
+  *    skewed workload). `nation`/`region` stay unscaled: they are
+  *    bounded real-world enumerations (25/5 rows at every TPC-H scale
+  *    factor), and `c_nationkey`/`s_nationkey` pass through unchanged,
+  *    so the geography joins stay valid too.
   */
 object ScaleData {
 
@@ -126,8 +134,25 @@ object ScaleData {
       }
     }, 8)
 
-    // dims: pass through unscaled.
-    Seq("region", "nation", "customer", "supplier", "part", "orders")
+    // key-bearing dims: offset IN LOCKSTEP with the fact keys, so the
+    // join graph resolves for every copy (orders↔lineitem on orderkey,
+    // orders↔customer on custkey, part/supplier↔lineitem).
+    val dimKeys = Map(
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey"),
+      "part" -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey"))
+    dimKeys.foreach { case (name, keys) =>
+      val d = Tables.load(spark, src, name)
+      write(name, withCopies(spark, copies) { i =>
+        keys.foldLeft(d)((df, k) =>
+          df.withColumn(k, col(k) + lit(i * KeyOffset)))
+      }, 8)
+    }
+
+    // bounded enumerations: pass through unscaled (nationkey refs are
+    // not offset anywhere, so these join every copy's rows).
+    Seq("region", "nation")
       .foreach(n => write(n, Tables.load(spark, src, n), 4))
 
     Tables.all.foreach { n =>

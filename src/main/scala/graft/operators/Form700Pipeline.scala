@@ -489,6 +489,23 @@ object Form700Pipeline {
                     nChunks: Int): DataFrame =
     spark.read.parquet(s"$outDir/$name/gen_${nChunks - 1}")
 
+  /** TIME-TRAVEL read: the upserted table AS OF generation `gen`
+    * (0-based; `nChunks - 1` is the current state). [[writeUpsert]]'s
+    * generation dirs are IMMUTABLE — gen i is written once as the
+    * merge of gen i-1 with chunk i and never rewritten — so every
+    * retained generation is a consistent snapshot: exactly the
+    * latest-wins merge of chunks 0..gen. This is the snapshot-as-of
+    * read table formats (Iceberg `VERSION AS OF`, Delta time travel)
+    * expose, carried by the layout the chunked upsert already pays
+    * for — no extra metadata, no extra write cost. Retention is the
+    * caller's dial: drop old `gen_*` dirs to reclaim space and the
+    * remaining generations stay readable. */
+  def upsertedTableAsOf(spark: SparkSession, name: String, outDir: String,
+                        gen: Int): DataFrame = {
+    require(gen >= 0, s"generation must be >= 0: $gen")
+    spark.read.parquet(s"$outDir/$name/gen_$gen")
+  }
+
   // ------------------------------------------------------------------
   // O4 — job report artifact (Form700.py:520-583 builds a per-table
   // CSV report + subject line; :638-655 emails it). SMTP itself is a

@@ -103,13 +103,15 @@ object Joins {
     * column carries independently via `last(ignoreNulls)`, so a null
     * in the matched row would let a STALER row's value slip past the
     * freshness gate keyed on the carried match time — pre-coalesce
-    * nullable right columns). */
+    * nullable right columns). ENFORCED at runtime: a null right value
+    * raises a named error instead of returning silently wrong rows. */
   def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
                         timeCol: String, valueCols: Seq[String],
                         toleranceUs: Long): DataFrame = {
     require(toleranceUs >= 0, s"tolerance must be >= 0: $toleranceUs")
     val mt = "__mt"
-    val r2 = right.withColumn(mt, col(s"`$timeCol`"))
+    val r2 = requireNonNullValues(right, valueCols, "asofJoinTolerance")
+      .withColumn(mt, col(s"`$timeCol`"))
     val carried = asofJoin(left, r2, key, timeCol, valueCols :+ mt)
     val fresh = col(s"`$mt`").isNotNull &&
       (col(s"`$timeCol`") - col(s"`$mt`")) <= toleranceUs
@@ -118,6 +120,27 @@ object Joins {
       }
       .drop(mt)
   }
+
+  /** Runtime enforcement of the NON-NULL right-value precondition the
+    * tolerance/nearest/2-level forms document: each value column is
+    * wrapped so a null right-side value FAILS THE JOB with a named
+    * error instead of silently desynchronizing the per-column carries
+    * from the carried match time (a staler row's value slipping past
+    * the freshness gate). One codegen'd null check per right row —
+    * negligible next to the carry window itself; the same
+    * guard-in-the-expression discipline as `a3_agg_breadth`'s
+    * assert_true pack-range bound. */
+  private def requireNonNullValues(right: DataFrame,
+                                   valueCols: Seq[String],
+                                   op: String): DataFrame =
+    valueCols.foldLeft(right) { (df, c) =>
+      df.withColumn(c, when(col(s"`$c`").isNotNull, col(s"`$c`"))
+        .otherwise(raise_error(lit(
+          s"$op: right-side value column '$c' must be non-null " +
+            "(pre-coalesce nullable right columns — the per-column " +
+            "carries only agree with the carried match time when no " +
+            "right value is null)"))))
+    }
 
   /** Both sides tagged and unioned for the as-of carry: `__side` 0 =
     * right (sorts first at equal times), 1 = left. */
@@ -191,7 +214,8 @@ object Joins {
     * different right rows when some are null) while level 2 carries
     * one whole row (`max(struct)`), so the two forms agree — and the
     * shared-oracle equivalence holds — only when no right value is
-    * null. Pre-coalesce nullable right columns before calling.
+    * null. Pre-coalesce nullable right columns before calling —
+    * ENFORCED at runtime (a null right value raises a named error).
     *
     * Verified value-for-value: registry `ev_asof_join_2level` shares
     * `ev_asof_join`'s DuckDB ASOF JOIN oracle, and a property test
@@ -201,7 +225,9 @@ object Joins {
                      bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val tagged = asofTagged(left, right, key, timeCol, valueCols)
+    val tagged = asofTagged(left,
+      requireNonNullValues(right, valueCols, "asofJoin2Level"),
+      key, timeCol, valueCols)
       .withColumn("__bucket",
         ((col(s"`$timeCol`") - pmod(col(s"`$timeCol`"), lit(bucketWidth)))
           / bucketWidth).cast("long"))
@@ -257,14 +283,17 @@ object Joins {
     * Same extra precondition as [[asofJoin2Level]]: right-side
     * `valueCols` must be NON-NULL — level 1 carries columns
     * independently while level 2 carries one `min(struct)` row, and
-    * they only agree when no right value is null. */
+    * they only agree when no right value is null. ENFORCED at runtime,
+    * like [[asofJoin2Level]]. */
   def asofJoinForward2Level(left: DataFrame, right: DataFrame,
                             key: String, timeCol: String,
                             valueCols: Seq[String],
                             bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val tagged = asofTagged(left, right, key, timeCol, valueCols)
+    val tagged = asofTagged(left,
+      requireNonNullValues(right, valueCols, "asofJoinForward2Level"),
+      key, timeCol, valueCols)
       .withColumn("__bucket",
         ((col(s"`$timeCol`") - pmod(col(s"`$timeCol`"), lit(bucketWidth)))
           / bucketWidth).cast("long"))
@@ -324,14 +353,16 @@ object Joins {
     * right-side `valueCols` must be NON-NULL (the 2-level forms'
     * precondition: per-column `last/first(ignoreNulls)` carries could
     * otherwise mix a different row's value with the direction chosen
-    * by the carried match time). Unmatched-on-both-sides rows carry
+    * by the carried match time; ENFORCED at runtime — a null right
+    * value raises a named error). Unmatched-on-both-sides rows carry
     * nulls. */
   def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
                       timeCol: String, idCol: String,
                       valueCols: Seq[String],
                       bucketWidth: Option[Long] = None): DataFrame = {
     val rt = "__rt"
-    val r2 = right.withColumn(rt, col(s"`$timeCol`"))
+    val r2 = requireNonNullValues(right, valueCols, "asofJoinNearest")
+      .withColumn(rt, col(s"`$timeCol`"))
     val vc = valueCols :+ rt
     // bucketWidth selects the hot-key-safe 2-LEVEL directional carries
     // (the stitch is direction-agnostic, so the bounded-task discipline

@@ -73,6 +73,13 @@ object Form700Source {
     // (not a corrupt-populated row), so blank bodies need their own
     // clause — an empty 200 response is a parse FAILURE (DuckDB's
     // json_valid('') agrees), not a page of nulls.
+    // PAGE CONTRACT: a usable page is a JSON OBJECT. The struct-schema
+    // probe marks a valid-but-non-object body (array/string/number/
+    // bare null) as a FAILURE too — deliberately: the reference
+    // subscripts responseJson['totalMatchingPages'] unconditionally
+    // (Form700.py:144), so a non-object page is exactly as unusable as
+    // a truncated one. The e1_audit_pages oracle states the same rule
+    // (json_type = 'OBJECT').
     def parseOk = col("body").isNotNull &&
       trim(col("body")) =!= "" &&
       from_json(col("body"), probeSchema, Map(

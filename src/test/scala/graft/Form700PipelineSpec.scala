@@ -240,6 +240,43 @@ class Form700PipelineSpec extends AnyFunSuite {
     assert(merged("F002").getAs[Int]("src_chunk") == 0)
   }
 
+  test("time travel: each retained generation is the consistent " +
+      "snapshot of its chunk prefix, and generations are immutable") {
+    import graft.operators.RetryPolicy
+    val root = Form700Pipeline.defaultPagesRoot
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ttravel").toString
+    def coverOf(path: String) = Form700Pipeline.clean(
+      graft.sources.Form700Source.cover(
+        graft.sources.Form700Source.readPages(spark, path)),
+      Form700Pipeline.catalog("cover"), Some(Set.empty))
+    // chunk 0 = full load; chunk 1 corrects F003 (page 2); chunk 2
+    // corrects F001+F002 (page 1) — three distinct snapshots.
+    val chunks = Seq(coverOf(s"$root/cover"),
+      coverOf(s"$root/cover/page_2.json"),
+      coverOf(s"$root/cover/page_1.json"))
+    Form700Pipeline.writeUpsert(spark, "cover", chunks, "filing_id",
+      out, RetryPolicy.NoWait)
+    def lineage(gen: Int): Map[String, Int] =
+      Form700Pipeline.upsertedTableAsOf(spark, "cover", out, gen)
+        .collect()
+        .map(r => r.getAs[String]("filing_id") ->
+          r.getAs[Int]("src_chunk")).toMap
+    // gen 0: everything from the full load
+    assert(lineage(0) ==
+      Map("F001" -> 0, "F002" -> 0, "F003" -> 0))
+    // gen 1: only F003 corrected — the state BEFORE chunk 2, still
+    // readable after gen 2 was written (immutability)
+    assert(lineage(1) ==
+      Map("F001" -> 0, "F002" -> 0, "F003" -> 1))
+    // gen 2 == the current state (upsertedTable)
+    assert(lineage(2) ==
+      Map("F001" -> 2, "F002" -> 2, "F003" -> 1))
+    assert(Form700Pipeline.upsertedTable(spark, "cover", out, 3)
+      .collect().map(_.getAs[String]("filing_id")).sorted.toSeq ==
+      Seq("F001", "F002", "F003"))
+  }
+
   test("O4 job report: CSV artifact + SUCCESS/FAILURE subject line") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_e1_report").toString

@@ -43,6 +43,28 @@ class ScaleDataSpec extends AnyFunSuite {
     }
   }
 
+  test("fact-to-dim joins resolve for EVERY copy — dims scale in " +
+      "lockstep, so no copy's rows silently drop from dim-joining " +
+      "queries at the derived step") {
+    def tb(n: String) = spark.read.parquet(s"$out/$n.parquet")
+    val (li, ord, cust) = (tb("lineitem"), tb("orders"), tb("customer"))
+    val (part, supp, nat) = (tb("part"), tb("supplier"), tb("nation"))
+    assert(li.join(ord, li("l_orderkey") === ord("o_orderkey"),
+      "left_anti").count() == 0, "lineitem rows without an order")
+    assert(li.join(part, li("l_partkey") === part("p_partkey"),
+      "left_anti").count() == 0, "lineitem rows without a part")
+    assert(li.join(supp, li("l_suppkey") === supp("s_suppkey"),
+      "left_anti").count() == 0, "lineitem rows without a supplier")
+    assert(ord.join(cust, ord("o_custkey") === cust("c_custkey"),
+      "left_anti").count() == 0, "orders rows without a customer")
+    // the unscaled bounded enumerations still cover every copy's refs
+    assert(cust.join(nat, cust("c_nationkey") === nat("n_nationkey"),
+      "left_anti").count() == 0, "customer rows without a nation")
+    // and the dims really scaled (disjoint per-copy key ranges)
+    assert(ord.count() == Copies *
+      Tables.load(spark, "/root/testdata/sf0.001", "orders").count())
+  }
+
   test("document copies are NOT near-duplicates of their base doc " +
       "(shingle overlap below dedup thresholds)") {
     val docs = spark.read.parquet(s"$out/documents.parquet")

@@ -18,7 +18,8 @@ class ScalePlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
-  test("sf1: the filer/dim joins still broadcast (dims stay unscaled)") {
+  test("sf1: the filer/dim joins still broadcast (dims scale 10× in " +
+      "lockstep but stay far under the broadcast threshold)") {
     assume(have, "derived sf1 not generated")
     val plan = planString(Registry.queries("j1_filer_join")(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
