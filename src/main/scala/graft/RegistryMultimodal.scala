@@ -19,11 +19,27 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
   private def mmPayload(s: SparkSession, dir: String) =
     Multimodal.asBinaryPayload(t(s, dir, "documents"), "doc_id", "text")
 
+  /** DuckDB-side path to the SAME BMP fixture files Spark reads —
+    * derived from the one fixtureRoot resolution (classpath-on-disk or
+    * temp extraction), the form700 oracle-path discipline. */
+  private lazy val OracleBmpRoot: String =
+    BmpFixture.root.replaceFirst("^file:/*", "/")
+
+  /** The REAL-image payload: one deterministic 8×8 24bpp BMP per doc,
+    * content keyed on `doc_id % 500` (collisions by construction). */
+  private def mmBmpPayload(s: SparkSession, dir: String) =
+    Multimodal.asBmpPayload(t(s, dir, "documents"), "doc_id")
+
   protected val multimodal: Map[String, Q] = Map(
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(mmPayload(s, dir)).orderBy("doc_id")),
+    // REAL codec: every payload is an actual 24bpp BMP and the decode
+    // is a real header+pixel parse (operators.BmpCodec) — the oracle
+    // derives the same channel stats from the closed-form pixel
+    // content the encoder used.
     "mm_decode_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(mmPayload(s, dir)).orderBy("doc_id")),
+      Multimodal.decodeBmpFeatures(mmBmpPayload(s, dir))
+        .orderBy("doc_id")),
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(mmPayload(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -32,10 +48,47 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
     // Exact media dedup: digest-only — payload bytes never shuffle.
     "mm_content_dedup" -> ((s, dir) =>
       Multimodal.contentDedup(mmPayload(s, dir)).orderBy("doc_id")),
-    // pHash-shaped near-dup candidate buckets over the decoded coarse
-    // features — the LSH bucket shape on the multimodal column.
+    // Perceptual-hash near-dup buckets over REAL decoded pixels:
+    // BmpCodec.ahash64 (integer average-hash over the 8×8 block grid)
+    // as the bucket key — docs congruent mod 500 carry identical
+    // images and MUST co-bucket; the oracle replays the grayscale /
+    // mean-threshold bit string in closed form.
     "mm_phash_buckets" -> ((s, dir) =>
-      Multimodal.phashBuckets(mmPayload(s, dir)).orderBy("doc_id")),
+      Multimodal.ahashBuckets(mmBmpPayload(s, dir)).orderBy("doc_id")),
+    // Two independent decoders over ONE set of real files: Spark reads
+    // the checked-in BMPs (binaryFile source) and decodes with
+    // BmpCodec; the oracle read_blob's the same files and re-decodes
+    // them in SQL (hex byte arithmetic: LE header fields, padded
+    // bottom-up rows). Padding widths 5/6/7 prove the stride handling.
+    "mm_bmp_files" -> ((s, _) => {
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(graft.operators.BmpFixture.root)
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content").as("payload"))
+      val spark = s
+      import spark.implicits._
+      files.as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (name, bytes) =>
+            val img = graft.operators.BmpCodec.decode(bytes)
+              .getOrElse(sys.error(s"fixture $name must decode"))
+            var sum = 0L; var mn = 256L; var mx = -1L
+            img.pixels.foreach { p =>
+              val (r, g, b) =
+                ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+              sum += r + g + b
+              mn = math.min(mn, math.min(r, math.min(g, b)))
+              mx = math.max(mx, math.max(r, math.max(g, b)))
+            }
+            (name, img.width.toLong, img.height.toLong,
+              (img.width * img.height).toLong, sum, mn, mx)
+          }
+        }
+        .toDF("file_name", "width", "height", "n_pixels", "px_sum",
+          "px_min", "px_max")
+        .orderBy("file_name")
+    }),
     // Embedding-cosine near-dup: exact duplicates are synthesized under
     // shifted ids (the fixture's random vectors are near-orthogonal), so
     // the LSH-bucketed pair pass must recover exactly those pairs.
@@ -61,16 +114,26 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
         |  md5(text) AS payload_md5,
         |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Closed-form replay of the BMP pixel content: the encoder's
+    // channel formula (r/g/b per pixel index), channel stats over all
+    // 192 channel bytes — the Spark side must round-trip
+    // encode→parse→stats to the same numbers.
     "mm_decode_features" ->
-      """WITH b AS (SELECT doc_id,
-        |  list_transform(range(1, length(text) + 1), i -> unicode(text[i:i])) AS bytes
-        |FROM documents)
+      """WITH c AS (SELECT doc_id,
+        |    list_transform(range(0, 192), j ->
+        |      CASE j % 3
+        |        WHEN 0 THEN ((doc_id % 500) * 31 + (j // 3) * 7) % 256
+        |        WHEN 1 THEN ((doc_id % 500) * 17 + (j // 3) * 13) % 256
+        |        ELSE ((doc_id % 500) * 29 + (j // 3) * 3) % 256
+        |      END) AS ch
+        |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(bytes) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
-        |  CAST(list_min(bytes) AS BIGINT) AS byte_min,
-        |  CAST(list_max(bytes) AS BIGINT) AS byte_max
-        |FROM b ORDER BY doc_id""".stripMargin,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(64 AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(ch) AS BIGINT) AS px_sum,
+        |  CAST(list_min(ch) AS BIGINT) AS px_min,
+        |  CAST(list_max(ch) AS BIGINT) AS px_max
+        |FROM c ORDER BY doc_id""".stripMargin,
     "mm_content_dedup" ->
       """WITH d AS (SELECT doc_id, md5(text) AS payload_md5 FROM documents),
         |g AS (SELECT payload_md5, CAST(count(*) AS BIGINT) AS n_copies,
@@ -80,24 +143,61 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
         |  CAST(CASE WHEN d.doc_id = g.first_id THEN 1 ELSE 0 END
         |    AS BIGINT) AS keep
         |FROM d JOIN g USING (payload_md5) ORDER BY doc_id""".stripMargin,
+    // The aHash bit string in closed form: per-pixel integer grayscale
+    // (r+g+b)//3 from the encoder's channel formula, mean threshold,
+    // 64 bits in block order — byte-identical to BmpCodec.ahash64 over
+    // the decoded payload.
     "mm_phash_buckets" ->
-      """WITH b AS (SELECT doc_id,
-        |    list_transform(range(1, length(text) + 1),
-        |      i -> unicode(text[i:i])) AS bytes
+      """WITH g AS (SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      ( ((doc_id % 500) * 31 + i * 7) % 256
+        |      + ((doc_id % 500) * 17 + i * 13) % 256
+        |      + ((doc_id % 500) * 29 + i * 3) % 256 ) // 3) AS gray
         |  FROM documents),
-        |f AS (SELECT doc_id, CAST(len(bytes) AS BIGINT) AS n,
-        |    CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS s
-        |  FROM b),
         |p AS (SELECT doc_id,
-        |    md5(CAST(n // 64 AS VARCHAR) || ':' ||
-        |      CAST(s // 4096 AS VARCHAR)) AS phash
-        |  FROM f),
-        |g AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_bucket
+        |    list_aggr(list_transform(range(0, 64), i ->
+        |      CASE WHEN gray[i + 1] > (list_sum(gray) // 64)
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS phash
+        |  FROM g),
+        |b AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_bucket
         |  FROM p GROUP BY phash)
-        |SELECT p.doc_id, p.phash, g.n_bucket,
-        |  CAST(CASE WHEN g.n_bucket > 1 THEN 1 ELSE 0 END AS BIGINT)
+        |SELECT p.doc_id, p.phash, b.n_bucket,
+        |  CAST(CASE WHEN b.n_bucket > 1 THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_candidate
-        |FROM p JOIN g USING (phash) ORDER BY doc_id""".stripMargin,
+        |FROM p JOIN b USING (phash) ORDER BY doc_id""".stripMargin,
+    // Independent SQL re-decode of the SAME checked-in files Spark
+    // parses with BmpCodec: hex-string byte list, little-endian header
+    // fields (data offset @10, width @18, height @22), padded
+    // bottom-up rows (stride = ceil(3w/4)*4 — channel stats are
+    // row-order-insensitive, so orientation needs no mirroring).
+    "mm_bmp_files" -> {
+      s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1)
+         |      AS file_name, hex(content) AS hx
+         |  FROM read_blob('$OracleBmpRoot/*.bmp')),
+         |d AS (SELECT file_name,
+         |    list_transform(range(0, length(hx) // 2), i ->
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 1 AS BIGINT), 1)) - 1) * 16 +
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 2 AS BIGINT), 1)) - 1)) AS bt
+         |  FROM b),
+         |h AS (SELECT file_name, bt,
+         |    bt[11] + 256*bt[12] + 65536*bt[13] + 16777216*bt[14] AS data_off,
+         |    bt[19] + 256*bt[20] + 65536*bt[21] + 16777216*bt[22] AS width,
+         |    bt[23] + 256*bt[24] + 65536*bt[25] + 16777216*bt[26] AS height
+         |  FROM d),
+         |px AS (SELECT file_name, width, height,
+         |    flatten(list_transform(range(0, height), y ->
+         |      list_transform(range(0, 3 * width), k ->
+         |        bt[CAST(data_off + y * (((3 * width + 3) // 4) * 4)
+         |          + k + 1 AS BIGINT)]))) AS ch
+         |  FROM h)
+         |SELECT file_name, CAST(width AS BIGINT) AS width,
+         |  CAST(height AS BIGINT) AS height,
+         |  CAST(width * height AS BIGINT) AS n_pixels,
+         |  CAST(list_sum(ch) AS BIGINT) AS px_sum,
+         |  CAST(list_min(ch) AS BIGINT) AS px_min,
+         |  CAST(list_max(ch) AS BIGINT) AS px_max
+         |FROM px ORDER BY file_name""".stripMargin
+    },
     "mm_frame_sample" ->
       """SELECT doc_id,
         |  CAST(floor((length(text) - 1) / 64) + 1 AS BIGINT) AS n_frames,

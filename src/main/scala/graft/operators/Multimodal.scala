@@ -132,6 +132,103 @@ object Multimodal {
         when(col("n_bucket") > 1, 1L).otherwise(0L).as("is_candidate"))
   }
 
+  /** REAL-codec ingest shape: a deterministic 8×8 24bpp BMP per row —
+    * actual image bytes (header + padded BGR rows), not a text
+    * stand-in — encoded from the id so the DuckDB oracle can derive
+    * the same pixel values in closed form. `doc_id % seeds` picks the
+    * image content, so ids congruent mod `seeds` carry IDENTICAL
+    * images — the collision structure the near-dup bucketing queries
+    * need. Channel formula (pixel index i = y·8+x, seed s):
+    * r = (s·31 + i·7) % 256, g = (s·17 + i·13) % 256,
+    * b = (s·29 + i·3) % 256. */
+  def asBmpPayload(df: DataFrame, idCol: String,
+                   seeds: Int = 500): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val s = id % seeds
+          val px = Array.tabulate(64) { i =>
+            val r = ((s * 31 + i * 7) % 256).toInt
+            val g = ((s * 17 + i * 13) % 256).toInt
+            val b = ((s * 29 + i * 3) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          (id, BmpCodec.encode(8, 8, px))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL decode: parse each payload as a 24bpp BMP ([[BmpCodec]]) and
+    * emit per-image pixel statistics over the CHANNEL bytes of the
+    * pixel region (padding excluded by the decoder) — width, height,
+    * pixel count, channel-byte sum/min/max. Same batched
+    * per-partition shape as [[decodeFeatures]]; payloads stop here.
+    * Undecodable payloads yield a (-1, -1, …) marker row — counted,
+    * not thrown, like the page-parse tolerance. */
+  def decodeBmpFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          BmpCodec.decode(bytes) match {
+            case Some(img) =>
+              var sum = 0L; var mn = 256L; var mx = -1L
+              var k = 0
+              while (k < img.pixels.length) {
+                val p = img.pixels(k)
+                val (r, g, b) =
+                  ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+                sum += r + g + b
+                mn = math.min(mn, math.min(r, math.min(g, b)))
+                mx = math.max(mx, math.max(r, math.max(g, b)))
+                k += 1
+              }
+              (id, img.width.toLong, img.height.toLong,
+                img.pixels.length.toLong, sum, mn, mx)
+            case None => (id, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "px_sum",
+        "px_min", "px_max")
+  }
+
+  /** Perceptual-hash near-dup bucketing over REAL pixels: decode, hash
+    * with [[BmpCodec.ahash64]] (integer average-hash over the 8×8
+    * block grid), bucket-join on the hash — the [[phashBuckets]] shape
+    * with the stub byte stats replaced by an actual
+    * decoded-pixel perceptual hash. The `decode` parameter remains
+    * the codec seam (any bytes→image stage plugs in); payloads stop
+    * at the decode, only (id, hash) rows shuffle. Images smaller than
+    * the 8×8 grid land in a shared `"undecodable"` bucket (counted,
+    * never dropped), like parse-failure pages. */
+  def ahashBuckets(df: DataFrame,
+                   decode: Array[Byte] => Option[BmpCodec.Bmp] =
+                     BmpCodec.decode): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val h = decode(bytes)
+            .filter(i => i.width >= 8 && i.height >= 8)
+            .map(BmpCodec.ahash64)
+            .getOrElse("undecodable")
+          (id, h)
+        }
+      }
+      .toDF("doc_id", "phash")
+    val g = p.groupBy("phash").agg(count(lit(1)).as("n_bucket"))
+    p.join(g, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_bucket"),
+        when(col("n_bucket") > 1, 1L).otherwise(0L).as("is_candidate"))
+  }
+
   /** Frame sampling ("video" payloads): one 16-byte frame every
     * `stride` bytes, fingerprinted with md5 — expression-only
     * (`sequence` + `transform` higher-order functions, whole-stage

@@ -151,4 +151,122 @@ class MultimodalSpec extends AnyFunSuite {
     assert(candidates(Multimodal.decodeFeatures) == Set(1L, 3L))
     assert(candidates(u16Decode) == Set(1L, 2L))
   }
+
+  // ------------------------------------------------------------------
+  // Real codec: BmpCodec (24bpp uncompressed BMP, pure JVM)
+  // ------------------------------------------------------------------
+  import graft.operators.{BmpCodec, BmpFixture}
+
+  test("BmpCodec round-trip is identity across padding widths and " +
+      "non-square shapes") {
+    for ((w, h) <- Seq((8, 8), (5, 3), (6, 2), (7, 2), (16, 16), (1, 1))) {
+      val px = Array.tabulate(w * h)(i => (i * 997 + 13) % (1 << 24))
+      val back = BmpCodec.decode(BmpCodec.encode(w, h, px))
+      assert(back.isDefined, s"${w}x$h must decode")
+      assert(back.get.width == w && back.get.height == h)
+      assert(back.get.pixels.toSeq == px.toSeq, s"${w}x$h pixels")
+    }
+  }
+
+  test("BmpCodec decode: HAND-BUILT 2x2 bottom-up file with row " +
+      "padding — known bytes to known pixels") {
+    // 2x2, 24bpp: stride = ceil(6/4)*4 = 8 → 2 pad bytes per row.
+    // File rows are BOTTOM-UP: file row 0 = image row 1.
+    // image: (0,0)=red (1,0)=green / (0,1)=blue (1,1)=white
+    val bytes = Array.concat(
+      Array[Byte]('B', 'M'),
+      le32(70), le32(0), le32(54),          // size, reserved, data offset
+      le32(40), le32(2), le32(2),           // header size, w, h (+: bottom-up)
+      Array[Byte](1, 0, 24, 0),             // planes, bpp
+      le32(0), le32(16),                    // BI_RGB, data size
+      le32(0), le32(0), le32(0), le32(0),   // dpi + palette fields
+      // file row 0 (image row 1): blue(BGR FF 00 00), white, pad pad
+      Array[Byte](-1, 0, 0, -1, -1, -1, 0, 0),
+      // file row 1 (image row 0): red(00 00 FF), green(00 FF 00), pad
+      Array[Byte](0, 0, -1, 0, -1, 0, 0, 0))
+    val img = BmpCodec.decode(bytes).get
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq ==
+      Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+  }
+
+  test("BmpCodec decode: TOP-DOWN (negative height) rows are not " +
+      "mirrored") {
+    val px = Array(0x111111, 0x222222, 0x333333, 0x444444)
+    val bu = BmpCodec.encode(2, 2, px)
+    // flip height to -2 and swap the two 8-byte rows → same image
+    val td = bu.clone()
+    val neg = le32(-2); System.arraycopy(neg, 0, td, 22, 4)
+    val row = new Array[Byte](8)
+    System.arraycopy(td, 54, row, 0, 8)
+    System.arraycopy(td, 62, td, 54, 8)
+    System.arraycopy(row, 0, td, 62, 8)
+    assert(BmpCodec.decode(td).get.pixels.toSeq == px.toSeq)
+  }
+
+  test("BmpCodec.decode rejects non-BMP and truncated payloads " +
+      "instead of throwing") {
+    assert(BmpCodec.decode("not an image".getBytes).isEmpty)
+    assert(BmpCodec.decode(Array.empty[Byte]).isEmpty)
+    val good = BmpCodec.encode(4, 4, Array.fill(16)(0x123456))
+    assert(BmpCodec.decode(good.take(40)).isEmpty)       // truncated header
+    assert(BmpCodec.decode(good.dropRight(5)).isEmpty)   // truncated pixels
+  }
+
+  test("ahash64: hand-computable 8x8 image — left half bright, right " +
+      "half dark") {
+    // gray: left 4 columns (r=g=b=200), right 4 (r=g=b=10).
+    // mean = (32*200 + 32*10)/64 = 105 → bits: 1 for bright, 0 for dark.
+    val px = Array.tabulate(64)(i =>
+      if (i % 8 < 4) 0xc8c8c8 else 0x0a0a0a)
+    val h = BmpCodec.ahash64(BmpCodec.Bmp(8, 8, px))
+    assert(h == "1111000011110000111100001111000011110000111100001111000011110000")
+  }
+
+  test("ahash64: 16x16 block averages — each 2x2 block averages with " +
+      "integer floor") {
+    // Block (0,0)'s four pixels have grays 10,11,12,13 → avg floor 11;
+    // all other pixels gray 100 → their blocks avg 100; mean =
+    // (11 + 63*100)/64 = 98 (floor) → only block (0,0) is <= mean → 0,
+    // others 1.
+    val px = Array.fill(256)(0x646464) // gray 100
+    def set(x: Int, y: Int, g: Int): Unit =
+      px(y * 16 + x) = (g << 16) | (g << 8) | g
+    set(0, 0, 10); set(1, 0, 11); set(0, 1, 12); set(1, 1, 13)
+    val h = BmpCodec.ahash64(BmpCodec.Bmp(16, 16, px))
+    assert(h == "0" + "1" * 63)
+  }
+
+  test("identical images share the ahash bucket; different images " +
+      "do not (mod-500 payload collisions)") {
+    import spark.implicits._
+    // ids 1 and 501 carry the same image (1 % 500 == 501 % 500)
+    val ids = Seq(1L, 2L, 501L).toDF("doc_id")
+    val out = Multimodal.ahashBuckets(
+      Multimodal.asBmpPayload(ids, "doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("phash"), r.getAs[Long]("is_candidate"))).toMap
+    assert(out(1L)._1 == out(501L)._1)
+    assert(out(1L)._2 == 1L && out(501L)._2 == 1L)
+    assert(out(2L)._2 == 0L && out(2L)._1 != out(1L)._1)
+    assert(out.values.forall(_._1.matches("[01]{64}")))
+  }
+
+  test("checked-in fixture files equal the re-encoded definition " +
+      "(self-verifying against bit-rot) and decode to themselves") {
+    for ((name, img) <- BmpFixture.images) {
+      val onDisk = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          java.net.URI.create(s"${BmpFixture.root}/$name")))
+      assert(onDisk.toSeq ==
+        BmpCodec.encode(img.width, img.height, img.pixels).toSeq,
+        s"$name bytes drifted from BmpFixture.images")
+      assert(BmpCodec.decode(onDisk).get.pixels.toSeq ==
+        img.pixels.toSeq, s"$name decode")
+    }
+  }
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 }
