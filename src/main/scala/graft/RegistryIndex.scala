@@ -125,7 +125,23 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     "sim_ivfadc_residual" -> ((s, dir) =>
       Similarity.ivfadcResidualTopK(t(s, dir, "embeddings"), NumQueries,
         TopK, NumCentroids, NumProbes)
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+    // MMR composed over the IVFADC pool — the deployed-scale pairing
+    // the mmrFromPool contract promises: the pool is the ADC search's
+    // top-MmrPool (rel = adot, the code-only score), the greedy
+    // diversification computes only the redundancy term from real
+    // vectors. The oracle chains the full IVFADC replay into the
+    // pool-agnostic MMR tail (one `cd` CTE is the seam on both sides).
+    "sim_mmr_ivfadc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrFromPool(emb,
+        Similarity.ivfadcTopK(emb, NumQueries, MmrPool, NumCentroids,
+          NumProbes)
+          .select(col("query_id"), col("cand_id"),
+            col("adot").as("rel")),
+        TopK, MmrLamNum, MmrLamDen)
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** The shared IVFADC probe+ADC tail — coarse-assign (sc/best), probe
@@ -319,6 +335,25 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     // joined so per-subspace partial dots are summed ONLY for (query,
     // candidate) pairs whose candidate sits in a probed list.
     "sim_ivfadc_topk" -> ivfadcTopkOracle,
+    // IVFADC replay chained into the pool-agnostic MMR tail: the `cd`
+    // seam carries (query_id, cand_id, rel = adot) exactly like the
+    // Spark-side mmrFromPool call over ivfadcTopK's output.
+    "sim_mmr_ivfadc" -> {
+      val sub = 8
+      s"""WITH $quantCte,
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |  WHERE vec_id < $NumCentroids),
+         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])",
+        s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
+         |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
+         |  WHERE vec_id < 16),
+         |${ivfadcOracleCtes(sub)},
+         |cd AS MATERIALIZED (SELECT query_id, cand_id, adot AS rel
+         |  FROM r WHERE "rank" <= $MmrPool),
+         |${mmrTailSql(TopK, MmrLamNum, MmrLamDen)}""".stripMargin
+    },
     // the persisted-index roundtrip, the incremental append, and the
     // streaming ingest all serve bit-identically to the direct
     // operator, so they share its oracle — the k_*_roundtrip

@@ -627,6 +627,75 @@ private[graft] object RegistryOlap {
       |SELECT n_name, month, rev_c, rk FROM r WHERE rk <= 3
       |ORDER BY n_name, rk""".stripMargin)
 
+  // The RETURNS-CHANNEL OUTER-JOIN rollup (TPC-DS Q77/Q80 family):
+  // sales LEFT OUTER JOIN per-order returns, so orders with no return
+  // carry a REAL NULL into the rollup's grouping column — the query
+  // must keep data-NULL groups distinct from rollup-subtotal NULLs,
+  // which is exactly what GROUPING() disambiguates (a COALESCE
+  // sentinel alone would merge them). Both engines must agree on the
+  // NULL-group semantics, the bitmask, and the exact cents net.
+  // Scale shape: the returns aggregate is a per-key partial before its
+  // join; the outer join shuffles on o_orderkey; ROLLUP stays one
+  // expand+aggregate pass.
+  private val dsReturnsOuter = sqlPair("ds_ret",
+    Seq("orders", "lineitem"),
+    """WITH ret AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS ret_c
+      |  FROM {lineitem} WHERE l_returnflag = 'R' GROUP BY l_orderkey
+      |), s AS (
+      |  SELECT o.o_orderpriority AS channel,
+      |    CAST(floor(o.o_totalprice * 100) AS BIGINT) AS sales_c,
+      |    r.ret_c,
+      |    CASE WHEN r.l_orderkey IS NULL THEN NULL
+      |         ELSE 'returned' END AS ret_ch
+      |  FROM {orders} o LEFT JOIN ret r ON o.o_orderkey = r.l_orderkey
+      |)
+      |SELECT COALESCE(channel, '(all)') AS channel,
+      |  CASE WHEN GROUPING(ret_ch) = 1 THEN '(all)'
+      |       WHEN ret_ch IS NULL THEN '(no_return)'
+      |       ELSE ret_ch END AS ret_channel,
+      |  CAST(GROUPING_ID(channel, ret_ch) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(sales_c) AS BIGINT) AS sales_cents,
+      |  CAST(SUM(COALESCE(ret_c, 0)) AS BIGINT) AS returns_cents,
+      |  CAST(SUM(sales_c) - SUM(COALESCE(ret_c, 0)) AS BIGINT)
+      |    AS net_cents
+      |FROM s
+      |GROUP BY ROLLUP (channel, ret_ch)
+      |ORDER BY gid, channel, ret_channel""".stripMargin)
+
+  // The Q67 shape: top-N OVER the ROLLUP output — rank rows WITHIN
+  // each grouping level (subtotals rank against subtotals, leaves
+  // against leaves) and keep the top 5. The window's input is the
+  // rollup's output (levels × groups rows), never the fact table, and
+  // it partitions on the level id the rollup already computed.
+  private val dsIcebergRollup = sqlPair("ds_i67",
+    Seq("orders", "customer", "nation"),
+    """WITH base AS (
+      |  SELECT n_name,
+      |    substring(CAST(o_orderdate AS STRING), 1, 7) AS month,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS amt_c
+      |  FROM {orders}
+      |  JOIN {customer} ON o_custkey = c_custkey
+      |  JOIN {nation} ON c_nationkey = n_nationkey
+      |), agg AS (
+      |  SELECT COALESCE(n_name, '(all)') AS n_name,
+      |    COALESCE(month, '(all)') AS month,
+      |    CAST(GROUPING_ID(n_name, month) AS BIGINT) AS gid,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(amt_c) AS BIGINT) AS rev_c
+      |  FROM base GROUP BY ROLLUP (n_name, month)
+      |), rk AS (
+      |  SELECT n_name, month, gid, n_orders, rev_c,
+      |    CAST(row_number() OVER (PARTITION BY gid
+      |      ORDER BY rev_c DESC, n_name, month) AS BIGINT) AS rk
+      |  FROM agg)
+      |SELECT n_name, month, gid, n_orders, rev_c, rk
+      |FROM rk WHERE rk <= 5
+      |ORDER BY gid, rk""".stripMargin)
+
   private val groupingSetsOracles: Map[String, String] = Map(
     "ev_grouping_sets" ->
       """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
@@ -668,7 +737,9 @@ private[graft] object RegistryOlap {
     "q20_nested_in" -> q20._1,
     "lat_topn_per_group" -> qLateral._1,
     "ds_channel_rollup" -> dsChannelRollup._1,
-    "ds_iceberg_window" -> dsIcebergWindow._1
+    "ds_iceberg_window" -> dsIcebergWindow._1,
+    "ds_returns_outer" -> dsReturnsOuter._1,
+    "ds_iceberg_rollup" -> dsIcebergRollup._1
   ) ++ setOps ++ groupingSetsQ ++ fullOuterQ ++ rankFamilyQ
 
   val oracles: Map[String, String] = Map(
@@ -689,7 +760,9 @@ private[graft] object RegistryOlap {
     "q20_nested_in" -> q20._2,
     "lat_topn_per_group" -> qLateral._2,
     "ds_channel_rollup" -> dsChannelRollup._2,
-    "ds_iceberg_window" -> dsIcebergWindow._2
+    "ds_iceberg_window" -> dsIcebergWindow._2,
+    "ds_returns_outer" -> dsReturnsOuter._2,
+    "ds_iceberg_rollup" -> dsIcebergRollup._2
   ) ++ setOpsOracles ++ groupingSetsOracles ++
     fullOuterOracle ++ rankFamilyOracle
 }

@@ -50,9 +50,9 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
   // rational λ = 7/10 (score = 7·rel − 3·maxsim; same argmax as the
   // float objective, zero drift). Pool > TopK so the greedy loop has
   // real alternatives to diversify into.
-  private val MmrPool = 12
-  private val MmrLamNum = 7L
-  private val MmrLamDen = 10L
+  protected val MmrPool = 12
+  protected val MmrLamNum = 7L
+  protected val MmrLamDen = 10L
   // RRF fusion constant (Cormack et al.'s k=60) and the integer
   // reciprocal scale — both appear verbatim in plan and oracle.
   private val RrfK = 60
@@ -373,8 +373,12 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     * CTE block per selection round. MATERIALIZED throughout: each
     * round's selected set is referenced three times, so plain CTEs
     * would re-expand the whole prior chain per reference. */
-  private def mmrOracle(k: Int, pool: Int, lamNum: Long,
-                        lamDen: Long): String = {
+  /** The MMR greedy rounds + final select, defined over a pool CTE
+    * `cd(query_id, cand_id, rel)` and the quantized vectors `v` — the
+    * pool-agnostic tail, so any scorer's CTE chain (brute-force here,
+    * the IVFADC replay in [[RegistryIndex]]) composes in front of it,
+    * mirroring [[graft.operators.Similarity.mmrFromPool]]'s contract. */
+  protected def mmrTailSql(k: Int, lamNum: Long, lamDen: Long): String = {
     val negW = lamDen - lamNum
     val rounds = (2 to k).map { r =>
       val p = r - 1
@@ -396,16 +400,7 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
          |s$r AS MATERIALIZED (
          |  SELECT * FROM s$p UNION ALL SELECT * FROM p$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $quantCte,
-       |sc AS MATERIALIZED (SELECT q.vec_id AS query_id,
-       |    c.vec_id AS cand_id, ${dotSql("q.q", "c.q")} AS rel
-       |  FROM v q JOIN v c ON c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $NumQueries),
-       |cd AS MATERIALIZED (SELECT query_id, cand_id, rel
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY rel DESC, cand_id) AS rn FROM sc)
-       |  WHERE rn <= $pool),
-       |s1 AS MATERIALIZED (SELECT query_id, CAST(1 AS BIGINT) AS rank,
+    s"""s1 AS MATERIALIZED (SELECT query_id, CAST(1 AS BIGINT) AS rank,
        |    cand_id, rel, CAST(0 AS BIGINT) AS maxsim,
        |    $lamNum * rel AS score
        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -416,6 +411,19 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
        |  CAST(score AS BIGINT) AS score
        |FROM s$k ORDER BY query_id, rank""".stripMargin
   }
+
+  private def mmrOracle(k: Int, pool: Int, lamNum: Long,
+                        lamDen: Long): String =
+    s"""WITH $quantCte,
+       |sc AS MATERIALIZED (SELECT q.vec_id AS query_id,
+       |    c.vec_id AS cand_id, ${dotSql("q.q", "c.q")} AS rel
+       |  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |cd AS MATERIALIZED (SELECT query_id, cand_id, rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id) AS rn FROM sc)
+       |  WHERE rn <= $pool),
+       |${mmrTailSql(k, lamNum, lamDen)}""".stripMargin
 
   /** The [[Similarity.autoPlanes]] sizing rule as a DuckDB CTE — the
     * smallest p in [MinAutoPlanes, MaxAutoPlanes] with

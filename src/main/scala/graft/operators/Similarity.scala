@@ -240,12 +240,30 @@ object Similarity {
     * flat. Nothing in the loop is corpus-sized. */
   def mmrTopK(emb: DataFrame, numQueries: Long, k: Int, pool: Int,
               lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
-    require(k >= 1 && pool >= k, s"mmrTopK: k=$k pool=$pool")
-    require(lamNum >= 0 && lamDen >= lamNum, s"mmrTopK: λ=$lamNum/$lamDen")
+    require(pool >= k, s"mmrTopK: k=$k pool=$pool")
+    mmrFromPool(emb,
+      bruteForceTopK(emb, numQueries, pool)
+        .select(col("query_id"), col("cand_id"), col("dot").as("rel")),
+      k, lamNum, lamDen)
+  }
+
+  /** MMR over an EXTERNAL candidate pool — the composition form the
+    * pool contract promises: `poolDf` is `(query_id, cand_id, rel)`
+    * from ANY scorer ([[bruteForceTopK]] via [[mmrTopK]]; [[ivfadcTopK]]
+    * at 10⁹-vector deployments, where rel is the ADC score), and only
+    * the REDUNDANCY term is computed here, exact quantized dots between
+    * pool vectors pulled from `emb`. The greedy loop's scale shape is
+    * unchanged (query-key-bounded joins, per-round checkpoint); the
+    * pool builder's cost model is the caller's choice. */
+  def mmrFromPool(emb: DataFrame, poolDf: DataFrame, k: Int,
+                  lamNum: Long = 7L, lamDen: Long = 10L): DataFrame = {
+    require(k >= 1, s"mmrFromPool: k=$k")
+    require(lamNum >= 0 && lamDen >= lamNum,
+      s"mmrFromPool: λ=$lamNum/$lamDen")
     val vecs = emb.select(col("vec_id").as("cand_id"),
       quantize(col("embedding")).as("qv"))
-    val cand = bruteForceTopK(emb, numQueries, pool)
-      .select(col("query_id"), col("cand_id"), col("dot").as("rel"))
+    val cand = poolDf
+      .select(col("query_id"), col("cand_id"), col("rel"))
       .join(vecs, Seq("cand_id"))
       .persist()
     val w = Window.partitionBy("query_id")

@@ -2,18 +2,22 @@
 """Local dev harness (not part of the library): replicate the driver's
 DuckDB-oracle compare against the Verify output dir.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [fromName]
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [fromName] [timeoutSec]
 
 The optional 3rd arg resumes a long run: only queries whose name sorts
->= fromName are checked (names run in sorted order).
+>= fromName are checked (names run in sorted order). The optional 4th
+arg interrupts any single oracle after timeoutSec seconds (recorded as
+TIMEOUT, run continues) — for large derived scale steps where one
+pathological replay must not stall the sweep.
 """
-import sys, json, glob
+import sys, json, glob, threading
 import duckdb
 import pandas as pd
 
 import os
 sf, out = sys.argv[1], sys.argv[2]
 from_name = sys.argv[3] if len(sys.argv) > 3 else ""
+timeout_sec = float(sys.argv[4]) if len(sys.argv) > 4 else None
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -31,10 +35,21 @@ for name, sql in sorted(oracle.items()):
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+    timer = None
+    timed_out = []
+    if timeout_sec:
+        timer = threading.Timer(timeout_sec,
+                                lambda: (timed_out.append(1),
+                                         con.interrupt()))
+        timer.start()
     try:
         exp = con.execute(sql).df()
     except Exception as e:
-        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+        kind = "TIMEOUT" if timed_out else "oracle error"
+        print(f"FAIL {name}: {kind} {e}"); fails += 1; continue
+    finally:
+        if timer:
+            timer.cancel()
     # driver-style: sort columns by name
     got = got[sorted(got.columns)].reset_index(drop=True)
     exp = exp[sorted(exp.columns)] if set(exp.columns) == set(got.columns) else exp
