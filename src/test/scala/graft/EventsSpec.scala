@@ -109,9 +109,9 @@ class EventsSpec extends AnyFunSuite {
   }
 
   test("approxRollupEval grades estimates against the exact distinct: " +
-      "in-bound (incl. the ±1 floor boundary) pass, out-of-bound fail") {
-    // Hour 10 'click' has exactly 2 distinct users; bound = max(1, 2·5%)
-    // = 1. Grade three fake estimates: 2 (exact), 3 (AT the ±1 floor —
+      "in-bound (incl. the ±2 floor boundary) pass, out-of-bound fail") {
+    // Hour 10 'click' has exactly 2 distinct users; bound = max(2, 2·5%)
+    // = 2. Grade three fake estimates: 2 (exact), 4 (AT the ±2 floor —
     // in), 5 (out). The grading join keys on (hour, event_type).
     def fakeApprox(est: Long) = Seq(
       ("2024-01-01 10:00:00", "click", 3L, est, 12000000L, 12.0),
@@ -126,7 +126,7 @@ class EventsSpec extends AnyFunSuite {
     val exactG = grades(2L)
     assert(exactG(("2024-01-01 10:00:00", "click")) == ((2L, true)))
     assert(exactG(("2024-01-01 11:00:00", "view")) == ((1L, true)))
-    assert(grades(3L)(("2024-01-01 10:00:00", "click")) == ((2L, true)))
+    assert(grades(4L)(("2024-01-01 10:00:00", "click")) == ((2L, true)))
     assert(grades(5L)(("2024-01-01 10:00:00", "click")) == ((2L, false)))
   }
 

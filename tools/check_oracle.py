@@ -16,9 +16,16 @@ import pandas as pd
 
 import os
 sf, out = sys.argv[1], sys.argv[2]
-from_name = sys.argv[3] if len(sys.argv) > 3 else ""
+# 3rd arg: "from" or "from:to" name range (sorted-order slice, for
+# resuming long runs or sharding a sweep across processes)
+rng = (sys.argv[3] if len(sys.argv) > 3 else "").split(":")
+from_name = rng[0]
+to_name = rng[1] if len(rng) > 1 and rng[1] else "￿"
 timeout_sec = float(sys.argv[4]) if len(sys.argv) > 4 else None
 con = duckdb.connect()
+# sharded sweeps cap per-process threads so slices share the host
+if os.environ.get("GRAFT_DUCKDB_THREADS"):
+    con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # driver fixtures are bare files; derived scale steps (ScaleData)
@@ -28,7 +35,7 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = {k: v for k, v in json.load(open(f"{out}/oracle_sql.json")).items()
-          if k >= from_name}
+          if from_name <= k < to_name}
 fails = 0
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{out}/{name}/*.parquet")
