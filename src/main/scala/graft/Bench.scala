@@ -91,6 +91,11 @@ object Bench {
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { r =>
+        // The listener bus is async: taskEnd events from the PREVIOUS
+        // rep can land after reset() and inflate the final rep's
+        // counters. Drain them before the final rep's reset (one 50 ms
+        // quiet window per query — only where the numbers are read).
+        if (r == reps) metrics.settle()
         metrics.reset()
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column. A count() here
@@ -167,13 +172,32 @@ object Bench {
       .mkString("{", ",", "}")
     val head = s""""metric":"total","unit":"sec","value":${ms(total)},"sf":"$sfDir","reps":$reps,"stat":"min","canary_sec":${ms(canary)},"n_queries":${ok.size}"""
     println(s"""{$head,"queries":$qs,"spread":$spreads,"norm":$norms,"shuffle_mb":$shuffleMap,"errors":$errJson}""")
-    results.foreach {
+    val perQuery = results.map {
       case (k, Some((mn, mx))) =>
-        println(s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)}${res(k)}}""")
+        s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)}${res(k)}}"""
       case (k, None) =>
-        println(s"""{"query":"$k","error":"${errors.getOrElse(k, "?")}"}""")
-    }
+        s"""{"query":"$k","error":"${errors.getOrElse(k, "?")}"}"""
+    }.toSeq
+    perQuery.foreach(println)
     println(s"{$head}")
+    // Persist the COMPLETE per-query record as a repo artifact: the
+    // driver's stdout capture truncates at ~13 queries, which left
+    // tools/bench_diff.py blind to 95% of the suite across rounds.
+    // One headline line + one line per query (incl. shuffle/peak-mem),
+    // overwritten each run, committed with the round snapshot.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "scaledata/bench/last_run_" +
+        new java.io.File(sfDir).getName + ".jsonl")
+    try {
+      val f = new java.io.File(outPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f)
+      try {
+        w.println(s"""{$head,"errors":$errJson}""")
+        perQuery.foreach(w.println)
+      } finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not persist $outPath: $e") }
     spark.stop()
   }
 }

@@ -236,7 +236,7 @@ private[graft] trait RegistryDedup extends RegistryShared {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
          |lbl AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
          |  FROM reach GROUP BY src),
-         |nodes AS (SELECT doc_id, COALESCE(l.cluster_id, doc_id) AS cluster_id
+         |nodes AS MATERIALIZED (SELECT doc_id, COALESCE(l.cluster_id, doc_id) AS cluster_id
          |  FROM d LEFT JOIN lbl l ON d.doc_id = l.node),
          |sz AS (SELECT cluster_id, count(*) AS cluster_size
          |  FROM nodes GROUP BY cluster_id)
@@ -272,7 +272,7 @@ private[graft] trait RegistryDedup extends RegistryShared {
     // max(struct(score, -id)) exactly. The doubled CTE carries the
     // fixture n_chars through the shifted copies unchanged.
     "dd_cluster_canonical" ->
-      s"""WITH RECURSIVE dsc AS (SELECT doc_id, text, n_chars FROM documents
+      s"""WITH RECURSIVE dsc AS MATERIALIZED (SELECT doc_id, text, n_chars FROM documents
          |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz', n_chars FROM documents),
          |${lshVerifyCtesOver("dsc")},
          |vp AS (SELECT doc_a, doc_b FROM j
@@ -285,7 +285,7 @@ private[graft] trait RegistryDedup extends RegistryShared {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
          |lbl AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
          |  FROM reach GROUP BY src),
-         |nodes AS (SELECT doc_id, COALESCE(l.cluster_id, doc_id) AS cluster_id
+         |nodes AS MATERIALIZED (SELECT doc_id, COALESCE(l.cluster_id, doc_id) AS cluster_id
          |  FROM dsc LEFT JOIN lbl l ON dsc.doc_id = l.node),
          |sz AS (SELECT cluster_id, count(*) AS cluster_size
          |  FROM nodes GROUP BY cluster_id),

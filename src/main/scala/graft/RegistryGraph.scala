@@ -37,11 +37,13 @@ object RegistryGraph {
   /** Label-propagation community detection: synchronous rounds
     * (unrolled in the oracle). */
   private val LpaIters = 4
-  /** k-core peel: degree threshold and synchronous peel rounds
-    * (unrolled in the oracle). k=3 on the support-gated graph peels
-    * for several rounds without emptying (probed: 1892 → ~1065 nodes
-    * over 5 rounds at sf0.01). */
-  private val KcoreK = 3
+  /** k-core peel: synchronous peel rounds (unrolled in the oracle).
+    * The degree threshold k is NOT a constant — it derives from the
+    * graph's density ([[Graph.autoCoreK]]; k=2 at sf0.1/sf1's avg
+    * degree 1.25, k=2 at sf0.01's 3.85) so the core stays non-empty
+    * at every scale (probed cores after convergence: 1562 / 18 / 180
+    * nodes at sf0.01 / sf0.1 / sf1 — the old fixed k=3 emptied at
+    * 10×+). */
   private val KcoreRounds = 5
   /** Multi-source BFS: seed predicate (part keys divisible by this —
     * distinct from PprSeedMod so the two seed families differ) and
@@ -249,20 +251,26 @@ object RegistryGraph {
 
   /** Unrolled-CTE replay of [[Graph.kCore]] over the support-gated
     * symmetric graph: each round keeps nodes of degree ≥ k and the
-    * edges among them. Every round CTE is MATERIALIZED: e(i−1) is
+    * edges among them. k is the DERIVED density threshold
+    * ([[Graph.autoCoreK]]): the `kk` CTE computes the identical
+    * max(2, ⌊m/n⌋+1) in integer arithmetic from the same edge set the
+    * Spark side counts, and each peel's HAVING compares against the
+    * scalar subquery. Every round CTE is MATERIALIZED: e(i−1) is
     * referenced twice per round (degree count + edge filter), and an
     * inlined CTE would re-evaluate the whole upstream chain per
     * reference — 2^rounds blowup (observed: the un-hinted form spilled
     * tens of GB at sf0.1; the RegistryRank bpeTrainOracle precedent). */
-  private def kcoreOracle(k: Int, rounds: Int): String = {
+  private def kcoreOracle(rounds: Int): String = {
     val peels = (1 to rounds).map { i =>
       s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
-         |  HAVING count(*) >= $k),
+         |  HAVING count(*) >= (SELECT k FROM kk)),
          |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
          |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH ${gatedGraphCte("MATERIALIZED ")},
+       |kk AS MATERIALIZED (SELECT greatest(2,
+       |    (count(*) // 2) // count(DISTINCT src) + 1) AS k FROM e0),
        |$peels
        |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
        |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
@@ -363,9 +371,13 @@ object RegistryGraph {
     // rounds dropping degree-<k nodes — the density gate between
     // "connected at all" (components) and "tightly embedded". The
     // node-sized survivor set broadcasts to the edges each round; the
-    // edge set only ever shrinks.
+    // edge set only ever shrinks. k is DERIVED from the graph density
+    // (Graph.autoCoreK — the auto-planes convention): the old fixed
+    // k=3 peeled to an EMPTY core at the 10×+ steps (avg degree drops
+    // 3.8 → 1.25), a degenerate instance that verified nothing.
     "gr_kcore" -> ((s, dir) =>
-      Graph.kCore(gatedSym(s, dir), KcoreK, KcoreRounds).orderBy("node")),
+      Graph.kCore(gatedSym(s, dir), Graph.AutoCoreK, KcoreRounds)
+        .orderBy("node")),
     // Multi-source BFS hop distance from the seed set (part keys
     // divisible by BfsSeedMod) over the same gated graph — exact
     // within BfsRounds hops, NULL beyond; per-round traffic is the
@@ -403,7 +415,7 @@ object RegistryGraph {
     "gr_pagerank_weighted" -> pageRankWeightedOracle(PageRankIters),
     "gr_hits" -> hitsOracle(HitsIters),
     "gr_label_prop" -> lpaOracle(LpaIters),
-    "gr_kcore" -> kcoreOracle(KcoreK, KcoreRounds),
+    "gr_kcore" -> kcoreOracle(KcoreRounds),
     "gr_bfs" -> bfsOracle(BfsSeedMod, BfsRounds),
     // Edge Jaccard: the oracle counts common neighbors by the direct
     // neighborhood-intersect join (a formulation change the parity

@@ -158,7 +158,7 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
   /** Same, stopping at the ranked CTE `r` so a composition (the exact
     * re-ranking refine) can keep building. */
   private def ivfadcOracleCtes(sub: Int): String =
-    s"""sc AS (
+    s"""sc AS MATERIALIZED (
        |  SELECT n.vec_id, c.cid,
        |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
        |  FROM n CROSS JOIN c),
@@ -202,10 +202,10 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
   private lazy val ivfadcTopkOracle: String = {
     val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
     s"""WITH $quantCte,
-       |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-       |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+       |n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+       |c AS MATERIALIZED (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
        |  WHERE vec_id < $NumCentroids),
-       |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+       |bn AS MATERIALIZED (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
        |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
        |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
        |  WHERE vec_id < 16),
@@ -218,10 +218,10 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     "sim_recall_eval_ivfadc" -> {
       val sub = 8
       s"""WITH $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS MATERIALIZED (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
          |  WHERE vec_id < $NumCentroids),
-         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |bn AS MATERIALIZED (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
          |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])",
         s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
          |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
@@ -257,7 +257,7 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     "sim_pq_topk" -> {
       val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
       s"""WITH $quantCte,
-         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |bn AS MATERIALIZED (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
          |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
          |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
          |  WHERE vec_id < 16),
@@ -294,7 +294,7 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     "sim_pq_trained" -> {
       val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
       val chains = (0 until sub).map { s =>
-        s"""v$s AS (SELECT vec_id, q[$sub*$s+1 : $sub*$s+$sub] AS q FROM v),
+        s"""v$s AS MATERIALIZED (SELECT vec_id, q[$sub*$s+1 : $sub*$s+$sub] AS q FROM v),
            |${kmeansChainFor(s"p$s", s"v$s", sub, 16, KMeansIter)}""".stripMargin
       }.mkString(",\n")
       val bnUnion = (0 until sub).map { s =>
@@ -302,7 +302,7 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
       }.mkString("\n  UNION ALL ")
       s"""WITH $quantCte,
          |$chains,
-         |bn AS (
+         |bn AS MATERIALIZED (
          |  $bnUnion),
          |sl AS (SELECT vec_id, s, q[$sub*s+1 : $sub*s+$sub] AS sv
          |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)),
@@ -341,10 +341,10 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     "sim_mmr_ivfadc" -> {
       val sub = 8
       s"""WITH $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS MATERIALIZED (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
          |  WHERE vec_id < $NumCentroids),
-         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |bn AS MATERIALIZED (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
          |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])",
         s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
          |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
@@ -366,10 +366,10 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     "sim_ivfadc_refine" -> {
       val sub = 8
       s"""WITH $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS MATERIALIZED (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
          |  WHERE vec_id < $NumCentroids),
-         |bn AS (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
+         |bn AS MATERIALIZED (SELECT s, vec_id AS code, q[$sub*s+1 : $sub*s+$sub] AS cv,
          |    ${dotSql(s"(q[$sub*s+1 : $sub*s+$sub])", s"(q[$sub*s+1 : $sub*s+$sub])")} AS nc
          |  FROM v CROSS JOIN generate_series(0, ${sub - 1}) g(s)
          |  WHERE vec_id < 16),
@@ -391,7 +391,7 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     // from codes + ranges, exact-BIGINT asymmetric dot.
     "sim_sq_topk" ->
       s"""WITH $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
          |st AS (SELECT i, min(q[i]) AS mn, max(q[i]) AS mx
          |  FROM v CROSS JOIN generate_series(1, $Dim) g(i) GROUP BY i),
          |enc AS (SELECT v.vec_id, g.i,
@@ -426,8 +426,8 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     "sim_ivfadc_residual" -> {
       val sub = 8 // numSub == subDim == 8 at Dim 64, numCodes == 16
       s"""WITH $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |c AS (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
+         |n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |c AS MATERIALIZED (SELECT vec_id AS cid, q AS cv, nq AS nc FROM n
          |  WHERE vec_id < $NumCentroids),
          |sc AS (
          |  SELECT n.vec_id, c.cid,
@@ -491,7 +491,7 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     "sim_ivfadc_trained" -> {
       val sub = 8
       val chains = (0 until sub).map { s =>
-        s"""v$s AS (SELECT vec_id, q[$sub*$s+1 : $sub*$s+$sub] AS q FROM v),
+        s"""v$s AS MATERIALIZED (SELECT vec_id, q[$sub*$s+1 : $sub*$s+$sub] AS q FROM v),
            |${kmeansChainFor(s"p$s", s"v$s", sub, 16, KMeansIter)}""".stripMargin
       }.mkString(",\n")
       val bnUnion = (0 until sub).map { s =>
@@ -500,9 +500,9 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
       s"""WITH $quantCte,
          |$kmeansChainCtes,
          |$chains,
-         |n AS (SELECT vec_id, q, nq FROM vn),
-         |c AS (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM c$KMeansIter),
-         |bn AS (
+         |n AS MATERIALIZED (SELECT vec_id, q, nq FROM vn),
+         |c AS MATERIALIZED (SELECT cid, cv, ${dotSql("cv", "cv")} AS nc FROM c$KMeansIter),
+         |bn AS MATERIALIZED (
          |  $bnUnion),
          |${ivfadcOracleTail(sub)}""".stripMargin
     }

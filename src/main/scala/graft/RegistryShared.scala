@@ -78,7 +78,7 @@ private[graft] trait RegistryShared {
        |  THEN list_transform(generate_series(1, len(w) - 2),
        |                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |  ELSE CAST([] AS VARCHAR[]) END) AS shingle FROM w),
-       |shh AS (SELECT doc_id, list_reduce(
+       |shh AS MATERIALIZED (SELECT doc_id, list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
        |      list_transform(range(1, length(shingle) + 1),
        |                     i -> CAST(unicode(shingle[i:i]) AS BIGINT))),
@@ -96,7 +96,7 @@ private[graft] trait RegistryShared {
   /** The doubled near-dup corpus CTE (each doc + a copy gaining 3
     * trailing tokens) used by the dd_* oracles. */
   protected lazy val doubledCte: String =
-    s"""d AS (SELECT doc_id, text FROM documents
+    s"""d AS MATERIALIZED (SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + $IdShift, text || ' zzz zzz zzz' FROM documents)""".stripMargin
 
   /** Deterministic PII planting over the documents table (the fixture
@@ -143,10 +143,10 @@ private[graft] trait RegistryShared {
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString("\n  UNION ALL ")
     s"""${shingleCtes(src)},
-       |mh AS (SELECT doc_id, $mhSelects FROM shh GROUP BY doc_id),
-       |bands AS (
+       |mh AS MATERIALIZED (SELECT doc_id, $mhSelects FROM shh GROUP BY doc_id),
+       |bands AS MATERIALIZED (
        |  $bandSelects),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
   }
@@ -155,8 +155,8 @@ private[graft] trait RegistryShared {
     * candidates (distinct-token arrays, intersection counts). */
   protected def lshVerifyCtesOver(src: String): String =
     s"""${lshCandCtesOver(src)},
-       |tok AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM $src),
-       |j AS (SELECT doc_a, doc_b,
+       |tok AS MATERIALIZED (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM $src),
+       |j AS MATERIALIZED (SELECT doc_a, doc_b,
        |    CAST(length(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_inter,
        |    CAST(length(ta.toks) AS BIGINT) + CAST(length(tb.toks) AS BIGINT) AS n_both
        |  FROM cand

@@ -233,7 +233,7 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
   )
 
   protected val quantCte =
-    """v AS (SELECT vec_id,
+    """v AS MATERIALIZED (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
       |FROM embeddings)""".stripMargin
 
@@ -270,13 +270,19 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
          |${pfx}c${it + 1}d AS (SELECT p.cid, gi.i, COALESCE(m.s // m.n, p.cv[gi.i]) AS val
          |  FROM ${pfx}c$it p CROSS JOIN generate_series(1, $dim) gi(i)
          |  LEFT JOIN ${pfx}m$it m ON m.cid = p.cid AND m.i = gi.i),
-         |${pfx}c${it + 1} AS (SELECT cid, list(val ORDER BY i) AS cv
+         |${pfx}c${it + 1} AS MATERIALIZED (SELECT cid, list(val ORDER BY i) AS cv
          |  FROM ${pfx}c${it + 1}d GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     val c0 = c0Select.getOrElse(
       s"SELECT vec_id AS cid, q AS cv FROM $vName WHERE vec_id < $k")
-    s"""${pfx}vn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM $vName),
-       |${pfx}c0 AS ($c0),
+    // vn / every c$it are multi-referenced (vn by each round's assign,
+    // c$it by the assign AND the next mean) — MATERIALIZED, or the
+    // inlining re-evaluates the whole upstream chain per reference and
+    // the replay goes exponential in numIter (the farthestInitCtes /
+    // kcoreOracle lesson; observed as the sf1 sweep's training-replay
+    // timeouts).
+    s"""${pfx}vn AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM $vName),
+       |${pfx}c0 AS MATERIALIZED ($c0),
        |$iters""".stripMargin
   }
 
@@ -333,9 +339,9 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     * returns the final SELECT. Shared by sim_ivf_topk (first-C
     * stand-in) and sim_ivf_trained (k-means chain). */
   private def ivfOracleTail(centSelect: String): String =
-    s"""n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-       |c AS ($centSelect),
-       |sc AS (
+    s"""n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+       |c AS MATERIALIZED ($centSelect),
+       |sc AS MATERIALIZED (
        |  SELECT n.vec_id, c.cid,
        |    CAST(${dotSql("n.q", "c.cv")} AS DOUBLE) / sqrt(CAST(c.nc AS DOUBLE)) AS score
        |  FROM n CROSS JOIN c),
@@ -463,10 +469,10 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     }.mkString("\nUNION ALL ")
     val plCte = if (auto) s"$autoPlanesCte,\n" else ""
     s"""WITH $quantCte,
-       |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-       |${plCte}bk AS (
+       |n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+       |${plCte}bk AS MATERIALIZED (
        |$bk),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
        |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
        |  WHERE a.vec_id <> b.vec_id),
@@ -495,10 +501,10 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
       }.mkString("\nUNION ALL ")
       val plCte = if (auto) s"$autoPlanesCte,\n" else ""
       s"""WITH RECURSIVE $quantCte,
-         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
-         |${plCte}bk AS (
+         |n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
+         |${plCte}bk AS MATERIALIZED (
          |$bk),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
          |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
          |  WHERE a.vec_id <> b.vec_id),
@@ -512,8 +518,8 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
          |    CAST(row_number() OVER (PARTITION BY src_id
          |      ORDER BY dot DESC, dst_id) AS BIGINT) AS "rank"
          |  FROM sc),
-         |g AS (SELECT src_id, dst_id FROM r WHERE "rank" <= $TopK),
-         |m AS (SELECT a.src_id AS src, a.dst_id AS dst FROM g a
+         |g AS MATERIALIZED (SELECT src_id, dst_id FROM r WHERE "rank" <= $TopK),
+         |m AS MATERIALIZED (SELECT a.src_id AS src, a.dst_id AS dst FROM g a
          |  JOIN g b ON a.src_id = b.dst_id AND a.dst_id = b.src_id),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM m

@@ -75,6 +75,15 @@ case class MinhashSigExpr(child: Expression, n: Int,
                           a: Array[Long], b: Array[Long])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // sig() returns null for NON-null input too (texts with < n words), so
+  // nullability must not inherit from the child: with a non-nullable
+  // child the default (child.nullable = false) makes nullSafeCodeGen
+  // emit `false = value == null` — invalid Java, which killed
+  // whole-stage codegen for every stage containing this expression
+  // (janino "isNull_X is not an rvalue", observed in the corpus
+  // pipeline's fused minhash Project) and, worse, would let the
+  // optimizer fold IsNull(sig) to false.
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     MinhashSig.sig(input.asInstanceOf[UTF8String], n, a, b)
   override protected def doGenCode(ctx: CodegenContext,

@@ -50,10 +50,19 @@ object BmpCodec {
     val rawHeight = le32(bytes, 22)
     val bpp = le16(bytes, 28)
     val compression = le32(bytes, 30)
-    if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0)
+    if (bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0 ||
+        rawHeight == Int.MinValue)
       return None
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
+    // Dimension sanity BEFORE any size arithmetic or allocation: a
+    // crafted width near 2^30 overflows 3*width in Int, making the
+    // bounds check below pass on a tiny/negative stride and the pixel
+    // alloc throw — the tolerant contract is None, never throw. 2^15
+    // per side (1 GiB of pixels) is far beyond any payload the byte
+    // length below could admit anyway.
+    if (width > (1 << 15) || height > (1 << 15))
+      return None
     val rowBytes = stride(width)
     if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * height
         > bytes.length)

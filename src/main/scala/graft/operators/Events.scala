@@ -86,23 +86,37 @@ object Events {
     * alone. Both sides aggregate the same scan; the join is
     * group-count-sized.
     *
-    * The absolute floor is ±2, not ±1: Spark's HLL++ has no
+    * The absolute floor is DERIVED from the grading sample size, not
+    * fixture-tuned (the auto-planes convention): Spark's HLL++ has no
     * sparse-exact mode at low cardinalities, so a group of n≈30
-    * distinct users carries an absolute sketch error that a ±1 floor
-    * fails with high probability once the group COUNT is large enough
-    * to sample the error tail (observed at the derived 10× step: ~4k
-    * hour×type groups → one ±2 miss at row 4129 under a ±1 floor). */
+    * distinct users carries a small absolute sketch error whose ≥2
+    * tail only gets SAMPLED once there are thousands of groups
+    * (observed at the derived 10× step: ~4k hour×type groups → one ±2
+    * miss under a ±1 floor; zero misses in hundreds of groups at
+    * sf0.01/sf0.1). Rule: floor = ±1 while the grade covers ≤ 1024
+    * groups, ±2 beyond — so fixture-scale grading keeps the tight
+    * bound and only the scales that statistically need the slack get
+    * it. `floorUnits = Some(k)` pins the floor for spec determinism;
+    * the group count comes from a global window over the already
+    * group-count-sized grade join (no extra scan of `events`). */
   def approxRollupEval(approx: DataFrame, events: DataFrame,
-                       boundPpm: Long): DataFrame = {
+                       boundPpm: Long,
+                       floorUnits: Option[Long] = None): DataFrame = {
     val exact = events.groupBy(
         date_trunc("hour", col("ts")).cast(StringType).as("hour"),
         col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
+    val floorMicros: Column = floorUnits match {
+      case Some(k) => lit(k * 1000000L)
+      case None =>
+        val nGroups = count(lit(1)).over(Window.partitionBy(lit(1)))
+        when(nGroups <= 1024L, lit(1000000L)).otherwise(lit(2000000L))
+    }
     approx.join(exact, Seq("hour", "event_type"))
       .select(col("hour"), col("event_type"), col("n_events"),
         col("n_users"), col("value_micros"), col("value_sum"),
         (abs(col("n_users_approx") - col("n_users")) * 1000000L <=
-          greatest(lit(2000000L), col("n_users") * boundPpm))
+          greatest(floorMicros, col("n_users") * boundPpm))
           .as("hll_ok"))
   }
 

@@ -404,6 +404,31 @@ object Graph {
     out
   }
 
+  /** Sentinel `k` value selecting AUTO core threshold for [[kCore]] —
+    * the scale-safe default (the [[graft.operators.Similarity.AutoPlanes]]
+    * convention: derive the knob from corpus statistics, never
+    * fixture-tune it). */
+  val AutoCoreK: Int = 0
+
+  /** AUTO core threshold from the graph's density: k = max(2, ⌊m/n⌋+1)
+    * for m undirected edges over n nodes. The ⌊m/n⌋+1 term is the
+    * densest core the edge budget GUARANTEES: iteratively removing any
+    * node of degree ≤ m/n removes ≤ m/n edges per node and cannot
+    * exhaust all m edges, so a subgraph of min degree > m/n — the
+    * (⌊m/n⌋+1)-core — is always non-empty (the standard degeneracy
+    * ≥ m/n peel argument, Erdős; Seidman 1983). The floor of 2 keeps
+    * the peel meaningful on sparse graphs (the 2-core = cycle skeleton,
+    * dropping trees/pendants — non-empty whenever the graph has any
+    * cycle; measured non-empty on the support-gated co-order graph at
+    * every scale: 1562 / 18 / 180 nodes at sf0.01/0.1/1). A FIXED k is
+    * the scale trap this rule closes: k=3 gives a rich core on the
+    * sf0.01 fixture (avg degree 3.8) and a degenerate EMPTY core at
+    * 10×+ (avg degree 1.25) — an empty result that "passes" its oracle
+    * while verifying nothing. Pure integer arithmetic so the DuckDB
+    * oracle derives the identical k from `count(*)` CTEs. */
+  def autoCoreK(m: Long, n: Long): Int =
+    math.max(2L, (if (n > 0) m / n else 0L) + 1L).toInt
+
   /** `rounds` synchronous peels toward the k-CORE of `edges(src, dst)`
     * (feed SYMMETRIC edges): each round recomputes degrees over the
     * surviving subgraph and drops every node with degree < `k`,
@@ -429,11 +454,17 @@ object Graph {
     * set itself outgrows broadcast (~10⁹ nodes), drop the hint and the
     * same plan runs as two shuffled semi-joins. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    require(k >= 1 && rounds >= 1, s"kCore: k=$k rounds=$rounds")
+    require(k == AutoCoreK || k >= 1, s"kCore: k=$k")
+    require(rounds >= 1, s"kCore: rounds=$rounds")
     var e = edges.repartition(col("src")).distinct().localCheckpoint(true)
+    val kk = if (k == AutoCoreK) {
+      // one aggregate pass over the already-checkpointed edges
+      val row = e.agg(count(lit(1)), count_distinct(col("src"))).head()
+      autoCoreK(row.getLong(0) / 2, row.getLong(1))
+    } else k
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
-        .where(col("d") >= k).select(col("src").as("n"))
+        .where(col("d") >= kk).select(col("src").as("n"))
       e = Ckpt.replace(
         e.join(broadcast(keep.select(col("n").as("src"))), Seq("src"),
             "left_semi")

@@ -161,6 +161,39 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** MIXED-FORMAT ingest: the same deterministic pixel content as
+    * [[asBmpPayload]] (seed = `doc_id % seeds`, identical channel
+    * formula) but the CONTAINER alternates by id parity — even ids
+    * carry 24bpp BMP bytes, odd ids carry PNG bytes (JDK `javax.imageio`
+    * encoder). Content is format-invariant by construction, so any
+    * pixel-level feature downstream (aHash, channel stats) must emit
+    * identical values for both containers — the property a mixed-crawl
+    * near-dup pass depends on, and what lets the DuckDB oracle keep
+    * judging in closed form from the pixel formula alone (PNG encoder
+    * bytes are JDK-specific; decoded pixels are not). */
+  def asMixedImagePayload(df: DataFrame, idCol: String,
+                          seeds: Int = 500): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val s = id % seeds
+          val px = Array.tabulate(64) { i =>
+            val r = ((s * 31 + i * 7) % 256).toInt
+            val g = ((s * 17 + i * 13) % 256).toInt
+            val b = ((s * 29 + i * 3) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+          val bytes =
+            if (id % 2 == 0) BmpCodec.encode(8, 8, px)
+            else PngCodec.encode(8, 8, px)
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** REAL decode: parse each payload as a 24bpp BMP ([[BmpCodec]]) and
     * emit per-image pixel statistics over the CHANNEL bytes of the
     * pixel region (padding excluded by the decoder) — width, height,

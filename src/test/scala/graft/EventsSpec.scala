@@ -109,25 +109,31 @@ class EventsSpec extends AnyFunSuite {
   }
 
   test("approxRollupEval grades estimates against the exact distinct: " +
-      "in-bound (incl. the ±2 floor boundary) pass, out-of-bound fail") {
-    // Hour 10 'click' has exactly 2 distinct users; bound = max(2, 2·5%)
-    // = 2. Grade three fake estimates: 2 (exact), 4 (AT the ±2 floor —
-    // in), 5 (out). The grading join keys on (hour, event_type).
+      "derived floor is ±1 at small group counts, pinned ±2 honored") {
+    // Hour 10 'click' has exactly 2 distinct users. With the DERIVED
+    // floor (2 groups ≤ 1024 → ±1): bound = max(1, 2·5%) = 1, so 3 is
+    // AT the floor (in) and 4 is out — the fixture-scale grade keeps
+    // the tight bound. Pinning floorUnits=Some(2) (the large-sample
+    // slack) admits 4 and rejects 5. Join keys on (hour, event_type).
     def fakeApprox(est: Long) = Seq(
       ("2024-01-01 10:00:00", "click", 3L, est, 12000000L, 12.0),
       ("2024-01-01 11:00:00", "view", 1L, 1L, 4000000L, 4.0)
     ).toDF("hour", "event_type", "n_events", "n_users_approx",
       "value_micros", "value_sum")
-    def grades(est: Long) =
-      Events.approxRollupEval(fakeApprox(est), events, 50000L)
+    def grades(est: Long, floor: Option[Long] = None) =
+      Events.approxRollupEval(fakeApprox(est), events, 50000L, floor)
         .select("hour", "event_type", "n_users", "hll_ok")
         .as[(String, String, Long, Boolean)].collect()
         .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     val exactG = grades(2L)
     assert(exactG(("2024-01-01 10:00:00", "click")) == ((2L, true)))
     assert(exactG(("2024-01-01 11:00:00", "view")) == ((1L, true)))
-    assert(grades(4L)(("2024-01-01 10:00:00", "click")) == ((2L, true)))
-    assert(grades(5L)(("2024-01-01 10:00:00", "click")) == ((2L, false)))
+    assert(grades(3L)(("2024-01-01 10:00:00", "click")) == ((2L, true)))
+    assert(grades(4L)(("2024-01-01 10:00:00", "click")) == ((2L, false)))
+    assert(grades(4L, Some(2L))(
+      ("2024-01-01 10:00:00", "click")) == ((2L, true)))
+    assert(grades(5L, Some(2L))(
+      ("2024-01-01 10:00:00", "click")) == ((2L, false)))
   }
 
   test("quantilesApproxEval: GK estimates grade in-band on uniform AND " +

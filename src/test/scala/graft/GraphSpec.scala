@@ -307,6 +307,23 @@ class GraphSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("kCore AutoCoreK derives k from density: K4+pendant-path has " +
+      "m=8, n=6 → k=max(2, 8/6+1)=2, and autoCoreK covers the bounds") {
+    // density rule itself
+    assert(Graph.autoCoreK(8, 6) == 2)    // floor(1.33)+1 = 2
+    assert(Graph.autoCoreK(12, 4) == 4)   // K4+: floor(3)+1
+    assert(Graph.autoCoreK(3, 6) == 2)    // sparse → the floor-2 clamp
+    assert(Graph.autoCoreK(0, 0) == 2)    // empty graph guard
+    // end-to-end: AutoCoreK on the K4+path fixture == pinned k=2
+    val und = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)) ++
+      Seq((3L, 4L), (4L, 5L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, Graph.AutoCoreK, rounds = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L to 3L).map(n => (n, 3L)), s"got ${got.toSeq}")
+  }
+
   test("kCore: k above the max degree empties the graph") {
     val und = Seq((0L, 1L), (1L, 2L), (0L, 2L))
     val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }

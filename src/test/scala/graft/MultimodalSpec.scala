@@ -213,6 +213,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BmpCodec.decode(good.dropRight(5)).isEmpty)   // truncated pixels
   }
 
+  test("BmpCodec.decode rejects CRAFTED overflow headers (width near " +
+      "2^30, huge height, Int.MinValue height) — None, never throw") {
+    // width = 0x40000000: 3*width overflows Int to a tiny/negative
+    // stride, which without the dimension cap passed the bounds check
+    // and blew up in the pixel alloc. The tolerant contract is None.
+    def craft(width: Int, height: Int): Array[Byte] = {
+      val b = BmpCodec.encode(4, 4, Array.fill(16)(0))
+      def putLe32(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xff).toByte
+        b(off + 1) = ((v >> 8) & 0xff).toByte
+        b(off + 2) = ((v >> 16) & 0xff).toByte
+        b(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      putLe32(18, width); putLe32(22, height)
+      b
+    }
+    assert(BmpCodec.decode(craft(0x40000000, 4)).isEmpty)
+    assert(BmpCodec.decode(craft(0x55555557, 3)).isEmpty)
+    assert(BmpCodec.decode(craft(4, 0x40000000)).isEmpty)
+    assert(BmpCodec.decode(craft(4, Int.MinValue)).isEmpty)
+    assert(BmpCodec.decode(craft(65536, 65536)).isEmpty)
+  }
+
   test("ahash64: hand-computable 8x8 image — left half bright, right " +
       "half dark") {
     // gray: left 4 columns (r=g=b=200), right 4 (r=g=b=10).
@@ -264,6 +287,78 @@ class MultimodalSpec extends AnyFunSuite {
       assert(BmpCodec.decode(onDisk).get.pixels.toSeq ==
         img.pixels.toSeq, s"$name decode")
     }
+  }
+
+  // -----------------------------------------------------------------
+  // PNG codec (javax.imageio member of the codec family)
+  // -----------------------------------------------------------------
+
+  import graft.operators.{ImageCodecs, PngCodec}
+
+  test("PngCodec round-trip is identity (pixels, not bytes) across " +
+      "sizes, and the KNOWN checked-in PNG decodes to the BMP " +
+      "fixture's pixel formula") {
+    for ((w, h) <- Seq((8, 8), (5, 3), (16, 16))) {
+      val px = Array.tabulate(w * h)(i => (i * 2654435761L % 0x1000000L).toInt)
+      val back = PngCodec.decode(PngCodec.encode(w, h, px))
+      assert(back.isDefined, s"${w}x$h must decode")
+      assert(back.get.width == w && back.get.height == h)
+      assert(back.get.pixels.toSeq == px.toSeq, s"${w}x$h pixels")
+    }
+    // known file: img_0.png carries BmpFixture.images(0)'s exact pixels
+    val in = getClass.getResourceAsStream("/mmpng/img_0.png")
+    assert(in != null, "missing checked-in /mmpng/img_0.png")
+    val bytes = try in.readAllBytes() finally in.close()
+    val img = PngCodec.decode(bytes).get
+    val ref = BmpFixture.images.head._2
+    assert(img.width == ref.width && img.height == ref.height)
+    assert(img.pixels.toSeq == ref.pixels.toSeq,
+      "checked-in PNG pixels drifted from the fixture formula")
+  }
+
+  test("PngCodec.decode rejects non-PNG, truncated, and corrupt " +
+      "payloads — None, never throw") {
+    assert(PngCodec.decode("not an image".getBytes).isEmpty)
+    assert(PngCodec.decode(Array.empty[Byte]).isEmpty)
+    val good = PngCodec.encode(4, 4, Array.fill(16)(0x123456))
+    assert(PngCodec.decode(good.take(10)).isEmpty)  // truncated chunks
+    val corrupt = good.clone(); corrupt(20) = (corrupt(20) ^ 0xff).toByte
+    // flipped IHDR byte: either read fails (None) or CRC error (None)
+    assert(PngCodec.decode(corrupt).isEmpty ||
+      PngCodec.decode(corrupt).isDefined) // must not THROW either way
+    // BMP bytes are not a PNG
+    assert(PngCodec.decode(BmpCodec.encode(4, 4,
+      Array.fill(16)(0))).isEmpty)
+  }
+
+  test("ImageCodecs.decodeAny dispatches on magic: same pixels through " +
+      "BMP and PNG containers hash identically (format-blind aHash)") {
+    val px = Array.tabulate(64) { i =>
+      val r = (31 + i * 7) % 256; val g = (17 + i * 13) % 256
+      val b = (29 + i * 3) % 256; (r << 16) | (g << 8) | b
+    }
+    val viaBmp = ImageCodecs.decodeAny(BmpCodec.encode(8, 8, px)).get
+    val viaPng = ImageCodecs.decodeAny(PngCodec.encode(8, 8, px)).get
+    assert(viaBmp.pixels.toSeq == viaPng.pixels.toSeq)
+    assert(BmpCodec.ahash64(viaBmp) == BmpCodec.ahash64(viaPng))
+    assert(ImageCodecs.decodeAny("garbage".getBytes).isEmpty)
+  }
+
+  test("mixed BMP+PNG corpus through decodeAny == all-BMP corpus " +
+      "through BmpCodec (the mm_phash_mixed contract)") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 501L, 502L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("phash"), r.getAs[Long]("n_bucket"),
+          r.getAs[Long]("is_candidate"))).toMap
+    val bmpOnly = rows(Multimodal.ahashBuckets(
+      Multimodal.asBmpPayload(ids, "doc_id")))
+    val mixed = rows(Multimodal.ahashBuckets(
+      Multimodal.asMixedImagePayload(ids, "doc_id"),
+      decode = ImageCodecs.decodeAny))
+    assert(mixed == bmpOnly)
+    assert(mixed(1L)._1 == mixed(501L)._1 && mixed(1L)._3 == 1L)
   }
 
   private def le32(v: Int): Array[Byte] = Array(
