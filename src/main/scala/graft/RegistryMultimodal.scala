@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType,
+  StructField, StructType, TimestampType}
 
 import graft.operators._
 
@@ -71,35 +73,40 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
     // BmpCodec; the oracle read_blob's the same files and re-decodes
     // them in SQL (hex byte arithmetic: LE header fields, padded
     // bottom-up rows). Padding widths 5/6/7 prove the stride handling.
-    "mm_bmp_files" -> ((s, _) => {
-      val files = s.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bmp")
-        .load(graft.operators.BmpFixture.root)
-        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
-          col("content").as("payload"))
-      val spark = s
-      import spark.implicits._
-      files.as[(String, Array[Byte])]
-        .mapPartitions { it =>
-          it.map { case (name, bytes) =>
-            val img = graft.operators.BmpCodec.decode(bytes)
-              .getOrElse(sys.error(s"fixture $name must decode"))
-            var sum = 0L; var mn = 256L; var mx = -1L
-            img.pixels.foreach { p =>
-              val (r, g, b) =
-                ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
-              sum += r + g + b
-              mn = math.min(mn, math.min(r, math.min(g, b)))
-              mx = math.max(mx, math.max(r, math.max(g, b)))
-            }
-            (name, img.width.toLong, img.height.toLong,
-              (img.width * img.height).toLong, sum, mn, mx)
-          }
-        }
-        .toDF("file_name", "width", "height", "n_pixels", "px_sum",
-          "px_min", "px_max")
-        .orderBy("file_name")
-    }),
+    "mm_bmp_files" -> ((s, _) =>
+      Multimodal.decodeFileFeatures(
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bmp")
+          .load(BmpFixture.root)
+          .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+            col("content").as("payload")))
+        .orderBy("file_name")),
+    // The multimodal STREAMING dual: the same fixture directory read as
+    // a binaryFile FILE STREAM (the crawl-ingest shape — new image
+    // files arrive, decode as they land), the same codec mapPartitions
+    // inside the micro-batch, drained with AvailableNow. Stateless
+    // (append mode, no state store); the drained result must equal the
+    // batch read row-for-row, so the oracle IS mm_bmp_files' SQL
+    // re-decode of the same files.
+    "st_mm_ingest" -> ((s, _) =>
+      graft.streaming.StreamOps.runToCompletion(
+        s,
+        s.readStream.format("binaryFile")
+          // file-STREAM sources require an explicit schema; binaryFile's
+          // is fixed by the format (path/modificationTime/length/content)
+          .schema(StructType(Seq(
+            StructField("path", StringType),
+            StructField("modificationTime", TimestampType),
+            StructField("length", LongType),
+            StructField("content", BinaryType))))
+          .option("pathGlobFilter", "*.bmp")
+          .load(BmpFixture.root),
+        df => Multimodal.decodeFileFeatures(
+          df.select(
+            element_at(split(col("path"), "/"), -1).as("file_name"),
+            col("content").as("payload"))),
+        outputMode = "append")
+        .orderBy("file_name")),
     // Embedding-cosine near-dup: exact duplicates are synthesized under
     // shifted ids (the fixture's random vectors are near-orthogonal), so
     // the LSH-bucketed pair pass must recover exactly those pairs.
@@ -139,6 +146,42 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
       |  CAST(CASE WHEN b.n_bucket > 1 THEN 1 ELSE 0 END AS BIGINT)
       |    AS is_candidate
       |FROM p JOIN b USING (phash) ORDER BY doc_id""".stripMargin
+
+  /** Independent SQL re-decode of the SAME checked-in BMP files Spark
+    * parses with BmpCodec: hex-string byte list, little-endian header
+    * fields (data offset @10, width @18, height @22), padded bottom-up
+    * rows (stride = ceil(3w/4)*4 — channel stats are
+    * row-order-insensitive, so orientation needs no mirroring). Shared
+    * by mm_bmp_files (batch binaryFile read) and st_mm_ingest (the
+    * drained file-stream dual): one oracle, three independent paths
+    * over the same files. */
+  private lazy val bmpFilesOracleSql: String =
+    s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1)
+       |      AS file_name, hex(content) AS hx
+       |  FROM read_blob('$OracleBmpRoot/*.bmp')),
+       |d AS (SELECT file_name,
+       |    list_transform(range(0, length(hx) // 2), i ->
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 1 AS BIGINT), 1)) - 1) * 16 +
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 2 AS BIGINT), 1)) - 1)) AS bt
+       |  FROM b),
+       |h AS (SELECT file_name, bt,
+       |    bt[11] + 256*bt[12] + 65536*bt[13] + 16777216*bt[14] AS data_off,
+       |    bt[19] + 256*bt[20] + 65536*bt[21] + 16777216*bt[22] AS width,
+       |    bt[23] + 256*bt[24] + 65536*bt[25] + 16777216*bt[26] AS height
+       |  FROM d),
+       |px AS (SELECT file_name, width, height,
+       |    flatten(list_transform(range(0, height), y ->
+       |      list_transform(range(0, 3 * width), k ->
+       |        bt[CAST(data_off + y * (((3 * width + 3) // 4) * 4)
+       |          + k + 1 AS BIGINT)]))) AS ch
+       |  FROM h)
+       |SELECT file_name, CAST(width AS BIGINT) AS width,
+       |  CAST(height AS BIGINT) AS height,
+       |  CAST(width * height AS BIGINT) AS n_pixels,
+       |  CAST(list_sum(ch) AS BIGINT) AS px_sum,
+       |  CAST(list_min(ch) AS BIGINT) AS px_min,
+       |  CAST(list_max(ch) AS BIGINT) AS px_max
+       |FROM px ORDER BY file_name""".stripMargin
 
   protected val multimodalOracles: Map[String, String] = Map(
     "mm_meta" ->
@@ -194,34 +237,10 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
     // fields (data offset @10, width @18, height @22), padded
     // bottom-up rows (stride = ceil(3w/4)*4 — channel stats are
     // row-order-insensitive, so orientation needs no mirroring).
-    "mm_bmp_files" -> {
-      s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1)
-         |      AS file_name, hex(content) AS hx
-         |  FROM read_blob('$OracleBmpRoot/*.bmp')),
-         |d AS (SELECT file_name,
-         |    list_transform(range(0, length(hx) // 2), i ->
-         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 1 AS BIGINT), 1)) - 1) * 16 +
-         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 2 AS BIGINT), 1)) - 1)) AS bt
-         |  FROM b),
-         |h AS (SELECT file_name, bt,
-         |    bt[11] + 256*bt[12] + 65536*bt[13] + 16777216*bt[14] AS data_off,
-         |    bt[19] + 256*bt[20] + 65536*bt[21] + 16777216*bt[22] AS width,
-         |    bt[23] + 256*bt[24] + 65536*bt[25] + 16777216*bt[26] AS height
-         |  FROM d),
-         |px AS (SELECT file_name, width, height,
-         |    flatten(list_transform(range(0, height), y ->
-         |      list_transform(range(0, 3 * width), k ->
-         |        bt[CAST(data_off + y * (((3 * width + 3) // 4) * 4)
-         |          + k + 1 AS BIGINT)]))) AS ch
-         |  FROM h)
-         |SELECT file_name, CAST(width AS BIGINT) AS width,
-         |  CAST(height AS BIGINT) AS height,
-         |  CAST(width * height AS BIGINT) AS n_pixels,
-         |  CAST(list_sum(ch) AS BIGINT) AS px_sum,
-         |  CAST(list_min(ch) AS BIGINT) AS px_min,
-         |  CAST(list_max(ch) AS BIGINT) AS px_max
-         |FROM px ORDER BY file_name""".stripMargin
-    },
+    "mm_bmp_files" -> bmpFilesOracleSql,
+    // Drained file-stream == batch read == the SQL re-decode: one
+    // oracle, three independent paths over the same files.
+    "st_mm_ingest" -> bmpFilesOracleSql,
     "mm_frame_sample" ->
       """SELECT doc_id,
         |  CAST(floor((length(text) - 1) / 64) + 1 AS BIGINT) AS n_frames,

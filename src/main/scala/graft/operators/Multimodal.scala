@@ -230,6 +230,44 @@ object Multimodal {
         "px_min", "px_max")
   }
 
+  /** Shared decode for FILE relations `(file_name, payload)` — the
+    * [[decodeBmpFeatures]] channel stats keyed by file name instead of
+    * doc id. One code path serves the batch `binaryFile` read
+    * (mm_bmp_files) and its file-STREAM dual (st_mm_ingest): the
+    * mapPartitions decode is narrow, so it runs unchanged inside a
+    * streaming micro-batch. Undecodable payloads yield the (-1, …)
+    * marker row (counted, never thrown — crawl-tolerance), and the
+    * `decode` parameter is the codec seam ([[ImageCodecs.decodeAny]]
+    * for a mixed-format directory). */
+  def decodeFileFeatures(files: DataFrame,
+                         decode: Array[Byte] => Option[BmpCodec.Bmp] =
+                           BmpCodec.decode): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("file_name"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          decode(bytes) match {
+            case Some(img) =>
+              var sum = 0L; var mn = 256L; var mx = -1L
+              img.pixels.foreach { p =>
+                val (r, g, b) =
+                  ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+                sum += r + g + b
+                mn = math.min(mn, math.min(r, math.min(g, b)))
+                mx = math.max(mx, math.max(r, math.max(g, b)))
+              }
+              (name, img.width.toLong, img.height.toLong,
+                (img.width * img.height).toLong, sum, mn, mx)
+            case None => (name, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+      .toDF("file_name", "width", "height", "n_pixels", "px_sum",
+        "px_min", "px_max")
+  }
+
   /** Perceptual-hash near-dup bucketing over REAL pixels: decode, hash
     * with [[BmpCodec.ahash64]] (integer average-hash over the 8×8
     * block grid), bucket-join on the hash — the [[phashBuckets]] shape
