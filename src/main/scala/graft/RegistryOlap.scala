@@ -696,6 +696,43 @@ private[graft] object RegistryOlap {
       |FROM rk WHERE rk <= 5
       |ORDER BY gid, rk""".stripMargin)
 
+  // The Q35 EXISTS-pair shape (TPC-DS Q35/Q10/Q69 family): a
+  // demographics report over customers gated by one mandatory
+  // existence probe AND a DISJUNCTION of two more. The conjunctive
+  // probe decorrelates to an ordinary left semi join, but the
+  // OR-of-EXISTS branches cannot be semi joins (a semi join FILTERS;
+  // a disjunct must instead RECORD whether a match exists) — Catalyst
+  // plans each branch as an ExistenceJoin (left outer + boolean
+  // exists flag) and evaluates the OR over the flags; DuckDB plans
+  // the same shape as mark joins. PlanQualitySpec asserts full
+  // decorrelation + the ExistenceJoin pair. Scale shape: every probe
+  // is a key-only projection of its fact (custkey — no payload
+  // columns shuffle into the probes), all three probe joins hash on
+  // c_custkey, and the final aggregate runs over customer
+  // cardinality, never the fact table. Cents-exact balance sums
+  // (round, not floor: c_acctbal is signed, and both engines round
+  // identical doubles half-away-from-zero).
+  private val dsExistsPair = sqlPair("ds_e35",
+    Seq("customer", "nation", "orders", "lineitem"),
+    """SELECT c_mktsegment, n_name,
+      |  COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents,
+      |  MIN(c_custkey) AS min_custkey,
+      |  MAX(c_custkey) AS max_custkey
+      |FROM {customer} c JOIN {nation} ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM {orders} o
+      |              WHERE o.o_custkey = c.c_custkey)
+      |  AND (EXISTS (SELECT 1 FROM {orders} o JOIN {lineitem} l
+      |               ON l.l_orderkey = o.o_orderkey
+      |               WHERE o.o_custkey = c.c_custkey
+      |                 AND l.l_returnflag = 'R')
+      |    OR EXISTS (SELECT 1 FROM {orders} o
+      |               WHERE o.o_custkey = c.c_custkey
+      |                 AND o.o_orderpriority = '1-URGENT'))
+      |GROUP BY c_mktsegment, n_name
+      |ORDER BY c_mktsegment, n_name""".stripMargin)
+
   private val groupingSetsOracles: Map[String, String] = Map(
     "ev_grouping_sets" ->
       """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
@@ -739,7 +776,8 @@ private[graft] object RegistryOlap {
     "ds_channel_rollup" -> dsChannelRollup._1,
     "ds_iceberg_window" -> dsIcebergWindow._1,
     "ds_returns_outer" -> dsReturnsOuter._1,
-    "ds_iceberg_rollup" -> dsIcebergRollup._1
+    "ds_iceberg_rollup" -> dsIcebergRollup._1,
+    "ds_exists_pair" -> dsExistsPair._1
   ) ++ setOps ++ groupingSetsQ ++ fullOuterQ ++ rankFamilyQ
 
   val oracles: Map[String, String] = Map(
@@ -762,7 +800,8 @@ private[graft] object RegistryOlap {
     "ds_channel_rollup" -> dsChannelRollup._2,
     "ds_iceberg_window" -> dsIcebergWindow._2,
     "ds_returns_outer" -> dsReturnsOuter._2,
-    "ds_iceberg_rollup" -> dsIcebergRollup._2
+    "ds_iceberg_rollup" -> dsIcebergRollup._2,
+    "ds_exists_pair" -> dsExistsPair._2
   ) ++ setOpsOracles ++ groupingSetsOracles ++
     fullOuterOracle ++ rankFamilyOracle
 }

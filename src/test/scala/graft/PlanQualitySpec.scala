@@ -726,6 +726,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q21 needs one semi and one anti join:\n$p21")
   }
 
+  test("ds_exists_pair: the OR-of-EXISTS pair plans as ExistenceJoins " +
+      "(flags, not filters); the conjunctive EXISTS stays a LeftSemi; " +
+      "zero surviving subquery expressions") {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    val q = Registry.queries("ds_exists_pair")(spark, dir)
+    val survivors = q.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect { case s: SubqueryExpression => s })
+    }.flatten
+    assert(survivors.isEmpty,
+      s"OR-of-EXISTS must fully decorrelate; survivors: $survivors")
+    val p = planString(q)
+    // A semi join would FILTER and break OR semantics — the disjuncts
+    // must materialize as boolean existence flags.
+    assert(p.contains("ExistenceJoin"),
+      s"disjunctive EXISTS branches must be ExistenceJoins:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the conjunctive EXISTS must remain a plain semi join:\n$p")
+  }
+
   test("q22: correlated NOT EXISTS decorrelates to a LeftAnti; only " +
       "the uncorrelated scalar average survives as a one-shot subquery") {
     import org.apache.spark.sql.catalyst.expressions.{
