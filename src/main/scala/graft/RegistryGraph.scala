@@ -463,23 +463,28 @@ object RegistryGraph {
          |SELECT l.node, l.component_id, s.component_size
          |FROM lbl l JOIN sz s USING (component_id)
          |ORDER BY node""".stripMargin,
+    // und/deg/o/tri are each referenced 2-3 times; without MATERIALIZED
+    // DuckDB inlines them and re-evaluates the whole 6M-row lineitem
+    // self-join chain per reference — at sf1 the replay spilled > 77 GB
+    // and filled the disk. Materialized, each level is computed once.
     "gr_triangles" ->
       s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
         |    a.l_partkey AS pa, b.l_partkey AS pb
         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey < b.l_partkey),
-        |und AS (SELECT pa AS a, pb AS b FROM pr GROUP BY pa, pb
+        |und AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pr
+        |  GROUP BY pa, pb
         |  HAVING count(*) >= $TriMinSupport),
-        |deg AS (SELECT n, count(*) AS d FROM (
+        |deg AS MATERIALIZED (SELECT n, count(*) AS d FROM (
         |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
         |  GROUP BY n),
-        |o AS (SELECT
+        |o AS MATERIALIZED (SELECT
         |    CASE WHEN x.d < y.d OR (x.d = y.d AND und.a < und.b)
         |      THEN und.a ELSE und.b END AS u,
         |    CASE WHEN x.d < y.d OR (x.d = y.d AND und.a < und.b)
         |      THEN und.b ELSE und.a END AS v
         |  FROM und JOIN deg x ON und.a = x.n JOIN deg y ON und.b = y.n),
-        |tri AS (SELECT e1.u, e1.v, e2.v AS w
+        |tri AS MATERIALIZED (SELECT e1.u, e1.v, e2.v AS w
         |  FROM o e1 JOIN o e2 ON e1.v = e2.u
         |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles

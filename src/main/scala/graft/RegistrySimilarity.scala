@@ -491,8 +491,28 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
        |FROM r WHERE "rank" <= $TopK ORDER BY src_id, "rank"""".stripMargin
   }
 
+  /** Rounds of staged label propagation in [[knnComponentsOracle]].
+    * Hook + shortcut per round converges in O(log |C|) (Shiloach–
+    * Vishkin); 2·log2 of sf1's 19,790-node giant component ≈ 29, and a
+    * NON-converged label cannot pass silently — the compare is exact,
+    * so too few rounds is a loud hash mismatch, never a wrong green. */
+  private val LpRounds = 36
+
   /** Mutual-kNN components oracle generator, parameterized by
-    * bucket resolution like [[knnGraphOracle]]. */
+    * bucket resolution like [[knnGraphOracle]].
+    *
+    * The component closure is NOT a monolithic recursive CTE: sf1's
+    * mutual graph has one 19,790-node component, so the transitive
+    * closure `reach` is ~|C|² ≈ 392M pairs re-deduplicated every
+    * recursion round — >600 s in DuckDB at sf1 even with the candidate
+    * chain MATERIALIZED. Instead the oracle replays [[LpRounds]] staged
+    * pointer-jumping label-propagation rounds,
+    * l_{t+1}(n) = min(l_t(n), min_{nb∈N(n)} l_t(nb), l_t(l_t(n))),
+    * each a pair of joins over the 20k-row label table (MATERIALIZED so
+    * no round re-evaluates its predecessors). At any fixed point
+    * l(n) ≤ l(nb) for every neighbor, hence by symmetry equal across
+    * each component — i.e. the component minimum, exactly the
+    * reach-based `least(src, min(dst))` label this replaces. */
   private def knnComponentsOracle(numPlanes: Int,
                                   auto: Boolean = false): String = {
       val bucketsByTable = bucketSqlByTable(numPlanes, auto)
@@ -500,7 +520,18 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
         s"SELECT vec_id, $t AS tbl, $b AS bucket FROM n"
       }.mkString("\nUNION ALL ")
       val plCte = if (auto) s"$autoPlanesCte,\n" else ""
-      s"""WITH RECURSIVE $quantCte,
+      val rounds = (1 to LpRounds).map { t =>
+        val p = s"l${t - 1}"
+        s"""l$t AS MATERIALIZED (
+           |  SELECT cur.node,
+           |    least(cur.cid, par.cid, coalesce(nbm.x, cur.cid)) AS cid
+           |  FROM $p cur
+           |  JOIN $p par ON par.node = cur.cid
+           |  LEFT JOIN (SELECT m.src, min(p2.cid) AS x
+           |             FROM m JOIN $p p2 ON p2.node = m.dst
+           |             GROUP BY m.src) nbm ON nbm.src = cur.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $quantCte,
          |n AS MATERIALIZED (SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM v),
          |${plCte}bk AS MATERIALIZED (
          |$bk),
@@ -521,19 +552,18 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
          |g AS MATERIALIZED (SELECT src_id, dst_id FROM r WHERE "rank" <= $TopK),
          |m AS MATERIALIZED (SELECT a.src_id AS src, a.dst_id AS dst FROM g a
          |  JOIN g b ON a.src_id = b.dst_id AND a.dst_id = b.src_id),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM m
-         |  UNION
-         |  SELECT r2.src, e.dst FROM reach r2 JOIN m e ON r2.dst = e.src),
-         |lbl AS (SELECT src AS node, least(src, min(dst)) AS cid
-         |  FROM reach GROUP BY src),
-         |lab AS (SELECT vec_id, coalesce(l.cid, vec_id) AS cluster_id
-         |  FROM v LEFT JOIN lbl l ON v.vec_id = l.node),
-         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+         |l0 AS MATERIALIZED (
+         |  SELECT v.vec_id AS node,
+         |    least(v.vec_id, coalesce(nb0.mn, v.vec_id)) AS cid
+         |  FROM v LEFT JOIN (SELECT src, min(dst) AS mn FROM m
+         |                    GROUP BY src) nb0 ON v.vec_id = nb0.src),
+         |$rounds,
+         |sz AS (SELECT cid AS cluster_id, CAST(count(*) AS BIGINT)
          |    AS cluster_size
-         |  FROM lab GROUP BY cluster_id)
-         |SELECT vec_id, cluster_id, cluster_size FROM lab
-         |JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
+         |  FROM l$LpRounds GROUP BY cid)
+         |SELECT node AS vec_id, cid AS cluster_id, cluster_size
+         |FROM l$LpRounds JOIN sz ON cid = cluster_id
+         |ORDER BY vec_id""".stripMargin
     }
 
   protected val similarityOracles: Map[String, String] = Map(
