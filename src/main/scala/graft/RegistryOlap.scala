@@ -733,6 +733,58 @@ private[graft] object RegistryOlap {
       |GROUP BY c_mktsegment, n_name
       |ORDER BY c_mktsegment, n_name""".stripMargin)
 
+  // The Q74/Q11 YEAR-OVER-YEAR cross-channel growth shape: one
+  // aggregate CTE (customer × year × channel totals) referenced FOUR
+  // times — both channels at both years — self-joined on the customer
+  // key, keeping customers whose return-channel growth outpaces their
+  // order-channel growth. Two optimizer behaviors make this shape
+  // scale, and PlanQualitySpec pins both: (1) each reference's
+  // constant channel predicate prunes the OTHER channel's UNION branch
+  // entirely (the two order-side references never scan lineitem — the
+  // physical plan holds exactly 2 lineitem scans, not 4), and (2) the
+  // year predicate lands on a grouping column, so it pushes BELOW the
+  // aggregate and each branch aggregates one year's rows, not seven.
+  // The growth comparison is division-free (cross-multiplied exact
+  // cents — ~2^50 worst case, no overflow) so both engines compare
+  // identical integers. The 4-way join hashes on custkey over
+  // already-aggregated (customer-sized) relations; nothing fact-sized
+  // crosses an exchange after the per-branch aggregates.
+  private val dsYoyGrowth = sqlPair("ds_yoy",
+    Seq("orders", "lineitem"),
+    """WITH yr AS (
+      |  SELECT custkey, year, channel, CAST(SUM(amt_c) AS BIGINT)
+      |      AS amt_c
+      |  FROM (
+      |    SELECT o_custkey AS custkey,
+      |      CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+      |      'order' AS channel,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) AS amt_c
+      |    FROM {orders}
+      |    UNION ALL
+      |    SELECT o.o_custkey,
+      |      CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT),
+      |      'return',
+      |      CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+      |    FROM {lineitem} l JOIN {orders} o
+      |      ON l.l_orderkey = o.o_orderkey
+      |    WHERE l.l_returnflag = 'R')
+      |  GROUP BY custkey, year, channel
+      |)
+      |SELECT s1.custkey AS custkey,
+      |  s1.amt_c AS order_prev_c, s2.amt_c AS order_cur_c,
+      |  w1.amt_c AS return_prev_c, w2.amt_c AS return_cur_c
+      |FROM yr s1
+      |JOIN yr s2 ON s1.custkey = s2.custkey
+      |JOIN yr w1 ON s1.custkey = w1.custkey
+      |JOIN yr w2 ON s1.custkey = w2.custkey
+      |WHERE s1.channel = 'order'  AND s1.year = 1996
+      |  AND s2.channel = 'order'  AND s2.year = 1997
+      |  AND w1.channel = 'return' AND w1.year = 1996
+      |  AND w2.channel = 'return' AND w2.year = 1997
+      |  AND s1.amt_c > 0 AND w1.amt_c > 0
+      |  AND w2.amt_c * s1.amt_c > s2.amt_c * w1.amt_c
+      |ORDER BY s1.custkey""".stripMargin)
+
   private val groupingSetsOracles: Map[String, String] = Map(
     "ev_grouping_sets" ->
       """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
@@ -777,7 +829,8 @@ private[graft] object RegistryOlap {
     "ds_iceberg_window" -> dsIcebergWindow._1,
     "ds_returns_outer" -> dsReturnsOuter._1,
     "ds_iceberg_rollup" -> dsIcebergRollup._1,
-    "ds_exists_pair" -> dsExistsPair._1
+    "ds_exists_pair" -> dsExistsPair._1,
+    "ds_yoy_growth" -> dsYoyGrowth._1
   ) ++ setOps ++ groupingSetsQ ++ fullOuterQ ++ rankFamilyQ
 
   val oracles: Map[String, String] = Map(
@@ -801,7 +854,8 @@ private[graft] object RegistryOlap {
     "ds_iceberg_window" -> dsIcebergWindow._2,
     "ds_returns_outer" -> dsReturnsOuter._2,
     "ds_iceberg_rollup" -> dsIcebergRollup._2,
-    "ds_exists_pair" -> dsExistsPair._2
+    "ds_exists_pair" -> dsExistsPair._2,
+    "ds_yoy_growth" -> dsYoyGrowth._2
   ) ++ setOpsOracles ++ groupingSetsOracles ++
     fullOuterOracle ++ rankFamilyOracle
 }

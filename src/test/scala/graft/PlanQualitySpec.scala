@@ -745,6 +745,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the conjunctive EXISTS must remain a plain semi join:\n$p")
   }
 
+  test("ds_yoy_growth: the 4-reference year/channel CTE prunes to 2 " +
+      "lineitem scans (constant channel predicates eliminate the other " +
+      "UNION branch per reference) and the year predicate lands on the " +
+      "orders scan, below each per-branch aggregate") {
+    val q = Registry.queries("ds_yoy_growth")(spark, dir)
+    val p = planString(q)
+    // The AQE string prints Final AND Initial plans — count scans in
+    // the final section only.
+    val finalP = p.split("== Initial Plan ==").head
+    val lineitemScans =
+      "lineitem\\.parquet".r.findAllIn(finalP).size
+    assert(lineitemScans == 2,
+      s"expected exactly 2 lineitem scans (order-channel references " +
+        s"must not scan the fact table), got $lineitemScans:\n$p")
+    // The year filter must be a DATA filter on the orders scan — below
+    // the aggregate — not a post-aggregate filter over seven years.
+    assert(p.contains("year(cast(o_orderdate"),
+      s"year predicate must reach the orders scan:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      s"the custkey self-joins must stay equi-joins:\n$p")
+  }
+
   test("q22: correlated NOT EXISTS decorrelates to a LeftAnti; only " +
       "the uncorrelated scalar average survives as a one-shot subquery") {
     import org.apache.spark.sql.catalyst.expressions.{
