@@ -32,6 +32,10 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
   private def mmBmpPayload(s: SparkSession, dir: String) =
     Multimodal.asBmpPayload(t(s, dir, "documents"), "doc_id")
 
+  /** DuckDB-side path to the SAME WAV fixture files Spark reads. */
+  private lazy val OracleWavRoot: String =
+    WavFixture.root.replaceFirst("^file:/*", "/")
+
   protected val multimodal: Map[String, Q] = Map(
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(mmPayload(s, dir)).orderBy("doc_id")),
@@ -106,6 +110,30 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
             element_at(split(col("path"), "/"), -1).as("file_name"),
             col("content").as("payload"))),
         outputMode = "append")
+        .orderBy("file_name")),
+    // AUDIO decode: every payload is an actual PCM16 WAV and the decode
+    // is a real RIFF chunk walk (operators.WavCodec) — the audio member
+    // of the codec family. Exact-integer features (frames, floor-ms
+    // duration, Σs² energy, peak |s|, channel-0 zero crossings); the
+    // oracle replays the encoder's sample formula in closed form.
+    "mm_audio_features" -> ((s, dir) =>
+      Multimodal.decodeWavFeatures(
+        Multimodal.asWavPayload(t(s, dir, "documents"), "doc_id"))
+        .orderBy("doc_id")),
+    // Two independent decoders over ONE set of real audio files: Spark
+    // reads the checked-in WAVs (binaryFile source) and decodes with
+    // WavCodec; the oracle read_blob's the same files and re-decodes
+    // them in SQL (LE header fields, signed int16 samples) — the
+    // mm_bmp_files parity artifact for the audio modality. Mono AND
+    // stereo files prove the channel-0 stride in both engines.
+    "mm_wav_files" -> ((s, _) =>
+      Multimodal.decodeWavFeatures(
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.wav")
+          .load(WavFixture.root)
+          .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+            col("content").as("payload")),
+        keyCol = "file_name")
         .orderBy("file_name")),
     // Embedding-cosine near-dup: exact duplicates are synthesized under
     // shifted ids (the fixture's random vectors are near-orthogonal), so
@@ -238,6 +266,80 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
     // bottom-up rows (stride = ceil(3w/4)*4 — channel stats are
     // row-order-insensitive, so orientation needs no mirroring).
     "mm_bmp_files" -> bmpFilesOracleSql,
+    // Closed-form replay of the WAV payload: the encoder's sample
+    // formula (mono 8 kHz, n = 64 + (id%5)·16 frames, s_i =
+    // ((seed·37 + i·8191) % 65536) − 32768), exact-integer features.
+    "mm_audio_features" ->
+      """WITH p AS (SELECT doc_id, doc_id % 500 AS s,
+        |    64 + (doc_id % 5) * 16 AS n
+        |  FROM documents),
+        |w AS (SELECT doc_id, n,
+        |    list_transform(range(0, n), i ->
+        |      ((s * 37 + i * 8191) % 65536) - 32768) AS sm
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(sm, v -> v * v)) AS BIGINT)
+        |    AS energy,
+        |  CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT)
+        |    AS peak,
+        |  CAST(coalesce(list_sum(list_transform(range(1, n), f ->
+        |      CASE WHEN (sm[CAST(f AS BIGINT)] < 0)
+        |        <> (sm[CAST(f + 1 AS BIGINT)] < 0)
+        |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // Independent SQL re-decode of the SAME checked-in WAV files Spark
+    // parses with WavCodec: hex-string byte list, LE header fields
+    // (channels @22, sample rate @24, data size @40 of the canonical
+    // 44-byte header the fixture uses), signed int16 samples, channel-0
+    // stride for zero crossings. Chunk-walk quirks (extra chunks, odd
+    // word-align pad) are spec-covered with crafted buffers — the
+    // checked-in files exercise mono/stereo and four sample rates.
+    "mm_wav_files" ->
+      s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1)
+         |      AS file_name, hex(content) AS hx
+         |  FROM read_blob('$OracleWavRoot/*.wav')),
+         |d AS (SELECT file_name,
+         |    list_transform(range(0, length(hx) // 2), i ->
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 1 AS BIGINT), 1)) - 1) * 16 +
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 2 AS BIGINT), 1)) - 1)) AS bt
+         |  FROM b),
+         |h AS (SELECT file_name, bt,
+         |    bt[23] + 256 * bt[24] AS channels,
+         |    bt[25] + 256 * bt[26] + 65536 * bt[27]
+         |      + 16777216 * bt[28] AS sample_rate,
+         |    bt[41] + 256 * bt[42] + 65536 * bt[43]
+         |      + 16777216 * bt[44] AS data_size
+         |  FROM d),
+         |s AS (SELECT file_name, channels, sample_rate,
+         |    (data_size // 2 // channels) * channels AS n_samples,
+         |    list_transform(
+         |      range(0, (data_size // 2 // channels) * channels), j ->
+         |      CASE WHEN bt[CAST(46 + 2*j AS BIGINT)] >= 128
+         |        THEN bt[CAST(45 + 2*j AS BIGINT)]
+         |          + 256 * bt[CAST(46 + 2*j AS BIGINT)] - 65536
+         |        ELSE bt[CAST(45 + 2*j AS BIGINT)]
+         |          + 256 * bt[CAST(46 + 2*j AS BIGINT)] END) AS sm
+         |  FROM h)
+         |SELECT file_name,
+         |  CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(n_samples // channels AS BIGINT) AS n_frames,
+         |  CAST((n_samples // channels) * 1000 // sample_rate AS BIGINT)
+         |    AS duration_ms,
+         |  CAST(list_sum(list_transform(sm, v -> v * v)) AS BIGINT)
+         |    AS energy,
+         |  CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT)
+         |    AS peak,
+         |  CAST(coalesce(list_sum(list_transform(
+         |      range(1, n_samples // channels), f ->
+         |      CASE WHEN (sm[CAST((f - 1) * channels + 1 AS BIGINT)] < 0)
+         |        <> (sm[CAST(f * channels + 1 AS BIGINT)] < 0)
+         |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+         |FROM s ORDER BY file_name""".stripMargin,
     // Drained file-stream == batch read == the SQL re-decode: one
     // oracle, three independent paths over the same files.
     "st_mm_ingest" -> bmpFilesOracleSql,

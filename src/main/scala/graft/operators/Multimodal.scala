@@ -300,6 +300,70 @@ object Multimodal {
         when(col("n_bucket") > 1, 1L).otherwise(0L).as("is_candidate"))
   }
 
+  /** AUDIO ingest: deterministic PCM16 WAV payloads (seed =
+    * `doc_id % seeds`, the [[WavFixture]] sample formula, mono 8 kHz,
+    * frame count varying with id so durations differ) — the audio
+    * analog of [[asBmpPayload]]. Sample formula (frame i, seed s):
+    * ((s·37 + i·8191) % 65536) − 32768. */
+  def asWavPayload(df: DataFrame, idCol: String,
+                   seeds: Int = 500): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val s = (id % seeds).toInt
+          val n = (64 + (id % 5) * 16).toInt
+          val pcm = Array.tabulate(n)(i =>
+            (((s * 37 + i * 8191) % 65536) - 32768).toShort)
+          (id, WavCodec.encode(8000, 1, pcm))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode: parse each payload as a PCM16 WAV
+    * ([[WavCodec]]) and emit the exact-integer feature row
+    * ([[WavCodec.features]] — frames, floor-ms duration, Σs² energy,
+    * peak |s|, channel-0 zero crossings). Same batched per-partition
+    * shape as [[decodeBmpFeatures]]; payloads stop here. Undecodable
+    * payloads yield the (-1, …) marker row (counted, not thrown). */
+  def decodeWavFeatures(df: DataFrame, keyCol: String = "doc_id")
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decoded = df.select(col(keyCol), col("payload"))
+    val out = keyCol match {
+      // key typing differs between the payload path (doc_id: Long) and
+      // the binaryFile path (file_name: String); one decode body.
+      case "file_name" =>
+        decoded.as[(String, Array[Byte])].mapPartitions { it =>
+          it.map { case (k, bytes) => (k, wavRow(bytes)) }
+        }.map { case (k, r) =>
+          (k, r._1, r._2, r._3, r._4, r._5, r._6, r._7)
+        }.toDF(keyCol, "sample_rate", "channels", "n_frames",
+          "duration_ms", "energy", "peak", "zero_crossings")
+      case _ =>
+        decoded.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.map { case (k, bytes) => (k, wavRow(bytes)) }
+        }.map { case (k, r) =>
+          (k, r._1, r._2, r._3, r._4, r._5, r._6, r._7)
+        }.toDF(keyCol, "sample_rate", "channels", "n_frames",
+          "duration_ms", "energy", "peak", "zero_crossings")
+    }
+    out
+  }
+
+  private def wavRow(bytes: Array[Byte])
+      : (Long, Long, Long, Long, Long, Long, Long) =
+    WavCodec.decode(bytes) match {
+      case Some(w) =>
+        val (frames, ms, energy, peak, zc) = WavCodec.features(w)
+        (w.sampleRate.toLong, w.channels.toLong, frames, ms,
+          energy, peak, zc)
+      case None => (-1L, -1L, -1L, -1L, -1L, -1L, -1L)
+    }
+
   /** Frame sampling ("video" payloads): one 16-byte frame every
     * `stride` bytes, fingerprinted with md5 — expression-only
     * (`sequence` + `transform` higher-order functions, whole-stage

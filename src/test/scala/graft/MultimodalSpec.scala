@@ -364,4 +364,113 @@ class MultimodalSpec extends AnyFunSuite {
   private def le32(v: Int): Array[Byte] = Array(
     (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  // -----------------------------------------------------------------
+  // WAV codec (audio member of the codec family)
+  // -----------------------------------------------------------------
+
+  import graft.operators.{WavCodec, WavFixture}
+
+  test("WavCodec round-trip is identity across mono/stereo and rates") {
+    for ((rate, ch, frames) <- WavFixture.shapes) {
+      val pcm = Array.tabulate(frames * ch)(i =>
+        (((i * 8191 + 7) % 65536) - 32768).toShort)
+      val back = WavCodec.decode(WavCodec.encode(rate, ch, pcm)).get
+      assert(back.sampleRate == rate && back.channels == ch)
+      assert(back.samples.toSeq == pcm.toSeq, s"$rate/$ch/$frames")
+    }
+  }
+
+  test("WavCodec chunk walk: an extra ODD-sized chunk between fmt and " +
+      "data is skipped with its word-align pad byte") {
+    val pcm = Array.tabulate(16)(i => (i * 1000 - 8000).toShort)
+    val canonical = WavCodec.encode(8000, 1, pcm)
+    // splice a 5-byte LIST chunk (odd size → 1 pad byte) before data
+    val extra = "LIST".getBytes ++ le32(5) ++
+      Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = canonical.slice(0, 36) ++ extra ++
+      canonical.drop(36)
+    // RIFF size field now stale — decode must not depend on it
+    val w = WavCodec.decode(spliced).get
+    assert(w.sampleRate == 8000 && w.channels == 1)
+    assert(w.samples.toSeq == pcm.toSeq)
+    // WITHOUT the pad byte the data tag lands off-word → not found
+    val unpadded = canonical.slice(0, 36) ++
+      ("LIST".getBytes ++ le32(5) ++ Array[Byte](1, 2, 3, 4, 5)) ++
+      canonical.drop(36)
+    assert(WavCodec.decode(unpadded).isEmpty)
+  }
+
+  test("WavCodec.decode rejects non-WAV, truncated, non-PCM, 8-bit, " +
+      "and crafted-size payloads (None, never throw)") {
+    val pcm = Array.tabulate(8)(i => (i * 3).toShort)
+    val good = WavCodec.encode(8000, 1, pcm)
+    assert(WavCodec.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(WavCodec.decode("not audio at all".getBytes).isEmpty)
+    assert(WavCodec.decode(good.dropRight(3)).isEmpty) // truncated data
+    val nonPcm = good.clone(); nonPcm(20) = 3          // IEEE float fmt
+    assert(WavCodec.decode(nonPcm).isEmpty)
+    val eightBit = good.clone(); eightBit(34) = 8
+    assert(WavCodec.decode(eightBit).isEmpty)
+    val threeCh = good.clone(); threeCh(22) = 3
+    assert(WavCodec.decode(threeCh).isEmpty)
+    // crafted data-size field far beyond the buffer: truncated-chunk
+    // check must reject BEFORE any allocation
+    val crafted = good.clone()
+    le32(0x7fffffff).copyToArray(crafted, 40)
+    assert(WavCodec.decode(crafted).isEmpty)
+  }
+
+  test("WavCodec.features: hand-computed frames/duration/energy/peak " +
+      "and CHANNEL-0 zero crossings on a stereo signal") {
+    // stereo: ch0 = [+1, -1, +2, -2], ch1 = all negative (must not
+    // contribute crossings); 3 sign flips in ch0
+    val pcm = Array[Short](1, -9, -1, -9, 2, -9, -2, -9)
+    val w = WavCodec.Wav(1000, 2, pcm)
+    val (frames, ms, energy, peak, zc) = WavCodec.features(w)
+    assert(frames == 4L)
+    assert(ms == 4L)                       // 4 frames / 1000 Hz
+    assert(energy == (1 + 1 + 4 + 4 + 4 * 81).toLong)
+    assert(peak == 9L)
+    assert(zc == 3L)
+  }
+
+  test("checked-in WAV fixture files equal the re-encoded definition " +
+      "(self-verifying against bit-rot) and decode to themselves") {
+    for ((name, w) <- WavFixture.waves) {
+      val onDisk = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          java.net.URI.create(s"${WavFixture.root}/$name")))
+      assert(onDisk.toSeq ==
+        WavCodec.encode(w.sampleRate, w.channels, w.samples).toSeq,
+        s"$name bytes drifted from WavFixture.waves")
+      val back = WavCodec.decode(onDisk).get
+      assert(back.samples.toSeq == w.samples.toSeq, s"$name decode")
+    }
+  }
+
+  test("decodeWavFeatures: distributed decode matches single-node " +
+      "WavCodec.features row-for-row; corrupt payload yields the " +
+      "(-1, ...) marker") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 500L).toDF("doc_id")
+    val out = Multimodal.decodeWavFeatures(
+      Multimodal.asWavPayload(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 500L)) {
+      val s = (id % 500).toInt
+      val n = (64 + (id % 5) * 16).toInt
+      val pcm = Array.tabulate(n)(i =>
+        (((s * 37 + i * 8191) % 65536) - 32768).toShort)
+      val w = WavCodec.Wav(8000, 1, pcm)
+      val (frames, ms, energy, peak, zc) = WavCodec.features(w)
+      assert(out(id) == Seq(8000L, 1L, frames, ms, energy, peak, zc),
+        s"id $id")
+    }
+    assert(out(0L) == out(500L), "seed collision mod 500")
+    val corrupt = Seq((9L, "not audio".getBytes))
+      .toDF("doc_id", "payload")
+    val marker = Multimodal.decodeWavFeatures(corrupt).collect().head
+    assert(marker.toSeq.drop(1) == Seq.fill(7)(-1L))
+  }
 }
