@@ -135,6 +135,28 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
             col("content").as("payload")),
         keyCol = "file_name")
         .orderBy("file_name")),
+    // The AUDIO streaming dual: the WAV fixture directory as a
+    // binaryFile FILE STREAM, WavCodec decode inside the micro-batch,
+    // drained with AvailableNow (stateless append — the st_mm_ingest
+    // shape for the audio modality). Drained == batch == SQL re-decode.
+    "st_audio_ingest" -> ((s, _) =>
+      graft.streaming.StreamOps.runToCompletion(
+        s,
+        s.readStream.format("binaryFile")
+          .schema(StructType(Seq(
+            StructField("path", StringType),
+            StructField("modificationTime", TimestampType),
+            StructField("length", LongType),
+            StructField("content", BinaryType))))
+          .option("pathGlobFilter", "*.wav")
+          .load(WavFixture.root),
+        df => Multimodal.decodeWavFeatures(
+          df.select(
+            element_at(split(col("path"), "/"), -1).as("file_name"),
+            col("content").as("payload")),
+          keyCol = "file_name"),
+        outputMode = "append")
+        .orderBy("file_name")),
     // Embedding-cosine near-dup: exact duplicates are synthesized under
     // shifted ids (the fixture's random vectors are near-orthogonal), so
     // the LSH-bucketed pair pass must recover exactly those pairs.
@@ -210,6 +232,57 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
        |  CAST(list_min(ch) AS BIGINT) AS px_min,
        |  CAST(list_max(ch) AS BIGINT) AS px_max
        |FROM px ORDER BY file_name""".stripMargin
+
+  /** Independent SQL re-decode of the SAME checked-in WAV files Spark
+    * parses with WavCodec: hex-string byte list, LE header fields
+    * (channels @22, sample rate @24, data size @40 of the canonical
+    * 44-byte header the fixture uses), signed int16 samples, channel-0
+    * stride for zero crossings. Chunk-walk quirks (extra chunks, odd
+    * word-align pad) are spec-covered with crafted buffers. Shared by
+    * mm_wav_files (batch binaryFile read) and st_audio_ingest (the
+    * drained file-stream dual).  */
+  private lazy val wavFilesOracleSql: String =
+    s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1)
+         |      AS file_name, hex(content) AS hx
+         |  FROM read_blob('$OracleWavRoot/*.wav')),
+         |d AS (SELECT file_name,
+         |    list_transform(range(0, length(hx) // 2), i ->
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 1 AS BIGINT), 1)) - 1) * 16 +
+         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 2 AS BIGINT), 1)) - 1)) AS bt
+         |  FROM b),
+         |h AS (SELECT file_name, bt,
+         |    bt[23] + 256 * bt[24] AS channels,
+         |    bt[25] + 256 * bt[26] + 65536 * bt[27]
+         |      + 16777216 * bt[28] AS sample_rate,
+         |    bt[41] + 256 * bt[42] + 65536 * bt[43]
+         |      + 16777216 * bt[44] AS data_size
+         |  FROM d),
+         |s AS (SELECT file_name, channels, sample_rate,
+         |    (data_size // 2 // channels) * channels AS n_samples,
+         |    list_transform(
+         |      range(0, (data_size // 2 // channels) * channels), j ->
+         |      CASE WHEN bt[CAST(46 + 2*j AS BIGINT)] >= 128
+         |        THEN bt[CAST(45 + 2*j AS BIGINT)]
+         |          + 256 * bt[CAST(46 + 2*j AS BIGINT)] - 65536
+         |        ELSE bt[CAST(45 + 2*j AS BIGINT)]
+         |          + 256 * bt[CAST(46 + 2*j AS BIGINT)] END) AS sm
+         |  FROM h)
+         |SELECT file_name,
+         |  CAST(sample_rate AS BIGINT) AS sample_rate,
+         |  CAST(channels AS BIGINT) AS channels,
+         |  CAST(n_samples // channels AS BIGINT) AS n_frames,
+         |  CAST((n_samples // channels) * 1000 // sample_rate AS BIGINT)
+         |    AS duration_ms,
+         |  CAST(list_sum(list_transform(sm, v -> v * v)) AS BIGINT)
+         |    AS energy,
+         |  CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT)
+         |    AS peak,
+         |  CAST(coalesce(list_sum(list_transform(
+         |      range(1, n_samples // channels), f ->
+         |      CASE WHEN (sm[CAST((f - 1) * channels + 1 AS BIGINT)] < 0)
+         |        <> (sm[CAST(f * channels + 1 AS BIGINT)] < 0)
+         |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+         |FROM s ORDER BY file_name""".stripMargin
 
   protected val multimodalOracles: Map[String, String] = Map(
     "mm_meta" ->
@@ -291,55 +364,13 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
         |        <> (sm[CAST(f + 1 AS BIGINT)] < 0)
         |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
         |FROM w ORDER BY doc_id""".stripMargin,
-    // Independent SQL re-decode of the SAME checked-in WAV files Spark
-    // parses with WavCodec: hex-string byte list, LE header fields
-    // (channels @22, sample rate @24, data size @40 of the canonical
-    // 44-byte header the fixture uses), signed int16 samples, channel-0
-    // stride for zero crossings. Chunk-walk quirks (extra chunks, odd
-    // word-align pad) are spec-covered with crafted buffers — the
-    // checked-in files exercise mono/stereo and four sample rates.
-    "mm_wav_files" ->
-      s"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1)
-         |      AS file_name, hex(content) AS hx
-         |  FROM read_blob('$OracleWavRoot/*.wav')),
-         |d AS (SELECT file_name,
-         |    list_transform(range(0, length(hx) // 2), i ->
-         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 1 AS BIGINT), 1)) - 1) * 16 +
-         |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 2 AS BIGINT), 1)) - 1)) AS bt
-         |  FROM b),
-         |h AS (SELECT file_name, bt,
-         |    bt[23] + 256 * bt[24] AS channels,
-         |    bt[25] + 256 * bt[26] + 65536 * bt[27]
-         |      + 16777216 * bt[28] AS sample_rate,
-         |    bt[41] + 256 * bt[42] + 65536 * bt[43]
-         |      + 16777216 * bt[44] AS data_size
-         |  FROM d),
-         |s AS (SELECT file_name, channels, sample_rate,
-         |    (data_size // 2 // channels) * channels AS n_samples,
-         |    list_transform(
-         |      range(0, (data_size // 2 // channels) * channels), j ->
-         |      CASE WHEN bt[CAST(46 + 2*j AS BIGINT)] >= 128
-         |        THEN bt[CAST(45 + 2*j AS BIGINT)]
-         |          + 256 * bt[CAST(46 + 2*j AS BIGINT)] - 65536
-         |        ELSE bt[CAST(45 + 2*j AS BIGINT)]
-         |          + 256 * bt[CAST(46 + 2*j AS BIGINT)] END) AS sm
-         |  FROM h)
-         |SELECT file_name,
-         |  CAST(sample_rate AS BIGINT) AS sample_rate,
-         |  CAST(channels AS BIGINT) AS channels,
-         |  CAST(n_samples // channels AS BIGINT) AS n_frames,
-         |  CAST((n_samples // channels) * 1000 // sample_rate AS BIGINT)
-         |    AS duration_ms,
-         |  CAST(list_sum(list_transform(sm, v -> v * v)) AS BIGINT)
-         |    AS energy,
-         |  CAST(list_max(list_transform(sm, v -> abs(v))) AS BIGINT)
-         |    AS peak,
-         |  CAST(coalesce(list_sum(list_transform(
-         |      range(1, n_samples // channels), f ->
-         |      CASE WHEN (sm[CAST((f - 1) * channels + 1 AS BIGINT)] < 0)
-         |        <> (sm[CAST(f * channels + 1 AS BIGINT)] < 0)
-         |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
-         |FROM s ORDER BY file_name""".stripMargin,
+    "mm_wav_files" -> wavFilesOracleSql,
+    // The drained audio file-stream must equal the batch read
+    // row-for-row, so its oracle IS the same SQL re-decode — one
+    // oracle, three independent paths over the same files (batch
+    // binaryFile + WavCodec, file stream + WavCodec, DuckDB read_blob
+    // + SQL decoder), the st_mm_ingest convention for audio.
+    "st_audio_ingest" -> wavFilesOracleSql,
     // Drained file-stream == batch read == the SQL re-decode: one
     // oracle, three independent paths over the same files.
     "st_mm_ingest" -> bmpFilesOracleSql,
