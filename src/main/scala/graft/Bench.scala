@@ -13,9 +13,23 @@ import org.apache.spark.sql.SparkSession
   * query that fails every rep is OMITTED from `queries` and enumerated
   * in the `errors` map instead.
   *
-  * A fixed pure-CPU canary (no I/O) runs first; `canary_sec` and the
-  * per-query `norm` = sec/canary_sec make numbers comparable across
-  * hosts/rounds without contention adjudication.
+  * Reps are INTERLEAVED round-robin across queries (A,B,C,…,A,B,C,…)
+  * rather than back-to-back per query, so a slow host window hits every
+  * query's same rep instead of fully landing on a contiguous block of
+  * queries — combined with min-of-reps this makes cross-round per-query
+  * comparison robust to drift WITHIN a run, not just between runs.
+  *
+  * Two fixed canaries run first and are both reported:
+  *  - `canary_sec` — pure scalar CPU (no I/O, no shuffle), the
+  *    host-clock-speed proxy;
+  *  - `canary_shuffle_sec` — a 10M-row hash→repartition→sort through
+  *    the real shuffle path, the memory-bandwidth/scheduler/shuffle
+  *    proxy most registry queries actually resemble (round 16: the
+  *    scalar canary twice moved OPPOSITE to the whole workload, so a
+  *    single canary could not separate host drift from regressions).
+  * Per-query lines carry `norm` = sec/canary_sec and `norm_shuffle` =
+  * sec/canary_shuffle_sec; `tools/bench_diff.py` picks the profile-
+  * matched one per query (shuffle-heavy → `norm_shuffle`).
   */
 object Bench {
 
@@ -77,6 +91,25 @@ object Bench {
         .selectExpr("sum(id * 2654435761 % 1000003) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // Second, WORKLOAD-PROFILE canary: the scalar canary measures pure
+    // CPU, but most registry queries are memory-bandwidth/scheduler/
+    // shuffle-bound — round 16 saw the scalar canary move OPPOSITE to
+    // the whole workload twice, so sec/canary_sec normalization could
+    // not separate host drift from regressions. This one pushes a fixed
+    // 10M-row hash→repartition→sort through the real shuffle path
+    // (shuffle write + fetch + sort spill machinery, 32 partitions) and
+    // is reported alongside; tools/bench_diff.py normalizes each query
+    // by whichever canary matches its profile (shuffle-heavy →
+    // canary_shuffle_sec, scalar → canary_sec).
+    val canaryShuffle = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 10000000L, 1L, 32)
+        .selectExpr("id * 2654435761 % 1000003 AS k", "id AS v")
+        .repartition(32, org.apache.spark.sql.functions.col("k"))
+        .sortWithinPartitions("k")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Per-query resource metrics (shuffle bytes, peak task memory):
     // reset before each rep, captured after the LAST successful rep —
@@ -89,40 +122,48 @@ object Bench {
     // iterating. The driver passes no args → full suite.
     val selected = if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { r =>
-        // The listener bus is async: taskEnd events from the PREVIOUS
-        // rep can land after reset() and inflate the final rep's
-        // counters. Drain them before the final rep's reset (one 50 ms
-        // quiet window per query — only where the numbers are read).
-        if (r == reps) metrics.settle()
-        metrics.reset()
-        val t0 = System.nanoTime()
-        // noop sink: materializes EVERY output column. A count() here
-        // would let Catalyst prune projections entirely and time only
-        // the scan for map-only queries.
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          // capture resources on the FINAL rep only (bytes are
-          // plan-deterministic; the settle's 50 ms quiet window would
-          // otherwise cost reps× per query)
-          if (r == reps) {
-            metrics.settle()
-            resources(name) = (metrics.shuffleRead.get(),
-              metrics.shuffleWrite.get(), metrics.peakMem.get())
-          }
-          Some(dt)
-        } catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-            None
+    // INTERLEAVED reps: rounds run A,B,C,...,A,B,C,... (round-robin)
+    // rather than A,A,A,B,B,B. Host drift during the run then hits
+    // every query's rep-r uniformly instead of concentrating on
+    // whichever queries happened to run during the slow window — the
+    // recurring cross-round "uniform shift on unchanged queries"
+    // adjudication becomes visible WITHIN one record as a slow round.
+    val runTimes =
+      scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    for (r <- 1 to reps; (name, fn) <- selected) {
+      // The listener bus is async: taskEnd events from the PREVIOUS
+      // run can land after reset() and inflate this run's counters.
+      // Drain them before each final-round reset (one 50 ms quiet
+      // window per query — only where the numbers are read).
+      if (r == reps) metrics.settle()
+      metrics.reset()
+      val t0 = System.nanoTime()
+      // noop sink: materializes EVERY output column. A count() here
+      // would let Catalyst prune projections entirely and time only
+      // the scan for map-only queries.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // capture resources on the FINAL round only (bytes are
+        // plan-deterministic; the settle's 50 ms quiet window would
+        // otherwise cost reps× per query)
+        if (r == reps) {
+          metrics.settle()
+          resources(name) = (metrics.shuffleRead.get(),
+            metrics.shuffleWrite.get(), metrics.peakMem.get())
         }
+        runTimes(name) = runTimes.getOrElse(name, Vector.empty) :+ dt
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
       }
-      // None marks a query that failed every rep; it is reported ONLY in
-      // `errors`, never in `queries` — no sentinel can leak into a
-      // consumer that sums or compares per-query times.
+    }
+    // A query that failed every rep is reported ONLY in `errors`, never
+    // in `queries` — no sentinel can leak into a consumer that sums or
+    // compares per-query times.
+    val results = selected.map { case (name, _) =>
+      val times = runTimes.getOrElse(name, Vector.empty)
       name -> (if (times.isEmpty) None else Some((times.min, times.max)))
     }
     def ms(v: Double): String = f"$v%.3f"
@@ -155,6 +196,7 @@ object Bench {
     // Canary-normalized per-query values (sec / canary_sec): the
     // host-speed-corrected number for cross-round comparison.
     def nm(v: Double): String = f"${v / canary}%.2f"
+    def nmSh(v: Double): String = f"${v / canaryShuffle}%.2f"
     val norms = results
       .collect { case (k, Some((mn, _))) => s"\"" + k + "\":" + nm(mn) }
       .mkString("{", ",", "}")
@@ -170,11 +212,11 @@ object Bench {
       .collect { case (k, Some(_)) if resources.contains(k) =>
         s"\"" + k + "\":" + mb(resources(k)._2) }
       .mkString("{", ",", "}")
-    val head = s""""metric":"total","unit":"sec","value":${ms(total)},"sf":"$sfDir","reps":$reps,"stat":"min","canary_sec":${ms(canary)},"n_queries":${ok.size}"""
+    val head = s""""metric":"total","unit":"sec","value":${ms(total)},"sf":"$sfDir","reps":$reps,"stat":"min-interleaved","canary_sec":${ms(canary)},"canary_shuffle_sec":${ms(canaryShuffle)},"n_queries":${ok.size}"""
     println(s"""{$head,"queries":$qs,"spread":$spreads,"norm":$norms,"shuffle_mb":$shuffleMap,"errors":$errJson}""")
     val perQuery = results.map {
       case (k, Some((mn, mx))) =>
-        s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)}${res(k)}}"""
+        s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)},"norm_shuffle":${nmSh(mn)}${res(k)}}"""
       case (k, None) =>
         s"""{"query":"$k","error":"${errors.getOrElse(k, "?")}"}"""
     }.toSeq

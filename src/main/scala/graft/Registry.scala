@@ -662,10 +662,11 @@ object Registry {
     core ++ cleaning ++ restructure ++ RegistryExt.queries ++
       RegistryForm700.queries ++ RegistryRank.queries ++
       RegistryGraph.queries ++ RegistryOlap.queries ++
-      RegistryScalar.queries
+      RegistryScalar.queries ++ RegistryCbo.queries
   val oracles: Map[String, String] =
     coreOracles ++ cleaningOracles ++ restructureOracles ++
       RegistryExt.oracles ++ RegistryForm700.oracles ++
       RegistryRank.oracles ++ RegistryGraph.oracles ++
-      RegistryOlap.oracles ++ RegistryScalar.oracles
+      RegistryOlap.oracles ++ RegistryScalar.oracles ++
+      RegistryCbo.oracles
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cost-based-optimization coverage: ANALYZE-computed statistics
+  * driving Catalyst's `CostBasedJoinReorder` and stats-based broadcast
+  * selection — the two CBO levers that, at 100 TB, separate an
+  * hour-long plan from a day-long one (a misordered 3-way join
+  * materializes the fact×fact intermediate; a missed broadcast turns a
+  * map-side join into a full shuffle of the big side).
+  *
+  * Reference anchor: the multi-join E1 shape (`Form700.py:346-352` —
+  * cover ⋈ filer ⋈ schedule) scaled up: the reference hand-orders its
+  * pandas merges; here the ORDER IS THE OPTIMIZER'S JOB, driven by
+  * `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` row counts + NDVs.
+  *
+  * Query shape (`cbo_join_reorder`): customer ⋈ orders ⋈ nation with a
+  * selective nation filter, written in the WORST syntactic order — the
+  * big⋈big join first, the tiny selective dimension last. With stats
+  * present and `spark.sql.cbo.joinReorder.enabled` (on session-wide in
+  * [[Sessions]]), Catalyst's DP reorder flips to (customer ⋈ σnation)
+  * ⋈ orders, shrinking the intermediate by ~the filter's selectivity
+  * (2 of 25 nations). `PlanQualitySpec` asserts the flip happens with
+  * stats and does NOT happen on stats-less copies of the same tables,
+  * and separately that ANALYZE-computed sizeInBytes/rowCount flips a
+  * stats-less sort-merge join to a broadcast-hash join. The oracle is
+  * the same SQL over the raw tables in DuckDB — join order cannot
+  * change the result, so correctness and plan quality are checked
+  * independently.
+  *
+  * Catalog mechanics: the registry's scans are path-based (real file
+  * sizes, no catalog stats), so CBO needs CATALOG tables — external
+  * `USING parquet LOCATION` tables over the SAME driver parquet
+  * (zero data copy), analyzed once per (session, sfDir). A catalog
+  * table with NO stats deliberately reports
+  * `spark.sql.defaultSizeInBytes` (Long.Max) — that is what makes the
+  * no-stats negative control meaningful.
+  */
+private[graft] object RegistryCbo {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tables the CBO query needs, with the columns ANALYZE covers
+    * (join keys + the filter/aggregate columns — NDV on join keys is
+    * what join-cardinality estimation, and therefore reorder, needs). */
+  private val statsColumns: Map[String, String] = Map(
+    "customer" -> "c_custkey, c_nationkey",
+    "orders" -> "o_custkey, o_totalprice",
+    "nation" -> "n_nationkey, n_name")
+
+  /** One catalog registration + ANALYZE per (session, sfDir) — bench
+    * reps and repeated Verify calls reuse the stats. External tables:
+    * DROP never touches the driver parquet. */
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ensureStatsTables(s: SparkSession,
+                                       dir: String): Unit = synchronized {
+    val key = System.identityHashCode(s).toString
+    if (prepared.get(key) == dir) return
+    statsColumns.foreach { case (tn, cols) =>
+      val table = s"graft_cbo_$tn"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      s.sql(s"CREATE TABLE $table USING parquet " +
+        s"LOCATION '$dir/$tn.parquet'")
+      // FOR COLUMNS also computes table-level rowCount + sizeInBytes
+      s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+    prepared.put(key, dir)
+  }
+
+  /** The registry query's SQL over the catalog tables; the oracle below
+    * is the identical text over DuckDB's bare table names. Deliberately
+    * the worst syntactic order (big ⋈ big first). */
+  private[graft] val cboSql: String =
+    """SELECT n_name AS nation, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM graft_cbo_customer
+      |JOIN graft_cbo_orders ON c_custkey = o_custkey
+      |JOIN graft_cbo_nation ON c_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_2', 'NATION_7')
+      |GROUP BY n_name
+      |ORDER BY nation""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "cbo_join_reorder" -> ((s, dir) => {
+      ensureStatsTables(s, dir)
+      s.sql(cboSql)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "cbo_join_reorder" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_2', 'NATION_7')
+        |GROUP BY n_name
+        |ORDER BY nation""".stripMargin)
+}

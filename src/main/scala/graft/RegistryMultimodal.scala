@@ -36,6 +36,10 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
   private lazy val OracleWavRoot: String =
     WavFixture.root.replaceFirst("^file:/*", "/")
 
+  /** DuckDB-side path to the SAME JPEG fixture files Spark reads. */
+  private lazy val OracleJpegRoot: String =
+    JpegFixture.root.replaceFirst("^file:/*", "/")
+
   protected val multimodal: Map[String, Q] = Map(
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(mmPayload(s, dir)).orderBy("doc_id")),
@@ -156,6 +160,25 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
             col("content").as("payload")),
           keyCol = "file_name"),
         outputMode = "append")
+        .orderBy("file_name")),
+    // JPEG member of the crawl-image trio, at the format's honest
+    // oracle boundary (JpegCodec scaladoc): JPEG pixel values are
+    // decoder-dependent (inverse-DCT rounding is not standardized), so
+    // the oracle-checked columns are the CONTAINER facts — SOF frame
+    // dimensions and pixel count — re-parsed from the same checked-in
+    // files by an independent SQL marker-stream walker (recursive CTE:
+    // segment chain from SOI to the first SOF0/1/2). Pixel-level
+    // behavior is spec-covered Scala-side: batch-vs-streaming decode
+    // parity + bounded lossy error vs the encoded content.
+    "mm_jpeg_files" -> ((s, _) =>
+      Multimodal.decodeFileFeatures(
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.jpg")
+          .load(JpegFixture.root)
+          .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+            col("content").as("payload")),
+        decode = JpegCodec.decode)
+        .select("file_name", "width", "height", "n_pixels")
         .orderBy("file_name")),
     // Embedding-cosine near-dup: exact duplicates are synthesized under
     // shifted ids (the fixture's random vectors are near-orthogonal), so
@@ -284,6 +307,43 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
          |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
          |FROM s ORDER BY file_name""".stripMargin
 
+  /** Independent SQL re-parse of the SAME checked-in JPEG files Spark
+    * decodes with JpegCodec: hex-string byte list, then a RECURSIVE
+    * marker-stream walk (each segment: FF type len(2-byte BE); next
+    * marker at pos+2+len) from SOI to the first SOF0/1/2 frame header,
+    * whose big-endian height/width are the decoder-independent facts
+    * JPEG's container guarantees (pixel values are NOT — the
+    * JpegCodec pixel-exactness boundary). Two container parsers, one
+    * file, matching dimensions. */
+  private lazy val jpegFilesOracleSql: String =
+    s"""WITH RECURSIVE b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1)
+       |      AS file_name, hex(content) AS hx
+       |  FROM read_blob('$OracleJpegRoot/*.jpg')),
+       |d AS MATERIALIZED (SELECT file_name,
+       |    list_transform(range(0, length(hx) // 2), i ->
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 1 AS BIGINT), 1)) - 1) * 16 +
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 2 AS BIGINT), 1)) - 1)) AS bt
+       |  FROM b),
+       |seg(file_name, pos) AS (
+       |  SELECT file_name, CAST(2 AS BIGINT) FROM d
+       |  UNION ALL
+       |  SELECT s.file_name,
+       |    s.pos + 2 + d.bt[s.pos + 3] * 256 + d.bt[s.pos + 4]
+       |  FROM seg s JOIN d USING (file_name)
+       |  WHERE d.bt[s.pos + 1] = 255
+       |    AND d.bt[s.pos + 2] NOT IN (192, 193, 194, 217, 218)),
+       |sof AS (SELECT s.file_name, min(s.pos) AS pos
+       |  FROM seg s JOIN d USING (file_name)
+       |  WHERE d.bt[s.pos + 2] IN (192, 193, 194)
+       |  GROUP BY s.file_name)
+       |SELECT f.file_name,
+       |  CAST(d.bt[f.pos + 8] * 256 + d.bt[f.pos + 9] AS BIGINT) AS width,
+       |  CAST(d.bt[f.pos + 6] * 256 + d.bt[f.pos + 7] AS BIGINT) AS height,
+       |  CAST((d.bt[f.pos + 8] * 256 + d.bt[f.pos + 9])
+       |     * (d.bt[f.pos + 6] * 256 + d.bt[f.pos + 7]) AS BIGINT)
+       |    AS n_pixels
+       |FROM sof f JOIN d USING (file_name) ORDER BY file_name""".stripMargin
+
   protected val multimodalOracles: Map[String, String] = Map(
     "mm_meta" ->
       """SELECT doc_id,
@@ -365,6 +425,7 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
         |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
         |FROM w ORDER BY doc_id""".stripMargin,
     "mm_wav_files" -> wavFilesOracleSql,
+    "mm_jpeg_files" -> jpegFilesOracleSql,
     // The drained audio file-stream must equal the batch read
     // row-for-row, so its oracle IS the same SQL re-decode — one
     // oracle, three independent paths over the same files (batch

@@ -34,6 +34,11 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     * stays registered at the fixture-tuned recall point. */
   private val NumPlanesScaled = 11
   protected val KMeansIter = 2
+  // k-means‖ oversampling geometry: 3 rounds × 8 picks + the seed = 25
+  // candidates ≥ k=16 (Bahmani's l ≈ k/rounds regime; constants appear
+  // verbatim in the oracle's unrolled CTE chain)
+  protected val KParRounds = 3
+  protected val KParBatch = 8
   // SemDeDup cosine cut: only exact/near-exact copies at fixture scale
   // (random vectors are near-orthogonal); the literal appears verbatim
   // in both the Spark call and the oracle SQL.
@@ -140,6 +145,16 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     "sim_kmeans_pp" -> ((s, dir) =>
       Similarity.kMeansPP(t(s, dir, "embeddings"), NumCentroids,
         KMeansIter, Dim)
+        .orderBy("cid", "i")),
+    // k-means with the deterministic k-means‖ init (Bahmani et al.
+    // 2012): KParRounds batched top-KParBatch oversampling scans
+    // instead of k−1 sequential maxmin scans, then weighted
+    // farthest-point reduction of the ≤ 1+rounds·batch candidates on
+    // the driver. The oracle unrolls the 3 oversampling rounds, the
+    // weighting argmin, all 15 reduce picks, AND the Lloyd's rounds.
+    "sim_kmeans_par" -> ((s, dir) =>
+      Similarity.kMeansPar(t(s, dir, "embeddings"), NumCentroids,
+        KMeansIter, Dim, KParRounds, KParBatch)
         .orderBy("cid", "i")),
     "sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), NumQueries, TopK,
@@ -320,6 +335,57 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
     s"""ch0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pid, vec_id, q FROM v
        |  WHERE vec_id = (SELECT min(vec_id) FROM v)),
        |$steps""".stripMargin
+  }
+
+  /** Deterministic k-means‖ init replay (mirrors
+    * [[Similarity.kMeansInitParallel]] phase for phase): oversampling
+    * rounds `kpc0 → kpc$rounds` (each a min-distance scan + top-`batch`
+    * pick by (d DESC, vec_id)), the weighting argmin (`kpwt`), and the
+    * k-step weighted farthest-point reduce chain ending in
+    * `kpr${k-1}(rid, pid, q)` — rid = reduce pick order, the cid
+    * convention. MATERIALIZED on every multi-referenced CTE (the
+    * farthestInitCtes exponential-inlining lesson). */
+  private def parallelInitCtes(k: Int, rounds: Int, batch: Int): String = {
+    def dist(a: String, b: String): String =
+      s"${dotSql(s"$a.q", s"$a.q")} - 2 * ${dotSql(s"$a.q", s"$b.q")} + ${dotSql(s"$b.q", s"$b.q")}"
+    val sample = (1 to rounds).map { r =>
+      val prior = 1 + (r - 1) * batch
+      s"""kpd$r AS MATERIALIZED (SELECT v2.vec_id, v2.q,
+         |    min(${dist("v2", "p")}) AS d
+         |  FROM v v2 CROSS JOIN kpc${r - 1} p
+         |  WHERE v2.vec_id NOT IN (SELECT vec_id FROM kpc${r - 1})
+         |  GROUP BY v2.vec_id, v2.q),
+         |kpp$r AS (SELECT CAST($prior + rn - 1 AS BIGINT) AS pid, vec_id, q FROM (
+         |  SELECT vec_id, q, row_number() OVER (ORDER BY d DESC, vec_id) AS rn FROM kpd$r)
+         |  WHERE rn <= $batch),
+         |kpc$r AS MATERIALIZED (SELECT * FROM kpc${r - 1} UNION ALL SELECT * FROM kpp$r)""".stripMargin
+    }.mkString(",\n")
+    val reduce = (1 until k).map { j =>
+      s"""kprd$j AS MATERIALIZED (SELECT c.pid, c.q, c.w,
+         |    min(${dist("c", "p")}) AS d
+         |  FROM kpcw c CROSS JOIN kpr${j - 1} p
+         |  WHERE c.pid NOT IN (SELECT pid FROM kpr${j - 1})
+         |  GROUP BY c.pid, c.q, c.w),
+         |kprp$j AS (SELECT CAST($j AS BIGINT) AS rid, pid, q FROM (
+         |  SELECT pid, q, row_number() OVER (ORDER BY w * d DESC, pid) AS rn FROM kprd$j)
+         |  WHERE rn = 1),
+         |kpr$j AS MATERIALIZED (SELECT * FROM kpr${j - 1} UNION ALL SELECT * FROM kprp$j)""".stripMargin
+    }.mkString(",\n")
+    s"""kpc0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pid, vec_id, q FROM v
+       |  WHERE vec_id = (SELECT min(vec_id) FROM v)),
+       |$sample,
+       |kpwa AS (SELECT vv.vec_id, c.pid,
+       |    row_number() OVER (PARTITION BY vv.vec_id
+       |      ORDER BY ${dist("vv", "c")}, c.pid) AS rn
+       |  FROM v vv CROSS JOIN kpc$rounds c),
+       |kpwt AS (SELECT pid, CAST(count(*) AS BIGINT) AS w
+       |  FROM kpwa WHERE rn = 1 GROUP BY pid),
+       |kpcw AS MATERIALIZED (SELECT c.pid, c.q, COALESCE(t.w, 0) AS w
+       |  FROM kpc$rounds c LEFT JOIN kpwt t USING (pid)),
+       |kpr0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS rid, pid, q FROM (
+       |  SELECT pid, q, row_number() OVER (ORDER BY w DESC, pid) AS rn FROM kpcw)
+       |  WHERE rn = 1),
+       |$reduce""".stripMargin
   }
 
   private lazy val kmeansOracle: String =
@@ -575,6 +641,20 @@ private[graft] trait RegistrySimilarity extends RegistryShared {
          |${farthestInitCtes(NumCentroids)},
          |${kmeansChainFor("", "v", Dim, NumCentroids, KMeansIter,
         Some(s"SELECT pid AS cid, q AS cv FROM ch${NumCentroids - 1}"))},
+         |${kmeansAssignCte(s"c$KMeansIter", "af")},
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM af GROUP BY cid)
+         |SELECT p.cid, CAST(gi.i AS BIGINT) AS i, p.cv[gi.i] AS c_val,
+         |  CAST(COALESCE(sz.cluster_size, 0) AS BIGINT) AS cluster_size
+         |FROM c$KMeansIter p CROSS JOIN generate_series(1, $Dim) gi(i)
+         |LEFT JOIN sz ON sz.cid = p.cid
+         |ORDER BY p.cid, gi.i""".stripMargin,
+    // kmeansOracle with the init swapped for the k-means‖ replay chain.
+    "sim_kmeans_par" ->
+      s"""WITH $quantCte,
+         |${parallelInitCtes(NumCentroids, KParRounds, KParBatch)},
+         |${kmeansChainFor("", "v", Dim, NumCentroids, KMeansIter,
+        Some(s"SELECT rid AS cid, q AS cv FROM kpr${NumCentroids - 1}"))},
          |${kmeansAssignCte(s"c$KMeansIter", "af")},
          |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
          |  FROM af GROUP BY cid)

@@ -51,20 +51,28 @@ object ScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/scaledata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // Optional 4th arg: comma-list of tables to derive — a SLICE for
+    // targeted scale decades (e.g. "lineitem,embeddings" is all the
+    // top-shuffler kernels gr_*/sim_knn_* read; deriving 10 tables ×
+    // 100 copies to measure 5 queries would be waste, not rigor).
+    val only = args.lift(3).map(_.split(",").toSet)
+      .getOrElse(Tables.all.toSet)
     val spark = Sessions.get("graft-scaledata")
-    run(spark, src, dst, copies)
+    run(spark, src, dst, copies, only)
     spark.stop()
   }
 
   /** The derivation itself, session-supplied (tests reuse the shared
     * session; `main` owns its own). */
   def run(spark: SparkSession, src: String, dst: String,
-          copies: Int): Unit = {
+          copies: Int, only: Set[String] = Tables.all.toSet): Unit = {
+    def sel(name: String): Boolean = only.contains(name)
     def write(name: String, df: DataFrame, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$dst/$name.parquet")
 
     // lineitem: disjoint key ranges per copy (graph source).
+    if (sel("lineitem")) {
     val li = Tables.load(spark, src, "lineitem")
     write("lineitem", withCopies(spark, copies) { i =>
       val off = lit(i * KeyOffset)
@@ -72,8 +80,10 @@ object ScaleData {
         .withColumn("l_partkey", col("l_partkey") + off)
         .withColumn("l_suppkey", col("l_suppkey") + off)
     }, 32)
+    }
 
     // events: disjoint ids and time ranges per copy.
+    if (sel("events")) {
     val ev = Tables.load(spark, src, "events")
     val (minUs, maxUs) = {
       val r = ev.agg(min(unix_micros(col("ts"))),
@@ -88,8 +98,10 @@ object ScaleData {
         .withColumn("ts",
           timestamp_micros(unix_micros(col("ts")) + lit(i * spanUs)))
     }, 32)
+    }
 
     // documents: suffix every 5th word per copy — shingle-level churn.
+    if (sel("documents")) {
     val docs = Tables.load(spark, src, "documents")
     write("documents", withCopies(spark, copies) { i =>
       val base = docs.withColumn("doc_id", col("doc_id") + lit(i * KeyOffset))
@@ -102,6 +114,7 @@ object ScaleData {
           " "))
         .withColumn("n_chars", length(col("text")))
     }, 16)
+    }
 
     // embeddings: each copy ROTATES the dimension order by a distinct
     // amount (i·7 mod 64 — all ten rotations distinct), then adds a
@@ -117,6 +130,7 @@ object ScaleData {
     // the base id so the formula cannot cancel against the copy
     // offset) breaks residual exactness; ScaleDataSpec asserts both
     // properties per copy.
+    if (sel("embeddings")) {
     val emb = Tables.load(spark, src, "embeddings")
     write("embeddings", withCopies(spark, copies) { i =>
       val base = emb.withColumn("vec_id", col("vec_id") + lit(i * KeyOffset))
@@ -133,6 +147,7 @@ object ScaleData {
               - lit(6L)).cast("float") * lit(0.001f))).cast("float")))
       }
     }, 8)
+    }
 
     // key-bearing dims: offset IN LOCKSTEP with the fact keys, so the
     // join graph resolves for every copy (orders↔lineitem on orderkey,
@@ -142,7 +157,7 @@ object ScaleData {
       "customer" -> Seq("c_custkey"),
       "part" -> Seq("p_partkey"),
       "supplier" -> Seq("s_suppkey"))
-    dimKeys.foreach { case (name, keys) =>
+    dimKeys.filter(d => sel(d._1)).foreach { case (name, keys) =>
       val d = Tables.load(spark, src, name)
       write(name, withCopies(spark, copies) { i =>
         keys.foldLeft(d)((df, k) =>
@@ -152,10 +167,10 @@ object ScaleData {
 
     // bounded enumerations: pass through unscaled (nationkey refs are
     // not offset anywhere, so these join every copy's rows).
-    Seq("region", "nation")
+    Seq("region", "nation").filter(sel)
       .foreach(n => write(n, Tables.load(spark, src, n), 4))
 
-    Tables.all.foreach { n =>
+    Tables.all.filter(sel).foreach { n =>
       val c = spark.read.parquet(s"$dst/$n.parquet").count()
       println(s"[scaledata] $n: $c rows")
     }

@@ -21,6 +21,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Cost-based optimization ON — the 100 TB posture. Inert for the
+      // registry's path-based scans (no catalog stats exist for them;
+      // plans unchanged), active for ANALYZEd catalog tables
+      // (RegistryCbo): stats-driven join reorder + broadcast selection.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
       // to TimestampType in Tables.load.
@@ -77,6 +83,7 @@ object Sessions {
       ctx.getConfiguration.addFilter(LineageTruncationFilter)
       ctx.updateLoggers()
     }
+    CodegenHealth.install()
     s
   }
 }

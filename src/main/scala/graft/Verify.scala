@@ -42,6 +42,22 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(q => matches(q._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Codegen-health gate: a compile failure in generated Java is a
+    // silent perf regression (Spark falls back to interpreted mode and
+    // results stay correct — the MinhashSigExpr bug shipped ~10 rounds
+    // that way). CodegenHealth counts the failure log signatures
+    // session-wide; any nonzero count here is a red flag even when
+    // every oracle matches.
+    val cg = CodegenHealth.count
+    println(s"[verify] codegen_errors: $cg" +
+      (if (cg > 0) s" (last: ${CodegenHealth.last})" else ""))
+    Files.writeString(Paths.get(s"$outDir/codegen_health.json"),
+      s"""{"codegen_errors": $cg, "last": ${q(CodegenHealth.last)}}""")
     spark.stop()
+    // Strict mode (dev gate): nonzero exit on any codegen failure. Kept
+    // opt-in so a hypothetical false-positive signature match can never
+    // invalidate a driver correctness run whose artifacts are all good
+    // — the count + artifact above are always emitted either way.
+    if (cg > 0 && sys.env.contains("GRAFT_CODEGEN_STRICT")) sys.exit(2)
   }
 }

@@ -18,6 +18,27 @@ object PngCodec {
 
   private val MaxSide = 1 << 15 // same dimension cap as BmpCodec
 
+  /** IHDR width/height read straight off the byte stream — the IHDR
+    * chunk is mandated to be first, so after the 8-byte signature and
+    * the 8-byte chunk header the big-endian int32 width sits at offset
+    * 16 and height at offset 20. Checking these BEFORE `ImageIO.read`
+    * matters: a crafted PNG declaring absurd dimensions would otherwise
+    * allocate the full raster inside the JDK reader, and the resulting
+    * `OutOfMemoryError` is an `Error` that escapes `NonFatal` — the
+    * same alloc-before-check hole [[BmpCodec.decode]] closes for BMP. */
+  private def ihdrDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes.length < 24) None
+    else {
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+          ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      // bytes 12..15 must spell "IHDR" for the offsets to be meaningful
+      if (bytes(12) == 'I' && bytes(13) == 'H' &&
+          bytes(14) == 'D' && bytes(15) == 'R')
+        Some((be32(16), be32(20)))
+      else None
+    }
+
   /** True iff the first 8 bytes are the PNG signature
     * (89 50 4E 47 0D 0A 1A 0A). */
   def isPng(bytes: Array[Byte]): Boolean =
@@ -32,6 +53,13 @@ object PngCodec {
     * extractors downstream are RGB-only, matching the BMP member). */
   def decode(bytes: Array[Byte]): Option[BmpCodec.Bmp] = {
     if (!isPng(bytes)) return None
+    // Pre-allocation guard: reject declared dimensions outside
+    // (0, MaxSide] before the JDK reader gets a chance to allocate.
+    ihdrDims(bytes) match {
+      case Some((w, h))
+          if w > 0 && h > 0 && w <= MaxSide && h <= MaxSide => // ok
+      case _ => return None
+    }
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -85,14 +113,17 @@ object PngFixture {
 
 /** Magic-sniffing dispatch over the codec family — the decode seam a
   * mixed-format crawl actually needs: BMP ("BM") → [[BmpCodec]], PNG
-  * signature → [[PngCodec]], anything else `None`. All members share
-  * the bytes-in/[[BmpCodec.Bmp]]-out contract, so every downstream
+  * signature → [[PngCodec]], JPEG SOI (FF D8 FF) → [[JpegCodec]],
+  * anything else `None`. All members share the
+  * bytes-in/[[BmpCodec.Bmp]]-out contract, so every downstream
   * feature extractor ([[BmpCodec.ahash64]], channel stats) is
   * format-blind: identical pixel content hashes identically whichever
-  * container carried it. */
+  * LOSSLESS container carried it (JPEG pixels carry the format's lossy
+  * boundary — see [[JpegCodec]]). */
 object ImageCodecs {
   def decodeAny(bytes: Array[Byte]): Option[BmpCodec.Bmp] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
       BmpCodec.decode(bytes)
+    else if (JpegCodec.isJpeg(bytes)) JpegCodec.decode(bytes)
     else PngCodec.decode(bytes)
 }

@@ -709,6 +709,109 @@ object Similarity {
     chosen.zipWithIndex.map { case ((_, q), i) => (i.toLong, q) }
   }
 
+  /** Deterministic k-means‖ init (Bahmani et al. 2012, VLDB — "Scalable
+    * k-means++"): the BATCHED replacement for [[kMeansInitFarthest]]'s
+    * k−1 sequential corpus scans. Three phases:
+    *
+    *  1. OVERSAMPLE — `rounds` corpus scans, each picking the
+    *     TOP-`batch` rows by exact-BIGINT min-distance² to the
+    *     candidate set so far (d² DESC, vec_id ASC; chosen ids
+    *     excluded). This is the deterministic analog of Bahmani's
+    *     probabilistic `l·d²/φ` draw: the same "grab a spread batch
+    *     per pass" mechanics with the draw replaced by a top-`batch`
+    *     selection, so the whole init replays bit-for-bit in the
+    *     oracle (zero randomness — the repo-wide convention). Corpus
+    *     scans: `rounds` (constant), vs k−1 for maxmin — the scale-up
+    *     the farthest-point scaladoc promised.
+    *  2. WEIGH — one corpus scan assigns every vector to its nearest
+    *     candidate ([[assignCol]]'s argmin with the (dist, pid)
+    *     tie-break); candidate weight = owned-vector count (0 kept).
+    *  3. REDUCE — weighted farthest-point over the CANDIDATES ONLY
+    *     (≤ 1 + rounds·batch rows — k-scale, driver-side, no corpus
+    *     scan): seed = max weight (tie → smaller pid), then repeatedly
+    *     the candidate maximizing weight·min-dist²-to-chosen (tie →
+    *     smaller pid) — Bahmani's "recluster the weighted candidates"
+    *     step with the deterministic greedy in place of weighted
+    *     k-means++.
+    *
+    * Per-round selection is `orderBy(d desc, vec_id).limit(batch)` —
+    * Spark plans TakeOrderedAndProject (per-partition bounded heaps →
+    * driver merge of `batch`-sized tops), so a round moves
+    * O(partitions·batch) rows, never the corpus. Weight products fit
+    * comfortably in BIGINT: d² ≤ dim·(2·scale)² ≈ 2.6e8 at the
+    * quantize scale, × corpus counts up to ~3e10 stays < 2^63.
+    *
+    * Returned cids are the REDUCE pick order (0-based), matching the
+    * [[kMeansInitFarthest]] convention that cid = "i-th chosen". */
+  def kMeansInitParallel(vIn: DataFrame, numCentroids: Int,
+                         rounds: Int, batch: Int): Seq[(Long, Seq[Long])] = {
+    require(1 + rounds * batch >= numCentroids,
+      s"oversampling 1+$rounds*$batch must reach k=$numCentroids")
+    val spark = vIn.sparkSession
+    import spark.implicits._
+    val v = vIn.select(col("vec_id"), col("q"))
+    val first = v.orderBy("vec_id").limit(1)
+      .as[(Long, Seq[Long])].head()
+    // phase 1: oversample — `rounds` batched top-`batch` selections
+    var cand = Vector(first)
+    for (_ <- 1 to rounds) {
+      val minD = array_min(array(cand.map { case (_, cv) =>
+        val nc = cv.map(x => x * x).sum
+        lit(nc) - lit(2L) * dotQ(col("q"), typedLit(cv))
+      }: _*)) + dotQ(col("q"), col("q"))
+      val ids = cand.map(_._1)
+      cand ++= v.where(!col("vec_id").isInCollection(ids))
+        .select(col("vec_id"), col("q"), minD.as("d"))
+        .orderBy(col("d").desc, col("vec_id"))
+        .limit(batch)
+        .select(col("vec_id"), col("q"))
+        .as[(Long, Seq[Long])].collect()
+    }
+    // phase 2: weigh — one corpus scan; pid = candidate pick order
+    val asCodebook = cand.zipWithIndex
+      .map { case ((_, q), i) => (i.toLong, q) }
+    val w = v.select(assignCol(asCodebook).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("w"))
+      .as[(Long, Long)].collect().toMap
+    // phase 3: reduce — weighted farthest-point over ≤ 1+rounds·batch
+    // candidate rows, entirely on the driver
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val pool = asCodebook.map { case (pid, q) =>
+      (pid, q, w.getOrElse(pid, 0L)) }
+    val seed = pool.minBy { case (pid, _, wt) => (-wt, pid) }
+    var chosen = Vector(seed)
+    var remaining = pool.filterNot(_._1 == seed._1)
+    while (chosen.size < numCentroids) {
+      val pick = remaining.minBy { case (pid, q, wt) =>
+        (-wt * chosen.iterator.map(c => d2(q, c._2)).min, pid) }
+      chosen :+= pick
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    chosen.zipWithIndex.map { case ((_, q, _), i) => (i.toLong, q) }
+  }
+
+  /** [[kMeans]] with the deterministic k-means‖ init — same Lloyd's
+    * rounds, same output shape `(cid, i, c_val, cluster_size)`; cid is
+    * [[kMeansInitParallel]]'s reduce pick order. */
+  def kMeansPar(emb: DataFrame, numCentroids: Int = 16, numIter: Int = 2,
+                dim: Int = 64, rounds: Int = 3, batch: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val codebook = kMeansCodebooksQInit(v,
+      Some(kMeansInitParallel(v, numCentroids, rounds, batch)),
+      numCentroids, numIter, dim).last
+    val sizes = v.select(assignCol(codebook).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("cluster_size"))
+    codebook.toDF("cid", "cv")
+      .join(sizes, Seq("cid"), "left_outer")
+      .select(col("cid"), coalesce(col("cluster_size"), lit(0L))
+        .as("cluster_size"), posexplode(col("cv")).as(Seq("pos", "c_val")))
+      .select(col("cid"), (col("pos") + 1).cast(LongType).as("i"),
+        col("c_val"), col("cluster_size"))
+  }
+
   /** [[kMeans]] with the farthest-point init — same Lloyd's rounds,
     * same output shape `(cid, i, c_val, cluster_size)`, but cid is the
     * pick-order index of [[kMeansInitFarthest]]. */

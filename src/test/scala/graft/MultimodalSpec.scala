@@ -323,12 +323,24 @@ class MultimodalSpec extends AnyFunSuite {
     val good = PngCodec.encode(4, 4, Array.fill(16)(0x123456))
     assert(PngCodec.decode(good.take(10)).isEmpty)  // truncated chunks
     val corrupt = good.clone(); corrupt(20) = (corrupt(20) ^ 0xff).toByte
-    // flipped IHDR byte: either read fails (None) or CRC error (None)
-    assert(PngCodec.decode(corrupt).isEmpty ||
-      PngCodec.decode(corrupt).isDefined) // must not THROW either way
+    // flipped IHDR height byte: the tolerant contract is "must not
+    // throw" — not-throwing IS the assertion (the result may be None
+    // via the dimension pre-check or CRC failure, or Some if the JDK
+    // reader ignores the CRC; both honor the contract)
+    val _ = PngCodec.decode(corrupt)
     // BMP bytes are not a PNG
     assert(PngCodec.decode(BmpCodec.encode(4, 4,
       Array.fill(16)(0))).isEmpty)
+    // crafted absurd IHDR dims must be rejected BEFORE any raster
+    // allocation (the alloc-before-check hole): declare 2^30 x 2^30
+    val huge = good.clone()
+    huge(16) = 0x40; huge(17) = 0; huge(18) = 0; huge(19) = 0  // width
+    huge(20) = 0x40; huge(21) = 0; huge(22) = 0; huge(23) = 0  // height
+    assert(PngCodec.decode(huge).isEmpty)
+    // zero/negative declared dims likewise rejected by the pre-check
+    val zero = good.clone()
+    zero(16) = 0; zero(17) = 0; zero(18) = 0; zero(19) = 0
+    assert(PngCodec.decode(zero).isEmpty)
   }
 
   test("ImageCodecs.decodeAny dispatches on magic: same pixels through " +
@@ -472,5 +484,97 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "payload")
     val marker = Multimodal.decodeWavFeatures(corrupt).collect().head
     assert(marker.toSeq.drop(1) == Seq.fill(7)(-1L))
+  }
+
+  // -------------------------------------------------------------------
+  // JPEG codec member (the lossy corner of the crawl-image trio)
+  // -------------------------------------------------------------------
+  import graft.operators.{JpegCodec, JpegFixture}
+
+  test("JpegCodec: checked-in fixture files decode to the declared " +
+      "dimensions, with lossy pixel error inside the documented bound") {
+    for ((name, src) <- JpegFixture.sources) {
+      val in = getClass.getResourceAsStream(s"/mmjpeg/$name")
+      assert(in != null, s"missing checked-in /mmjpeg/$name")
+      val bytes = try in.readAllBytes() finally in.close()
+      // container facts are exact (the oracle-checkable surface)
+      assert(JpegCodec.sofDims(bytes).contains((src.width, src.height)))
+      val img = JpegCodec.decode(bytes).get
+      assert(img.width == src.width && img.height == src.height)
+      // pixels are the JPEG boundary: bounded error, never equality —
+      // smooth-gradient content at q=0.92 stays well inside ±32/channel
+      // (DCT quantization, no content discontinuities by construction)
+      var maxErr = 0; var sumErr = 0L
+      for (i <- src.pixels.indices; shift <- Seq(16, 8, 0)) {
+        val e = math.abs(((img.pixels(i) >> shift) & 0xff) -
+          ((src.pixels(i) >> shift) & 0xff))
+        maxErr = math.max(maxErr, e); sumErr += e
+      }
+      val meanErr = sumErr.toDouble / (src.pixels.length * 3)
+      info(f"$name: maxErr=$maxErr meanErr=$meanErr%.2f")
+      assert(maxErr <= 32, s"$name lossy error $maxErr exceeds bound")
+      assert(meanErr <= 8.0, s"$name mean error $meanErr exceeds bound")
+    }
+  }
+
+  test("JpegCodec.decode rejects non-JPEG, truncated, and " +
+      "absurd-SOF payloads — None, never throw; dims checked " +
+      "BEFORE any raster allocation") {
+    assert(JpegCodec.decode("not an image".getBytes).isEmpty)
+    assert(JpegCodec.decode(Array.empty[Byte]).isEmpty)
+    val good = JpegCodec.encode(8, 8, Array.fill(64)(0x406080))
+    assert(JpegCodec.decode(good.take(20)).isEmpty) // truncated
+    // not throwing IS the assertion for arbitrary mid-stream damage
+    val corrupt = good.clone(); corrupt(good.length / 2) =
+      (corrupt(good.length / 2) ^ 0xff).toByte
+    val _ = JpegCodec.decode(corrupt)
+    // patch the SOF height to 65535 (> MaxSide): the walker must find
+    // the frame header and the pre-check must reject it without
+    // reaching ImageIO's allocator
+    val sofAt = good.indices.dropWhile(i =>
+      !((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)).head
+    val huge = good.clone()
+    huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xff.toByte
+    assert(JpegCodec.sofDims(huge).contains((8, 65535)))
+    assert(JpegCodec.decode(huge).isEmpty)
+    // BMP / PNG bytes are not a JPEG
+    import graft.operators.{BmpCodec, PngCodec}
+    assert(!JpegCodec.isJpeg(BmpCodec.encode(4, 4, Array.fill(16)(0))))
+    assert(!JpegCodec.isJpeg(PngCodec.encode(4, 4, Array.fill(16)(0))))
+  }
+
+  test("ImageCodecs.decodeAny dispatches JPEG by SOI magic") {
+    import graft.operators.ImageCodecs
+    val px = Array.tabulate(64)(i => ((i * 3) << 16) | ((i * 2) << 8) | i)
+    val viaJpeg = ImageCodecs.decodeAny(JpegCodec.encode(8, 8, px))
+    assert(viaJpeg.exists(img => img.width == 8 && img.height == 8))
+  }
+
+  test("mm_jpeg_files: batch binaryFile read equals the streaming " +
+      "file-ingest dual row-for-row (Scala-side decode parity — the " +
+      "spec-covered half of the JPEG oracle convention)") {
+    import org.apache.spark.sql.types._
+    val batch = Registry.queries("mm_jpeg_files")(spark, "")
+      .collect().map(_.toSeq)
+    assert(batch.length == JpegFixture.fileNames.length)
+    val streamed = graft.streaming.StreamOps.runToCompletion(
+      spark,
+      spark.readStream.format("binaryFile")
+        .schema(StructType(Seq(
+          StructField("path", StringType),
+          StructField("modificationTime", TimestampType),
+          StructField("length", LongType),
+          StructField("content", BinaryType))))
+        .option("pathGlobFilter", "*.jpg")
+        .load(JpegFixture.root),
+      df => Multimodal.decodeFileFeatures(
+        df.select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content").as("payload")),
+        decode = JpegCodec.decode)
+        .select("file_name", "width", "height", "n_pixels"),
+      outputMode = "append") // stateless decode — no aggregation
+      .orderBy("file_name").collect().map(_.toSeq)
+    assert(batch.toSeq == streamed.toSeq)
   }
 }

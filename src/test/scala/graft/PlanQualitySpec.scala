@@ -1107,4 +1107,82 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS pq_ord_b16")
     }
   }
+
+  // -------------------------------------------------------------------
+  // Cost-based optimization: ANALYZE stats must actually drive the plan
+  // -------------------------------------------------------------------
+
+  /** Innermost join of the optimized plan (pre-order collect → last). */
+  private def innermostJoin(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.last.toString
+
+  test("CBO: ANALYZE column stats flip the 3-way join order away from " +
+      "the syntactic (big-join-first) order") {
+    // stats present (ensureStatsTables ANALYZEs rowCount + join-key
+    // NDVs): CostBasedJoinReorder must join customer with the tiny
+    // filtered nation FIRST, pushing the orders join out
+    RegistryCbo.ensureStatsTables(spark, dir)
+    val reordered = innermostJoin(spark.sql(RegistryCbo.cboSql))
+    assert(reordered.contains("graft_cbo_nation") &&
+      !reordered.contains("graft_cbo_orders"),
+      s"with stats the innermost join must pair customer with nation:\n$reordered")
+
+    // negative control: IDENTICAL SQL over stats-less catalog copies of
+    // the same files — no rowCount means no reorder, so the syntactic
+    // order (customer ⋈ orders innermost) must survive
+    Seq("customer", "orders", "nation").foreach { tn =>
+      spark.sql(s"DROP TABLE IF EXISTS pq_nostats_$tn")
+      spark.sql(s"CREATE TABLE pq_nostats_$tn USING parquet " +
+        s"LOCATION '$dir/$tn.parquet'")
+    }
+    try {
+      val syntactic = innermostJoin(spark.sql(
+        RegistryCbo.cboSql.replace("graft_cbo_", "pq_nostats_")))
+      assert(syntactic.contains("pq_nostats_orders"),
+        s"without stats the syntactic join order must survive:\n$syntactic")
+    } finally Seq("customer", "orders", "nation").foreach(tn =>
+      spark.sql(s"DROP TABLE IF EXISTS pq_nostats_$tn"))
+  }
+
+  test("CBO: ANALYZE rowCount+column stats shrink a filtered side below " +
+      "the broadcast threshold and flip sort-merge to broadcast-hash") {
+    // Without column stats the planner cannot estimate a filter's
+    // selectivity: the filtered orders side keeps its full file-size
+    // estimate (pruned-column estimate ~12 KB > the 4 KB threshold) and the join stays
+    // sort-merge. ANALYZE … FOR COLUMNS gives rowCount + min/max, the
+    // ~1% range predicate estimates to a few hundred bytes, and the
+    // SAME query statically selects a broadcast join. (sparkPlan = the
+    // static pre-AQE selection — exactly what stats feed; AQE can
+    // rescue single queries at runtime but only static stats fix the
+    // plan BEFORE the shuffle is laid down.)
+    Seq("lineitem", "orders").foreach { tn =>
+      spark.sql(s"DROP TABLE IF EXISTS pq_bcast_$tn")
+      spark.sql(s"CREATE TABLE pq_bcast_$tn USING parquet " +
+        s"LOCATION '$dir/$tn.parquet'")
+    }
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4KB")
+    try {
+      def staticPlan(): String = spark.sql(
+        """SELECT l_orderkey, l_quantity, o_totalprice
+          |FROM pq_bcast_lineitem JOIN pq_bcast_orders
+          |  ON l_orderkey = o_orderkey
+          |WHERE o_totalprice < 6000.0""".stripMargin)
+        .queryExecution.sparkPlan.toString
+      val before = staticPlan()
+      assert(!before.contains("BroadcastHashJoin"),
+        s"no column stats → full-size filter estimate → no broadcast:\n$before")
+      spark.sql("ANALYZE TABLE pq_bcast_orders COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderkey, o_totalprice")
+      val after = staticPlan()
+      assert(after.contains("BroadcastHashJoin"),
+        s"ANALYZE stats must enable static broadcast selection:\n$after")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      Seq("lineitem", "orders").foreach(tn =>
+        spark.sql(s"DROP TABLE IF EXISTS pq_bcast_$tn"))
+    }
+  }
 }

@@ -419,6 +419,48 @@ class PropertySpec extends AnyFunSuite {
     assert(iFar < iFirst)
   }
 
+  test("k-means-parallel init law: batched oversampling + weighted " +
+       "reduce seeds one-per-cluster, like sequential maxmin, in " +
+       "O(rounds) corpus scans") {
+    import graft.operators.Similarity
+    // same 8-block corpus as the farthest-point law above; first 8
+    // vectors all in block 0 so first-C strands 7 clusters
+    val rows = (0L until 200L).map { i =>
+      val c = (i / 25).toInt
+      (i, Seq.tabulate(16)(j =>
+        (if (j % 8 == c) 10f else 0f) +
+          (((i * 31 + j * 17) % 13).toFloat - 6f) / 100f))
+    }
+    import spark.implicits._
+    val v = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    // rounds=7 guarantees coverage on this geometry: while any block is
+    // uncovered, its points' min-distance (inter-block scale) dominates
+    // every covered block's jitter-scale distances, so each round's
+    // top-batch comes entirely from uncovered blocks — ≥ 1 new block
+    // per round, 7 rounds ≥ the 7 non-seed blocks.
+    val par = Similarity.kMeansInitParallel(v, 8, rounds = 7, batch = 8)
+    assert(par.map(_._1) == (0L until 8L)) // cids are reduce pick order
+    val blocks = par.map(_._2.zipWithIndex.maxBy(_._1)._2 % 8).toSet
+    assert(blocks.size == 8, s"k-means-parallel seeds covered blocks $blocks")
+    // init quality: at least as good as first-C, same league as maxmin
+    val firstC = v.where(col("vec_id") < 8)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val iPar = Similarity.kMeansInertia(v, par)
+    val iFirst = Similarity.kMeansInertia(v, firstC)
+    info(s"init inertia: kmeans-par $iPar vs first-C $iFirst")
+    assert(iPar < iFirst)
+    // and the REGISTERED geometry (3 rounds × 8 + seed = 25 candidates,
+    // k=16) must stay a valid oversampling for the registry query: 16
+    // seeds in pick order, still covering every cluster (the corpus
+    // contains exact-duplicate vectors by construction — i and i+13
+    // share a jitter phase — so seed-VECTOR distinctness is not a law)
+    val reg = Similarity.kMeansInitParallel(v, 16, rounds = 3, batch = 8)
+    assert(reg.map(_._1) == (0L until 16L))
+    val regBlocks = reg.map(_._2.zipWithIndex.maxBy(_._1)._2 % 8).toSet
+    assert(regBlocks.size == 8, s"k=16 seeds covered blocks $regBlocks")
+  }
+
   test("rangeJoin == naive theta-join reference on random intervals") {
     import spark.implicits._
     val ivGen = Gen.zip(Gen.choose(0L, 100L), Gen.choose(0L, 40L))

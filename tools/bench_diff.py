@@ -77,6 +77,29 @@ def norm_of(row):
     return float(v) if v is not None else None
 
 
+SHUFFLE_HEAVY_MB = 1.0
+
+
+def matched_norm(row_old, row_new):
+    """Pick the profile-matched normalized pair for a query.
+
+    Shuffle-heavy queries (>1 MB shuffle bytes on either side) are
+    memory-bandwidth/scheduler-bound and normalize by the shuffle
+    canary (norm_shuffle) when BOTH sides carry it; scalar queries (and
+    records predating the second canary) fall back to the CPU-canary
+    norm. Returns (old_val, new_val, which) or None when no normalized
+    pair exists on both sides."""
+    heavy = max(float(row_old.get("shuffle_mb", 0) or 0),
+                float(row_new.get("shuffle_mb", 0) or 0)) > SHUFFLE_HEAVY_MB
+    if heavy and row_old.get("norm_shuffle") is not None \
+            and row_new.get("norm_shuffle") is not None:
+        return (float(row_old["norm_shuffle"]),
+                float(row_new["norm_shuffle"]), "shuffle")
+    if row_old.get("norm") is not None and row_new.get("norm") is not None:
+        return (float(row_old["norm"]), float(row_new["norm"]), "cpu")
+    return None
+
+
 def main():
     if len(sys.argv) < 3:
         sys.exit(__doc__)
@@ -98,14 +121,19 @@ def main():
 
     both = sorted(set(old) & set(new))
     use_norm = all(norm_of(old[q]) and norm_of(new[q]) for q in both)
-    unit = "norm (sec/canary)" if use_norm else "sec (no canary on a side)"
+    unit = ("profile-matched norm (sec/matched canary)" if use_norm
+            else "sec (no canary on a side)")
     print(f"\ncomparing {len(both)} shared queries on {unit}; "
           f"movers beyond {threshold}x:")
 
     movers = []
     for q in both:
-        ov = norm_of(old[q]) if use_norm else float(old[q]["sec"])
-        nv = norm_of(new[q]) if use_norm else float(new[q]["sec"])
+        which = ""
+        if use_norm:
+            m = matched_norm(old[q], new[q])
+            ov, nv, which = m
+        else:
+            ov, nv = float(old[q]["sec"]), float(new[q]["sec"])
         if ov <= 0 or nv <= 0:
             continue
         ratio = nv / ov
@@ -115,10 +143,11 @@ def main():
             spread = max(float(old[q].get("spread", 0)),
                          float(new[q].get("spread", 0)))
             dsec = abs(float(new[q]["sec"]) - float(old[q]["sec"]))
-            movers.append((ratio, q, ov, nv, dsec <= spread))
-    for ratio, q, ov, nv, noisy in sorted(movers, key=lambda m: -m[0]):
+            movers.append((ratio, q, ov, nv, dsec <= spread, which))
+    for ratio, q, ov, nv, noisy, which in sorted(movers, key=lambda m: -m[0]):
         tag = "  NOISE? (within rep spread)" if noisy else ""
-        print(f"  {q}: {ov:.2f} -> {nv:.2f}  ({ratio:.2f}x){tag}")
+        w = f" [{which}-canary]" if which else ""
+        print(f"  {q}: {ov:.2f} -> {nv:.2f}  ({ratio:.2f}x){w}{tag}")
     if not movers:
         print("  (none)")
 

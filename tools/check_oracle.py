@@ -124,10 +124,24 @@ for name, sql in sorted(oracle.items()):
             con = connect()
         continue
     finally:
+        # Close the remaining race window: if the timer fired between
+        # execute() returning and this block (timed_out set, interrupt
+        # delivered to an idle connection), the CURRENT query is fine
+        # but the stray interrupt would surface as a spurious "oracle
+        # error" on the NEXT one — so on that path rebuild the
+        # connection here too, not only on the exception path.
+        stray_interrupt = False
         with state_lock:
+            stray_interrupt = state["timed_out"] and not state["done"]
             state["done"] = True
         if timer:
             timer.cancel()
+        if stray_interrupt:
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect()
     # driver-style: sort columns by name
     got = got[sorted(got.columns)].reset_index(drop=True)
     exp = exp[sorted(exp.columns)] if set(exp.columns) == set(got.columns) else exp
@@ -176,23 +190,35 @@ print(f"{len(oracle)-fails}/{len(oracle)} queries match")
 # one artifact) ----
 json_path = os.environ.get("GRAFT_ORACLE_JSON", f"{out}/oracle_check.json")
 merged = {}
+prev_ranges = []
 if os.path.exists(json_path):
     try:
         prev = json.load(open(json_path))
         if prev.get("sf") == sf and prev.get("verify_dir") == out:
             merged = prev.get("results", {})
+            # older records carried a single (last-shard) "range" string;
+            # normalize both shapes into the accumulated list
+            prev_ranges = prev.get("ranges") or (
+                [prev["range"]] if prev.get("range") else [])
     except Exception:
         pass
 merged.update(results)
+this_range = sys.argv[3] if len(sys.argv) > 3 else ""
+ranges = prev_ranges + ([this_range] if this_range else ["(all)"])
 ok_n = sum(1 for r in merged.values() if r["status"] == "OK")
 record_obj = {
     "sf": sf, "verify_dir": out,
-    "range": sys.argv[3] if len(sys.argv) > 3 else "",
+    # every shard/resume slice that contributed to this merged record —
+    # a single "range" string was a merge artifact (it only named the
+    # LAST shard, e.g. "st_audio_ingest:st_audio_ingestz")
+    "ranges": ranges,
     "timeout_sec": timeout_sec,
     "duckdb_memory": os.environ.get("GRAFT_DUCKDB_MEMORY"),
     "ok": ok_n, "fail": len(merged) - ok_n, "total": len(merged),
     "results": merged,
 }
+assert record_obj["ok"] + record_obj["fail"] == record_obj["total"], \
+    "merge invariant violated: ok+fail != total"
 with open(json_path, "w") as f:
     json.dump(record_obj, f, indent=1, sort_keys=True)
 print(f"wrote {json_path} ({ok_n}/{len(merged)} OK)")
