@@ -60,8 +60,10 @@ private[graft] object RegistryCbo {
     statsColumns.foreach { case (tn, cols) =>
       val table = s"graft_cbo_$tn"
       s.sql(s"DROP TABLE IF EXISTS $table")
-      s.sql(s"CREATE TABLE $table USING parquet " +
-        s"LOCATION '$dir/$tn.parquet'")
+      // absolute LOCATION: a relative path would resolve against the
+      // warehouse dir, not the process cwd the sfDir is relative to
+      val loc = new java.io.File(s"$dir/$tn.parquet").getAbsolutePath
+      s.sql(s"CREATE TABLE $table USING parquet LOCATION '$loc'")
       // FOR COLUMNS also computes table-level rowCount + sizeInBytes
       s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS $cols")
     }

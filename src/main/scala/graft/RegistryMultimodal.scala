@@ -180,6 +180,31 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
         decode = JpegCodec.decode)
         .select("file_name", "width", "height", "n_pixels")
         .orderBy("file_name")),
+    // The JPEG streaming dual: the fixture directory as a binaryFile
+    // FILE STREAM, JpegCodec decode inside the micro-batch, drained
+    // with AvailableNow (stateless append — the st_mm_ingest shape).
+    // Output restricted to the container facts, like mm_jpeg_files;
+    // drained == batch == SQL marker-walk: one oracle, three
+    // independent paths over the same checked-in files.
+    "st_jpeg_ingest" -> ((s, _) =>
+      graft.streaming.StreamOps.runToCompletion(
+        s,
+        s.readStream.format("binaryFile")
+          .schema(StructType(Seq(
+            StructField("path", StringType),
+            StructField("modificationTime", TimestampType),
+            StructField("length", LongType),
+            StructField("content", BinaryType))))
+          .option("pathGlobFilter", "*.jpg")
+          .load(JpegFixture.root),
+        df => Multimodal.decodeFileFeatures(
+          df.select(
+            element_at(split(col("path"), "/"), -1).as("file_name"),
+            col("content").as("payload")),
+          decode = JpegCodec.decode)
+          .select("file_name", "width", "height", "n_pixels"),
+        outputMode = "append")
+        .orderBy("file_name")),
     // Embedding-cosine near-dup: exact duplicates are synthesized under
     // shifted ids (the fixture's random vectors are near-orthogonal), so
     // the LSH-bucketed pair pass must recover exactly those pairs.
@@ -426,6 +451,9 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
         |FROM w ORDER BY doc_id""".stripMargin,
     "mm_wav_files" -> wavFilesOracleSql,
     "mm_jpeg_files" -> jpegFilesOracleSql,
+    // streaming dual drains to the identical rows (batch binaryFile +
+    // file stream + SQL marker walk — three paths, one oracle)
+    "st_jpeg_ingest" -> jpegFilesOracleSql,
     // The drained audio file-stream must equal the batch read
     // row-for-row, so its oracle IS the same SQL re-decode — one
     // oracle, three independent paths over the same files (batch

@@ -140,10 +140,18 @@ object ScaleData {
         val rotated =
           concat(slice(col("embedding"), r + 1, 64 - r),
             slice(col("embedding"), 1, r))
+        // Rotations cycle mod 64, so copy 64+j would re-use copy j's
+        // orientation and sit ±0.006 from it — a near-duplicate that
+        // collapses kNN neighborhoods at ≥ 64 copies (observed as the
+        // sf10 exponent caveat). NEGATION is a second isometry axis:
+        // cosine flips sign, so a negated sibling is maximally far
+        // from its rotation twin — 128 distinct isometries total.
+        // i < 64 is untouched, so sf1 (10 copies) replays identically.
+        val sign = if ((i / 64) % 2 == 1) lit(-1.0f) else lit(1.0f)
         val baseId = col("vec_id") - lit(i * KeyOffset)
         base.withColumn("embedding",
           transform(rotated, (x: Column, j: Column) =>
-            (x + ((pmod(baseId * 31 + j + lit(i * 3L), lit(13L))
+            (x * sign + ((pmod(baseId * 31 + j + lit(i * 3L), lit(13L))
               - lit(6L)).cast("float") * lit(0.001f))).cast("float")))
       }
     }, 8)
