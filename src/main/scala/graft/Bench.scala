@@ -212,7 +212,11 @@ object Bench {
       .collect { case (k, Some(_)) if resources.contains(k) =>
         s"\"" + k + "\":" + mb(resources(k)._2) }
       .mkString("{", ",", "}")
-    val head = s""""metric":"total","unit":"sec","value":${ms(total)},"sf":"$sfDir","reps":$reps,"stat":"min-interleaved","canary_sec":${ms(canary)},"canary_shuffle_sec":${ms(canaryShuffle)},"n_queries":${ok.size}"""
+    // codegen-health rides the headline: a generated-Java compile
+    // failure anywhere in the run means some stage silently timed
+    // INTERPRETED mode (the MinhashSigExpr lesson) — a nonzero count
+    // invalidates cross-round comparison for the affected queries.
+    val head = s""""metric":"total","unit":"sec","value":${ms(total)},"sf":"$sfDir","reps":$reps,"stat":"min-interleaved","canary_sec":${ms(canary)},"canary_shuffle_sec":${ms(canaryShuffle)},"codegen_errors":${CodegenHealth.count},"n_queries":${ok.size}"""
     println(s"""{$head,"queries":$qs,"spread":$spreads,"norm":$norms,"shuffle_mb":$shuffleMap,"errors":$errJson}""")
     val perQuery = results.map {
       case (k, Some((mn, mx))) =>

@@ -200,6 +200,35 @@ private[graft] trait RegistryEvents extends RegistryShared {
           s.read.parquet(out).where(col("event_type") === "click"))
         .orderBy("hour")
     }),
+    // DYNAMIC partition pruning — the static prune above answers a
+    // LITERAL predicate from the directory listing; here the partition
+    // set is only knowable AT RUN TIME: the fact is Hive-partitioned on
+    // event_type, the dim carries a category the fact doesn't have, and
+    // the filter sits on the DIM. Catalyst inserts a DPP subquery into
+    // the fact scan (PartitionFilters: [... dynamicpruning#N] — plan
+    // pinned in PlanQualitySpec), reusing the join's broadcast as the
+    // pruner, so only the matching type directories are listed/read. At
+    // 100 TB this is THE scan saver for star joins on date/tenant-
+    // partitioned facts — a selective dim filter prunes the fact scan
+    // without any literal in the query text. The dim round-trips
+    // through parquet so its values cannot constant-fold into a static
+    // filter at plan time. Oracle = the same join over the raw table
+    // with the dim derived in a CTE.
+    "ev_dpp_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val factDir = graft.Scratch.dir("graft_dpp_fact")
+      Layout.writePartitioned(ev, factDir, "event_type")
+      val dimDir = graft.Scratch.dir("graft_dpp_dim")
+      ev.select(col("event_type")).distinct()
+        .withColumn("cat",
+          when(col("event_type").isin("click", "purchase"), lit("conv"))
+            .otherwise(lit("other")))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      val fact = s.read.parquet(factDir)
+      val dim = s.read.parquet(dimDir).where(col("cat") === "conv")
+      Events.hourlyRollup(fact.join(dim, Seq("event_type")))
+        .orderBy("hour", "event_type")
+    }),
     "ev_moving_sum" -> ((s, dir) =>
       Events.movingSum(t(s, dir, "events")).orderBy("user_id", "event_id")),
 
@@ -540,6 +569,20 @@ private[graft] trait RegistryEvents extends RegistryShared {
         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1, 2 ORDER BY hour""".stripMargin,
+    "ev_dpp_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type,
+        |  CASE WHEN event_type IN ('click', 'purchase')
+        |    THEN 'conv' ELSE 'other' END AS cat
+        |  FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+        |FROM events JOIN dim USING (event_type)
+        |WHERE dim.cat = 'conv'
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "ev_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -43,6 +43,45 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
       graft.streaming.StreamOps.sessionWindowAgg(
         t(s, dir, "events"), SessionGapSeconds)
         .orderBy("user_id", "start_us")),
+    // Spark 4 transformWithState (the arbitrary-state successor API):
+    // per-user running totals in a StatefulProcessor with typed
+    // ValueState, TimeMode.None, update-mode emission — REQUIRES the
+    // RocksDB state store provider (set for this run, restored after),
+    // the off-heap store that keeps per-key state viable when keys ×
+    // state outgrow executor heap. Order-insensitive accumulators make
+    // batch slicing irrelevant; update mode re-emits a user's running
+    // row each batch it appears in, and n_events grows strictly per
+    // emission, so the per-user struct-max collapses superseded rows
+    // (single-file AvailableNow drains in one batch; the struct-max
+    // also keeps the query correct under multi-batch sources). Oracle
+    // = the plain batch groupBy.
+    "st_transform_state" -> ((s, dir) => {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        graft.streaming.StreamOps.runToCompletion(
+          s, Tables.loadStream(s, dir, "events"),
+          df => graft.streaming.StreamOps.statefulUserTotals(
+            df.select(col("user_id"), col("event_type"),
+              Events.micros(col("value")).as("vm"), col("event_id"))
+              .as[graft.streaming.StreamOps.TotalsIn]).toDF(),
+          outputMode = "update", shufflePartitions = StreamStateParts)
+          .groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("n_clicks"),
+            col("value_micros"), col("max_event_id"))).as("m"))
+          .select(col("user_id"), col("m.n_events").as("n_events"),
+            col("m.n_clicks").as("n_clicks"),
+            col("m.value_micros").as("value_micros"),
+            col("m.max_event_id").as("max_event_id"))
+          .orderBy("user_id")
+      } finally saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
 
     // CHAINED stateful operators in one streaming query: the events
     // file streamed twice (at-least-once delivery), watermarked exact
@@ -332,6 +371,16 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
        |ORDER BY user_id, start_us""".stripMargin
 
   protected val streamingOracles: Map[String, String] = Map(
+    // transformWithState running totals: update-mode latest == batch
+    // groupBy (order-insensitive accumulators)
+    "st_transform_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clicks,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS value_micros,
+        |  max(event_id) AS max_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Identical to ev_hourly_rollup: the streaming plan must agree with
     // the batch aggregate bit-for-bit.
     "st_hourly_rollup" ->

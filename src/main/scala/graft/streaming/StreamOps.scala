@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.operators.{Events, TextAnalysis, TrainPrep}
 
@@ -399,6 +399,58 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  // ------------------------------------------------------------------
+  // transformWithState — Spark 4's arbitrary-state successor API
+  // ------------------------------------------------------------------
+
+  final case class TotalsIn(user_id: Long, event_type: String, vm: Long,
+                            event_id: Long)
+  final case class UserTotals(user_id: Long, n_events: Long, n_clicks: Long,
+                              value_micros: Long, max_event_id: Long)
+
+  /** Per-user running totals in a [[StatefulProcessor]] — the
+    * `transformWithState` successor to [[statefulSessionize]]'s
+    * flatMapGroupsWithState: typed `ValueState` obtained from the
+    * handle (vs the single opaque GroupState blob), explicit
+    * `TimeMode`, per-state TTL config, and a REQUIRED RocksDB state
+    * store (the operator rejects the HDFS-backed provider — state
+    * lives off-heap and scales past executor memory, the property
+    * that matters when per-key state × keys outgrows the heap at
+    * 100 TB). Accumulators are order-insensitive (count / conditional
+    * count / sum / max), so micro-batch boundaries cannot change the
+    * result: in update mode the LAST emission per key equals the batch
+    * groupBy — the oracle. `n_events` grows strictly per emission, so
+    * a consumer keeps the per-key struct-max to collapse superseded
+    * update-mode rows. */
+  class UserTotalsProcessor
+      extends StatefulProcessor[Long, TotalsIn, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TotalsIn],
+                                 timerValues: TimerValues)
+        : Iterator[UserTotals] = {
+      var acc = if (totals.exists()) totals.get()
+                else UserTotals(key, 0L, 0L, 0L, 0L)
+      rows.foreach { r =>
+        acc = UserTotals(key, acc.n_events + 1,
+          acc.n_clicks + (if (r.event_type == "click") 1L else 0L),
+          acc.value_micros + r.vm,
+          math.max(acc.max_event_id, r.event_id))
+      }
+      totals.update(acc)
+      Iterator.single(acc)
+    }
+  }
+
+  def statefulUserTotals(events: Dataset[TotalsIn]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming LATEST-PER-KEY snapshot — the live CDC snapshot table:

@@ -1108,6 +1108,70 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("ev_dpp_join: the fact scan carries a DYNAMIC partition-pruning " +
+      "filter fed by the dim's runtime values (and none when DPP is off)") {
+    def plan(): String = {
+      val df = Registry.queries("ev_dpp_join")(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val withDpp = plan()
+    assert(withDpp.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n$withDpp")
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    spark.conf.set(key, "false")
+    try assert(!plan().contains("dynamicpruning"),
+      "control: no DPP filter when the optimizer feature is disabled")
+    finally spark.conf.unset(key)
+  }
+
+  test("runtime bloom-filter join pruning: a selective dim filter " +
+      "injects a bloom probe into the fact side of a shuffle join " +
+      "(the row-level sibling of DPP for non-partitioned keys)") {
+    // Spec-only by design: the bloom filter is semantically transparent
+    // (same rows, earlier), so a registry oracle would add nothing —
+    // the PLAN property is the substance. Thresholds are production-
+    // scale (creation 10 MB / application 10 GB), so at fixture scale
+    // they must be floored to see the injection at all.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    def planOf(): String = {
+      val fact = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val dim = Tables.load(spark, dir, "orders")
+        .where(col("o_totalprice") < lit(6000.0))
+        .select("o_orderkey", "o_totalprice")
+      fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+    }
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // creationSideThreshold is a MAXIMUM (the dim must be small
+      // enough to build a bloom filter from); applicationSideScanSize-
+      // Threshold is a MINIMUM (the fact must be big enough to be
+      // worth pruning) — floor only the minimum.
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      // shuffle join — the case where pre-shuffle row pruning pays
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val withBloom = planOf()
+      assert(withBloom.toLowerCase.contains("might_contain"),
+        s"fact side must probe the dim's bloom filter pre-shuffle:\n$withBloom")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(!planOf().toLowerCase.contains("might_contain"),
+        "control: no probe when the feature is disabled")
+    } finally restore()
+  }
+
   // -------------------------------------------------------------------
   // Cost-based optimization: ANALYZE stats must actually drive the plan
   // -------------------------------------------------------------------

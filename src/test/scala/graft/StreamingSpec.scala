@@ -92,6 +92,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState running totals accumulate ACROSS micro-" +
+      "batches (ValueState survives the batch boundary; update-mode " +
+      "last emission per key == batch groupBy)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamOps.TotalsIn]
+      val q = StreamOps.statefulUserTotals(ms.toDS())
+        .toDF()
+        .writeStream.format("memory").queryName("st_spec_tws")
+        .outputMode(OutputMode.Update).start()
+      // batch 1: user 1 twice, user 2 once
+      ms.addData(
+        StreamOps.TotalsIn(1L, "click", 100L, 10L),
+        StreamOps.TotalsIn(1L, "view", 50L, 11L),
+        StreamOps.TotalsIn(2L, "view", 30L, 12L))
+      q.processAllAvailable()
+      // batch 2: both users again — totals must CONTINUE, not restart
+      ms.addData(
+        StreamOps.TotalsIn(1L, "click", 25L, 13L),
+        StreamOps.TotalsIn(2L, "click", 70L, 9L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("st_spec_tws")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_clicks"),
+          col("value_micros"), col("max_event_id"))).as("m"))
+        .select(col("user_id"), col("m.*"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(rows(1L) == ((3L, 2L, 175L, 13L)),
+        s"user 1 must total across both batches: ${rows(1L)}")
+      assert(rows(2L) == ((2L, 1L, 100L, 12L)),
+        s"user 2 must total across both batches: ${rows(2L)}")
+      // and the update-mode history really shows per-batch emissions
+      // (2 for user 1, 2 for user 2 — one per batch it appeared in)
+      val emissions = spark.table("st_spec_tws")
+        .groupBy("user_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(emissions(1L) == 2 && emissions(2L) == 2)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming corpus prep: filters drop, watermark dedup emits once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
