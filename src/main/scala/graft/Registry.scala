@@ -121,6 +121,34 @@ object Registry {
       counts.reduce(_.unionAll(_)).orderBy("table_name")
     }),
 
+    // A1-family audit via Dataset.observe — metrics collected ON THE
+    // SAME PASS as the main action, not a second scan: the reference's
+    // rowsInserted==total audit re-aggregates its frame; at 100 TB a
+    // second full scan per audit is the difference between auditing
+    // everything and auditing nothing. observe() attaches aggregate
+    // expressions to the plan (CollectMetrics node), the noop write
+    // materializes the projection once, and Observation.get returns
+    // the metrics the SAME pass computed. The returned one-row frame
+    // is built from those metrics — the oracle recomputes them
+    // independently, so a metrics bug cannot hide. Exact decimal sum
+    // (the q1_agg rounding convention) before the double cast.
+    "a4_observe_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      val observed = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_returnflag"))
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          asDouble(sum(dec2("l_quantity"))).as("sum_qty"),
+          count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+      observed.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("n_returned").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "n_returned")
+    }),
+
     // S3 page concat (Form700.py:136-144): UNION ALL of page subsets.
     "union_pages" -> ((s, dir) => {
       val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -387,6 +415,11 @@ object Registry {
         |  UNION ALL SELECT 'events', COUNT(*) FROM events
         |  UNION ALL SELECT 'documents', COUNT(*) FROM documents
         |) ORDER BY table_name""".stripMargin,
+    "a4_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+        |FROM lineitem""".stripMargin,
     "union_pages" ->
       """SELECT o_orderkey, o_orderstatus FROM (
         |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
@@ -622,6 +655,38 @@ object Registry {
       Restructure.flattenStruct(parsed).orderBy("event_id")
     }),
 
+    // Spark 4 VARIANT — the engine-native semi-structured path (the
+    // successor to from_json-with-a-schema for schema-on-read): a
+    // nested JSON document (built deterministically from the row so
+    // the shape has objects, an array, and mixed types) is parsed ONCE
+    // into a VARIANT value and fields are extracted by PATH with typed
+    // `variant_get` (object step, array index, nested object). The
+    // binary variant encoding makes repeated path access O(field) per
+    // row instead of re-tokenizing text — the property that matters
+    // when a crawl's metadata column is read by many downstream
+    // queries at 100 TB. The oracle is STRONGER than a JSON replay: it
+    // derives every extracted value independently from the base
+    // columns, so a wrong path/type in the Spark plan cannot be
+    // mirrored into the check.
+    "p6_variant_extract" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val doc = to_json(struct(
+        col("event_id").as("id"),
+        array(col("event_type"),
+          concat(lit("u"), col("user_id"))).as("tags"),
+        struct(
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+          graft.operators.Events.micros(col("value")).as("vm")).as("m")))
+      ev.select(col("event_id"), parse_json(doc).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.id", "bigint").as("vid"),
+          variant_get(col("v"), "$.tags[1]", "string").as("tag1"),
+          variant_get(col("v"), "$.m.k", "bigint").as("k"),
+          variant_get(col("v"), "$.m.vm", "bigint").as("vm"))
+        .where(col("k") > 50)
+        .orderBy("event_id")
+    }),
+
     // K2/F7 (Form700.py:465-466): sink-boundary snake_case rename.
     "k2_sink_rename" -> ((s, dir) =>
       Restructure.renameForSink(
@@ -646,6 +711,14 @@ object Registry {
         |  l_quantity AS "itemL_quantity"
         |FROM lineitem
         |ORDER BY l_orderkey, "itemL_linenumber", "itemL_quantity"""".stripMargin,
+    "p6_variant_extract" ->
+      """SELECT event_id, event_id AS vid,
+        |  'u' || CAST(user_id AS VARCHAR) AS tag1,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(floor(value * 1000000) AS BIGINT) AS vm
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
     "p1_flatten_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS "props.k"

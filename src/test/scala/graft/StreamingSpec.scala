@@ -142,6 +142,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ListState + MapState: bounded recent-ids " +
+      "list and per-type counts survive the batch boundary") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StreamOps.TotalsIn]
+      val q = StreamOpsSpecRecent(ms.toDS())
+        .toDF()
+        .writeStream.format("memory").queryName("st_spec_tws_lm")
+        .outputMode(OutputMode.Update).start()
+      ms.addData(
+        StreamOps.TotalsIn(1L, "click", 0L, 10L),
+        StreamOps.TotalsIn(1L, "view", 0L, 11L))
+      q.processAllAvailable()
+      ms.addData(
+        StreamOps.TotalsIn(1L, "click", 0L, 12L),
+        StreamOps.TotalsIn(1L, "view", 0L, 13L))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("st_spec_tws_lm")
+        .orderBy(col("n_types_seen").desc, col("recent_ids").desc)
+        .as[(Long, Seq[Long], Long, Long)].head()
+      // ListState capped at 3 most recent ids, accumulated ACROSS
+      // batches (11,12,13 — id 10 evicted); MapState counted 2 clicks
+      // + 2 views = 2 distinct types, 4 events total
+      assert(last._2 == Seq(11L, 12L, 13L), s"recent ids: ${last._2}")
+      assert(last._3 == 2L, "distinct types via MapState")
+      assert(last._4 == 4L, "total via MapState sum")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming corpus prep: filters drop, watermark dedup emits once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -578,5 +616,52 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().sorted
     assert(got.toSeq == (0L until 75L),
       s"each doc exactly once across restart; got ${got.length} rows")
+  }
+}
+
+/** Spec-only StatefulProcessor exercising the remaining state kinds of
+  * the transformWithState handle: a ListState capped at the 3 most
+  * recent event ids (get → append → trim → put) and a MapState of
+  * per-type counts — per key, across micro-batches. Output per
+  * emission: (user_id, recent_ids, n_types_seen, n_total). Top-level
+  * class (not a test closure) so task serialization carries no
+  * enclosing suite. */
+object StreamOpsSpecRecent {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+    StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+  final case class Out(user_id: Long, recent_ids: Seq[Long],
+                       n_types_seen: Long, n_total: Long)
+
+  class Proc extends StatefulProcessor[Long, StreamOps.TotalsIn, Out] {
+    @transient private var recent: ListState[Long] = _
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[Long]("recent",
+        Encoders.scalaLong, TTLConfig.NONE)
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[StreamOps.TotalsIn],
+        timerValues: TimerValues): Iterator[Out] = {
+      var ids = recent.get().toVector
+      rows.foreach { r =>
+        ids = (ids :+ r.event_id).takeRight(3)
+        counts.updateValue(r.event_type,
+          (if (counts.containsKey(r.event_type))
+             counts.getValue(r.event_type) else 0L) + 1L)
+      }
+      recent.put(ids.toArray)
+      val all = counts.iterator().toVector
+      Iterator.single(Out(key, ids, all.size.toLong, all.map(_._2).sum))
+    }
+  }
+
+  def apply(events: Dataset[StreamOps.TotalsIn]): Dataset[Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new Proc, TimeMode.None(), OutputMode.Update())
   }
 }
