@@ -16,11 +16,15 @@ import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
   *
   *  - `"failed to compile"` — `CodeGenerator.doCompile`'s error log on
   *    a janino `CompileException`;
-  *  - `"Whole-stage codegen disabled for plan"` —
-  *    `WholeStageCodegenExec`'s warn before interpreted fallback;
   *  - `"codegen error and falling back to interpreter"` —
   *    `CodeGeneratorWithInterpretedFallback`'s warn for expression-level
   *    fallback (projections/predicates).
+  *
+  * `WholeStageCodegenExec`'s "Whole-stage codegen disabled for plan" is
+  * counted in a separate [[sizeFallbacks]] bucket: Spark also logs it
+  * for legitimate size-based fallbacks (hugeMethodLimit /
+  * maxLinesPerFunction), where interpretation is intended behavior —
+  * only true compile failures gate strict mode.
   *
   * Counting at the log seam (not by patching Spark) keeps this purely
   * observational: zero behavior change, works for every code path that
@@ -28,32 +32,54 @@ import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
   */
 object CodegenHealth {
   private val errorCount = new AtomicLong(0)
+  private val sizeFallbackCount = new AtomicLong(0)
   private val lastMessage = new AtomicReference[String]("")
 
   // matched case-insensitively — Spark 4.1 says "Failed to compile the
-  // generated Java code.", older releases "failed to compile: ..."
+  // generated Java code.", older releases "failed to compile: ...".
+  // TRUE compile failures only: these gate strict mode.
   private val signatures = Seq(
     "failed to compile",
-    "whole-stage codegen disabled for plan",
     "codegen error and falling back to interpreter")
+
+  // Counted in a SEPARATE bucket: WholeStageCodegenExec also logs this
+  // for LEGITIMATE size-based fallbacks (generated code exceeding
+  // spark.sql.codegen.hugeMethodLimit / maxLinesPerFunction), where the
+  // plan is healthy and interpretation is the intended behavior — a
+  // large-but-correct plan must not trip the strict gate or flag a
+  // bench non-regression.
+  private val sizeSignatures = Seq(
+    "whole-stage codegen disabled for plan")
 
   private[graft] def observe(rawMsg: String): Unit = {
     val msg = if (rawMsg == null) null
               else rawMsg.toLowerCase(java.util.Locale.ROOT)
-    if (msg != null && signatures.exists(msg.contains)) {
-      errorCount.incrementAndGet()
-      lastMessage.set(rawMsg.take(500))
+    if (msg != null) {
+      if (signatures.exists(msg.contains)) {
+        errorCount.incrementAndGet()
+        lastMessage.set(rawMsg.take(500))
+      } else if (sizeSignatures.exists(msg.contains)) {
+        sizeFallbackCount.incrementAndGet()
+      }
     }
   }
 
-  /** Codegen failures observed since JVM start (or last [[reset]]). */
+  /** TRUE codegen compile failures observed since JVM start (or last
+    * [[reset]]) — the strict-gate signal. */
   def count: Long = errorCount.get()
+
+  /** Size-based whole-stage disables (huge-method fallback) — healthy
+    * plans that merely exceeded codegen limits; reported separately,
+    * never gated on. */
+  def sizeFallbacks: Long = sizeFallbackCount.get()
 
   /** Truncated text of the most recent failure, for diagnostics. */
   def last: String = lastMessage.get()
 
-  /** Test hook: zero the counter so a spec can isolate its own window. */
-  def reset(): Unit = { errorCount.set(0); lastMessage.set("") }
+  /** Test hook: zero the counters so a spec can isolate its own window. */
+  def reset(): Unit = {
+    errorCount.set(0); sizeFallbackCount.set(0); lastMessage.set("")
+  }
 
   /** The counting filter. NEUTRAL on every path — observation only. */
   private object CountingFilter

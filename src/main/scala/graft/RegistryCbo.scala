@@ -50,13 +50,19 @@ private[graft] object RegistryCbo {
   /** One catalog registration + ANALYZE per (session, sfDir) — bench
     * reps and repeated Verify calls reuse the stats. External tables:
     * DROP never touches the driver parquet. */
+  // keyed on the session OBJECT (WeakHashMap): an identity hash can be
+  // reused after a stopped session is GC'd, falsely marking a fresh
+  // session prepared — and the weak key lets stopped sessions collect
   private val prepared =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.WeakHashMap[SparkSession, String]()
 
   private[graft] def ensureStatsTables(s: SparkSession,
                                        dir: String): Unit = synchronized {
-    val key = System.identityHashCode(s).toString
-    if (prepared.get(key) == dir) return
+    // re-verify the tables still exist even on a cache hit — the cache
+    // must not mask an externally-dropped catalog table
+    if (prepared.get(s) == dir &&
+        statsColumns.keys.forall(tn => s.catalog.tableExists(s"graft_cbo_$tn")))
+      return
     statsColumns.foreach { case (tn, cols) =>
       val table = s"graft_cbo_$tn"
       s.sql(s"DROP TABLE IF EXISTS $table")
@@ -67,7 +73,7 @@ private[graft] object RegistryCbo {
       // FOR COLUMNS also computes table-level rowCount + sizeInBytes
       s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS $cols")
     }
-    prepared.put(key, dir)
+    prepared.put(s, dir)
   }
 
   /** The registry query's SQL over the catalog tables; the oracle below

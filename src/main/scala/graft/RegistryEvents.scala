@@ -55,6 +55,37 @@ private[graft] trait RegistryEvents extends RegistryShared {
        |ORDER BY true_cnt DESC, key""".stripMargin
   }
 
+  /** Once-per-(session, sfDir) materialization of the Hive-partitioned
+    * events fact + the DPP dim — the `RegistryCbo.ensureStatsTables`
+    * pattern. Bench reps must time the pruned READ, not a repeated
+    * rewrite of the whole events table (which also leaked one scratch
+    * dir per invocation until JVM exit). Keyed on the session OBJECT
+    * via WeakHashMap (an identity-hash key can be reused after a
+    * stopped session is GC'd, falsely marking a fresh session
+    * prepared; the weak key lets stopped sessions collect). */
+  private val partLayouts =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (String, String)]]()
+
+  private def ensurePartitionedEvents(s: SparkSession,
+                                      dir: String): (String, String) =
+    partLayouts.synchronized {
+      partLayouts.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, {
+          val ev = t(s, dir, "events")
+          val factDir = graft.Scratch.dir("graft_dpp_fact")
+          Layout.writePartitioned(ev, factDir, "event_type")
+          val dimDir = graft.Scratch.dir("graft_dpp_dim")
+          ev.select(col("event_type")).distinct()
+            .withColumn("cat",
+              when(col("event_type").isin("click", "purchase"), lit("conv"))
+                .otherwise(lit("other")))
+            .coalesce(1).write.mode("overwrite").parquet(dimDir)
+          (factDir, dimDir)
+        })
+    }
+
   protected val events: Map[String, Q] = Map(
     "ev_hourly_rollup" -> ((s, dir) =>
       Events.hourlyRollup(t(s, dir, "events")).orderBy("hour", "event_type")),
@@ -194,10 +225,9 @@ private[graft] trait RegistryEvents extends RegistryShared {
     // over only that type's bytes. Oracle = the same rollup with a WHERE
     // on the raw table.
     "ev_partition_prune" -> ((s, dir) => {
-      val out = graft.Scratch.dir("graft_part")
-      Layout.writePartitioned(t(s, dir, "events"), out, "event_type")
+      val (factDir, _) = ensurePartitionedEvents(s, dir)
       Events.hourlyRollup(
-          s.read.parquet(out).where(col("event_type") === "click"))
+          s.read.parquet(factDir).where(col("event_type") === "click"))
         .orderBy("hour")
     }),
     // DYNAMIC partition pruning — the static prune above answers a
@@ -215,15 +245,7 @@ private[graft] trait RegistryEvents extends RegistryShared {
     // filter at plan time. Oracle = the same join over the raw table
     // with the dim derived in a CTE.
     "ev_dpp_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val factDir = graft.Scratch.dir("graft_dpp_fact")
-      Layout.writePartitioned(ev, factDir, "event_type")
-      val dimDir = graft.Scratch.dir("graft_dpp_dim")
-      ev.select(col("event_type")).distinct()
-        .withColumn("cat",
-          when(col("event_type").isin("click", "purchase"), lit("conv"))
-            .otherwise(lit("other")))
-        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      val (factDir, dimDir) = ensurePartitionedEvents(s, dir)
       val fact = s.read.parquet(factDir)
       val dim = s.read.parquet(dimDir).where(col("cat") === "conv")
       Events.hourlyRollup(fact.join(dim, Seq("event_type")))

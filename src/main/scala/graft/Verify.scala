@@ -49,10 +49,11 @@ object Verify {
     // session-wide; any nonzero count here is a red flag even when
     // every oracle matches.
     val cg = CodegenHealth.count
-    println(s"[verify] codegen_errors: $cg" +
+    val szf = CodegenHealth.sizeFallbacks
+    println(s"[verify] codegen_errors: $cg (size_fallbacks: $szf)" +
       (if (cg > 0) s" (last: ${CodegenHealth.last})" else ""))
     Files.writeString(Paths.get(s"$outDir/codegen_health.json"),
-      s"""{"codegen_errors": $cg, "last": ${q(CodegenHealth.last)}}""")
+      s"""{"codegen_errors": $cg, "size_fallbacks": $szf, "last": ${q(CodegenHealth.last)}}""")
     spark.stop()
     // Strict mode (dev gate): nonzero exit on any codegen failure. Kept
     // opt-in so a hypothetical false-positive signature match can never

@@ -760,12 +760,22 @@ object Similarity {
         lit(nc) - lit(2L) * dotQ(col("q"), typedLit(cv))
       }: _*)) + dotQ(col("q"), col("q"))
       val ids = cand.map(_._1)
-      cand ++= v.where(!col("vec_id").isInCollection(ids))
+      val got = v.where(!col("vec_id").isInCollection(ids))
         .select(col("vec_id"), col("q"), minD.as("d"))
         .orderBy(col("d").desc, col("vec_id"))
         .limit(batch)
         .select(col("vec_id"), col("q"))
         .as[(Long, Seq[Long])].collect()
+      // A short batch means the corpus has fewer rows than the
+      // oversample size: the reduce below could then face pool < k
+      // (empty-minBy crash), and the oracle's POSITIONAL pid formula
+      // (prior + row_number − 1) assumes full batches — fail loudly
+      // here instead of desynchronizing pids downstream.
+      require(got.length == batch,
+        s"k-means|| oversample underflow: corpus has fewer than " +
+          s"1+$rounds*$batch rows (round returned ${got.length} of " +
+          s"$batch) — shrink rounds/batch to fit the corpus")
+      cand ++= got
     }
     // phase 2: weigh — one corpus scan; pid = candidate pick order
     val asCodebook = cand.zipWithIndex

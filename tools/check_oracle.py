@@ -200,11 +200,19 @@ if os.path.exists(json_path):
             # normalize both shapes into the accumulated list
             prev_ranges = prev.get("ranges") or (
                 [prev["range"]] if prev.get("range") else [])
+            # collapse consecutive duplicates already accumulated by
+            # pre-fix reruns (the committed record carried five "(all)")
+            prev_ranges = [r for i, r in enumerate(prev_ranges)
+                           if i == 0 or prev_ranges[i - 1] != r]
     except Exception:
         pass
 merged.update(results)
-this_range = sys.argv[3] if len(sys.argv) > 3 else ""
-ranges = prev_ranges + ([this_range] if this_range else ["(all)"])
+this_range = (sys.argv[3] if len(sys.argv) > 3 else "") or "(all)"
+# resume re-runs of the same slice must not grow the list unboundedly —
+# only append when this slice differs from the last recorded one
+ranges = prev_ranges + ([this_range] if
+                        (not prev_ranges or prev_ranges[-1] != this_range)
+                        else [])
 ok_n = sum(1 for r in merged.values() if r["status"] == "OK")
 record_obj = {
     "sf": sf, "verify_dir": out,
