@@ -194,6 +194,49 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         .orderBy("user_id", "session_id")
     }),
 
+    // The TIMER half of the transformWithState surface
+    // (st_transform_state covers typed ValueState/TimeMode.None):
+    // event-time timers via registerTimer/handleExpiredTimer — the new
+    // API's replacement for GroupStateTimeout.EventTimeTimeout — close
+    // idle sessions when the watermark passes end+gap, no further
+    // event from that user needed. Same sentinel flush and the SAME
+    // oracle as st_stateful_sessions: the value-for-value match proves
+    // the two stateful APIs implement identical session semantics.
+    // RocksDB provider required (transformWithState rejects the
+    // HDFS-backed store); StreamingSpec's timer test proves the
+    // emission crosses micro-batch boundaries.
+    "st_tws_sessions" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val batch = t(s, dir, "events")
+        val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+        val sentinelTs = new java.sql.Timestamp(
+          maxTs.getTime + (SessionGapSeconds + 3600) * 1000L)
+        val sentinelDir = graft.Scratch.dir("graft_st_tws_sentinel")
+        Seq((-1L, -1L, sentinelTs)).toDF("user_id", "event_id", "ts")
+          .write.mode("overwrite").parquet(sentinelDir)
+        val evStream = Tables.loadStream(s, dir, "events")
+          .select("user_id", "event_id", "ts")
+        val src = evStream.unionAll(
+          s.readStream.schema(s.read.parquet(sentinelDir).schema)
+            .parquet(sentinelDir))
+        StreamOps.runToCompletion(s, src,
+          df => StreamOps.timerSessionize(
+            df.as[StreamOps.Ev], SessionGapSeconds).toDF(),
+          outputMode = "append", shufflePartitions = StreamStateParts)
+          .where(col("user_id") >= 0)
+          .orderBy("user_id", "session_id")
+      } finally saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Streaming CDC snapshot: one struct-max state row per user,
     // complete-mode emission; drained result == the batch snapshot
     // (shared oracle).
@@ -419,6 +462,10 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
     // Identical to the batch sessionize oracle: custom streaming state
     // must agree with the window formulation bit-for-bit.
     "st_stateful_sessions" -> sessionizeOracleSql,
+    // Timer-driven transformWithState sessionizer — the same oracle
+    // again: three independent implementations (window SQL, GroupState,
+    // event-time timers) must agree bit-for-bit.
+    "st_tws_sessions" -> sessionizeOracleSql,
     // The streaming CDC run compression must equal the batch interval
     // build value-for-value once drained (sentinel-flushed).
     "st_scd2" -> scd2OracleSql,

@@ -453,6 +453,87 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Event-time TIMER sessionizer on the `transformWithState` API — the
+    * timer half of the new-API surface ([[UserTotalsProcessor]] covers
+    * typed state, this covers `TimeMode.EventTime` + `registerTimer` /
+    * `handleExpiredTimer`, the API's replacement for
+    * `GroupStateTimeout.EventTimeTimeout`). Semantics are IDENTICAL to
+    * [[statefulSessionize]] (same oracle): gaps observed inside a batch
+    * close sessions inline; the trailing open session closes when the
+    * watermark passes `session end + gap` and the registered timer
+    * fires — possibly several micro-batches after the last event, the
+    * production property (an idle user's session must emit without
+    * waiting for that user's next event). One timer per key is live at
+    * a time: each batch deletes the previous registration before
+    * arming `end + gap`, and [[handleExpiredTimer]] double-checks the
+    * expiry matches the CURRENT session before closing (a stale timer
+    * must never close a live session). */
+  class SessionTimerProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var cur: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    private def timerMsOf(s: SessionState): Long =
+      s.endUs / 1000L + gapSeconds * 1000L
+    private def close(key: Long, s: SessionState): SessionOut =
+      SessionOut(key, s.sessionId, s.n, s.startUs, s.endUs,
+        s.endUs - s.startUs)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues)
+        : Iterator[SessionOut] = {
+      val gapUs = gapSeconds * 1000000L
+      var out = List.empty[SessionOut]
+      var s = if (cur.exists()) cur.get() else null
+      if (s != null) getHandle.deleteTimer(timerMsOf(s))
+      rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+        val us = usOf(e.ts)
+        s match {
+          case null => s = SessionState(1L, us, us, 1L)
+          case st if us - st.endUs > gapUs =>
+            out ::= close(key, st)
+            s = SessionState(st.sessionId + 1, us, us, 1L)
+          case st =>
+            s = st.copy(endUs = math.max(st.endUs, us), n = st.n + 1)
+        }
+      }
+      if (s != null) {
+        cur.update(s)
+        getHandle.registerTimer(timerMsOf(s))
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] =
+      if (cur.exists() &&
+          timerMsOf(cur.get()) == expiredTimerInfo.getExpiryTimeInMs) {
+        val s = cur.get()
+        cur.clear()
+        Iterator.single(close(key, s))
+      } else Iterator.empty
+  }
+
+  /** [[SessionTimerProcessor]] wired as a streaming transform — the
+    * timer-driven dual of [[statefulSessionize]] (same output shape,
+    * same oracle). Requires the RocksDB state-store provider (the
+    * transformWithState operator rejects the HDFS-backed one). */
+  def timerSessionize(events: Dataset[Ev], gapSeconds: Long,
+                      watermarkDelay: String = "0 seconds")
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming LATEST-PER-KEY snapshot — the live CDC snapshot table:
     * each micro-batch folds into one lexicographic struct-max per key,
     * so the state store holds exactly ONE fixed-size struct per user

@@ -180,6 +180,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState event-time TIMER closes an idle session in a " +
+      "LATER micro-batch (registerTimer/handleExpiredTimer across the " +
+      "batch boundary)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val gap = 1800L
+      val ms = MemoryStream[Ev]
+      val q = StreamOps.timerSessionize(ms.toDS(), gap)
+        .toDF()
+        .writeStream.format("memory").queryName("st_spec_timer_sessions")
+        .outputMode(OutputMode.Append).start()
+      // batch 1: two events for user 1 inside the gap — session stays
+      // open, timer armed at end+gap; nothing may emit yet
+      ms.addData(Ev(1L, 1L, ts(B)), Ev(1L, 2L, ts(B + 10L * 1000000L)))
+      q.processAllAvailable()
+      assert(spark.table("st_spec_timer_sessions").isEmpty,
+        "session emitted before any timer could have fired")
+      // batch 2: a DIFFERENT user's event far past user 1's end+gap
+      // advances the watermark; user 1's session must close via its
+      // TIMER (no further user-1 input), in a later micro-batch —
+      // processAllAvailable includes the no-data batch the engine runs
+      // when watermark advancement expires timers
+      ms.addData(Ev(9L, 3L, ts(B + 3 * H)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("st_spec_timer_sessions")
+        .as[StreamOps.SessionOut].collect().toSeq
+      // exactly user 1's closed session; user 9's is still open (the
+      // watermark never passed ITS end+gap)
+      assert(got == Seq(StreamOps.SessionOut(1L, 1L, 2L, B,
+        B + 10L * 1000000L, 10L * 1000000L)), s"got $got")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming corpus prep: filters drop, watermark dedup emits once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
