@@ -67,8 +67,20 @@ private[graft] trait RegistryEvents extends RegistryShared {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, (String, String)]]()
 
-  private def ensurePartitionedEvents(s: SparkSession,
-                                      dir: String): (String, String) =
+  /** The partition-pruned click rollup — shared by the batch
+    * (`ev_partition_prune`) and streaming (`st_partition_prune`)
+    * formulations: both must equal the raw-table WHERE rollup. */
+  protected lazy val partitionPruneOracleSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+      |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1, 2 ORDER BY hour""".stripMargin
+
+  protected def ensurePartitionedEvents(s: SparkSession,
+                                        dir: String): (String, String) =
     partLayouts.synchronized {
       partLayouts.computeIfAbsent(s,
           _ => scala.collection.mutable.Map.empty)
@@ -583,14 +595,7 @@ private[graft] trait RegistryEvents extends RegistryShared {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step_order""".stripMargin,
-    "ev_partition_prune" ->
-      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
-        |  count(*) AS n_events,
-        |  count(DISTINCT user_id) AS n_users,
-        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
-        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS value_sum
-        |FROM events WHERE event_type = 'click'
-        |GROUP BY 1, 2 ORDER BY hour""".stripMargin,
+    "ev_partition_prune" -> partitionPruneOracleSql,
     "ev_dpp_join" ->
       """WITH dim AS (SELECT DISTINCT event_type,
         |  CASE WHEN event_type IN ('click', 'purchase')

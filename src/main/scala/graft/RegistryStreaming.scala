@@ -39,6 +39,26 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
           shufflePartitions = StreamStateParts),
         t(s, dir, "events"), HllBoundPpm)
         .orderBy("hour", "event_type")),
+    // Streaming dual of ev_partition_prune: the SAME Hive-partitioned
+    // fact read as a FILE STREAM with a partition filter — each
+    // micro-batch's scan carries the predicate as a PartitionFilter,
+    // so only the click directory's files are ever read (LayoutSpec's
+    // streaming test pins numFiles == click-partition files). At
+    // 100 TB this is the streaming backfill saver: tailing a
+    // date/tenant-partitioned fact with a partition predicate must not
+    // re-read every directory each batch. Oracle = the same raw-table
+    // WHERE rollup as the batch dual.
+    "st_partition_prune" -> ((s, dir) => {
+      val (factDir, _) = ensurePartitionedEvents(s, dir)
+      val src = s.readStream
+        .schema(s.read.parquet(factDir).schema)
+        .parquet(factDir)
+        .where(col("event_type") === "click")
+      graft.streaming.StreamOps.runToCompletion(
+        s, src, graft.streaming.StreamOps.hourlyRollupStream,
+        shufflePartitions = StreamStateParts)
+        .orderBy("hour")
+    }),
     "st_session_window" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionWindowAgg(
         t(s, dir, "events"), SessionGapSeconds)
@@ -414,6 +434,9 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
        |ORDER BY user_id, start_us""".stripMargin
 
   protected val streamingOracles: Map[String, String] = Map(
+    // The partition-pruned streaming rollup must equal the raw-table
+    // WHERE rollup — the same oracle the batch dual is checked against.
+    "st_partition_prune" -> partitionPruneOracleSql,
     // transformWithState running totals: update-mode latest == batch
     // groupBy (order-insensitive accumulators)
     "st_transform_state" ->

@@ -61,6 +61,54 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("file-STREAM partition pruning: the micro-batch scan reads only " +
+       "the matching partition directory (PartitionFilters + numFiles)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_part_stream_spec").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"t${i % 4}", i * 1.5))
+      .toDF("id", "kind", "v")
+    Layout.writePartitioned(df, out, "kind")
+    def filesIn(d: java.io.File): Int =
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("kind="))
+    val matchFiles = dirs.filter(_.getName == "kind=t1").map(filesIn).sum
+    val allFiles = dirs.map(filesIn).sum
+    assert(matchFiles > 0 && matchFiles < allFiles)
+
+    val src = spark.readStream
+      .schema(spark.read.parquet(out).schema)
+      .parquet(out)
+      .where($"kind" === "t1")
+    val q = src.writeStream.format("memory")
+      .queryName("layout_stream_prune")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // directory-listing evidence from the LAST micro-batch's physical
+    // plan: the kind predicate must sit in PartitionFilters (answered
+    // from directory names, pre-IO) and the scan's numFiles metric
+    // must equal the matching partition's file count — the other three
+    // directories' files were never opened
+    val exec = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution
+    val scans = exec.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no FileSourceScanExec in the micro-batch plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "kind")),
+      s"kind predicate must be a partition filter: ${scan.partitionFilters}")
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles == matchFiles,
+      s"scan read $numFiles files, expected only the $matchFiles in " +
+        s"kind=t1 (of $allFiles total)")
+    // and the streamed rows are exactly the matching partition's rows
+    assert(spark.table("layout_stream_prune").count() == 250)
+  }
+
   test("clusterByZ: disjoint partition key ranges, tight 2-D tiles") {
     // A full 64×64 grid into 16 partitions: perfect z-tiles would be
     // 16×16 blocks (extent 15 per dimension) vs the global extent 63.
