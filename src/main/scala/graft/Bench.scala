@@ -19,17 +19,24 @@ import org.apache.spark.sql.SparkSession
   * queries — combined with min-of-reps this makes cross-round per-query
   * comparison robust to drift WITHIN a run, not just between runs.
   *
-  * Two fixed canaries run first and are both reported:
+  * Three fixed canaries run first and are all reported:
   *  - `canary_sec` — pure scalar CPU (no I/O, no shuffle), the
   *    host-clock-speed proxy;
   *  - `canary_shuffle_sec` — a 10M-row hash→repartition→sort through
   *    the real shuffle path, the memory-bandwidth/scheduler/shuffle
   *    proxy most registry queries actually resemble (round 16: the
   *    scalar canary twice moved OPPOSITE to the whole workload, so a
-  *    single canary could not separate host drift from regressions).
-  * Per-query lines carry `norm` = sec/canary_sec and `norm_shuffle` =
-  * sec/canary_shuffle_sec; `tools/bench_diff.py` picks the profile-
-  * matched one per query (shuffle-heavy → `norm_shuffle`).
+  *    single canary could not separate host drift from regressions);
+  *  - `canary_scan_sec` — a full-column parquet scan of the sf dir's
+  *    lineitem, the page-cache/disk/decode proxy (round 17: both other
+  *    canaries flat while ~39 queries ran 1.6–1.8× slow — I/O-side
+  *    contention was invisible to CPU and shuffle sampling).
+  * Per-query lines carry `norm` = sec/canary_sec, `norm_shuffle` =
+  * sec/canary_shuffle_sec, and `norm_scan` = sec/canary_scan_sec;
+  * `tools/bench_diff.py` picks the profile-matched one per query
+  * (shuffle-heavy → `norm_shuffle`, scan-heavy → `norm_scan`) and
+  * auto-flags "all canaries flat + workload uniformly slow" as
+  * unattributable host contention.
   */
 object Bench {
 
@@ -46,6 +53,8 @@ object Bench {
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val peakMem = new AtomicLong
+    val inputBytes = new AtomicLong
+    val inputRows = new AtomicLong
     @volatile private var lastEventNs = 0L
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
@@ -53,11 +62,16 @@ object Bench {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         peakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+        // bytesRead is scheme-dependent (zero on some local-FS scan
+        // paths) — record rows too; either signals a scan-heavy query
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        inputRows.addAndGet(m.inputMetrics.recordsRead)
         lastEventNs = System.nanoTime()
       }
     }
     def reset(): Unit = {
       shuffleRead.set(0); shuffleWrite.set(0); peakMem.set(0)
+      inputBytes.set(0); inputRows.set(0)
     }
     /** Wait until no taskEnd has arrived for 50 ms (cap 500 ms). */
     def settle(): Unit = {
@@ -110,14 +124,30 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // Third, I/O-PROFILE canary: a fixed full-column scan of the sf
+    // dir's lineitem parquet into the noop sink — samples the
+    // page-cache / disk-read / parquet-decode dimension NEITHER other
+    // canary touches. Round 17's closing note recorded the strongest
+    // canary-vs-workload divergence yet: both canaries flat while ~39
+    // queries ran 1.6–1.8× slow, the suspected contention being
+    // exactly this dimension. Not artificially cold — a co-tenant
+    // evicting the page cache or saturating the disk slows THIS scan
+    // the same way it slows the workload's scans, which is the point.
+    // Fixed per sfDir, so records at the same sf stay comparable.
+    val canaryScan = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      Tables.load(spark, sfDir, "lineitem")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Per-query resource metrics (shuffle bytes, peak task memory):
     // reset before each rep, captured after the LAST successful rep —
     // bytes are plan-deterministic across reps, so last == any.
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
-    val resources =
-      scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    val resources = scala.collection.mutable
+      .LinkedHashMap[String, (Long, Long, Long, Long, Long)]()
     // Optional args = query-name filter, for timing one query while
     // iterating. The driver passes no args → full suite.
     val selected = if (args.isEmpty) SparkEntry.queries
@@ -150,7 +180,8 @@ object Bench {
         if (r == reps) {
           metrics.settle()
           resources(name) = (metrics.shuffleRead.get(),
-            metrics.shuffleWrite.get(), metrics.peakMem.get())
+            metrics.shuffleWrite.get(), metrics.peakMem.get(),
+            metrics.inputBytes.get(), metrics.inputRows.get())
         }
         runTimes(name) = runTimes.getOrElse(name, Vector.empty) :+ dt
       } catch {
@@ -204,9 +235,10 @@ object Bench {
     // written, shuffle bytes read, max per-task peak execution memory.
     def mb(v: Long): String = f"${v / 1e6}%.1f"
     def res(k: String): String = resources.get(k)
-      .map { case (rd, wr, pk) =>
+      .map { case (rd, wr, pk, in, rows) =>
         s""","shuffle_mb":${mb(wr)},"shuffle_read_mb":${mb(rd)}""" +
-          s""","peak_task_mem_mb":${mb(pk)}"""
+          s""","peak_task_mem_mb":${mb(pk)},"input_mb":${mb(in)}""" +
+          s""","input_rows":$rows"""
       }.getOrElse("")
     val shuffleMap = results
       .collect { case (k, Some(_)) if resources.contains(k) =>
@@ -216,11 +248,12 @@ object Bench {
     // failure anywhere in the run means some stage silently timed
     // INTERPRETED mode (the MinhashSigExpr lesson) — a nonzero count
     // invalidates cross-round comparison for the affected queries.
-    val head = s""""metric":"total","unit":"sec","value":${ms(total)},"sf":"$sfDir","reps":$reps,"stat":"min-interleaved","canary_sec":${ms(canary)},"canary_shuffle_sec":${ms(canaryShuffle)},"codegen_errors":${CodegenHealth.count},"n_queries":${ok.size}"""
+    val head = s""""metric":"total","unit":"sec","value":${ms(total)},"sf":"$sfDir","reps":$reps,"stat":"min-interleaved","canary_sec":${ms(canary)},"canary_shuffle_sec":${ms(canaryShuffle)},"canary_scan_sec":${ms(canaryScan)},"codegen_errors":${CodegenHealth.count},"n_queries":${ok.size}"""
     println(s"""{$head,"queries":$qs,"spread":$spreads,"norm":$norms,"shuffle_mb":$shuffleMap,"errors":$errJson}""")
+    def nmSc(v: Double): String = f"${v / canaryScan}%.2f"
     val perQuery = results.map {
       case (k, Some((mn, mx))) =>
-        s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)},"norm_shuffle":${nmSh(mn)}${res(k)}}"""
+        s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)},"norm_shuffle":${nmSh(mn)},"norm_scan":${nmSc(mn)}${res(k)}}"""
       case (k, None) =>
         s"""{"query":"$k","error":"${errors.getOrElse(k, "?")}"}"""
     }.toSeq

@@ -78,6 +78,8 @@ def norm_of(row):
 
 
 SHUFFLE_HEAVY_MB = 1.0
+SCAN_HEAVY_MB = 20.0
+SCAN_HEAVY_ROWS = 200_000  # bytesRead is zero on some local-FS paths
 
 
 def matched_norm(row_old, row_new):
@@ -85,19 +87,74 @@ def matched_norm(row_old, row_new):
 
     Shuffle-heavy queries (>1 MB shuffle bytes on either side) are
     memory-bandwidth/scheduler-bound and normalize by the shuffle
-    canary (norm_shuffle) when BOTH sides carry it; scalar queries (and
-    records predating the second canary) fall back to the CPU-canary
-    norm. Returns (old_val, new_val, which) or None when no normalized
-    pair exists on both sides."""
+    canary (norm_shuffle) when BOTH sides carry it. Otherwise,
+    scan-heavy queries (>20 MB input bytes, little shuffle) are
+    page-cache/IO-bound and normalize by the scan canary (norm_scan).
+    Scalar queries (and records predating the extra canaries) fall back
+    to the CPU-canary norm. Returns (old_val, new_val, which) or None
+    when no normalized pair exists on both sides."""
     heavy = max(float(row_old.get("shuffle_mb", 0) or 0),
                 float(row_new.get("shuffle_mb", 0) or 0)) > SHUFFLE_HEAVY_MB
     if heavy and row_old.get("norm_shuffle") is not None \
             and row_new.get("norm_shuffle") is not None:
         return (float(row_old["norm_shuffle"]),
                 float(row_new["norm_shuffle"]), "shuffle")
+    scanny = max(float(row_old.get("input_mb", 0) or 0),
+                 float(row_new.get("input_mb", 0) or 0)) > SCAN_HEAVY_MB \
+        or max(float(row_old.get("input_rows", 0) or 0),
+               float(row_new.get("input_rows", 0) or 0)) > SCAN_HEAVY_ROWS
+    if scanny and row_old.get("norm_scan") is not None \
+            and row_new.get("norm_scan") is not None:
+        return (float(row_old["norm_scan"]),
+                float(row_new["norm_scan"]), "scan")
     if row_old.get("norm") is not None and row_new.get("norm") is not None:
         return (float(row_old["norm"]), float(row_new["norm"]), "cpu")
     return None
+
+
+CANARY_FLAT = 1.15   # a canary moved less than this → "flat"
+WORKLOAD_SHIFT = 1.25  # median raw ratio beyond this → "uniform shift"
+
+
+def contention_check(old, new, old_head, new_head, both):
+    """Auto-adjudicate the 'all canaries flat, workload uniformly slow'
+    pattern (recorded three rounds running before round 18): if every
+    canary present on both sides moved < CANARY_FLAT while the MEDIAN
+    raw sec ratio over shared queries moved > WORKLOAD_SHIFT, the shift
+    is host contention in a dimension no canary samples (or, with the
+    scan canary now present, unattributable) — wall-times are
+    host-hostage and shuffle bytes are the regression signal. Printed
+    automatically so the cross-round diff needs no narrative."""
+    if not (old_head and new_head and both):
+        return
+    ratios = sorted(float(new[q]["sec"]) / float(old[q]["sec"])
+                    for q in both
+                    if float(old[q].get("sec", 0) or 0) > 0
+                    and float(new[q].get("sec", 0) or 0) > 0)
+    if not ratios:
+        return
+    med = ratios[len(ratios) // 2]
+    cans = []
+    for k in ("canary_sec", "canary_shuffle_sec", "canary_scan_sec"):
+        ov, nv = old_head.get(k), new_head.get(k)
+        if ov and nv and float(ov) > 0:
+            cans.append((k, float(nv) / float(ov)))
+    print(f"\nhost check: median raw ratio {med:.2f}x over {len(ratios)} "
+          "shared queries; canaries "
+          + (", ".join(f"{k}={r:.2f}x" for k, r in cans) or "(none)"))
+    if not cans:
+        return
+    flat = all(1 / CANARY_FLAT <= r <= CANARY_FLAT for _, r in cans)
+    shifted = med >= WORKLOAD_SHIFT or med <= 1 / WORKLOAD_SHIFT
+    if flat and shifted:
+        print("  UNATTRIBUTABLE CONTENTION: every canary is flat but the "
+              "workload shifted uniformly — treat wall-times as "
+              "host-hostage; compare shuffle bytes, not seconds.")
+    elif shifted:
+        worst = max(cans, key=lambda c: abs(c[1] - med))
+        print("  host drift: workload shift tracks the canaries — "
+              "normalized comparison above already corrects it "
+              f"(largest canary residual: {worst[0]})")
 
 
 def main():
@@ -150,6 +207,8 @@ def main():
         print(f"  {q}: {ov:.2f} -> {nv:.2f}  ({ratio:.2f}x){w}{tag}")
     if not movers:
         print("  (none)")
+
+    contention_check(old, new, old_head, new_head, both)
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
