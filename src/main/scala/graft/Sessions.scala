@@ -13,12 +13,20 @@ object Sessions {
     sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
 
+  /** Shuffle partition count, overridable INDEPENDENTLY of the core
+    * count (SPARK_GRAFT_SHUFFLE_PARTITIONS): on a real cluster
+    * partitions scale with input while cores-per-executor stay fixed —
+    * the partition-scaling measurements (BASELINE.md round 18) hold
+    * local[cpus] constant and vary only this. */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // Cost-based optimization ON — the 100 TB posture. Inert for the
