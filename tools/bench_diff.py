@@ -150,11 +150,25 @@ def contention_check(old, new, old_head, new_head, both):
         print("  UNATTRIBUTABLE CONTENTION: every canary is flat but the "
               "workload shifted uniformly — treat wall-times as "
               "host-hostage; compare shuffle bytes, not seconds.")
-    elif shifted:
+        return
+    if shifted:
         worst = max(cans, key=lambda c: abs(c[1] - med))
         print("  host drift: workload shift tracks the canaries — "
               "normalized comparison above already corrects it "
               f"(largest canary residual: {worst[0]})")
+        return
+    # INVERSE divergence: workload flat but a canary itself caught a
+    # fast/slow window — every mover normalized by THAT canary above is
+    # an artifact of the canary, not the query (round 18 sf1: shuffle
+    # canary 0.71x, median 0.97x → 30 fake normalized movers, all with
+    # byte-identical shuffle). Name the suspect canaries mechanically.
+    suspects = [k for k, r in cans
+                if r / med > CANARY_FLAT or r / med < 1 / CANARY_FLAT]
+    if suspects:
+        print("  CANARY ARTIFACT: workload median is flat but "
+              f"{', '.join(suspects)} moved — movers normalized by "
+              "these canaries are suspect; trust raw sec + shuffle "
+              "bytes for them.")
 
 
 def main():
