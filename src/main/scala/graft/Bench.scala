@@ -55,12 +55,18 @@ object Bench {
     val peakMem = new AtomicLong
     val inputBytes = new AtomicLong
     val inputRows = new AtomicLong
+    // records are the partition-count-INVARIANT shuffle measure: bytes
+    // vary with compression-block size (more partitions → smaller
+    // blocks → worse ratio), rows cannot — the pair separates a plan
+    // regression from a layout effect (BASELINE.md round 18)
+    val shuffleRows = new AtomicLong
     @volatile private var lastEventNs = 0L
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         peakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
         // bytesRead is scheme-dependent (zero on some local-FS scan
         // paths) — record rows too; either signals a scan-heavy query
@@ -71,7 +77,7 @@ object Bench {
     }
     def reset(): Unit = {
       shuffleRead.set(0); shuffleWrite.set(0); peakMem.set(0)
-      inputBytes.set(0); inputRows.set(0)
+      inputBytes.set(0); inputRows.set(0); shuffleRows.set(0)
     }
     /** Wait until no taskEnd has arrived for 50 ms (cap 500 ms). */
     def settle(): Unit = {
@@ -147,7 +153,7 @@ object Bench {
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
     val resources = scala.collection.mutable
-      .LinkedHashMap[String, (Long, Long, Long, Long, Long)]()
+      .LinkedHashMap[String, (Long, Long, Long, Long, Long, Long)]()
     // Optional args = query-name filter, for timing one query while
     // iterating. The driver passes no args → full suite.
     val selected = if (args.isEmpty) SparkEntry.queries
@@ -181,7 +187,8 @@ object Bench {
           metrics.settle()
           resources(name) = (metrics.shuffleRead.get(),
             metrics.shuffleWrite.get(), metrics.peakMem.get(),
-            metrics.inputBytes.get(), metrics.inputRows.get())
+            metrics.inputBytes.get(), metrics.inputRows.get(),
+            metrics.shuffleRows.get())
         }
         runTimes(name) = runTimes.getOrElse(name, Vector.empty) :+ dt
       } catch {
@@ -235,10 +242,10 @@ object Bench {
     // written, shuffle bytes read, max per-task peak execution memory.
     def mb(v: Long): String = f"${v / 1e6}%.1f"
     def res(k: String): String = resources.get(k)
-      .map { case (rd, wr, pk, in, rows) =>
+      .map { case (rd, wr, pk, in, rows, shRows) =>
         s""","shuffle_mb":${mb(wr)},"shuffle_read_mb":${mb(rd)}""" +
           s""","peak_task_mem_mb":${mb(pk)},"input_mb":${mb(in)}""" +
-          s""","input_rows":$rows"""
+          s""","input_rows":$rows,"shuffle_rows":$shRows"""
       }.getOrElse("")
     val shuffleMap = results
       .collect { case (k, Some(_)) if resources.contains(k) =>
