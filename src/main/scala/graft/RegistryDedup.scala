@@ -152,7 +152,8 @@ private[graft] trait RegistryDedup extends RegistryShared {
     // ≥ 37) so the ≤ 20 cut is robustly inside the gap.
     "dd_fuzzy_pairs" -> ((s, dir) =>
       Dedup.fuzzyPairs(t(s, dir, "documents"), "doc_id", "text",
-          blockLen = 8, cmpLen = 80, maxDist = 20)
+          blockLen = 8, cmpLen = 80, maxDist = 20,
+          maxBlock = FuzzyMaxBlock)
         .orderBy("doc_a", "doc_b")),
 
     // Benchmark DECONTAMINATION audit: docs at id % EvalHoldout == 0
@@ -214,11 +215,15 @@ private[graft] trait RegistryDedup extends RegistryShared {
          |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
          |ORDER BY doc_id""".stripMargin,
     "dd_fuzzy_pairs" ->
-      """WITH d AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id,
         |  substr(regexp_replace(regexp_replace(trim(lower(text)),
-        |    '\s+', ' ', 'g'), '[^ -~]', '', 'g'), 1, 80) AS head
+        |    '\\s+', ' ', 'g'), '[^ -~]', '', 'g'), 1, 80) AS head
         |  FROM documents),
-        |b AS (SELECT doc_id, head, substr(head, 1, 8) AS block FROM d)
+        |b0 AS (SELECT doc_id, head, substr(head, 1, 8) AS block FROM d),
+        |b AS (SELECT doc_id, head, block FROM (
+        |  SELECT doc_id, head, block,
+        |    count(*) OVER (PARTITION BY block) AS n FROM b0)
+        |  WHERE n <= $FuzzyMaxBlock)
         |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
         |  levenshtein(a.head, bb.head) AS edit_dist
         |FROM b a JOIN b bb ON a.block = bb.block AND a.doc_id < bb.doc_id

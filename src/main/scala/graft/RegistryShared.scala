@@ -52,6 +52,13 @@ private[graft] trait RegistryShared {
   // on the interval join). Size UP on a real cluster.
   protected val StreamStateParts = Some(8)
   protected val IdShift = 1000000L
+  /** Fuzzy-dedup block-size cap (plan AND oracle): a prefix block
+    * bigger than this is mass duplication owned by the O(n) hash paths
+    * — pairwise edit distance inside it would be quadratic in the
+    * duplication factor (round-18 sf10: one 16,500-doc block → 324.8M
+    * pairs). 200 leaves the sf0.01/sf0.1 fixtures bit-identical (their
+    * largest block is 165). */
+  protected val FuzzyMaxBlock = 200
   // Decontamination: eval holdout = ids divisible by 50; word-3-grams
   // (the fixture vocabulary is tiny, so 3-grams give a dense overlap
   // signal; production suites use 8–13).

@@ -198,20 +198,57 @@ object Dedup {
     * counts codepoints, so the cross-engine contract (and the oracle) is
     * pinned on the ASCII projection where the two agree. Comparison is
     * over the first `cmpLen` normalized chars (long documents differ
-    * early or are near-dups; the head is the standard cheap proxy). */
+    * early or are near-dups; the head is the standard cheap proxy).
+    *
+    * `maxBlock` bounds the quadratic: a block larger than `maxBlock`
+    * is MASS DUPLICATION (boilerplate or wholesale copies — the
+    * round-18 sf10 measurement found a 16,500-doc block driving
+    * 324.8M pairs, exponent 2.0 over two decades), and pairwise edit
+    * distance is the wrong tool for it — the hash-based paths
+    * (dd_exact, minhash/LSH) own that regime at O(n). Oversized
+    * blocks are excluded BEFORE the self-join, capping per-block work
+    * at maxBlock²; the cap is part of the operator contract and the
+    * oracle applies the identical filter. */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
-                 blockLen: Int, cmpLen: Int, maxDist: Int): DataFrame = {
+                 blockLen: Int, cmpLen: Int, maxDist: Int,
+                 maxBlock: Int): DataFrame = {
     val clean = regexp_replace(
       regexp_replace(trim(lower(col(textCol))), "\\s+", " "),
       "[^ -~]", "")
     val d = df.select(col(idCol).as("doc_id"),
         substring(clean, 1, cmpLen).as("head"))
       .withColumn("block", substring(col("head"), 1, blockLen))
+    // block-size gate: broadcast anti-join against the OVERSIZED blocks
+    // only — each such key represents > maxBlock docs, so the broadcast
+    // holds ≤ N/maxBlock short strings (43 keys at the sf10 measurement
+    // that motivated the cap). Shape matters: a broadcast join needs no
+    // partitioning, so the planner applies it BELOW the self-join's
+    // exchange, and the SMJ's children stay Sort-over-ShuffleStage —
+    // the exact pattern AQE's skew-join split matches (a window-count
+    // gate here would interpose WindowExec and silently disable the
+    // split PlanQualitySpec pins for the hot-but-bounded-block case).
+    val bad = d.groupBy("block").count()
+      .where(col("count") > maxBlock).select("block")
+    // Explicit fan-out before the pair join: this stage is COMPUTE-
+    // dense and byte-light (a 63 MB scan fans out to millions of
+    // levenshtein calls), so byte-based partitioning is misled twice —
+    // the scan packs into 1-2 input splits, and AQE would coalesce a
+    // post-shuffle stage this small back to one task (measured: the
+    // whole sf10 pairwise stage on a single core, 222 s). An explicit
+    // numPartitions is the one form AQE must not coalesce; hashing on
+    // block keeps block-mates co-located for the join.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sized = d.join(broadcast(bad), Seq("block"), "left_anti")
+      .repartition(parts, col("block"))
+      .select("block", "doc_id", "head")
     // Banded (threshold) levenshtein: O(maxDist·cmpLen) per pair instead
     // of O(cmpLen²), exact for distances ≤ maxDist, -1 beyond — the
     // beyond-band pairs are exactly the ones the filter drops.
-    d.toDF("doc_a", "head_a", "block")
-      .join(d.toDF("doc_b", "head_b", "block"), Seq("block"))
+    val l = sized.select(col("block"), col("doc_id").as("doc_a"),
+      col("head").as("head_a"))
+    val r = sized.select(col("block"), col("doc_id").as("doc_b"),
+      col("head").as("head_b"))
+    l.join(r, Seq("block"))
       .where(col("doc_a") < col("doc_b"))
       .withColumn("edit_dist",
         levenshtein(col("head_a"), col("head_b"), maxDist)

@@ -164,7 +164,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, "The quick brown cat naps all day long"),        // same block, far
       (4L, "Completely different opening line here")).toDF("id", "text")
     val out = Dedup.fuzzyPairs(docs, "id", "text",
-        blockLen = 8, cmpLen = 80, maxDist = 5)
+        blockLen = 8, cmpLen = 80, maxDist = 5, maxBlock = 200)
       .select("doc_a", "doc_b", "edit_dist")
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     // doc2 normalizes to "th quick brown..." (é removed) — its BLOCK
@@ -172,10 +172,27 @@ class DedupSpec extends AnyFunSuite {
     // with nothing; doc1/doc3 share a block but are 18 edits apart.
     assert(out == Seq.empty)
     val relaxed = Dedup.fuzzyPairs(docs, "id", "text",
-        blockLen = 8, cmpLen = 80, maxDist = 20)
+        blockLen = 8, cmpLen = 80, maxDist = 20, maxBlock = 200)
       .select("doc_a", "doc_b", "edit_dist")
       .as[(Long, Long, Long)].collect().toSeq
     assert(relaxed == Seq((1L, 3L, 18L)))
+  }
+
+  test("fuzzyPairs maxBlock: an oversized block is excluded before the " +
+      "quadratic join; bounded blocks still pair") {
+    // 5 copies sharing one block (mass duplication) + 2 docs in a
+    // bounded block: with maxBlock = 4 the 5-copy block contributes
+    // ZERO pairs (its 10 comparisons never run), the pair in the
+    // bounded block survives.
+    val mass = (1 to 5).map(i => (i.toLong, s"same opening line copy $i"))
+    val ok = Seq((10L, "other text entirely here"),
+                 (11L, "other text entirelX here"))
+    val docs = (mass ++ ok).toDF("id", "text")
+    val out = Dedup.fuzzyPairs(docs, "id", "text",
+        blockLen = 8, cmpLen = 80, maxDist = 5, maxBlock = 4)
+      .select("doc_a", "doc_b", "edit_dist")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 11L, 1L)), s"got $out")
   }
 
   test("dropNearDuplicates removes the greater id of every pair") {

@@ -461,15 +461,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"probe must sit below (after, in print order) the verify join:\n$plan")
   }
 
-  test("fuzzyPairs: AQE splits a hot prefix block in the self-join") {
+  test("fuzzyPairs: the pair join's fan-out is an explicit non-" +
+      "coalescible repartition, and skew insurance is the block cap") {
     import spark.implicits._
-    // One boilerplate block (same 4-char prefix, diverging tails so the
-    // banded levenshtein rejects most pairs) dominating a sea of
-    // singleton blocks — the skew shape the fuzzyPairs scaladoc claims
-    // AQE handles. Thresholds are lowered so test-scale bytes count as
-    // skewed; factor/advisory sizes chosen so only the hot block trips.
-    // Incompressible tails (md5 hex per row) keep the shuffle bytes
-    // honest — repetitive padding compresses below any skew threshold.
+    // The round-18 sf10 measurement replaced fuzzyPairs' skew story:
+    // the pairwise stage is compute-dense and byte-light, so (a) AQE's
+    // byte-based coalescing collapsed it to ONE task (222 s single-
+    // core), and (b) byte-based skew-split never saw the hot block as
+    // skewed bytes either. The operator now carries its own insurance:
+    // an oversized-block CAP (quadratic work bounded at maxBlock² per
+    // block — DedupSpec pins the exclusion) plus an explicit
+    // REPARTITION_BY_NUM on the block key, the one exchange form AQE
+    // is forbidden to coalesce, so block-mates spread over the full
+    // partition count no matter how few bytes they are.
     def hex(i: Long) = java.security.MessageDigest.getInstance("MD5")
       .digest(i.toString.getBytes).map("%02x".format(_)).mkString
     val hot = (0 until 3000).map(i =>
@@ -477,23 +481,18 @@ class PlanQualitySpec extends AnyFunSuite {
     val cold = (0 until 60).map(i =>
       (100000L + i, s"${"%04d".format(i)} ${hex(i + 200000L)}"))
     val docs = (hot ++ cold).toDF("doc_id", "text")
-    val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
-      .map(k => k -> conf.get(k))
-    try {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
-      val pairs = graft.operators.Dedup.fuzzyPairs(
-        docs, "doc_id", "text", blockLen = 4, cmpLen = 24, maxDist = 3)
-      val plan = planString(pairs)
-      assert(plan.contains("skew=true"),
-        s"hot block must trigger AQE's skew-join split:\n$plan")
-    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+    val pairs = graft.operators.Dedup.fuzzyPairs(
+      docs, "doc_id", "text", blockLen = 4, cmpLen = 24, maxDist = 3,
+      maxBlock = 10000)
+    val plan = planString(pairs)
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"pair join must fan out via an explicit numPartitions " +
+        s"repartition (AQE must not coalesce it):\n$plan")
+    // and the fan-out carries the session's full partition count
+    val parts = spark.sessionState.conf.numShufflePartitions
+    assert(plan.contains(s"hashpartitioning(block#") &&
+           plan.contains(s", $parts), REPARTITION_BY_NUM"),
+      s"fan-out must hash block over all $parts partitions:\n$plan")
   }
 
   test("tx_bm25_topk: the query vocabulary broadcast-filters the " +
