@@ -802,7 +802,13 @@ object Registry {
         |  SELECT event_id, 1, CAST(user_id AS VARCHAR), user_id, -1
         |  FROM base
         |  UNION ALL
-        |  SELECT event_id, 2, '{"k":' || CAST(k AS VARCHAR) || '}', -1, k
+        |  -- mirrors the fixture builder's defensive coalesce of a
+        |  -- missing props.k to JSON null: the object element would be
+        |  -- '{"k":null}' with the $.k extraction missing (→ -1), never
+        |  -- a NULL row (the registry's no-NULL convention)
+        |  SELECT event_id, 2,
+        |    '{"k":' || coalesce(CAST(k AS VARCHAR), 'null') || '}', -1,
+        |    coalesce(k, -1)
         |  FROM base
         |  UNION ALL
         |  SELECT event_id, 3, '', -1, -1 FROM base)

@@ -65,4 +65,43 @@ class CodegenHealthSpec extends AnyFunSuite {
       "compile failure was not observed by CodegenHealth")
     assert(CodegenHealth.last.nonEmpty)
   }
+
+  test("signature classification matches Spark 4.1.2's actual log text") {
+    CodegenHealth.reset()
+    // WholeStageCodegenExec.doExecute's COMPILE-FAILURE fallback WARN
+    // (string constant verified in spark-sql_2.13-4.1.2.jar) — gates.
+    CodegenHealth.observe(
+      "Whole-stage codegen disabled for plan (id=3):\n *(3) HashAggregate")
+    assert(CodegenHealth.count == 1 && CodegenHealth.sizeFallbacks == 0,
+      "compile-failure fallback warning must gate")
+    // The hugeMethodLimit SIZE fallback INFO — healthy plan, never gates.
+    CodegenHealth.observe(
+      "Found too long generated codes and JIT optimization might not " +
+      "work: the bytecode size (9000) is above the limit 8000, and " +
+      "the whole-stage codegen was disabled for this plan (id=3).")
+    assert(CodegenHealth.count == 1 && CodegenHealth.sizeFallbacks == 1,
+      "size fallback must count in the benign bucket only")
+    CodegenHealth.reset()
+  }
+
+  test("a real hugeMethodLimit size fallback lands in sizeFallbacks, " +
+      "not the gate (INFO observable through the raised logger level)") {
+    import spark.implicits._
+    CodegenHealth.install()
+    CodegenHealth.reset()
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "1")
+    try {
+      val n = spark.range(1000).select(($"id" * 2).as("x"))
+        .filter($"x" > 10).count()
+      assert(n == 994)
+      assert(CodegenHealth.count == 0,
+        s"healthy size fallback tripped the gate: ${CodegenHealth.last}")
+      assert(CodegenHealth.sizeFallbacks > 0,
+        "size fallback was not observed — is the " +
+        "WholeStageCodegenExec logger at INFO?")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
+      CodegenHealth.reset()
+    }
+  }
 }
