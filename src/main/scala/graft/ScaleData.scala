@@ -11,18 +11,21 @@ import org.apache.spark.sql.functions._
   * claims beyond that were plan-asserted only — this closes the gap
   * with data.
   *
-  * Per-copy transforms (copy 0 is the identity — sf1 ⊇ sf0.1):
+  * Per-copy transforms (copy 0 is the identity — sf1 ⊇ sf0.1 — for
+  * every table EXCEPT `documents`, whose copies must be mutually
+  * symmetric for the self-similarity argument below):
   *  - `lineitem` (the graph family's source): order/part/supp keys
   *    offset by `i·10⁷` — ten disjoint co-order graphs. The offset is
   *    divisible by the BFS/PPR seed mods (100, 10), so each copy seeds
   *    the same node fraction and iteration workload scales cleanly.
   *  - `events`: event/user ids offset by `i·10⁷`; `ts` offset by
   *    `i·(span + 1 day)` so copies never share session/as-of windows.
-  *  - `documents`: doc ids offset; for i>0 every 5th word gets a
-  *    copy-specific suffix — enough shingle churn that copies are NOT
-  *    near-duplicates of each other (≈0.33⁵-gram survival ⇒ Jaccard
-  *    ≈0.2, far below dedup thresholds), while token counts / length
-  *    stats stay representative for the text kernels.
+  *  - `documents`: doc ids offset; EVERY copy (including copy 0) gets
+  *    an identical-in-distribution copy-unique churn so the derived
+  *    corpus is SELF-SIMILAR — the duplicated share is scale-invariant
+  *    (constant fraction, within-copy only) and cross-copy duplication
+  *    is zero at every granularity the dedup/text kernels block on.
+  *    See the documents branch below for the full design.
   *  - `embeddings`: vec ids offset; for i>0 each dimension is
   *    perturbed by a deterministic ±0.006 hash ramp — breaks exact
   *    vector duplication (which would collapse kNN graphs) without
@@ -100,17 +103,56 @@ object ScaleData {
     }, 32)
     }
 
-    // documents: suffix every 5th word per copy — shingle-level churn.
+    // documents: CONSTANT-duplication-fraction derivation (round-19 —
+    // replaces the round-14 every-5th-word scheme whose 80% cross-copy
+    // word sharing saturated the duplicated fraction as copies grew:
+    // 56% → 63% → ~100%, inflating the substring/line-dedup sf1→sf10
+    // row exponents to 1.20–1.30 and driving fuzzy blocks toward the
+    // maxBlock cap; VERDICT r18 task 1). EVERY copy, including copy 0,
+    // gets an identical-in-distribution per-copy churn, making the
+    // derived family exactly SELF-SIMILAR: corpus structure at N copies
+    // = N disjoint replicas of the one-copy structure, so every
+    // duplication-driven quantity is linear in copies BY CONSTRUCTION
+    // and the scaling tables measure it instead of adjudicating it.
+    // Cross-copy duplication is zero at every granularity the hot
+    // operators block on:
+    //  - a 2-char copy tag prepended to word 0 breaks fuzzyPairs'
+    //    8-char normalized-prefix block (within-copy blocks keep 6
+    //    base chars of discrimination — sf0.1 max block 197, still
+    //    under FuzzyMaxBlock=200, so the cap never engages on the
+    //    derived corpus);
+    //  - an "x{i}z" prefix on every 4th word (j%4==3) puts a
+    //    copy-unique token inside EVERY 4-consecutive-token window
+    //    (4 consecutive indices cover all residues mod 4), killing all
+    //    cross-copy SubstringW=4 spans, every ≥4-word shingle, and —
+    //    because the fixture's sentences are ≥10 words — every
+    //    cross-copy duplicate line. The prefix form (never a suffix)
+    //    leaves trailing '.' intact, so '. '-based sentence breaking
+    //    is unchanged. "x{i}z" tags are mutually prefix-free and the
+    //    pattern has zero hits in the fixture vocabulary, so a tagged
+    //    token can never equal another copy's token.
+    // WITHIN a copy the base corpus's natural duplication (4-gram
+    // repetition, near-dup docs, prefix blocks) is preserved under the
+    // position-deterministic churn — that constant fraction is the
+    // dedup operators' workload, identical for every copy. Copy 0 is
+    // deliberately NOT the identity here (unlike the key-offset
+    // tables): exponent baselines come from a 1-copy derivation of the
+    // same generator (scaledata/sf0.1d), keeping all three decades on
+    // one self-similar family. Token COUNTS are unchanged (prefixes,
+    // not new words); n_chars grows ~14%, recomputed below.
     if (sel("documents")) {
+    require(copies <= 676, "2-char base-26 copy tag supports ≤ 676 copies")
     val docs = Tables.load(spark, src, "documents")
     write("documents", withCopies(spark, copies) { i =>
-      val base = docs.withColumn("doc_id", col("doc_id") + lit(i * KeyOffset))
-      if (i == 0) base
-      else base
+      val tag2 = s"${('a' + (i / 26) % 26).toChar}${('a' + i % 26).toChar}"
+      val wtag = s"x${i}z"
+      docs.withColumn("doc_id", col("doc_id") + lit(i * KeyOffset))
         .withColumn("text", array_join(
           transform(split(col("text"), " "),
             (w: Column, j: Column) =>
-              when(j % 5 === 4, concat(w, lit(s"x$i"))).otherwise(w)),
+              when(j === 0, concat(lit(tag2), w))
+                .when(j % 4 === 3, concat(lit(wtag), w))
+                .otherwise(w)),
           " "))
         .withColumn("n_chars", length(col("text")))
     }, 16)

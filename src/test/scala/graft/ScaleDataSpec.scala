@@ -74,9 +74,10 @@ class ScaleDataSpec extends AnyFunSuite {
       .where(col("doc_id") >= 10000000L && col("doc_id") < 20000000L)
       .select((col("doc_id") - 10000000L).as("b_id"),
         col("text").as("c_text"))
-    // 5-gram word shingle Jaccard per (base, copy) pair — the quantity
-    // MinHash dedup estimates. Every-5th-word suffixing should push it
-    // far below any near-dup threshold (~0.7+).
+    // 5-gram word shingle Jaccard per (copy-0, copy-1) pair — the
+    // quantity MinHash dedup estimates. The every-4th-word copy tag
+    // puts a copy-unique token inside every 5-shingle, so cross-copy
+    // Jaccard must sit far below any near-dup threshold (~0.7+).
     def shingles(c: org.apache.spark.sql.Column) =
       array_distinct(transform(
         slice(split(c, " "), 1, 10000),
@@ -93,6 +94,61 @@ class ScaleDataSpec extends AnyFunSuite {
       s"max cross-copy shingle Jaccard ${j.getDouble(0)} — copies " +
         "would register as near-duplicates and distort dd_* scaling")
     assert(j.getDouble(1) < 0.45, s"avg Jaccard ${j.getDouble(1)}")
+  }
+
+  test("derived documents are SELF-SIMILAR: zero cross-copy duplication " +
+      "at the granularities the hot kernels block on, and fuzzy blocks " +
+      "stay under the maxBlock cap") {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+      .withColumn("copy", (col("doc_id") / 10000000L).cast("long"))
+
+    // 1) Zero cross-copy duplicated 4-token windows (SubstringW=4):
+    //    every window contains one churned j%4==3 token, whose copy tag
+    //    makes cross-copy equality impossible. This is the structural
+    //    fact that pins dd_substring_* / tx_line_dedup row exponents to
+    //    1.0 — duplicated-window mass is within-copy only, so it
+    //    scales exactly linearly in copies.
+    val win = docs.select(col("copy"), posexplode(
+        filter(transform(split(col("text"), " "),
+          (w: org.apache.spark.sql.Column,
+           j: org.apache.spark.sql.Column) =>
+            concat_ws(" ", w,
+              try_element_at(split(col("text"), " "), j + 2),
+              try_element_at(split(col("text"), " "), j + 3),
+              try_element_at(split(col("text"), " "), j + 4))),
+          (s: org.apache.spark.sql.Column) =>
+            size(split(s, " ")) === 4)))
+      .select(col("copy"), col("col").as("w"))
+    val crossCopyWindows = win.groupBy("w")
+      .agg(countDistinct("copy").as("nc"))
+      .where(col("nc") > 1).count()
+    assert(crossCopyWindows == 0,
+      s"$crossCopyWindows 4-token windows recur across copies — " +
+        "duplicated fraction would grow with copies again")
+
+    // 2) Fuzzy-dedup prefix blocks (normalized 8-char) bounded under
+    //    FuzzyMaxBlock=200 everywhere: the word-0 copy tag keeps blocks
+    //    within-copy (6 base chars of discrimination), so the cap never
+    //    engages and pair work is linear in copies.
+    val clean = regexp_replace(
+      regexp_replace(trim(lower(col("text"))), "\\s+", " "), "[^ -~]", "")
+    val maxBlock = docs.select(substring(clean, 1, 8).as("block"))
+      .groupBy("block").count().agg(max("count")).head().getLong(0)
+    assert(maxBlock <= 200,
+      s"a derived fuzzy block reached $maxBlock docs (cap 200) — the " +
+        "maxBlock exclusion would distort the scaling measurement")
+
+    // 3) Zero cross-copy duplicate LINES ('. ' sentence breaking, the
+    //    tx_line_dedup shape): fixture sentences are ≥10 words, so each
+    //    carries at least two churned tokens.
+    val lines = docs.select(col("copy"),
+        explode(split(regexp_replace(col("text"), "\\. ", ".\n"), "\n"))
+          .as("line"))
+    val crossCopyLines = lines.groupBy("line")
+      .agg(countDistinct("copy").as("nc"))
+      .where(col("nc") > 1).count()
+    assert(crossCopyLines == 0,
+      s"$crossCopyLines lines recur across copies")
   }
 
   test("EVERY embedding copy is decorrelated from the base AND from " +
