@@ -21,8 +21,23 @@ object Sessions {
   def shufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
 
+  /** Extra session confs for measurement runs, as
+    * `SPARK_GRAFT_EXTRA_CONF="k=v;k=v"` — e.g. pinning
+    * `spark.sql.autoBroadcastJoinThreshold=-1` so shuffle-row records
+    * at different scales compare at MATCHED join plans (a broadcast→
+    * shuffle transition between decades otherwise shifts the rows
+    * measure mid-series; BASELINE.md round 19). Empty by default —
+    * Verify/tests/driver runs never set it. */
+  def extraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
+      }
+
   def builder(appName: String): SparkSession.Builder =
-    SparkSession.builder()
+    extraConf.foldLeft(SparkSession.builder())(
+      (b, kv) => b.config(kv._1, kv._2))
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
