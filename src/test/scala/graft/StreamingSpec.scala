@@ -659,6 +659,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == (0L until 75L),
       s"each doc exactly once across restart; got ${got.length} rows")
   }
+
+  test("transformWithState RESTART recovery: a timer armed before the " +
+      "kill fires after resume, ValueState continues a session across " +
+      "the boundary, and nothing double-emits") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val gap = 1800L
+      val srcDir = graft.Scratch.dir("graft_tws_restart_src")
+      val ckpt = graft.Scratch.dir("graft_tws_restart_ckpt")
+      val sink = graft.Scratch.dir("graft_tws_restart_sink")
+      def write(evs: Seq[Ev]): Unit =
+        evs.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = Seq.empty[Ev].toDS().schema
+      // Each run is a REAL restart: a fresh query instance resuming
+      // from the same RocksDB checkpoint, AvailableNow so it drains
+      // and terminates (the kill) instead of staying resident.
+      def runOnce(): Unit = {
+        val q = StreamOps.timerSessionize(
+            spark.readStream.schema(schema).parquet(srcDir).as[Ev], gap)
+          .toDF()
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", sink)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // Run 1: user 1 has two in-gap events (open session, timer armed
+      // at end+gap); user 3 has one (open session). Run-1 watermark
+      // tops out at B+10s < any end+gap, so NOTHING may emit — both
+      // the sessions and the registered timers exist only in the
+      // checkpointed state when the query terminates.
+      write(Seq(Ev(1L, 1L, ts(B)), Ev(1L, 2L, ts(B + 10L * 1000000L)),
+        Ev(3L, 6L, ts(B))))
+      runOnce()
+      assert(spark.read.parquet(sink).isEmpty,
+        "a session emitted before any timer could have fired")
+      // Run 2 (the resume): user 3 gets ONE more in-gap event — its
+      // restored ValueState must CONTINUE the run-1 session (n=2,
+      // start=B), not open a fresh one. User 9's far-future event
+      // advances the watermark past both end+gap marks, so the no-data
+      // batch must fire user 1's timer — REGISTERED BEFORE THE KILL,
+      // with zero user-1 input this run — and user 3's re-armed one.
+      write(Seq(Ev(3L, 7L, ts(B + 60L * 1000000L)),
+        Ev(9L, 8L, ts(B + 3 * H))))
+      runOnce()
+      val got = spark.read.parquet(sink).as[StreamOps.SessionOut]
+        .collect().sortBy(_.user_id).toSeq
+      assert(got == Seq(
+        StreamOps.SessionOut(1L, 1L, 2L, B, B + 10L * 1000000L,
+          10L * 1000000L),
+        StreamOps.SessionOut(3L, 1L, 2L, B, B + 60L * 1000000L,
+          60L * 1000000L)),
+        s"expected exactly user 1 (timer survived the restart) and " +
+          s"user 3 (state survived the restart), once each; got $got")
+      // Shared-oracle parity: the drained rows equal the BATCH
+      // sessionizer over the union of both runs' events, restricted to
+      // the sessions whose end+gap the final watermark passed (user
+      // 9's stays open — expected). The restart boundary must be
+      // semantically invisible.
+      val all = Seq((1L, 1L, B, "view", 1.0),
+        (2L, 1L, B + 10L * 1000000L, "view", 1.0),
+        (6L, 3L, B, "view", 1.0),
+        (7L, 3L, B + 60L * 1000000L, "view", 1.0),
+        (8L, 9L, B + 3 * H, "view", 1.0))
+      val want = Events.sessionize(eventsDf(all), gap)
+        .where(col("user_id") =!= 9L)
+        .select("user_id", "session_id", "n_events", "start_us",
+          "end_us", "duration_us")
+        .orderBy("user_id").collect().toSeq.map(_.toSeq)
+      assert(got.map(o => Seq(o.user_id, o.session_id, o.n_events,
+        o.start_us, o.end_us, o.duration_us)) == want,
+        "drained restart result diverged from the batch sessionize oracle")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 /** Spec-only StatefulProcessor exercising the remaining state kinds of
