@@ -19,6 +19,52 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
   // value-for-value match IS the stream/batch parity proof.
   // ---------------------------------------------------------------------
 
+  /** Once-per-(session, dir) checkpointed run of the
+    * transformWithState totals processor, for [[st_state_reader]]:
+    * drains the events stream into a noop sink against a real
+    * checkpointLocation (RocksDB provider — transformWithState rejects
+    * the HDFS-backed one) and returns the checkpoint path. Keyed on
+    * the session OBJECT via WeakHashMap (identity hashes can be reused
+    * after a stopped session is GC'd — the variantFixture
+    * convention). */
+  private val totalsCheckpoint =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  protected def ensureTotalsCheckpoint(s: SparkSession,
+                                       dir: String): String =
+    totalsCheckpoint.synchronized {
+      totalsCheckpoint.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, {
+          import s.implicits._
+          val ckpt = graft.Scratch.dir("graft_totals_ckpt")
+          val key = "spark.sql.streaming.stateStore.providerClass"
+          val saved = s.conf.getOption(key)
+          s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try {
+            val src = Tables.loadStream(s, dir, "events")
+              .select(col("user_id"), col("event_type"),
+                Events.micros(col("value")).as("vm"), col("event_id"))
+              .as[graft.streaming.StreamOps.TotalsIn]
+            val q = graft.streaming.StreamOps.statefulUserTotals(src)
+              .toDF()
+              .writeStream.format("noop")
+              .option("checkpointLocation", ckpt)
+              .outputMode("update")
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally saved match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+          ckpt
+        })
+    }
+
   protected val streaming: Map[String, Q] = Map(
     "st_hourly_rollup" -> ((s, dir) =>
       graft.streaming.StreamOps.runToCompletion(
@@ -101,6 +147,32 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    }),
+
+    // State Data Source READER (Spark 4 streaming-ops surface): open a
+    // finished query's CHECKPOINT offline with
+    // `spark.read.format("statestore")` and inspect the state store's
+    // contents directly — the production capability for debugging a
+    // stuck/suspect stateful query without touching its outputs. The
+    // inspected store is the transformWithState totals processor's
+    // ValueState ("totals" via `stateVarName`); TimeMode.None never
+    // evicts, so after an AvailableNow drain the state holds EXACTLY
+    // one row per user equal to the batch aggregate — the same oracle
+    // as st_transform_state, but read from RocksDB snapshot files
+    // instead of the query's emissions. The checkpointed run is a
+    // once-per-(session, dir) fixture (WeakHashMap-keyed on the
+    // session OBJECT, the variantFixture convention) so the query
+    // times the STATE READ, the operation this surface exists for.
+    "st_state_reader" -> ((s, dir) => {
+      val ckpt = ensureTotalsCheckpoint(s, dir)
+      s.read.format("statestore").option("path", ckpt)
+        .option("stateVarName", "totals").load()
+        .select(col("value.user_id").as("user_id"),
+          col("value.n_events").as("n_events"),
+          col("value.n_clicks").as("n_clicks"),
+          col("value.value_micros").as("value_micros"),
+          col("value.max_event_id").as("max_event_id"))
+        .orderBy("user_id")
     }),
 
     // CHAINED stateful operators in one streaming query: the events
@@ -433,20 +505,30 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
        |FROM s GROUP BY user_id, sid
        |ORDER BY user_id, start_us""".stripMargin
 
+  /** transformWithState running totals: update-mode latest (and the
+    * drained state store's contents) == batch groupBy —
+    * order-insensitive accumulators, TimeMode.None never evicts. */
+  private val totalsOracleSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clicks,
+      |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS value_micros,
+      |  max(event_id) AS max_event_id
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   protected val streamingOracles: Map[String, String] = Map(
     // The partition-pruned streaming rollup must equal the raw-table
     // WHERE rollup — the same oracle the batch dual is checked against.
     "st_partition_prune" -> partitionPruneOracleSql,
     // transformWithState running totals: update-mode latest == batch
     // groupBy (order-insensitive accumulators)
-    "st_transform_state" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_clicks,
-        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
-        |    AS value_micros,
-        |  max(event_id) AS max_event_id
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st_transform_state" -> totalsOracleSql,
+    // The statestore READ of the drained totals checkpoint must hold
+    // exactly the batch aggregate (TimeMode.None never evicts): same
+    // oracle, but the Spark side is RocksDB snapshot files, not query
+    // emissions.
+    "st_state_reader" -> totalsOracleSql,
     // Identical to ev_hourly_rollup: the streaming plan must agree with
     // the batch aggregate bit-for-bit.
     "st_hourly_rollup" ->
