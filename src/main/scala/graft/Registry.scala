@@ -646,6 +646,15 @@ object Registry {
               lit("}, \"arr\": [\""), col("event_type"), lit("\", "),
               col("user_id"), lit(", {\"k\": "), k,
               lit("}, null]}")).as("doc"))
+            // Write at session shuffle-partition parallelism: the
+            // driver's small-sf events.parquet is ONE file → one read
+            // split, and without this the fixture inherits that
+            // layout, so every p6/p7 rep parse_json's the whole corpus
+            // on a single core (round-18's "sf0.1 slower than sf1"
+            // wall inversion — 10× the rows, 10× the files, 10× the
+            // parallelism). Layout is part of the fixture contract the
+            // same way ScaleData repartitions its derived tables.
+            .repartition(s.sessionState.conf.numShufflePartitions)
             .write.mode("overwrite").parquet(out)
           out
         })
