@@ -25,6 +25,12 @@ private[graft] trait RegistryEvents extends RegistryShared {
   private val CmsW = 64
   private val CmsTopK = 25
 
+  // KMV distinct-count sketch size for ev_kmv_distinct: 64 minima over
+  // ~1.5k distinct users per type keeps the estimate path (kmv_size = k)
+  // exercised at every scale step while the below-k exact path is
+  // covered by the spec's small fixtures.
+  private val KmvK = 64
+
   /** Deterministic replay of [[Events.cmsFreqEval]]: the d affine hash
     * rows are a VALUES CTE built from the SAME [[Events.CmsA]]/
     * [[Events.CmsB]]/[[Events.CmsP]] constants the plan uses, so cells,
@@ -173,6 +179,15 @@ private[graft] trait RegistryEvents extends RegistryShared {
     // SQL distinct.
     "ev_bitmap_distinct" -> ((s, dir) =>
       Events.bitmapDistinct(t(s, dir, "events"), "event_type", "user_id")
+        .orderBy("event_type")),
+    // KMV distinct-count sketch graded against the exact count — the
+    // bounded-state (k longs/key) mergeable cardinality sketch whose
+    // ESTIMATE is deterministic and cross-engine replayable (unlike
+    // HLL, which grades against a band); the oracle reproduces the
+    // k-minima with a row_number prefix over the same md5 hash.
+    "ev_kmv_distinct" -> ((s, dir) =>
+      Events.kmvDistinctEval(t(s, dir, "events"), "event_type", "user_id",
+        KmvK)
         .orderBy("event_type")),
     // ROLLUP (multi-level subtotals in one shuffle) and pinned-values
     // PIVOT — the grouping-analytics surface beyond plain GROUP BY.
@@ -496,6 +511,34 @@ private[graft] trait RegistryEvents extends RegistryShared {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // KMV replay: the k-minima of a fixed hash are a pure set property
+    // of the input — a row_number prefix over the DISTINCT md5-derived
+    // hashes reproduces the sketch (and hence the estimate) exactly.
+    "ev_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+         |      AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS kmv_size,
+         |    max(h) AS kth_min
+         |  FROM r WHERE rn <= $KmvK GROUP BY event_type),
+         |ex AS (SELECT event_type,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type),
+         |est AS (SELECT m.event_type, ex.exact_distinct, m.kmv_size,
+         |    m.kth_min,
+         |    CAST(CASE WHEN m.kmv_size < $KmvK THEN m.kmv_size
+         |      ELSE ${KmvK - 1} * 4294967296 // m.kth_min END AS BIGINT)
+         |      AS est_distinct
+         |  FROM m JOIN ex USING (event_type))
+         |SELECT event_type, exact_distinct, kmv_size, kth_min,
+         |  est_distinct,
+         |  abs(est_distinct - exact_distinct) * 1000000 // exact_distinct
+         |    AS err_ppm
+         |FROM est ORDER BY event_type""".stripMargin,
     "ev_path_transitions" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
          |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

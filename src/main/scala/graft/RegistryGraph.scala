@@ -50,6 +50,16 @@ object RegistryGraph {
     * relaxation rounds (unrolled in the oracle). */
   private val BfsSeedMod = 100L
   private val BfsRounds = 4
+  /** Weighted SSSP: seed predicate (distinct from both PprSeedMod and
+    * BfsSeedMod so all three seed families differ), relaxation rounds
+    * (unrolled in the oracle), and the integer edge-cost scale —
+    * cost = max(1, SsspCostScale div w), so strongly co-ordered pairs
+    * are CHEAP to traverse and the shortest path prefers the
+    * high-support backbone (the standard strength→cost inversion for
+    * affinity graphs). */
+  private val SsspSeedMod = 40L
+  private val SsspRounds = 4
+  private val SsspCostScale = 1000L
 
   /** The support-gated UNDIRECTED co-order graph, single orientation
     * (src < dst) — the Spark-side twin of [[gatedGraphCte]]'s `und`. */
@@ -304,6 +314,46 @@ object RegistryGraph {
        |FROM d$rounds ORDER BY node""".stripMargin
   }
 
+  /** Unrolled-CTE replay of [[Graph.ssspRounds]] over the WEIGHTED
+    * gated graph: cost = greatest(1, costScale // w) per orientation,
+    * seed-zero init, then `rounds` min-relaxation rounds carrying the
+    * edge cost — the same explicit NULL algebra and MATERIALIZED
+    * discipline as [[bfsOracle]] (d(i−1) is double-referenced). */
+  private def ssspOracle(seedMod: Long, rounds: Int,
+      costScale: Long): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""u$i AS MATERIALIZED (SELECT e.dst AS node,
+         |    min(d.dist + e.cost) AS nd
+         |  FROM ew e JOIN d${i - 1} d ON e.src = d.node
+         |  WHERE d.dist IS NOT NULL GROUP BY e.dst),
+         |d$i AS MATERIALIZED (SELECT d.node,
+         |    CASE WHEN d.dist IS NULL THEN u.nd
+         |      WHEN u.nd IS NULL THEN d.dist
+         |      ELSE least(d.dist, u.nd) END AS dist
+         |  FROM d${i - 1} d LEFT JOIN u$i u ON d.node = u.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS MATERIALIZED (SELECT DISTINCT a.l_orderkey AS ok,
+       |    a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey),
+       |undw AS MATERIALIZED (SELECT pa AS a, pb AS b,
+       |    CAST(count(*) AS BIGINT) AS w FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $TriMinSupport),
+       |ew AS MATERIALIZED (SELECT a AS src, b AS dst,
+       |    greatest(1, $costScale // w) AS cost FROM undw
+       |  UNION ALL SELECT b AS src, a AS dst,
+       |    greatest(1, $costScale // w) AS cost FROM undw),
+       |d0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+       |    CASE WHEN src % $seedMod = 0 THEN 0 ELSE NULL END AS dist
+       |  FROM ew),
+       |$steps
+       |SELECT node, CAST(coalesce(dist, -1) AS BIGINT) AS dist,
+       |  CAST(CASE WHEN dist IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS reached
+       |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -388,6 +438,23 @@ object RegistryGraph {
         .where(col("node") % BfsSeedMod === 0)
       Graph.bfsHops(sym, seeds, BfsRounds).orderBy("node")
     }),
+    // Weighted shortest path (bounded Bellman–Ford) over the SAME
+    // gated graph with the co-occurrence support inverted into an
+    // integer edge cost — "how cheaply does influence travel along
+    // the high-support backbone", where gr_bfs counts raw hops. Seeds
+    // are a third family (part keys divisible by SsspSeedMod); exact
+    // within SsspRounds relaxations, −1 sentinel beyond.
+    "gr_sssp" -> ((s, dir) => {
+      val und = gatedEdges(s, dir)
+      val ew = und.select(col("src"), col("dst"), col("w"))
+        .unionAll(und.select(col("dst").as("src"), col("src").as("dst"),
+          col("w")))
+        .select(col("src"), col("dst"),
+          greatest(lit(1L), expr(s"$SsspCostScale div w")).as("cost"))
+      val seeds = ew.select(col("src").as("node")).distinct()
+        .where(col("node") % SsspSeedMod === 0)
+      Graph.ssspRounds(ew, seeds, SsspRounds).orderBy("node")
+    }),
     // Edge-level Jaccard similarity of endpoint neighborhoods — the
     // graph-sparsification keep-score; common counts ride the same
     // oriented triangle enumeration as gr_triangles.
@@ -417,6 +484,7 @@ object RegistryGraph {
     "gr_label_prop" -> lpaOracle(LpaIters),
     "gr_kcore" -> kcoreOracle(KcoreRounds),
     "gr_bfs" -> bfsOracle(BfsSeedMod, BfsRounds),
+    "gr_sssp" -> ssspOracle(SsspSeedMod, SsspRounds, SsspCostScale),
     // Edge Jaccard: the oracle counts common neighbors by the direct
     // neighborhood-intersect join (a formulation change the parity
     // contract is designed to absorb); und/e0 are referenced several

@@ -604,6 +604,54 @@ object Events {
       .agg(sum(col("__page_distinct")).as("n_distinct"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch, evaluated against
+    * the exact count — the fourth point on the distinct-count design
+    * spectrum (see [[bitmapDistinct]]): bounded state (exactly k longs
+    * per key), mergeable, AND deterministically replayable, so the
+    * oracle reproduces the ESTIMATE itself, not a tolerance band (the
+    * one approximate cardinality sketch with that property — see
+    * [[graft.functions.KmvMinHashes]]).
+    *
+    * The hash is the cross-engine-stable md5 construction
+    * ([[TrainPrep.hashBucket]]'s): first 8 hex digits of
+    * `md5(CAST(id AS STRING))`, a uniform draw on [0, 2³²). Estimate:
+    * (k−1) · 2³² div h₍k₎ when the key saw ≥ k distinct hashes, else
+    * the sketch size itself (the sketch IS the exact distinct set
+    * below k). All columns are exact integers; `err_ppm` grades the
+    * estimate against the exact distinct-id count (which differs from
+    * distinct-hash cardinality only by md5 prefix collisions), so the
+    * sketch's accuracy is part of the checked result.
+    *
+    * Scale shape: one narrow projection (one md5 per row), then a
+    * single exchange whose map side is already reduced to ≤ k longs
+    * per key — `countDistinct` rides the same aggregate (Spark plans
+    * the distinct via Expand), and at 100 TB you'd DROP the exact
+    * column and keep only the bounded sketch; it is here because the
+    * evaluation is the point of the query. */
+  def kmvDistinctEval(df: DataFrame, keyCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.KmvMinHashes.kmv
+    val h = conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType)
+    df.where(col(idCol).isNotNull)
+      .select(col(keyCol), col(idCol).as("__id"), h.as("__h"))
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col("__id")).as("exact_distinct"),
+        kmv(k)(col("__h")).as("__mins"))
+      .select(col(keyCol),
+        col("exact_distinct"),
+        size(col("__mins")).cast(LongType).as("kmv_size"),
+        element_at(col("__mins"), size(col("__mins"))).as("kth_min"),
+        when(size(col("__mins")) < k,
+          size(col("__mins")).cast(LongType))
+          .otherwise(expr(
+            s"${(k - 1).toLong} * 4294967296 div element_at(__mins, $k)"))
+          .as("est_distinct"))
+      .withColumn("err_ppm",
+        expr("abs(est_distinct - exact_distinct) * 1000000" +
+          " div exact_distinct"))
+  }
+
   /** LATEST-PER-KEY snapshot — the CDC compaction read: each user's
     * single most recent event under the (ts, event_id) total order.
     * One lexicographic struct-max whose map-side partials hold ONE

@@ -545,6 +545,64 @@ object Graph {
     out
   }
 
+  /** WEIGHTED single/multi-source shortest path: bounded synchronous
+    * Bellman–Ford relaxation over `(src, dst, cost)` edges — after
+    * `rounds` rounds, `dist` is the exact minimum path COST among
+    * paths of at most `rounds` edges (the same bounded-exactness
+    * contract as [[bfsHops]], which this generalizes: bfs ≡ sssp with
+    * every cost = 1). Costs must be non-negative integers; unreached
+    * nodes carry the −1 sentinel and `reached = 0` ([[bfsHops]]'s
+    * NaN-safety convention).
+    *
+    * Determinism: min over integer path costs is order-independent —
+    * no tie-break is needed because only the cost is reported, not a
+    * witness path.
+    *
+    * Scale shape: identical to [[bfsHops]] — the weighted edge
+    * relation partitions on `src` once and caches; each round ships
+    * only the reached frontier's node-sized distance vector to the
+    * edges, min-aggregates map-side-combined on `dst` (partial min is
+    * exact), and checkpoints the new vector so the plan stays flat
+    * per round. Bounded rounds are the 100 TB posture: graph
+    * diameters of curation graphs are small, and each extra round is
+    * one more node-vector exchange, never an edge re-shuffle. */
+  def ssspRounds(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"ssspRounds: rounds=$rounds")
+    val e = edges.select(col("src"), col("dst"), col("cost"))
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var dist = nodes
+      .join(seeds.select(col("node")).distinct().withColumn("z", lit(0L)),
+        Seq("node"), "left_outer")
+      .select(col("node"), col("z").as("dist"))
+    for (_ <- 1 to rounds) {
+      val upd = e
+        .join(dist.where(col("dist").isNotNull)
+          .withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + col("cost")).as("nd"))
+      // Same explicit NULL algebra as bfsHops (LEAST semantics differ
+      // across engines on NULL; the CASE does not).
+      dist = Ckpt.replace(
+        dist.join(upd, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            when(col("dist").isNull, col("nd"))
+              .when(col("nd").isNull, col("dist"))
+              .otherwise(least(col("dist"), col("nd"))).as("dist")),
+        dist)
+    }
+    val out = Ckpt.replace(
+      dist.select(col("node"),
+        coalesce(col("dist"), lit(-1L)).cast(LongType).as("dist"),
+        when(col("dist").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("reached")),
+      dist)
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** EDGE-level structural similarity: for every undirected gated edge
     * (a, b), the Jaccard overlap of the endpoint neighborhoods —
     *

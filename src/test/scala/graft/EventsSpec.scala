@@ -620,4 +620,45 @@ class EventsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(2) >= r.getLong(1)),
       "CMS must never undercount")
   }
+
+  /** Independent JVM replay of the KMV hash (first 8 md5 hex digits of
+    * the decimal id string = the first 4 digest bytes, big-endian). */
+  private def kmvHash(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+
+  test("kmvDistinctEval: k-th minimum and estimate match an " +
+      "independent md5 replay; below-k keys report exactly") {
+    val rows = (1L to 100L).map(u => ("big", u)) ++
+      (1L to 5L).map(u => ("small", u)) ++
+      Seq(("small", 3L)) // duplicate id must not perturb the sketch
+    val df = rows.toDF("event_type", "user_id")
+    val got = Events.kmvDistinctEval(df, "event_type", "user_id", k = 8)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val kth = (1L to 100L).map(kmvHash).distinct.sorted.apply(7)
+    val est = 7L * 4294967296L / kth
+    val errPpm = math.abs(est - 100L) * 1000000L / 100L
+    assert(got.toSeq == Seq(
+      ("big", 100L, 8L, kth, est, errPpm),
+      ("small", 5L, 5L, (1L to 5L).map(kmvHash).max, 5L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("kmvDistinctEval: partitioning-invariant (mergeable sketch) " +
+      "and null ids are excluded") {
+    val rows = (1L to 50L).map(u => ("t", java.lang.Long.valueOf(u))) :+
+      ("t", null.asInstanceOf[java.lang.Long])
+    val df = rows.toDF("event_type", "user_id")
+    val one = Events.kmvDistinctEval(df.repartition(1), "event_type",
+      "user_id", k = 16).collect().map(_.toSeq)
+    val many = Events.kmvDistinctEval(df.repartition(7), "event_type",
+      "user_id", k = 16).collect().map(_.toSeq)
+    assert(one.toSeq == many.toSeq,
+      s"sketch must be merge-shape-invariant: ${one.toSeq} vs ${many.toSeq}")
+    assert(one.head(1) == 50L, s"null id must not count: ${one.toSeq}")
+  }
 }

@@ -386,4 +386,39 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 2L),
       (4L, 1L), (5L, 0L)), s"got ${got.toSeq}")
   }
+
+  test("ssspRounds: a cheap multi-hop route beats an expensive direct " +
+      "edge once the round budget admits it") {
+    // 0→3 directly costs 10; 0→1→2→3 costs 3. Symmetric edges.
+    val und = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+    val edges = und.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .toDF("src", "dst", "cost")
+    val seeds = Seq(0L).toDF("node")
+    val r1 = Graph.ssspRounds(edges, seeds, rounds = 1).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // One relaxation: only direct edges from the seed are reachable.
+    assert(r1.toSeq == Seq((0L, 0L), (1L, 1L), (2L, -1L), (3L, 10L)),
+      s"got ${r1.toSeq}")
+    val r3 = Graph.ssspRounds(edges, seeds, rounds = 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Three relaxations: the 3-hop route relaxes 0→3 down to cost 3.
+    assert(r3.toSeq == Seq((0L, 0L, 1L), (1L, 1L, 1L), (2L, 2L, 1L),
+      (3L, 3L, 1L)), s"got ${r3.toSeq}")
+  }
+
+  test("ssspRounds: unreached nodes carry the sentinel; unit costs " +
+      "reduce to bfsHops") {
+    val und = (0L to 4L).map(i => (i, i + 1, 1L))
+    val edges = und.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .toDF("src", "dst", "cost")
+    val seeds = Seq(0L).toDF("node")
+    val sssp = Graph.ssspRounds(edges, seeds, rounds = 3).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bfs = Graph.bfsHops(edges.select("src", "dst"), seeds, rounds = 3)
+      .orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sssp.toSeq == bfs.toSeq,
+      s"unit-cost sssp ${sssp.toSeq} != bfs ${bfs.toSeq}")
+    assert(sssp.toSeq.filter(_._2 == -1L).map(_._1) == Seq(4L, 5L))
+  }
 }
