@@ -648,6 +648,17 @@ class EventsSpec extends AnyFunSuite {
       s"got ${got.toSeq}")
   }
 
+  test("kmvDistinctEval plan: the sketch partial-aggregates map-side " +
+      "(ObjectHashAggregate) — the exchange carries ≤ k longs per " +
+      "(key, task), not the distinct-id stream") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val df = Events.kmvDistinctEval(ev, "event_type", "user_id", k = 64)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"KMV must run as ObjectHashAggregate partials:\n$plan")
+  }
+
   test("kmvDistinctEval: partitioning-invariant (mergeable sketch) " +
       "and null ids are excluded") {
     val rows = (1L to 50L).map(u => ("t", java.lang.Long.valueOf(u))) :+
