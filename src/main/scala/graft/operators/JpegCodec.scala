@@ -26,6 +26,11 @@ package graft.operators
   */
 object JpegCodec {
 
+  // Memory-backed ImageIO streams, not the default temp-file cache —
+  // see the PngCodec init note. Set in BOTH imageio codecs so either
+  // class initializing first covers the JVM-wide flag.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private val MaxSide = 1 << 15 // same dimension cap as BmpCodec/PngCodec
 
   /** True iff the bytes start with the JPEG SOI + marker prefix

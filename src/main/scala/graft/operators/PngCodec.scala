@@ -16,6 +16,15 @@ package graft.operators
   */
 object PngCodec {
 
+  // ImageIO's DEFAULT stream cache is DISK-backed: every read/write
+  // call creates (and deletes) a temp file in java.io.tmpdir. On the
+  // hot multimodal path that is two filesystem metadata round-trips
+  // per 8x8 image — pure overhead for byte-array-backed streams that
+  // fit in memory by construction (payloads are dimension-capped
+  // before decode). The memory cache is byte-identical in output; the
+  // JVM-wide flag is set once at class init of either imageio codec.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private val MaxSide = 1 << 15 // same dimension cap as BmpCodec
 
   /** IHDR width/height read straight off the byte stream — the IHDR
