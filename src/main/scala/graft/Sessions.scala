@@ -51,6 +51,22 @@ object Sessions {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // The app status store runs EVEN WITH THE UI OFF and retains, by
+      // default, the last 1000 SQL executions (full plan graphs +
+      // SQLPlanMetric rows + plan strings) and 100k task wrappers in
+      // driver heap. A long-lived session executing hundreds of
+      // registry queries accumulates this into the hundreds of MB at
+      // small scale (jmap: 350k SQLPlanMetric live mid-Verify) and into
+      // a driver OOM on the 251-query sf1 schedule at the default 8 GiB
+      // heap (round 19). Nothing reads the store here (UI off, no
+      // history server), so retain just enough for post-hoc debugging
+      // of the LAST few executions. The 100 TB posture: a production
+      // driver running a query-per-minute for a month holds 43k
+      // executions' worth of plan metadata unless this is bounded.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
       // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
       // to TimestampType in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
