@@ -113,6 +113,16 @@ object Sessions {
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def get(appName: String): SparkSession = {
+    // Memory-backed ImageIO streams, set HERE — the single
+    // deterministic early init point every entry path (Verify, Bench,
+    // tests, driver) passes through — so the JVM-wide flag does not
+    // depend on which imageio codec class happens to load first, and
+    // any ImageIO use that precedes codec class-load already runs
+    // cache-free. The codecs ALSO set it at class init: on a real
+    // cluster decode tasks run in executor JVMs where this driver-side
+    // bootstrap never executes, so the class-load site is the
+    // executor-side guarantee and this is the driver-side one.
+    javax.imageio.ImageIO.setUseCache(false)
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val ctx = org.apache.logging.log4j.LogManager.getContext(false)

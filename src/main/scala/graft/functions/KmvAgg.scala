@@ -36,7 +36,12 @@ import org.apache.spark.sql.functions.udaf
   * Steady-state `reduce` (full buffer, x above the k-th minimum) is
   * one comparison with no allocation; an accepted value is a single
   * O(k) positional insert. Duplicates never enter the buffer — KMV is
-  * defined over the distinct hash SET.
+  * defined over the distinct hash SET. The Seq rebuild per accepted
+  * insert is deliberate at k = 64 (accepts are rare once the buffer
+  * fills — P[accept] = k/n under uniform hashing); if k is ever
+  * raised past a few hundred, switch the buffer to a fixed-size
+  * Array[Long] with binary-search insert and keep the Seq shape only
+  * at the encoder boundary.
   */
 class KmvMinHashes(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   require(k >= 1, s"KmvMinHashes: k=$k")

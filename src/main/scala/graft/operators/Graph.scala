@@ -569,8 +569,19 @@ object Graph {
   def ssspRounds(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"ssspRounds: rounds=$rounds")
+    // Parity with bfsHops' .distinct(): collapse duplicate (src,dst)
+    // rows BEFORE caching — min(cost) is the weighted analogue (only
+    // the cheapest parallel edge can ever win a min-relaxation, so
+    // results are unchanged), and the cached relation + per-round join
+    // fan-out stay proportional to the DISTINCT edge set, not the raw
+    // input multiplicity. The repartition comes FIRST: hash
+    // partitioning on src already clusters (src, dst), so the groupBy
+    // reuses that one exchange instead of adding its own, and the
+    // aggregate output stays src-partitioned for the per-round joins.
     val e = edges.select(col("src"), col("dst"), col("cost"))
-      .repartition(col("src")).persist()
+      .repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(min(col("cost")).as("cost"))
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     var dist = nodes

@@ -27,8 +27,9 @@ package graft.operators
 object JpegCodec {
 
   // Memory-backed ImageIO streams, not the default temp-file cache —
-  // see the PngCodec init note. Set in BOTH imageio codecs so either
-  // class initializing first covers the JVM-wide flag.
+  // see the PngCodec init note. Set in both imageio codecs (executor
+  // JVMs) and Sessions.get (driver bootstrap) so no load order leaves
+  // the JVM-wide flag unset.
   javax.imageio.ImageIO.setUseCache(false)
 
   private val MaxSide = 1 << 15 // same dimension cap as BmpCodec/PngCodec

@@ -21,8 +21,11 @@ object PngCodec {
   // hot multimodal path that is two filesystem metadata round-trips
   // per 8x8 image — pure overhead for byte-array-backed streams that
   // fit in memory by construction (payloads are dimension-capped
-  // before decode). The memory cache is byte-identical in output; the
-  // JVM-wide flag is set once at class init of either imageio codec.
+  // before decode). The memory cache is byte-identical in output. The
+  // JVM-wide flag is set in THREE places: Sessions.get (deterministic
+  // driver-side bootstrap, covers pre-codec ImageIO use) and class
+  // init of both imageio codecs (the executor-side guarantee — decode
+  // tasks run in executor JVMs that never execute Sessions.get).
   javax.imageio.ImageIO.setUseCache(false)
 
   private val MaxSide = 1 << 15 // same dimension cap as BmpCodec

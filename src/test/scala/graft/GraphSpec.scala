@@ -421,4 +421,37 @@ class GraphSpec extends AnyFunSuite {
       s"unit-cost sssp ${sssp.toSeq} != bfs ${bfs.toSeq}")
     assert(sssp.toSeq.filter(_._2 == -1L).map(_._1) == Seq(4L, 5L))
   }
+
+  test("ssspRounds collapses duplicate (src,dst) edges to min cost " +
+      "before caching (bfsHops distinct parity)") {
+    // Parallel edges 0→1 at costs 7 and 2: min-cost must win, and the
+    // duplicate must not inflate results (dist(1) = 2, via one round).
+    val edges = Seq((0L, 1L, 7L), (0L, 1L, 2L), (1L, 2L, 1L))
+      .toDF("src", "dst", "cost")
+    val got = Graph.ssspRounds(edges, Seq(0L).toDF("node"), rounds = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 0L), (1L, 2L), (2L, 3L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("gr_reach_recursive: the recursive-CTE reachability equals " +
+      "gr_bfs's reached subset (same seeds/rounds/gate), and the " +
+      "plan executes through UnionLoopExec, not driver iteration") {
+    val sf = "/root/testdata/sf0.001"
+    val rec = RegistryGraph.queries("gr_reach_recursive")(spark, sf)
+    // Plan guard: the self-referencing CTE must plan as the engine's
+    // union-loop operator — if the analyzer ever silently rewrote or
+    // the version dropped support, this is where it shows.
+    val phys = rec.queryExecution.executedPlan.toString
+    assert(phys.contains("UnionLoop"),
+      s"expected UnionLoopExec in the physical plan, got:\n$phys")
+    val got = rec.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bfs = RegistryGraph.queries("gr_bfs")(spark, sf)
+      .where($"reached" === 1L).select("node", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == bfs,
+      s"recursive reach (${got.size} rows) != bfs reached subset " +
+        s"(${bfs.size} rows)")
+  }
 }
