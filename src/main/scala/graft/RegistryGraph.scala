@@ -354,6 +354,67 @@ object RegistryGraph {
        |FROM d$rounds ORDER BY node""".stripMargin
   }
 
+  /** Out-degree cap of the reachability BACKBONE `gr_reach_recursive`
+    * walks: each node keeps only its [[ReachTopK]] strongest gated
+    * neighbors (by co-occurrence support, dst-tiebroken) — the standard
+    * graph sparsification before a walk-enumerating traversal. */
+  private val ReachTopK = 2
+
+  /** ONE SQL template that is BOTH the Spark query and the DuckDB
+    * oracle for `gr_reach_recursive` (the [[RegistryOlap]] sqlPair
+    * convention): min-hop distance from the [[BfsSeedMod]] seed family
+    * over the TOP-[[ReachTopK]] strongest-neighbor backbone of the
+    * gated graph, written as a `WITH RECURSIVE` CTE so the ENGINE's
+    * recursion surface executes it — Spark 4.1 plans the
+    * self-referencing CTE as UnionLoop/UnionLoopExec (iterative
+    * distributed union, no driver-side loop; GraphSpec plan-guards
+    * this), where [[Graph.bfsHops]] expresses frontier reachability as
+    * explicit DataFrame rounds.
+    *
+    * Why a backbone and not the full gated graph: Spark 4.1 recursion
+    * is UNION ALL-only (the analyzer raises
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE for the deduplicating form),
+    * so the recursive member enumerates WALKS, not frontier nodes —
+    * on the full graph that is |seeds|·Σ d̄ʳ rows, which already blows
+    * past the engine's 1M-row recursion guard on the dense sf0.001
+    * near-clique (max degree 51: 977,690 level-4 walks measured), and
+    * at 100 TB would be the classic path-explosion scale-killer. The
+    * row_number cap makes the walk count ≤ |seeds|·Σᵣ Kʳ BY
+    * CONSTRUCTION — scale-independent per seed — which is how a
+    * declarative recursive traversal survives arbitrary degree skew.
+    * Full-frontier BFS belongs to [[Graph.bfsHops]], whose per-round
+    * min-aggregate IS the dedup; GraphSpec cross-checks the two
+    * (backbone ⊆ gated graph ⇒ reached set ⊆ gr_bfs's, and every
+    * backbone distance bounds the gated distance from above).
+    *
+    * `tbl` is the lineitem relation name (temp view on the Spark side,
+    * bare name in DuckDB); `mat` is "MATERIALIZED " on the DuckDB side
+    * only — a hint Spark does not parse, needed there because undw/ew
+    * are multi-referenced (the [[kcoreOracle]] precedent). */
+  private def reachRecursiveSql(tbl: String, mat: String): String =
+    s"""WITH RECURSIVE pr AS $mat(SELECT DISTINCT a.l_orderkey AS ok,
+       |    a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM $tbl a JOIN $tbl b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey),
+       |undw AS $mat(SELECT pa AS a, pb AS b,
+       |    CAST(count(*) AS BIGINT) AS w FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $TriMinSupport),
+       |ew AS $mat(SELECT a AS src, b AS dst, w FROM undw
+       |  UNION ALL SELECT b AS src, a AS dst, w FROM undw),
+       |bb AS $mat(SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY w DESC, dst) AS rn FROM ew) ranked
+       |  WHERE rn <= $ReachTopK),
+       |walk(node, dist) AS (
+       |  SELECT DISTINCT src AS node, 0 AS dist FROM bb
+       |  WHERE src % $BfsSeedMod = 0
+       |  UNION ALL
+       |  SELECT b.dst AS node, w.dist + 1 AS dist
+       |  FROM walk w JOIN bb b ON b.src = w.node
+       |  WHERE w.dist < $BfsRounds)
+       |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+       |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -455,6 +516,16 @@ object RegistryGraph {
         .where(col("node") % SsspSeedMod === 0)
       Graph.ssspRounds(ew, seeds, SsspRounds).orderBy("node")
     }),
+    // Declarative reachability: the SAME seed family / rounds / gate
+    // as gr_bfs, but run through the engine's recursive-CTE surface
+    // (WITH RECURSIVE → UnionLoopExec) instead of DataFrame rounds —
+    // reached nodes only, min-hop distance. One SQL template is both
+    // the Spark text and the oracle (see reachRecursiveSql).
+    "gr_reach_recursive" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .createOrReplaceTempView("graft_grreach_lineitem")
+      s.sql(reachRecursiveSql("graft_grreach_lineitem", ""))
+    }),
     // Edge-level Jaccard similarity of endpoint neighborhoods — the
     // graph-sparsification keep-score; common counts ride the same
     // oriented triangle enumeration as gr_triangles.
@@ -485,6 +556,7 @@ object RegistryGraph {
     "gr_kcore" -> kcoreOracle(KcoreRounds),
     "gr_bfs" -> bfsOracle(BfsSeedMod, BfsRounds),
     "gr_sssp" -> ssspOracle(SsspSeedMod, SsspRounds, SsspCostScale),
+    "gr_reach_recursive" -> reachRecursiveSql("lineitem", "MATERIALIZED "),
     // Edge Jaccard: the oracle counts common neighbors by the direct
     // neighborhood-intersect join (a formulation change the parity
     // contract is designed to absorb); und/e0 are referenced several
