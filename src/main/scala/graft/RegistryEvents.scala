@@ -189,6 +189,15 @@ private[graft] trait RegistryEvents extends RegistryShared {
       Events.kmvDistinctEval(t(s, dir, "events"), "event_type", "user_id",
         KmvK)
         .orderBy("event_type")),
+    // KMV set algebra: pairwise union/intersection cardinality from
+    // the bounded sketches alone (θ-sketch inclusion–exclusion),
+    // graded against the exact overlap — the sketch-only form of
+    // ev_overlap_matrix. Deterministically replayable like
+    // ev_kmv_distinct (row_number prefixes + re-ranked pairwise merge).
+    "ev_kmv_overlap" -> ((s, dir) =>
+      Events.kmvOverlapEval(t(s, dir, "events"), "event_type", "user_id",
+        KmvK)
+        .orderBy("type_a", "type_b")),
     // ROLLUP (multi-level subtotals in one shuffle) and pinned-values
     // PIVOT — the grouping-analytics surface beyond plain GROUP BY.
     // Rolled-up keys surface as '(all)'/-1 (no nulls in output).
@@ -539,6 +548,70 @@ private[graft] trait RegistryEvents extends RegistryShared {
          |  abs(est_distinct - exact_distinct) * 1000000 // exact_distinct
          |    AS err_ppm
          |FROM est ORDER BY event_type""".stripMargin,
+    // KMV set-algebra replay: per-type k-minima via row_number prefix
+    // (as ev_kmv_distinct), pairwise MERGED sketch via a re-rank over
+    // the deduped union of the two prefix sets (the k smallest of
+    // S_A ∪ S_B — exactly what KmvMinHashes.merge keeps), common
+    // values below θ counted with the same below-k exactness case.
+    // Intersection error is relative to the exact union (the θ-sketch
+    // guarantee scales with |A∪B|).
+    "ev_kmv_overlap" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+         |      AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |s AS (SELECT event_type, h FROM r WHERE rn <= $KmvK),
+         |ks AS (SELECT DISTINCT event_type FROM s),
+         |prs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM ks a JOIN ks b ON a.event_type < b.event_type),
+         |uh AS (SELECT DISTINCT p.type_a, p.type_b, s.h
+         |  FROM prs p JOIN s ON s.event_type IN (p.type_a, p.type_b)),
+         |ur AS (SELECT type_a, type_b, h, row_number()
+         |    OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn FROM uh),
+         |m AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS kmv_size,
+         |    max(h) AS theta
+         |  FROM ur WHERE rn <= $KmvK GROUP BY type_a, type_b),
+         |cmn AS (SELECT p.type_a, p.type_b, sa.h
+         |  FROM prs p JOIN s sa ON sa.event_type = p.type_a
+         |  JOIN s sb ON sb.event_type = p.type_b AND sb.h = sa.h),
+         |cc AS (SELECT m.type_a, m.type_b, m.kmv_size, m.theta,
+         |    CAST(count(c.h) FILTER (WHERE m.kmv_size < $KmvK
+         |      OR c.h < m.theta) AS BIGINT) AS common
+         |  FROM m LEFT JOIN cmn c
+         |    ON c.type_a = m.type_a AND c.type_b = m.type_b
+         |  GROUP BY m.type_a, m.type_b, m.kmv_size, m.theta),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM du GROUP BY event_type),
+         |exb AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST(count(*) AS BIGINT) AS exact_both
+         |  FROM du a JOIN du b ON a.user_id = b.user_id
+         |    AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |est AS (SELECT c.type_a, c.type_b, ea.n AS n_a, eb.n AS n_b,
+         |    coalesce(x.exact_both, 0) AS exact_both,
+         |    ea.n + eb.n - coalesce(x.exact_both, 0) AS exact_union,
+         |    c.kmv_size, c.theta, c.common,
+         |    CAST(CASE WHEN c.kmv_size < $KmvK THEN c.kmv_size
+         |      ELSE ${KmvK - 1} * 4294967296 // c.theta END AS BIGINT)
+         |      AS union_est,
+         |    CAST(CASE WHEN c.kmv_size < $KmvK THEN c.common
+         |      ELSE c.common * 4294967296 // c.theta END AS BIGINT)
+         |      AS inter_est
+         |  FROM cc c JOIN ex ea ON ea.event_type = c.type_a
+         |  JOIN ex eb ON eb.event_type = c.type_b
+         |  LEFT JOIN exb x ON x.type_a = c.type_a AND x.type_b = c.type_b)
+         |SELECT type_a, type_b, n_a, n_b, exact_both, exact_union,
+         |  kmv_size, theta, common, union_est, inter_est,
+         |  abs(union_est - exact_union) * 1000000 // exact_union
+         |    AS union_err_ppm,
+         |  abs(inter_est - exact_both) * 1000000 // exact_union
+         |    AS inter_err_ppm
+         |FROM est ORDER BY type_a, type_b""".stripMargin,
     "ev_path_transitions" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
          |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -652,6 +652,84 @@ object Events {
           " div exact_distinct"))
   }
 
+  /** KMV SET ALGEBRA — union and intersection cardinality between key
+    * slices computed from the bounded sketches ALONE (the θ-sketch
+    * inclusion–exclusion, Bar-Yossef 2002 / theta-sketch practice),
+    * graded against the exact counts ([[overlapMatrix]]'s quantities).
+    * This is the sketch family's point at 100 TB: "how many distinct
+    * users do event types A and B share" answered from 2·k longs per
+    * pair, no re-touch of raw data — sketches computed once per
+    * slice/day/source keep answering every pairwise overlap question.
+    *
+    * Estimators (all exact integer arithmetic, deterministically
+    * replayable — same hash-parity contract as [[kmvDistinctEval]]):
+    * the merged sketch (k smallest of S_A ∪ S_B, which IS the KMV
+    * sketch of A ∪ B because any of the union's k minima is among its
+    * own set's k minima) gives θ = its k-th minimum and
+    * `union_est = (k−1)·2³² div θ`; the common values BELOW θ are the
+    * intersection's retained sample, `inter_est = common·2³² div θ`.
+    * Below k the sketches are the complete hash sets and both
+    * estimates are exact by construction. Intersection error is
+    * graded relative to the exact UNION size (the θ-sketch guarantee
+    * scales with |A∪B|, not |A∩B| — a tiny intersection estimated
+    * from a large union is honest about that).
+    *
+    * Scale shape: the distinct projection and the two aggregates over
+    * it are the only corpus-sized stages (the exact columns exist to
+    * grade the estimate — a production rollup would keep only the
+    * sketch side); everything pairwise runs on |types|-row relations
+    * with array kernels (array_union/intersect/sort on ≤ k-long
+    * arrays), broadcast-joined. */
+  def kmvOverlapEval(df: DataFrame, keyCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.KmvMinHashes.kmv
+    val h = conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType)
+    val du = df.where(col(idCol).isNotNull)
+      .select(col(keyCol), col(idCol).as("__id")).distinct()
+    val withH = df.where(col(idCol).isNotNull)
+      .select(col(keyCol), h.as("__h"))
+    val sk = withH.groupBy(col(keyCol)).agg(kmv(k)(col("__h")).as("mins"))
+    val tot = du.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val exactBoth = du.select(col(keyCol).as("type_a"), col("__id"))
+      .join(du.select(col(keyCol).as("type_b"), col("__id")), Seq("__id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_both"))
+    val pow32 = 4294967296L
+    sk.select(col(keyCol).as("type_a"), col("mins").as("ma"))
+      .join(broadcast(sk.select(col(keyCol).as("type_b"),
+        col("mins").as("mb"))), col("type_a") < col("type_b"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+      .withColumn("kmv_size", size(col("merged")).cast(LongType))
+      .withColumn("theta", element_at(col("merged"), size(col("merged"))))
+      .withColumn("common",
+        when(col("kmv_size") < k,
+          size(array_intersect(col("ma"), col("mb"))).cast(LongType))
+          .otherwise(size(filter(array_intersect(col("ma"), col("mb")),
+            v => v < col("theta"))).cast(LongType)))
+      .withColumn("union_est",
+        when(col("kmv_size") < k, col("kmv_size"))
+          .otherwise(expr(s"${(k - 1).toLong} * $pow32 div theta")))
+      .withColumn("inter_est",
+        when(col("kmv_size") < k, col("common"))
+          .otherwise(expr(s"common * $pow32 div theta")))
+      .join(broadcast(tot.select(col(keyCol).as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(tot.select(col(keyCol).as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .join(broadcast(exactBoth), Seq("type_a", "type_b"), "left_outer")
+      .na.fill(0L, Seq("exact_both"))
+      .withColumn("exact_union", expr("n_a + n_b - exact_both"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("exact_both"), col("exact_union"), col("kmv_size"),
+        col("theta"), col("common"), col("union_est"), col("inter_est"),
+        expr("abs(union_est - exact_union) * 1000000 div exact_union")
+          .as("union_err_ppm"),
+        expr("abs(inter_est - exact_both) * 1000000 div exact_union")
+          .as("inter_err_ppm"))
+  }
+
   /** LATEST-PER-KEY snapshot — the CDC compaction read: each user's
     * single most recent event under the (ts, event_id) total order.
     * One lexicographic struct-max whose map-side partials hold ONE

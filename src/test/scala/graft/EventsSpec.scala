@@ -672,4 +672,58 @@ class EventsSpec extends AnyFunSuite {
       s"sketch must be merge-shape-invariant: ${one.toSeq} vs ${many.toSeq}")
     assert(one.head(1) == 50L, s"null id must not count: ${one.toSeq}")
   }
+
+  test("kmvOverlapEval: below-k pairs report exact union/intersection; " +
+      "the θ-sketch arithmetic matches an independent replay on a " +
+      "half-overlapping pair") {
+    // Two types over 1..300 with users 101..200 shared: |A|=200, |B|=200,
+    // |A∩B|=100, |A∪B|=300 — a genuine partial overlap (the sf fixtures
+    // are fully-overlapping, so the partial case lives here).
+    val rows = (1L to 200L).map(u => ("a", u)) ++
+      (101L to 300L).map(u => ("b", u))
+    val k = 16
+    val got = Events.kmvOverlapEval(rows.toDF("event_type", "user_id"),
+      "event_type", "user_id", k).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // Independent replay of the estimator from first principles.
+    val hA = (1L to 200L).map(kmvHash).distinct.sorted.take(k)
+    val hB = (101L to 300L).map(kmvHash).distinct.sorted.take(k)
+    val merged = (hA ++ hB).distinct.sorted.take(k)
+    val theta = merged.last
+    val common = hA.toSet.intersect(hB.toSet).count(_ < theta).toLong
+    val unionEst = (k - 1).toLong * 4294967296L / theta
+    val interEst = common * 4294967296L / theta
+    val (na, nb, both, un) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("exact_both"), r.getAs[Long]("exact_union"))
+    assert((na, nb, both, un) == (200L, 200L, 100L, 300L))
+    assert(r.getAs[Long]("theta") == theta)
+    assert(r.getAs[Long]("common") == common)
+    assert(r.getAs[Long]("union_est") == unionEst, s"union $r")
+    assert(r.getAs[Long]("inter_est") == interEst, s"inter $r")
+
+    // Below k: sketches are complete sets — estimates exact, err 0.
+    val small = ((1L to 10L).map(u => ("a", u)) ++
+      (6L to 15L).map(u => ("b", u))).toDF("event_type", "user_id")
+    val s = Events.kmvOverlapEval(small, "event_type", "user_id", 64)
+      .collect().head
+    assert(s.getAs[Long]("union_est") == 15L &&
+      s.getAs[Long]("inter_est") == 5L &&
+      s.getAs[Long]("union_err_ppm") == 0L &&
+      s.getAs[Long]("inter_err_ppm") == 0L, s"below-k: $s")
+  }
+
+  test("kmvOverlapEval: disjoint pairs estimate a zero-ish " +
+      "intersection and the exact_both row survives as 0 (left join)") {
+    val rows = (1L to 120L).map(u => ("a", u)) ++
+      (1001L to 1120L).map(u => ("b", u))
+    val r = Events.kmvOverlapEval(rows.toDF("event_type", "user_id"),
+      "event_type", "user_id", 16).collect().head
+    assert(r.getAs[Long]("exact_both") == 0L)
+    // Disjoint ids can still share a few sketch minima only via md5
+    // prefix collisions — at 240 ids the chance is ~0, so the estimate
+    // must be exactly 0.
+    assert(r.getAs[Long]("inter_est") == 0L, s"got $r")
+    assert(r.getAs[Long]("exact_union") == 240L)
+  }
 }
