@@ -65,6 +65,48 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
         })
     }
 
+  /** Once-per-(session, dir) checkpointed run of the TIMER sessionizer
+    * ([[graft.streaming.StreamOps.timerSessionize]]) WITHOUT the
+    * sentinel flush, for [[st_state_timers]]: open sessions stay in
+    * the store with their registered timers, which is the state kind
+    * this fixture exists to expose (the sentinel-flushed
+    * st_tws_sessions run would leave the timer column family EMPTY —
+    * every timer fires before the drain ends). Same WeakHashMap
+    * session-keyed convention as [[ensureTotalsCheckpoint]]; the two
+    * fixtures share the map under distinct dir keys. */
+  protected def ensureTimerCheckpoint(s: SparkSession,
+                                      dir: String): String =
+    totalsCheckpoint.synchronized {
+      totalsCheckpoint.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate("timers:" + dir, {
+          import s.implicits._
+          val ckpt = graft.Scratch.dir("graft_timers_ckpt")
+          val key = "spark.sql.streaming.stateStore.providerClass"
+          val saved = s.conf.getOption(key)
+          s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+            "state.RocksDBStateStoreProvider")
+          try {
+            val src = Tables.loadStream(s, dir, "events")
+              .select("user_id", "event_id", "ts")
+              .as[graft.streaming.StreamOps.Ev]
+            val q = graft.streaming.StreamOps
+              .timerSessionize(src, SessionGapSeconds).toDF()
+              .writeStream.format("noop")
+              .option("checkpointLocation", ckpt)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .AvailableNow())
+              .start()
+            q.awaitTermination()
+          } finally saved match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+          ckpt
+        })
+    }
+
   protected val streaming: Map[String, Q] = Map(
     "st_hourly_rollup" -> ((s, dir) =>
       graft.streaming.StreamOps.runToCompletion(
@@ -172,6 +214,26 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
           col("value.n_clicks").as("n_clicks"),
           col("value.value_micros").as("value_micros"),
           col("value.max_event_id").as("max_event_id"))
+        .orderBy("user_id")
+    }),
+
+    // State Data Source reader over a SECOND state kind: the TIMER
+    // column family (st_state_reader reads a ValueState). The
+    // un-flushed timer-sessionize checkpoint holds one registered
+    // timer per OPEN session (the processor deletes the previous
+    // registration each batch, so exactly one per live key), read
+    // offline with readRegisteredTimers=true. The oracle is a
+    // first-principles open-session computation: a user's trailing
+    // session is open iff its expiry (last event ms + gap·1000)
+    // exceeds the final watermark (global max event ms, delay 0) —
+    // Spark fires timers with expiry ≤ watermark (TimerStateImpl's
+    // iterator bound), so exactly the strictly-greater set remains.
+    "st_state_timers" -> ((s, dir) => {
+      val ckpt = ensureTimerCheckpoint(s, dir)
+      s.read.format("statestore").option("path", ckpt)
+        .option("readRegisteredTimers", "true").load()
+        .select(col("key.value").as("user_id"),
+          col("expiration_timestamp_ms").as("expiry_ms"))
         .orderBy("user_id")
     }),
 
@@ -529,6 +591,23 @@ private[graft] trait RegistryStreaming extends RegistryEvents {
     // oracle, but the Spark side is RocksDB snapshot files, not query
     // emissions.
     "st_state_reader" -> totalsOracleSql,
+    // Registered-timer read: a user's trailing session is open iff its
+    // expiry (last event ms + gap·1000) is strictly above the final
+    // watermark (global max event ms, delay 0 — fired timers satisfy
+    // expiry ≤ watermark and are removed). The last session's end is
+    // the user's max event time, so the open set needs no session
+    // reconstruction — a first-principles check of the timer store.
+    "st_state_timers" ->
+      s"""WITH e AS (SELECT user_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |u AS (SELECT user_id, max(us) // 1000 AS end_ms FROM e
+         |  GROUP BY user_id),
+         |wm AS (SELECT max(us) // 1000 AS wm_ms FROM e)
+         |SELECT user_id,
+         |  CAST(end_ms + ${SessionGapSeconds * 1000L} AS BIGINT)
+         |    AS expiry_ms
+         |FROM u, wm WHERE end_ms + ${SessionGapSeconds * 1000L} > wm_ms
+         |ORDER BY user_id""".stripMargin,
     // Identical to ev_hourly_rollup: the streaming plan must agree with
     // the batch aggregate bit-for-bit.
     "st_hourly_rollup" ->

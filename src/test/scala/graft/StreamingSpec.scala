@@ -740,6 +740,27 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("st_state_timers: the timer read holds exactly ONE registered " +
+      "timer per open key, equal to the in-Spark open-session " +
+      "computation (last event ms + gap*1000 above the final watermark)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Registry.queries("st_state_timers")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1).distinct.size == got.size,
+      s"duplicate timers per key: $got")
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000").as("ms"))
+    val wm = e.agg(max(col("ms"))).head().getLong(0)
+    val gapMs = 1800L * 1000L
+    val want = e.groupBy("user_id").agg(max(col("ms")).as("end_ms"))
+      .where(col("end_ms") + gapMs > wm)
+      .select(col("user_id"), (col("end_ms") + gapMs).as("expiry_ms"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"timer read $got != open-session set $want")
+  }
 }
 
 /** Spec-only StatefulProcessor exercising the remaining state kinds of
