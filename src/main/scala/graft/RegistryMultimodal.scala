@@ -40,6 +40,10 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
   private lazy val OracleJpegRoot: String =
     JpegFixture.root.replaceFirst("^file:/*", "/")
 
+  /** DuckDB-side path to the SAME GIF fixture files Spark reads. */
+  private lazy val OracleGifRoot: String =
+    GifFixture.root.replaceFirst("^file:/*", "/")
+
   protected val multimodal: Map[String, Q] = Map(
     "mm_meta" -> ((s, dir) =>
       Multimodal.extractMeta(mmPayload(s, dir)).orderBy("doc_id")),
@@ -203,6 +207,49 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
             col("content").as("payload")),
           decode = JpegCodec.decode)
           .select("file_name", "width", "height", "n_pixels"),
+        outputMode = "append")
+        .orderBy("file_name")),
+    // MULTI-FRAME member of the codec family: animated GIFs through
+    // GifCodec (container walked independently BEFORE the JDK reader
+    // decodes frames), at the format's honest oracle boundary (see
+    // GifCodec scaladoc): the oracle-checked columns are the CONTAINER
+    // facts — logical-screen dims, frame count, per-frame delays —
+    // re-parsed from the same checked-in files by an independent SQL
+    // block walker (recursive CTE over the sub-block chain). Per-frame
+    // PIXELS are spec-covered and, unlike JPEG, EXACT (palette-indexed
+    // frames round-trip bit-for-bit — MultimodalSpec).
+    "mm_gif_frames" -> ((s, _) =>
+      Multimodal.decodeGifFeatures(
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.gif")
+          .load(GifFixture.root)
+          .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+            col("content").as("payload")))
+        .select("file_name", "width", "height", "n_frames", "delays_cs",
+          "total_cs")
+        .orderBy("file_name")),
+    // The GIF streaming dual: the fixture directory as a binaryFile
+    // FILE STREAM, GifCodec frame decode inside the micro-batch,
+    // drained with AvailableNow (stateless append — the st_mm_ingest
+    // shape). Drained == batch == SQL block-walk: one oracle, three
+    // independent paths over the same checked-in files.
+    "st_gif_ingest" -> ((s, _) =>
+      graft.streaming.StreamOps.runToCompletion(
+        s,
+        s.readStream.format("binaryFile")
+          .schema(StructType(Seq(
+            StructField("path", StringType),
+            StructField("modificationTime", TimestampType),
+            StructField("length", LongType),
+            StructField("content", BinaryType))))
+          .option("pathGlobFilter", "*.gif")
+          .load(GifFixture.root),
+        df => Multimodal.decodeGifFeatures(
+          df.select(
+            element_at(split(col("path"), "/"), -1).as("file_name"),
+            col("content").as("payload")))
+          .select("file_name", "width", "height", "n_frames",
+            "delays_cs", "total_cs"),
         outputMode = "append")
         .orderBy("file_name")),
     // Embedding-cosine near-dup: exact duplicates are synthesized under
@@ -369,7 +416,67 @@ private[graft] trait RegistryMultimodal extends RegistryShared {
        |    AS n_pixels
        |FROM sof f JOIN d USING (file_name) ORDER BY file_name""".stripMargin
 
+  /** Independent SQL re-parse of the SAME checked-in animated GIFs
+    * Spark decodes with GifCodec: hex-string byte list, then a
+    * RECURSIVE walk of the block structure as a two-state machine —
+    * mode 'B' examines a block introducer (0x21 extension / 0x2C image
+    * descriptor / 0x3B trailer, which ends the recursion), mode 'S'
+    * hops length-prefixed sub-blocks to their 0 terminator; an image
+    * descriptor also skips its local color table and LZW min-code
+    * byte. Frame count = descriptors seen; delays = the Graphic
+    * Control Extensions in stream order (little-endian hundredths at
+    * GCE offset +4); screen dims = the little-endian logical screen
+    * descriptor. Two container parsers, one file, matching facts —
+    * the [[jpegFilesOracleSql]] convention on a sub-block chain. */
+  private lazy val gifFilesOracleSql: String =
+    s"""WITH RECURSIVE b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1)
+       |      AS file_name, hex(content) AS hx
+       |  FROM read_blob('$OracleGifRoot/*.gif')),
+       |d AS MATERIALIZED (SELECT file_name,
+       |    list_transform(range(0, length(hx) // 2), i ->
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 1 AS BIGINT), 1)) - 1) * 16 +
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i + 2 AS BIGINT), 1)) - 1)) AS bt
+       |  FROM b),
+       |walk(file_name, pos, mode) AS (
+       |  SELECT file_name,
+       |    CAST(13 + CASE WHEN bt[11] >= 128
+       |      THEN 3 * (1 << ((bt[11] % 8) + 1)) ELSE 0 END AS BIGINT),
+       |    'B' FROM d
+       |  UNION ALL
+       |  SELECT w.file_name,
+       |    CASE
+       |      WHEN w.mode = 'B' AND d.bt[w.pos + 1] = 33 THEN w.pos + 2
+       |      WHEN w.mode = 'B' AND d.bt[w.pos + 1] = 44 THEN w.pos + 11 +
+       |        CASE WHEN d.bt[w.pos + 10] >= 128
+       |          THEN 3 * (1 << ((d.bt[w.pos + 10] % 8) + 1)) ELSE 0 END
+       |      WHEN w.mode = 'S' AND d.bt[w.pos + 1] = 0 THEN w.pos + 1
+       |      ELSE w.pos + 1 + d.bt[w.pos + 1]
+       |    END,
+       |    CASE WHEN w.mode = 'S' AND d.bt[w.pos + 1] = 0 THEN 'B'
+       |      ELSE 'S' END
+       |  FROM walk w JOIN d USING (file_name)
+       |  WHERE NOT (w.mode = 'B' AND d.bt[w.pos + 1] = 59)),
+       |fr AS (SELECT w.file_name,
+       |    CAST(count(*) FILTER (WHERE d.bt[w.pos + 1] = 44) AS BIGINT)
+       |      AS n_frames,
+       |    string_agg(CAST(d.bt[w.pos + 5] + 256 * d.bt[w.pos + 6]
+       |        AS VARCHAR), '|' ORDER BY w.pos)
+       |      FILTER (WHERE d.bt[w.pos + 1] = 33
+       |        AND d.bt[w.pos + 2] = 249) AS delays_cs,
+       |    CAST(sum(d.bt[w.pos + 5] + 256 * d.bt[w.pos + 6])
+       |      FILTER (WHERE d.bt[w.pos + 1] = 33
+       |        AND d.bt[w.pos + 2] = 249) AS BIGINT) AS total_cs
+       |  FROM walk w JOIN d USING (file_name)
+       |  WHERE w.mode = 'B' GROUP BY w.file_name)
+       |SELECT f.file_name,
+       |  CAST(d.bt[7] + 256 * d.bt[8] AS BIGINT) AS width,
+       |  CAST(d.bt[9] + 256 * d.bt[10] AS BIGINT) AS height,
+       |  f.n_frames, f.delays_cs, f.total_cs
+       |FROM fr f JOIN d USING (file_name) ORDER BY file_name""".stripMargin
+
   protected val multimodalOracles: Map[String, String] = Map(
+    "mm_gif_frames" -> gifFilesOracleSql,
+    "st_gif_ingest" -> gifFilesOracleSql,
     "mm_meta" ->
       """SELECT doc_id,
         |  (LIST_VALUE('png', 'jpeg', 'webp'))[CAST(doc_id % 3 AS INT) + 1] AS format,

@@ -268,6 +268,41 @@ object Multimodal {
         "px_min", "px_max")
   }
 
+  /** MULTI-FRAME decode for FILE relations `(file_name, payload)` —
+    * the frame-sampling seam over a REAL multi-frame container
+    * ([[GifCodec]]): container facts (screen dims, frame count,
+    * per-frame delays, total duration) plus a per-frame aHash over the
+    * DECODED pixels. The registry query projects the container facts
+    * (the honest GIF oracle boundary — LZW is not SQL-replayable, the
+    * block walk is); the aHash column is the spec-covered pixel half,
+    * exact for palette content. One code path serves the batch
+    * binaryFile read and its file-stream dual, like
+    * [[decodeFileFeatures]]; undecodable payloads yield the (-1, …)
+    * marker row (counted, never thrown). */
+  def decodeGifFeatures(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("file_name"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          GifCodec.decode(bytes) match {
+            case Some(g) =>
+              (name, g.width.toLong, g.height.toLong,
+                g.frames.size.toLong,
+                g.delaysCs.mkString("|"),
+                g.delaysCs.map(_.toLong).sum,
+                g.frames.map(f =>
+                  if (f.width >= 8 && f.height >= 8) BmpCodec.ahash64(f)
+                  else "small").mkString("|"))
+            case None => (name, -1L, -1L, -1L, "", -1L, "")
+          }
+        }
+      }
+      .toDF("file_name", "width", "height", "n_frames", "delays_cs",
+        "total_cs", "frame_ahashes")
+  }
+
   /** Perceptual-hash near-dup bucketing over REAL pixels: decode, hash
     * with [[BmpCodec.ahash64]] (integer average-hash over the 8×8
     * block grid), bucket-join on the hash — the [[phashBuckets]] shape

@@ -577,4 +577,87 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("file_name").collect().map(_.toSeq)
     assert(batch.toSeq == streamed.toSeq)
   }
+
+  // -----------------------------------------------------------------
+  // GIF codec (multi-frame member of the codec family)
+  // -----------------------------------------------------------------
+
+  import graft.operators.{GifCodec, GifFixture}
+
+  test("GifFixture: checked-in animated GIFs equal the re-encoded " +
+      "definition (self-verifying against bit-rot) and decode to the " +
+      "EXACT palette pixels, frame counts, and delay formula") {
+    for (((name, (w, h, frames, delays)), k) <-
+        GifFixture.sources.zipWithIndex) {
+      val onDisk = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          java.net.URI.create(s"${GifFixture.root}/$name")))
+      assert(onDisk.toSeq == GifCodec.encode(w, h, frames, delays,
+        GifFixture.palette).toSeq,
+        s"$name bytes drifted from GifFixture.sources")
+      val g = GifCodec.decode(onDisk).get
+      assert((g.width, g.height) == (w, h), s"$name dims")
+      assert(g.frames.size == frames.size, s"$name frame count")
+      assert(g.delaysCs == delays.toVector, s"$name delays")
+      // Palette-indexed frames round-trip EXACTLY (the GIF pixel
+      // contract — unlike JPEG's lossy boundary): every decoded pixel
+      // equals the index formula through the shared palette.
+      for ((frame, f) <- g.frames.zipWithIndex) {
+        assert((frame.width, frame.height) == (w, h))
+        val want = frames(f).map(GifFixture.palette)
+        assert(frame.pixels.toSeq == want.toSeq,
+          s"$name frame $f pixel drift")
+      }
+      // The container walk agrees with the full decode (two parsers).
+      val facts = GifCodec.containerFacts(onDisk).get
+      assert(facts == GifCodec.GifFacts(w, h, frames.size,
+        delays.toVector))
+    }
+  }
+
+  test("GifCodec.decode rejects non-GIF, truncated, and " +
+      "absurd-declaration payloads instead of throwing") {
+    assert(GifCodec.decode("not a gif at all".getBytes).isEmpty)
+    assert(GifCodec.decode(Array.emptyByteArray).isEmpty)
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(java.net.URI.create(
+        s"${GifFixture.root}/anim_0.gif")))
+    // Truncation anywhere in the block chain must yield None, not an
+    // index error: the walk runs off the end and reports it.
+    for (cut <- Seq(4, 10, 14, good.length / 2, good.length - 1))
+      assert(GifCodec.decode(good.take(cut)).isEmpty, s"cut at $cut")
+    // Absurd logical-screen dims (0 and > MaxSide) rejected before any
+    // decoder allocation.
+    val zeroW = good.clone(); zeroW(6) = 0; zeroW(7) = 0
+    assert(GifCodec.decode(zeroW).isEmpty, "zero width accepted")
+    val hugeW = good.clone(); hugeW(6) = -1; hugeW(7) = -1 // 0xFFFF
+    assert(GifCodec.decode(hugeW).isEmpty, "huge width accepted")
+  }
+
+  test("mm_gif_frames batch == st_gif_ingest streamed, and per-frame " +
+      "aHashes are computed from real decoded frames") {
+    val batch = Registry.queries("mm_gif_frames")(spark, "unused")
+      .collect().map(_.toSeq)
+    val streamed = Registry.queries("st_gif_ingest")(spark, "unused")
+      .collect().map(_.toSeq)
+    assert(batch.toSeq == streamed.toSeq)
+    // The operator's aHash column (spec-covered half): one hash per
+    // frame, equal to ahash64 over the decoded frame.
+    val full = Multimodal.decodeGifFeatures(
+      spark.read.format("binaryFile").option("pathGlobFilter", "*.gif")
+        .load(GifFixture.root)
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content").as("payload")))
+      .orderBy("file_name").collect()
+    for ((row, (name, (w, h, frames, _))) <- full.zip(GifFixture.sources)) {
+      val hashes = row.getAs[String]("frame_ahashes").split('|')
+      assert(hashes.length == frames.size, s"$name hash count")
+      val want = frames.map { ix =>
+        if (w >= 8 && h >= 8) graft.operators.BmpCodec.ahash64(
+          graft.operators.BmpCodec.Bmp(w, h, ix.map(GifFixture.palette)))
+        else "small" // sub-grid frames take the marker, like ahashBuckets
+      }
+      assert(hashes.toSeq == want, s"$name frame hashes")
+    }
+  }
 }
