@@ -260,7 +260,12 @@ object Bench {
     def nmSc(v: Double): String = f"${v / canaryScan}%.2f"
     val perQuery = results.map {
       case (k, Some((mn, mx))) =>
-        s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)},"norm_shuffle":${nmSh(mn)},"norm_scan":${nmSc(mn)}${res(k)}}"""
+        // reps_sec: the raw per-rep walls IN RUN ORDER — what a spread
+        // adjudication actually needs (first-rep-slow = cold-cache
+        // population; a random slow rep = contention/GC landing); the
+        // min/spread summary alone cannot distinguish the two.
+        val rv = runTimes(k).map(ms).mkString("[", ",", "]")
+        s"""{"query":"$k","sec":${ms(mn)},"spread":${ms(mx - mn)},"norm":${nm(mn)},"norm_shuffle":${nmSh(mn)},"norm_scan":${nmSc(mn)},"reps_sec":$rv${res(k)}}"""
       case (k, None) =>
         s"""{"query":"$k","error":"${errors.getOrElse(k, "?")}"}"""
     }.toSeq
