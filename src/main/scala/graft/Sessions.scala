@@ -35,9 +35,8 @@ object Sessions {
         val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
       }
 
-  def builder(appName: String): SparkSession.Builder =
-    extraConf.foldLeft(SparkSession.builder())(
-      (b, kv) => b.config(kv._1, kv._2))
+  def builder(appName: String): SparkSession.Builder = {
+    val base = SparkSession.builder()
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -70,6 +69,13 @@ object Sessions {
       // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
       // to TimestampType in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // extraConf LAST so a measurement run can override ANY default
+    // above (a later .config wins for the same key) — e.g. restoring
+    // spark.sql.ui.retainedExecutions=1000 to measure what the
+    // status-store bound saves (BASELINE.md round 20), or pinning the
+    // broadcast threshold for matched-plan records (round 19).
+    extraConf.foldLeft(base)((b, kv) => b.config(kv._1, kv._2))
+  }
 
   /** Ckpt.release unpersists superseded localCheckpoint RDDs by
     * design; each emits a WARN ("...lineage has been truncated and
