@@ -387,33 +387,82 @@ object RegistryGraph {
     * (backbone ⊆ gated graph ⇒ reached set ⊆ gr_bfs's, and every
     * backbone distance bounds the gated distance from above).
     *
-    * `tbl` is the lineitem relation name (temp view on the Spark side,
-    * bare name in DuckDB); `mat` is "MATERIALIZED " on the DuckDB side
-    * only — a hint Spark does not parse, needed there because undw/ew
-    * are multi-referenced (the [[kcoreOracle]] precedent). */
-  private def reachRecursiveSql(tbl: String, mat: String): String =
-    s"""WITH RECURSIVE pr AS $mat(SELECT DISTINCT a.l_orderkey AS ok,
+    * Input materialization — measured, not theoretical: Spark's
+    * UnionLoop INLINES non-recursive CTEs into the loop body and has
+    * no MATERIALIZED hint, so with the backbone spelled as CTEs every
+    * iteration re-ran the lineitem self-join pipeline — 15.97 s at
+    * sf0.1 for a 168-row result (r20 canonical diff), the DuckDB-side
+    * hazard [[kcoreOracle]] documents, reproduced in the engine. The
+    * backbone is therefore materialized ONCE per (session, dir) as a
+    * scratch-parquet relation ([[ensureReachBackbone]], the fixture
+    * convention) and the recursion walks THAT — which is also the
+    * honest 100 TB shape: a traversal input is a maintained table, not
+    * a per-query re-derivation the loop re-executes. The WALK text —
+    * the engine-recursion surface this query exists to exercise — is
+    * shared verbatim with the oracle via [[reachWalkSql]]; the oracle
+    * prepends the backbone CTEs ([[reachBbCtes]]) that DuckDB (with
+    * MATERIALIZED) evaluates once. */
+  private def reachBbCtes: String =
+    s"""pr AS MATERIALIZED (SELECT DISTINCT a.l_orderkey AS ok,
        |    a.l_partkey AS pa, b.l_partkey AS pb
-       |  FROM $tbl a JOIN $tbl b ON a.l_orderkey = b.l_orderkey
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
        |    AND a.l_partkey < b.l_partkey),
-       |undw AS $mat(SELECT pa AS a, pb AS b,
+       |undw AS MATERIALIZED (SELECT pa AS a, pb AS b,
        |    CAST(count(*) AS BIGINT) AS w FROM pr GROUP BY pa, pb
        |  HAVING count(*) >= $TriMinSupport),
-       |ew AS $mat(SELECT a AS src, b AS dst, w FROM undw
+       |ew AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM undw
        |  UNION ALL SELECT b AS src, a AS dst, w FROM undw),
-       |bb AS $mat(SELECT src, dst FROM (
+       |bb AS MATERIALIZED (SELECT src, dst FROM (
        |    SELECT src, dst, row_number() OVER (PARTITION BY src
        |      ORDER BY w DESC, dst) AS rn FROM ew) ranked
-       |  WHERE rn <= $ReachTopK),
-       |walk(node, dist) AS (
-       |  SELECT DISTINCT src AS node, 0 AS dist FROM bb
+       |  WHERE rn <= $ReachTopK)""".stripMargin
+
+  /** The shared walk text: `bbRel` is the backbone relation name (the
+    * materialized temp view on the Spark side, the `bb` CTE in the
+    * oracle). The recursive member and final aggregate are VERBATIM
+    * identical between the two engines. */
+  private def reachWalkSql(bbRel: String): String =
+    s"""walk(node, dist) AS (
+       |  SELECT DISTINCT src AS node, 0 AS dist FROM $bbRel
        |  WHERE src % $BfsSeedMod = 0
        |  UNION ALL
        |  SELECT b.dst AS node, w.dist + 1 AS dist
-       |  FROM walk w JOIN bb b ON b.src = w.node
+       |  FROM walk w JOIN $bbRel b ON b.src = w.node
        |  WHERE w.dist < $BfsRounds)
        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
        |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
+  /** Once-per-(session, dir) scratch-parquet materialization of the
+    * reachability backbone — the [[RegistryStreaming]] WeakHashMap
+    * fixture convention (session-object-keyed so a stopped session's
+    * entries die with it). The build is the exact DataFrame twin of
+    * [[reachBbCtes]]: [[gatedEdges]] (same gate), both orientations
+    * carrying the support weight, row_number top-[[ReachTopK]] per
+    * src with the (w DESC, dst) tiebreak. */
+  private val reachBbDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def ensureReachBackbone(s: SparkSession, dir: String): String =
+    reachBbDirs.synchronized {
+      reachBbDirs.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, {
+          val out = graft.Scratch.dir("graft_reach_bb")
+          val und = gatedEdges(s, dir)
+          val ew = und.select(col("src"), col("dst"), col("w"))
+            .unionAll(und.select(col("dst").as("src"),
+              col("src").as("dst"), col("w")))
+          val win = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src"))
+            .orderBy(col("w").desc, col("dst"))
+          ew.withColumn("rn", row_number().over(win))
+            .where(col("rn") <= ReachTopK)
+            .select("src", "dst")
+            .write.mode("overwrite").parquet(out)
+          out
+        })
+    }
 
   // ---------------------------------------------------------------------
   // Queries
@@ -522,9 +571,9 @@ object RegistryGraph {
     // reached nodes only, min-hop distance. One SQL template is both
     // the Spark text and the oracle (see reachRecursiveSql).
     "gr_reach_recursive" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .createOrReplaceTempView("graft_grreach_lineitem")
-      s.sql(reachRecursiveSql("graft_grreach_lineitem", ""))
+      s.read.parquet(ensureReachBackbone(s, dir))
+        .createOrReplaceTempView("graft_grreach_bb")
+      s.sql(s"WITH RECURSIVE ${reachWalkSql("graft_grreach_bb")}")
     }),
     // Edge-level Jaccard similarity of endpoint neighborhoods — the
     // graph-sparsification keep-score; common counts ride the same
@@ -556,7 +605,8 @@ object RegistryGraph {
     "gr_kcore" -> kcoreOracle(KcoreRounds),
     "gr_bfs" -> bfsOracle(BfsSeedMod, BfsRounds),
     "gr_sssp" -> ssspOracle(SsspSeedMod, SsspRounds, SsspCostScale),
-    "gr_reach_recursive" -> reachRecursiveSql("lineitem", "MATERIALIZED "),
+    "gr_reach_recursive" ->
+      s"WITH RECURSIVE $reachBbCtes,\n${reachWalkSql("bb")}",
     // Edge Jaccard: the oracle counts common neighbors by the direct
     // neighborhood-intersect join (a formulation change the parity
     // contract is designed to absorb); und/e0 are referenced several
