@@ -53,8 +53,14 @@ def connect():
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         # driver fixtures are bare files; derived scale steps (ScaleData)
-        # are Spark-written directories — glob those
+        # are Spark-written directories — glob those. A derived SLICE
+        # (e.g. scaledata/sf10: lineitem/embeddings/documents/events
+        # only) legitimately lacks tables no sliced oracle reads — skip
+        # the view; an oracle that DOES reference it fails loudly with
+        # a missing-relation error, never silently.
         p = f"{sf}/{t}.parquet"
+        if not os.path.exists(p):
+            continue
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
