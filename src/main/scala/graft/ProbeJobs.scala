@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.scheduler._
+
+/** One-off diagnostic main (optimization rounds): run ONE registry
+  * query end-to-end (noop sink, like Bench) with a listener printing
+  * every JOB's wall-clock, stage count, task time, and shuffle rows —
+  * the decomposition an iterative kernel needs (its work happens in
+  * construction-time jobs, one per round, that a query-level timer
+  * cannot attribute). Not part of the driver contract.
+  *
+  * Usage: runMain graft.ProbeJobs <query> [reps]
+  */
+object ProbeJobs {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("gr_hits")
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.get("probe-jobs")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    @volatile var printing = false
+    val stageRows = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    val jobStages = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        jobStart.put(e.jobId, (System.nanoTime(), desc))
+        jobStages.put(e.jobId, e.stageIds)
+      }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        stageRows.put(e.stageInfo.stageId,
+          (m.shuffleWriteMetrics.recordsWritten,
+            m.shuffleReadMetrics.recordsRead, m.executorRunTime))
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        Option(jobStart.get(e.jobId)).foreach { case (t0, desc) =>
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (printing) {
+            val stages = jobStages.getOrDefault(e.jobId, Seq.empty)
+            val (w, r, rt) = stages.flatMap(s => Option(stageRows.get(s)))
+              .foldLeft((0L, 0L, 0L)) { case ((a, b, c), (x, y, z)) =>
+                (a + x, b + y, c + z) }
+            println(f"JOB ${e.jobId}%4d  ${dt}%8.3f s  stages=${stages.size}%2d " +
+              f"taskTime=${rt / 1000.0}%8.1f s  shWrote=$w%10d shRead=$r%10d  $desc")
+          }
+        }
+      }
+    })
+    val fn = SparkEntry.queries(name)
+    for (rep <- 1 to reps) {
+      printing = rep == reps // print only the last (warm) rep
+      if (printing) println(s"=== $name rep $rep (of $reps) ===")
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // let async job-end events drain before the total line
+      Thread.sleep(300)
+      println(f"REP $rep total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

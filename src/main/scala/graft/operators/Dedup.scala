@@ -349,21 +349,53 @@ object Dedup {
     * per-round edge set never exceeds the input edge count (large-star
     * emits one edge per (u, larger-neighbor), small-star one per
     * (u, smaller-neighbor) — no quadratic blow-up). The driver-side
-    * loop holds only the convergence COUNT (one scalar per round — no
-    * data collect), and each round's edges are `localCheckpoint`ed so
-    * lineage stays flat.
+    * loop holds only two convergence scalars per round (edge count +
+    * xor-of-row-hashes, riding the checkpoint job as `observe`
+    * metrics — no data collect, no extra job), and each round's edges
+    * are `localCheckpoint`ed so lineage stays flat; the exact
+    * symmetric-difference check runs once, at the fixed point.
     *
     * Determinism: min-rewiring over an id set — order-independent. */
   def connectedComponents(docs: DataFrame, pairs: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // Convergence metrics ride each round's checkpoint job as `observe`
+    // aggregates (r21): a round's edge set equals the previous one's
+    // ONLY IF count and xor-of-row-hashes both match (both are exact
+    // set invariants — a differing metric PROVES the sets differ, so
+    // skipping the check there is exact, not probabilistic). The full
+    // symmetric-difference check — previously a 2·|E| shuffle + count
+    // job EVERY round — now runs only when the metrics match, i.e.
+    // once, at the true fixed point (a hash-collision false candidate
+    // would only cost one extra exact check, never a wrong result).
+    def observed(df: DataFrame)
+        : (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs, count(lit(1)).as("cnt"),
+        expr("bit_xor(xxhash64(src, dst))").as("xs")), obs)
+    }
+    // Bounded wait + None fallback (the hitsQ convention): metrics
+    // missing ⇒ that round just runs the exact check, like before.
+    def readObs(obs: org.apache.spark.sql.Observation)
+        : Option[(Any, Any)] =
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val m = Await.result(Future(obs.get), 10.seconds)
+        Some((m("cnt"), m("xs")))
+      } catch { case _: Exception => None }
     // Canonical directed edges large→small; self-loops dropped.
-    var edges = pairs
+    val (edges0, obs0) = observed(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("src"),
         least(col("doc_a"), col("doc_b")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    var converged = edges.isEmpty
+      .distinct())
+    var edges = edges0.localCheckpoint(true)
+    var prevMetrics = readObs(obs0)
+    var converged = prevMetrics match {
+      case Some((cnt: Long, _)) => cnt == 0L
+      case _ => edges.isEmpty
+    }
     var iter = 0
     while (!converged && iter < maxIter) {
       // LARGE-STAR over the symmetric view: m(u) = min(Γ(u) ∪ {u});
@@ -385,23 +417,36 @@ object Dedup {
       // the rest. m < src by construction; dst = m rows are self-loops
       // and are dropped.
       val smallMin = large.groupBy("src").agg(min("dst").as("m"))
-      val small = large.join(smallMin, "src")
-        .where(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .unionAll(smallMin.select(col("src"), col("m").as("dst")))
-        .distinct()
-        .localCheckpoint(true)
+      val (smallObs, obs) = observed(
+        large.join(smallMin, "src")
+          .where(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .unionAll(smallMin.select(col("src"), col("m").as("dst")))
+          .distinct())
+      val small = smallObs.localCheckpoint(true)
       // Converged when the round was a no-op: symmetric difference of
-      // the (distinct) edge sets is empty — one aggregate job. Runs
-      // BEFORE the previous round's checkpoint is released (it reads
-      // both edge sets); then Ckpt.release keeps repeated invocations
-      // from accumulating edge-sized cache entries.
-      val changed = small.unionAll(edges)
-        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
-        .where(col("c") === 1).count()
+      // the (distinct) edge sets is empty. The exact aggregate —
+      // previously a 2·|E| shuffle + count job EVERY round — runs only
+      // when the ride-along metrics match (differing metrics prove a
+      // change, exactly; see `observed`), i.e. once, at the fixed
+      // point. It runs BEFORE the previous round's checkpoint is
+      // released (it reads both edge sets); then Ckpt.release keeps
+      // repeated invocations from accumulating edge-sized cache
+      // entries.
+      val curMetrics = readObs(obs)
+      val candidate = (curMetrics, prevMetrics) match {
+        case (Some(c), Some(p)) => c == p
+        case _ => true // metrics unavailable → must check exactly
+      }
+      converged = candidate && {
+        val changed = small.unionAll(edges)
+          .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+          .where(col("c") === 1).count()
+        changed == 0
+      }
       Ckpt.release(edges)
       edges = small
-      converged = changed == 0
+      prevMetrics = curMetrics
       iter += 1
     }
     require(converged, s"connectedComponents: not converged in $maxIter " +

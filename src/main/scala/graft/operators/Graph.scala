@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -39,6 +39,25 @@ object Graph {
   /** Damping factor 0.85 as an exact rational (17/20). */
   val DampNum = 17L
   val DampDen = 20L
+
+  /** Node-vector broadcast gate for the per-round iteration joins: a
+    * rank/label/distance vector is (node, value) — ~24 B/row framed —
+    * so 10⁷ rows is a ~240 MB broadcast relation, inside the "few
+    * hundred MB is fine" broadcast envelope and far under the 8 GB /
+    * 512M-row hard cap. Below the gate the vector side carries an
+    * explicit broadcast hint: the join runs map-side against the
+    * partitioned edge cache and AQE skips the vector's shuffle-stage
+    * materialization (measured: one 20k-row exchange job per round per
+    * vector at sf0.1, pure scheduling overhead). At or past the gate
+    * the hint is dropped and the plan reverts to the shuffle join —
+    * the correct shape once the node universe outgrows executor
+    * memory. Join strategy never changes values. */
+  val VecBroadcastMaxNodes = 10000000L
+
+  /** The vector side of an iteration join, broadcast-hinted iff the
+    * measured node count `n` is under [[VecBroadcastMaxNodes]]. */
+  private def vec(df: DataFrame, n: Long): DataFrame =
+    if (n < VecBroadcastMaxNodes) broadcast(df) else df
 
   /** Directed co-occurrence edges: (src, dst) part pairs that share an
     * `l_orderkey`. Both directions are emitted, so every node has
@@ -104,8 +123,8 @@ object Graph {
       lit(Scale / n).as("rank_q"))
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(deg, Seq("src"))
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(vec(deg, n), Seq("src"))
+        .join(vec(ranks.withColumnRenamed("node", "src"), n), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr(s"($DampNum * rank_q) div ($DampDen * outdeg)"))
           .as("c"))
@@ -122,7 +141,7 @@ object Graph {
       // cache entries (PlanQualitySpec leak guard).
       ranks = Ckpt.replace(
         deg.select(col("src").as("node"))
-          .join(contribs, col("node") === col("dst"), "left_outer")
+          .join(vec(contribs, n), col("node") === col("dst"), "left_outer")
           .select(col("node"),
             (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q")),
         ranks)
@@ -164,13 +183,17 @@ object Graph {
       .persist()
     val nSeeds = nodes.where(col("is_seed") === 1L).count()
     require(nSeeds > 0, "personalizedPageRankQ: no seed is a graph node")
+    // node count for the vector-broadcast gate (one aggregate over the
+    // cached node relation — setup-only)
+    val n = nodes.count()
     val base = 3L * Scale / (DampDen * nSeeds)
     var ranks = nodes.select(col("node"),
       (col("is_seed") * lit(Scale / nSeeds)).as("rank_q"))
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(deg, Seq("src"))
-        .join(ranks.select(col("node").as("src"), col("rank_q")), Seq("src"))
+        .join(vec(deg, n), Seq("src"))
+        .join(vec(ranks.select(col("node").as("src"), col("rank_q")), n),
+          Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr(s"($DampNum * rank_q) div ($DampDen * outdeg)"))
           .as("c"))
@@ -178,7 +201,7 @@ object Graph {
       // [[pageRankQ]]: bounds plan growth so iters ≫ 3 stays planful;
       // Ckpt.replace releases the superseded round's checkpoint.
       ranks = Ckpt.replace(
-        nodes.join(contribs, col("node") === col("dst"), "left_outer")
+        nodes.join(vec(contribs, n), col("node") === col("dst"), "left_outer")
           .select(col("node"),
             (col("is_seed") * lit(base) + coalesce(col("c"), lit(0L)))
               .as("rank_q")),
@@ -219,8 +242,8 @@ object Graph {
       lit(Scale / n).as("rank_q"))
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(tot, Seq("src"))
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(vec(tot, n), Seq("src"))
+        .join(vec(ranks.withColumnRenamed("node", "src"), n), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr(s"($DampNum * rank_q * w) div ($DampDen * wtot)"))
           .as("c"))
@@ -229,7 +252,7 @@ object Graph {
       // Ckpt.replace releases the superseded round's checkpoint.
       ranks = Ckpt.replace(
         tot.select(col("src").as("node"))
-          .join(contribs, col("node") === col("dst"), "left_outer")
+          .join(vec(contribs, n), col("node") === col("dst"), "left_outer")
           .select(col("node"),
             (lit(base) + coalesce(col("c"), lit(0L))).as("rank_q")),
         ranks)
@@ -261,7 +284,10 @@ object Graph {
     * The norm products run in DECIMAL(38,0) (Spark `div` accepts
     * decimals and returns BIGINT; the oracle's HUGEINT `//` is the
     * same): raw sums are ≤ maxdeg·Scale, so the widened product bound
-    * is maxdeg·Scale² < 10³⁸ — safe to maxdeg ~10¹³.
+    * is maxdeg·Scale² < 10³⁸ — safe to maxdeg ~10¹³. The GATHER sums
+    * themselves run in BIGINT when a measured degree bound proves they
+    * fit (maxdeg ≤ Long.MaxValue/Scale) — see the fast-path note in
+    * the body; values are identical on both paths.
     *
     * Node universe: the distinct `src` values, as in [[pageRankQ]]
     * (with the symmetric edges [[coOrderedParts]] emits, that is every
@@ -273,8 +299,10 @@ object Graph {
     * `src` (auth gather) and on `dst` (hub gather). Each half-round
     * moves one node-sized vector to its co-located edge cache and
     * aggregates map-side-combined on the other end; edges never
-    * re-shuffle. The two scalar totals per round are Σraw aggregates
-    * broadcast back — node-bounded, never collected.
+    * re-shuffle. The two scalar totals per round are read back as
+    * driver scalars from the checkpointed node-sized raw vectors —
+    * model state, like n (the broadcast-subquery form re-ran the whole
+    * edge-sized gather a second time per half-round).
     *
     * `symmetric = true` declares the input contains BOTH orientations
     * of every edge (the [[coOrderedParts]] contract): then
@@ -290,30 +318,81 @@ object Graph {
     val nodes = eS.select(col("src").as("node")).distinct().persist()
     val n = nodes.count()
     require(n > 0, "hitsQ: empty edge set")
-    // One L1 normalization: raw gathered sums (DECIMAL) → BIGINT
-    // fixed-point vector over the full node universe (absentees → 0).
-    // Checkpointed (flat plan per round, [[pageRankQ]] contract), with
-    // the vector it supersedes released in the same step: auth t
-    // depends only on hub t−1, hub t only on auth t, so each new
-    // checkpoint retires the same-named vector of the previous round.
+    // Exact-BIGINT gather fast path, gated on a MEASURED degree bound:
+    // every vector entry is ≤ Scale (L1-normalized each half-round, and
+    // the init is Scale/n), so a gathered raw sum is ≤ maxdeg·Scale —
+    // when maxdeg ≤ Long.MaxValue/Scale (~9.2e6) the hot, EDGE-sized
+    // aggregate provably cannot overflow BIGINT and the DECIMAL(38,0)
+    // widening (measured as the dominant per-row cost of the gather
+    // stage: decimal hash-agg vs primitive long codegen, plus 2× the
+    // shuffled bytes) is deferred to the NODE-sized normalization,
+    // where it still guards the raw·Scale product. Past that degree the
+    // original decimal gather runs — same values either way (integers,
+    // no overflow on the gated path BY THE BOUND), so the oracle's
+    // HUGEINT replay is unchanged. One both-ends degree pass over the
+    // cached edges prices the gate (node-sized output, setup-only).
+    val maxDeg = eS.select(explode(array(col("src"), col("dst"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    val longSafe = maxDeg <= Long.MaxValue / Scale
+    def gatherSum(c: Column): Column =
+      if (longSafe) sum(c) else sum(c.cast(DecimalType(38, 0)))
+    // One L1 normalization: raw gathered sums → BIGINT fixed-point
+    // vector over the full node universe (absentees → 0). The raw
+    // vector is materialized ONCE (checkpoint) and Σraw read back as a
+    // driver scalar (a node-sized aggregate over the checkpointed rows
+    // — model state, like n): the previous broadcast-subquery form
+    // computed the whole EDGE-sized gather twice per half-round, once
+    // under the broadcast tot and once in the checkpoint
+    // materialization (measured as the two dominant jobs of every
+    // half-round: taskTime 16.5 s + 8.0 s at sf0.1). Checkpointed
+    // (flat plan per round, [[pageRankQ]] contract), with the vector it
+    // supersedes released in the same step: auth t depends only on
+    // hub t−1, hub t only on auth t, so each new checkpoint retires the
+    // same-named vector of the previous round.
     def normalized(raw: DataFrame, outCol: String,
                    prev: DataFrame): DataFrame = {
-      val tot = raw.agg(sum(col("raw")).as("tot"))
-      Ckpt.replace(
-        nodes.join(raw, Seq("node"), "left_outer")
-          .crossJoin(broadcast(tot))
+      // Σraw rides the checkpoint job as an `observe` metric (zero
+      // extra jobs; node-sized input, map-side aggregate), with the
+      // plain aggregate as the fallback if the metric is unavailable.
+      val obs = org.apache.spark.sql.Observation()
+      val rawM = raw
+        .observe(obs, sum(col("raw").cast(DecimalType(38, 0))).as("tot"))
+        .localCheckpoint(true)
+      // obs.get blocks until the observed action's listener event lands
+      // (the checkpoint above has already completed by here); the
+      // bounded wait + aggregate fallback keeps this robust even if a
+      // future Spark stops emitting metrics for checkpoint actions.
+      val viaObs = try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future(obs.get), 10.seconds).get("tot")
+      } catch { case _: java.util.concurrent.TimeoutException => None }
+      val tot = viaObs match {
+        case Some(d: java.math.BigDecimal) => d
+        case _ => rawM.agg(sum(col("raw").cast(DecimalType(38, 0))))
+          .head().getDecimal(0)
+      }
+      require(tot != null && tot.signum > 0,
+        s"hitsQ: degenerate gathered mass Σraw=$tot (n=$n)")
+      val out = Ckpt.replace(
+        nodes.join(vec(rawM, n), Seq("node"), "left_outer")
           .select(col("node"),
-            expr(s"CAST(coalesce(raw, 0) AS DECIMAL(38,0)) * $Scale div tot")
+            expr(s"CAST(coalesce(raw, 0) AS DECIMAL(38,0)) * $Scale div " +
+              s"CAST('${tot.toPlainString}' AS DECIMAL(38,0))")
               .as(outCol)),
         prev)
+      Ckpt.release(rawM)
+      out
     }
     var hubs = nodes.select(col("node"), lit(Scale / n).as("hub_q"))
     var auths = nodes.select(col("node"), lit(Scale / n).as("auth_q"))
     for (_ <- 1 to iters) {
       auths = normalized(
-        eS.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        eS.join(vec(hubs.withColumnRenamed("node", "src"), n), Seq("src"))
           .groupBy(col("dst"))
-          .agg(sum(col("hub_q").cast(DecimalType(38, 0))).as("raw"))
+          .agg(gatherSum(col("hub_q")).as("raw"))
           .withColumnRenamed("dst", "node"),
         "auth_q", auths)
       // Symmetric graphs gather hubs over the SAME src-partitioned
@@ -322,14 +401,14 @@ object Graph {
       // set every round.
       hubs = normalized(
         if (symmetric)
-          eS.join(auths.withColumnRenamed("node", "src"), Seq("src"))
+          eS.join(vec(auths.withColumnRenamed("node", "src"), n), Seq("src"))
             .groupBy(col("dst"))
-            .agg(sum(col("auth_q").cast(DecimalType(38, 0))).as("raw"))
+            .agg(gatherSum(col("auth_q")).as("raw"))
             .withColumnRenamed("dst", "node")
         else
-          eD.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+          eD.join(vec(auths.withColumnRenamed("node", "dst"), n), Seq("dst"))
             .groupBy(col("src"))
-            .agg(sum(col("auth_q").cast(DecimalType(38, 0))).as("raw"))
+            .agg(gatherSum(col("auth_q")).as("raw"))
             .withColumnRenamed("src", "node"),
         "hub_q", hubs)
     }
@@ -381,6 +460,11 @@ object Graph {
   def labelPropagationQ(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.repartition(col("src")).distinct().persist()
     val nodes = e.select(col("src").as("node")).distinct().persist()
+    // NOTE (r21): the explicit vector-broadcast hint ([[vec]]) was
+    // measured HERE and reverted — lpa/bfs/sssp have light per-round
+    // gathers and more rounds, and the hinted form benched ~0.5-0.9 s
+    // SLOWER at sf0.1 (AQE's shuffle-then-broadcast already serves
+    // these joins; the hint only serializes the broadcast build).
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
       labels = Ckpt.replace(
@@ -515,6 +599,8 @@ object Graph {
     // projections read the one cached edge relation.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
+    // NOTE (r21): the explicit vector-broadcast hint ([[vec]]) was
+    // measured HERE and reverted — see [[labelPropagationQ]]'s note.
     var dist = nodes
       .join(seeds.select(col("node")).distinct().withColumn("z", lit(0L)),
         Seq("node"), "left_outer")
@@ -584,6 +670,8 @@ object Graph {
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
+    // NOTE (r21): the explicit vector-broadcast hint ([[vec]]) was
+    // measured HERE and reverted — see [[labelPropagationQ]]'s note.
     var dist = nodes
       .join(seeds.select(col("node")).distinct().withColumn("z", lit(0L)),
         Seq("node"), "left_outer")
