@@ -605,7 +605,9 @@ object Dedup {
     * for every 1-based token position — the shared scan stage of the
     * sub-document dedup family below. Only the doc id, an int position,
     * and a 16-byte digest leave the scan; gram TEXT never reaches an
-    * exchange. */
+    * exchange. The digest is the RAW md5 (unhex of the hex form —
+    * equality and collision behavior identical to grouping on the hex
+    * string, at half the key bytes on the duplicate-count exchange). */
   private def windowDigests(df: DataFrame, idCol: String, textCol: String,
                             w: Int): DataFrame = {
     // The token array is PROJECTED FIRST and the window lambda reads the
@@ -616,11 +618,44 @@ object Dedup {
     val toks = df.select(col(idCol).as("doc_id"),
       split(trim(col(textCol)), "\\s+").as("wtk"))
     val grams = transform(sequence(lit(1), size(col("wtk")) - (w - 1)),
-      i => md5(array_join(slice(col("wtk"), i, lit(w)), " ")))
+      i => unhex(md5(array_join(slice(col("wtk"), i, lit(w)), " "))))
     val guarded = when(size(col("wtk")) >= w, grams)
-      .otherwise(array().cast(ArrayType(StringType)))
+      .otherwise(array().cast(ArrayType(BinaryType)))
     toks.select(col("doc_id"), posexplode(guarded).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+  }
+
+  /** The (doc_id, pos) rows whose `w`-window text occurs more than
+    * once corpus-wide — the shared duplicate-detection stage of
+    * [[substringSpans]] / [[substringStats]], and (with the
+    * first-occurrence columns) of [[substringDrop]].
+    *
+    * Shape: ONE pass. The duplicate decision is a window count over
+    * the digest key instead of the earlier aggregate-then-join-back —
+    * that formulation ran [[windowDigests]] TWICE (the join's probe
+    * side re-tokenized and re-hashed the whole corpus; measured as two
+    * Scan+Generate subtrees in the sf0.1 plan) and broadcast the
+    * duplicated-digest set, a size cliff on boilerplate-heavy corpora.
+    * Here the digests shuffle once, keyed on g, and both the count and
+    * (for the drop variant) the corpus-wide first occurrence come out
+    * of the same whole-partition window frame — no second text pass,
+    * no join, no broadcast. Exactness: count(*) over the g-partition
+    * equals the old groupBy(g) count; min(struct(doc_id,pos)) over the
+    * same frame equals the old per-g min — identical rows survive. */
+  private def dupWindowPositions(df: DataFrame, idCol: String,
+                                 textCol: String, w: Int,
+                                 withFirst: Boolean): DataFrame = {
+    val pos = windowDigests(df, idCol, textCol, w)
+    val wg = Window.partitionBy("g")
+    if (!withFirst)
+      pos.withColumn("cnt", count(lit(1)).over(wg))
+        .where(col("cnt") > 1).select("doc_id", "pos")
+    else
+      pos.withColumn("cnt", count(lit(1)).over(wg))
+        .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(wg))
+        .where(col("cnt") > 1)
+        .select(col("doc_id"), col("pos"),
+          col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
   }
 
   /** Duplicated-SUBSTRING span detection — the sub-document dedup family
@@ -637,23 +672,20 @@ object Dedup {
     * The reference implementation is a suffix array over the
     * concatenated corpus — inherently single-machine. The Spark-first
     * re-expression: (1) one narrow scan emits (doc, pos, md5(window))
-    * digests; (2) one count-shuffle keyed on the 16-byte digest finds
-    * duplicated windows (map-side combine collapses same-task repeats;
-    * the exchange never carries text); (3) hits semi-join back (AQE
-    * picks broadcast when the dup set is small — boilerplate corpora —
-    * and a hash join otherwise); (4) a per-document sort merges runs
-    * (gaps-and-islands: pos − row_number). Every stage is key-bounded;
-    * nothing is proportional to corpus² anywhere.
+    * digests; (2) ONE shuffle keyed on the 16-byte digest both counts
+    * each window's corpus-wide occurrences and keeps the hit positions
+    * (a whole-partition window count — see [[dupWindowPositions]] for
+    * why this replaced the aggregate-then-join-back shape); (3) a
+    * per-document sort merges runs (gaps-and-islands: pos −
+    * row_number). Every stage is key-bounded; nothing is proportional
+    * to corpus² anywhere.
     *
     * Exactness: grouping is on md5 digests on BOTH engines (the repo's
     * standard hashing convention), so the oracle criterion is identical
     * string-for-string. */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame = {
-    val pos = windowDigests(df, idCol, textCol, w)
-    val dups = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > 1).select("g")
-    val hit = pos.join(dups, Seq("g")).select("doc_id", "pos")
+    val hit = dupWindowPositions(df, idCol, textCol, w, withFirst = false)
     val win = Window.partitionBy("doc_id").orderBy("pos")
     hit.withColumn("grp", col("pos") - row_number().over(win))
       .groupBy(col("doc_id"), col("grp"))
@@ -685,14 +717,7 @@ object Dedup {
     * back to the corpus is on doc_id with interval payloads only. */
   def substringDrop(df: DataFrame, idCol: String, textCol: String,
                     w: Int): DataFrame = {
-    val pos = windowDigests(df, idCol, textCol, w)
-    val dups = pos.groupBy("g")
-      .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
-      .where(col("cnt") > 1)
-      .select(col("g"), col("first.doc_id").as("f_doc"),
-        col("first.pos").as("f_pos"))
-    val nf = pos.join(dups, Seq("g"))
+    val nf = dupWindowPositions(df, idCol, textCol, w, withFirst = true)
       .where(!(col("doc_id") === col("f_doc") &&
         col("pos") === col("f_pos")))
       .select("doc_id", "pos")
@@ -732,10 +757,7 @@ object Dedup {
     * the output with zeros (LEFT join from the corpus side). */
   def substringStats(df: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame = {
-    val pos = windowDigests(df, idCol, textCol, w)
-    val dups = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > 1).select("g")
-    val hit = pos.join(dups, Seq("g")).select("doc_id", "pos")
+    val hit = dupWindowPositions(df, idCol, textCol, w, withFirst = false)
     val win = Window.partitionBy("doc_id").orderBy("pos")
     val cov = hit
       .withColumn("prev", lag("pos", 1).over(win))
