@@ -249,11 +249,12 @@ object TrainPrep {
     * language ID — pure codegen maps sitting directly on the scan, so
     * the expensive stages see only survivors), then MinHash/LSH
     * near-dedup (banded candidates → exact-Jaccard verification →
-    * drop), then per-shard sequence packing. One declared plan:
-    * Catalyst pushes the filters to the scan, the dedup shuffles only
-    * the filtered corpus, and packing windows per shard — the stage
-    * order IS the scale design (each stage shrinks the data the next
-    * one pays for).
+    * drop), then per-shard sequence packing. The filters sit directly
+    * on the scan, the dedup shuffles only the filtered corpus, packing
+    * windows per shard — the stage order IS the scale design (each
+    * stage shrinks the data the next one pays for) — and each stage
+    * boundary is materialized once instead of re-derived per consumer
+    * branch ([[dedupStage]]).
     *
     * Deterministic end to end (hash-based dedup, id-ordered packing) —
     * the full composition is oracle-checked value-for-value as
@@ -262,19 +263,50 @@ object TrainPrep {
                      keepLang: String, numHashes: Int, bands: Int,
                      threshold: Double, shards: Int,
                      budgetTokens: Int): DataFrame = {
-    val kept = docs
-      .where(TextAnalysis.qualityKeepCol(col(textCol)))
-      .where(TextAnalysis.langGuessCol(col(textCol)) === keepLang)
-      .select(col(idCol), col(textCol))
-    val verified = Dedup.jaccardOfPairs(kept,
-      Dedup.lshCandidatePairs(
-        Dedup.minhashSignature(kept, idCol, textCol, numHashes),
-        idCol, numHashes, bands),
-      idCol, textCol, threshold)
-    val deduped = Dedup.dropNearDuplicates(kept, verified, idCol)
+    val deduped = dedupStage(docs, idCol, textCol, keepLang,
+      numHashes, bands, threshold)
     packSequences(
       deduped.withColumn("shard", pmod(col(idCol), lit(shards.toLong))),
       idCol, textCol, "shard", budgetTokens)
+  }
+
+  /** The shared filter→near-dedup front of [[corpusPipeline]] /
+    * [[corpusPipelineFull]], with MATERIALIZED stage boundaries.
+    *
+    * Declared as one lazy plan, the pipeline re-derived `kept` (scan +
+    * quality + langid text passes) in EVERY downstream branch — the
+    * LSH self-join reads its input twice, the Jaccard verifier reads
+    * the corpus text twice more, the drop anti-join once, and
+    * decontamination twice again, so the branches COMPOUND: the
+    * declared sf0.1 plan of tp_corpus_pipeline_full held 112 parquet
+    * scans of the same documents table (36 for the 4-stage variant),
+    * each repeating the quality/langid work. Each stage boundary is
+    * now an eager localCheckpoint ([[graft.operators.Ckpt]]
+    * discipline: a superseded stage is released the moment its
+    * successor is materialized): the corpus is scanned ONCE, the
+    * signature table once, and every reuse reads a materialized
+    * node-local relation — the standard stage-materialization shape
+    * for multi-use intermediates (a reused DataFrame whose recompute
+    * costs full text passes is exactly the persist case; the plan the
+    * optimizer sees also collapses from 112 scans to a handful of
+    * operators, cutting planning time itself). Values are unchanged:
+    * checkpointing truncates lineage, never alters rows; every stage
+    * is deterministic (hash-based dedup, id tie-breaks). */
+  private def dedupStage(docs: DataFrame, idCol: String, textCol: String,
+                         keepLang: String, numHashes: Int, bands: Int,
+                         threshold: Double): DataFrame = {
+    val kept = Ckpt.replace(docs
+      .where(TextAnalysis.qualityKeepCol(col(textCol)))
+      .where(TextAnalysis.langGuessCol(col(textCol)) === keepLang)
+      .select(col(idCol), col(textCol)))
+    val sig = Ckpt.replace(
+      Dedup.minhashSignature(kept, idCol, textCol, numHashes))
+    val verified = Ckpt.replace(Dedup.jaccardOfPairs(kept,
+      Dedup.lshCandidatePairs(sig, idCol, numHashes, bands),
+      idCol, textCol, threshold), sig)
+    val deduped = Ckpt.replace(
+      Dedup.dropNearDuplicates(kept, verified, idCol), kept, verified)
+    deduped
   }
 
   /** The FULL production corpus-prep pipeline: [[corpusPipeline]]'s
@@ -296,16 +328,12 @@ object TrainPrep {
                          threshold: Double, evalDocs: DataFrame,
                          ngram: Int, shards: Int,
                          budgetTokens: Int): DataFrame = {
-    val kept = docs
-      .where(TextAnalysis.qualityKeepCol(col(textCol)))
-      .where(TextAnalysis.langGuessCol(col(textCol)) === keepLang)
-      .select(col(idCol), col(textCol))
-    val verified = Dedup.jaccardOfPairs(kept,
-      Dedup.lshCandidatePairs(
-        Dedup.minhashSignature(kept, idCol, textCol, numHashes),
-        idCol, numHashes, bands),
-      idCol, textCol, threshold)
-    val deduped = Dedup.dropNearDuplicates(kept, verified, idCol)
+    // same materialized stage boundaries as [[dedupStage]] (see its
+    // scaladoc: the declared plan held 112 scans of `documents`);
+    // decontamination reads `deduped` twice (shingle explode +
+    // anti-join back) — both reads hit the checkpoint.
+    val deduped = dedupStage(docs, idCol, textCol, keepLang,
+      numHashes, bands, threshold)
     val clean = Dedup.decontaminate(deduped, evalDocs, idCol, textCol, ngram)
     val scrubbed = TextAnalysis.piiScrub(clean, idCol, textCol)
       .withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
