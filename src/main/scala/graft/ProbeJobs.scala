@@ -50,14 +50,27 @@ object ProbeJobs {
       }
     })
     val fn = SparkEntry.queries(name)
+    // Whole-stage-codegen compile accounting per rep: a warm rep that
+    // still runs janino compiles is paying per-round plan-shape or
+    // literal churn (the generated-source cache misses). Count +
+    // cumulative ms come from Spark's own CodegenMetrics histograms.
+    val cgT = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    def cgTotalMs: Long = {
+      val s = cgT.getSnapshot
+      s.getValues.sum // reservoir values; exact while count <= 1028
+    }
     for (rep <- 1 to reps) {
       printing = rep == reps // print only the last (warm) rep
       if (printing) println(s"=== $name rep $rep (of $reps) ===")
+      val (c0, m0) = (cgT.getCount, cgTotalMs)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       // let async job-end events drain before the total line
       Thread.sleep(300)
-      println(f"REP $rep total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"REP $rep total ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        f"  codegen_compiles=${cgT.getCount - c0}" +
+        f" compile_ms~${cgTotalMs - m0}")
     }
     spark.stop()
   }

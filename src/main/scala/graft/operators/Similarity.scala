@@ -262,40 +262,66 @@ object Similarity {
       s"mmrFromPool: λ=$lamNum/$lamDen")
     val vecs = emb.select(col("vec_id").as("cand_id"),
       quantize(col("embedding")).as("qv"))
-    val cand = poolDf
-      .select(col("query_id"), col("cand_id"), col("rel"))
-      .join(vecs, Seq("cand_id"))
-      .persist()
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), col("cand_id"))
     val negW = lamDen - lamNum
-    var sel = cand
-      .withColumn("maxsim", lit(0L))
-      .withColumn("score", lit(lamNum) * col("rel"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("query_id"), lit(1L).as("rank"), col("cand_id"),
-        col("rel"), col("maxsim"), col("score"), col("qv"))
-      .localCheckpoint(true)
-    for (r <- 2 to k) {
-      val rem = cand.join(sel.select("query_id", "cand_id"),
-        Seq("query_id", "cand_id"), "left_anti")
-      val scored = rem
-        .join(sel.select(col("query_id"), col("qv").as("sv")),
-          Seq("query_id"))
-        .select(col("query_id"), col("cand_id"), col("rel"),
-          dotQ(col("qv"), col("sv")).as("s"))
-        .groupBy("query_id", "cand_id")
-        .agg(max("rel").as("rel"), max("s").as("maxsim"))
-        .withColumn("score",
-          lit(lamNum) * col("rel") - lit(negW) * col("maxsim"))
-      val pick = scored
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    // MAINTAINED-STATE greedy: the candidate pool carries its running
+    // max-similarity-to-selected. Round r folds exactly ONE new pick's
+    // similarity into `maxsim` (`greatest` — the pairwise form of the
+    // earlier per-round max over ALL selected rows, exact-identical on
+    // BIGINT dots) and re-ranks; the earlier formulation re-joined the
+    // whole selected set and re-aggregated every round — O(pool·r)
+    // dot products in round r (O(pool·k²) total vs O(pool·k) here),
+    // plus an anti-join, a groupBy and a vecs re-join per round. Each
+    // round is one flat checkpoint whose window/join keys match the
+    // previous round's materialized partitioning (query_id), so no
+    // per-round exchange. Score, tie-break (rn over (score desc,
+    // cand_id)), exclusion (the picked row leaves the pool, as the
+    // anti-join did) and the emitted (rel, maxsim at pick time) are
+    // unchanged — identical picks in identical order.
+    // `maxsim` is NULL until the first fold (greatest skips nulls, so
+    // fold 1 yields the bare dot): a literal-0 start would FLOOR the
+    // running max at 0 where the true max-dot-to-selected is negative
+    // — the first verify run caught exactly that (sim_mmr_ivfadc row 1
+    // diverged). Score and the emitted column coalesce NULL to the
+    // old round-1 constants (score = λ·rel, displayed maxsim = 0).
+    def roundify(st: DataFrame): DataFrame = st
+      .withColumn("score", lit(lamNum) * col("rel") -
+        lit(negW) * coalesce(col("maxsim"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+    def pickOf(st: DataFrame, r: Int): DataFrame = st
+      .where(col("rn") === 1)
+      .select(col("query_id"), lit(r.toLong).as("rank"), col("cand_id"),
+        col("rel"), coalesce(col("maxsim"), lit(0L)).as("maxsim"),
+        col("score"), col("qv"))
+    val states = Seq.newBuilder[DataFrame]
+    var stateR = roundify(poolDf
+        .select(col("query_id"), col("cand_id"), col("rel"))
         .join(vecs, Seq("cand_id"))
-        .select(col("query_id"), lit(r.toLong).as("rank"), col("cand_id"),
-          col("rel"), col("maxsim"), col("score"), col("qv"))
-      sel = Ckpt.replace(sel.unionByName(pick), sel)
+        .withColumn("maxsim", lit(null).cast(LongType)))
+      .localCheckpoint(true)
+    states += stateR
+    val picks = Seq.newBuilder[DataFrame]
+    picks += pickOf(stateR, 1)
+    for (r <- 2 to k) {
+      val pickPrev = stateR.where(col("rn") === 1)
+        .select(col("query_id"), col("qv").as("sv"))
+      // the picks above read their round's checkpoint lazily until the
+      // final union materializes, so superseded rounds are released
+      // only after it (below), not per round
+      stateR = roundify(stateR.where(col("rn") > 1)
+        .join(pickPrev, Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), col("rel"), col("qv"),
+          greatest(col("maxsim"), dotQ(col("qv"), col("sv")))
+            .as("maxsim")))
+        .localCheckpoint(true)
+      states += stateR
+      picks += pickOf(stateR, r)
     }
-    cand.unpersist()
+    val sel = picks.result().reduce(_ unionByName _).localCheckpoint(true)
+    // every per-round checkpoint is internal state once the union is
+    // materialized; the result retains only its own checkpoint
+    states.result().foreach(Ckpt.release)
     sel.drop("qv")
   }
 
@@ -332,9 +358,14 @@ object Similarity {
   def ivfTopKTrained(emb: DataFrame, numQueries: Long, k: Int,
                      numCentroids: Int = 16, numProbes: Int = 2,
                      numIter: Int = 2, dim: Int = 64): DataFrame = {
-    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("nq", dotQ(col("q"), col("q")))
-    ivfProbe(v, kMeansCodebook(emb, numCentroids, numIter, dim),
+    // one materialization serves every Lloyd's training round AND the
+    // probe/serve tail (kMeansPP contract); the codebook trains over
+    // the same checkpointed q column it previously re-derived from emb
+    val v = Ckpt.replace(
+      emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("nq", dotQ(col("q"), col("q"))))
+    ivfProbe(v, kMeansCodebookQ(v.select(col("vec_id"), col("q")),
+        numCentroids, numIter, dim),
       numQueries, k, numProbes)
   }
 
@@ -679,10 +710,20 @@ object Similarity {
     * reproduces. First-C init can start all k centroids inside one
     * region of a clustered corpus and strand whole clusters; maxmin
     * provably spreads the seeds (one per cluster once k ≥ clusters) —
-    * the PropertySpec law measures exactly that. Cost: k−1 corpus
-    * scans, each a narrow literal min-distance projection + one
-    * struct-max aggregate (map-side-combined; one row per task crosses
-    * the exchange) — the standard serial maxmin; k-means‖ batches
+    * the PropertySpec law measures exactly that. Cost: k−1 passes over
+    * a MAINTAINED min-distance relation — pick i folds exactly ONE new
+    * centroid's distance into the running min (`least`, exact BIGINT —
+    * pairwise min equals the old array_min over all chosen) and the
+    * next argmax rides the SAME materialization as an `observe`
+    * metric, so each pick is one flat-plan job with no exchange. The
+    * earlier formulation rebuilt a k-term literal min-distance
+    * projection per pick (O(k²·dim) total row work, a fresh
+    * analyze/optimize/codegen of a growing plan per pick, and an AQE
+    * aggregate exchange per pick — measured as 2 jobs/pick and 30
+    * warm-rep codegen compiles on sim_kmeans_pp). Exclusion of
+    * already-picked rows is a `taken` flag in the maintained relation
+    * — same candidate set as the old isInCollection filter; the
+    * argmax struct and tie-break are unchanged. k-means‖ batches
     * these scans when k is large. */
   def kMeansInitFarthest(vIn: DataFrame,
                          numCentroids: Int): Seq[(Long, Seq[Long])] = {
@@ -692,20 +733,55 @@ object Similarity {
     val first = v.orderBy("vec_id").limit(1)
       .as[(Long, Seq[Long])].head()
     var chosen = Vector(first)
-    while (chosen.size < numCentroids) {
-      val minD = array_min(array(chosen.map { case (_, cv) =>
-        val nc = cv.map(x => x * x).sum
-        lit(nc) - lit(2L) * dotQ(col("q"), typedLit(cv))
-      }: _*)) + dotQ(col("q"), col("q"))
-      val ids = chosen.map(_._1)
-      val m = v.where(!col("vec_id").isInCollection(ids))
-        .select(minD.as("d"), (lit(0L) - col("vec_id")).as("nid"),
-          col("q"))
-        .agg(max(struct(col("d"), col("nid"), col("q"))).as("m"))
-        .select((lit(0L) - col("m.nid")).as("vid"), col("m.q").as("q"))
-        .as[(Long, Seq[Long])].head()
-      chosen :+= m
+    // nc − 2·q·c: the per-centroid term of ‖q−c‖² (the row's ‖q‖²
+    // rides as the maintained `nq` column — adding the same row
+    // constant before or after the min is exact-identical)
+    def partialDist(cv: Seq[Long]): Column = {
+      val nc = cv.map(x => x * x).sum
+      lit(nc) - lit(2L) * dotQ(col("q"), typedLit(cv))
     }
+    val pickAgg = max(when(!col("taken"), struct(col("d"),
+      (lit(0L) - col("vec_id")).as("nid"), col("q")))).as("pick")
+    // argmax via the observe metric, with the plain aggregate over the
+    // materialized frame as the fallback (the hitsQ convention)
+    def nextPick(obs: org.apache.spark.sql.Observation,
+                 frame: DataFrame): (Long, Seq[Long]) = {
+      val viaObs = try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future(obs.get), 10.seconds).get("pick")
+      } catch { case _: java.util.concurrent.TimeoutException => None }
+      val m = viaObs match {
+        case Some(r: org.apache.spark.sql.Row) => r
+        case _ => frame.agg(pickAgg).head().getStruct(0)
+      }
+      (0L - m.getLong(1), m.getSeq[Long](2))
+    }
+    var cur: DataFrame = null
+    while (chosen.size < numCentroids) {
+      val (pid, pq) = chosen.last
+      val obs = org.apache.spark.sql.Observation()
+      val stepped = (if (cur == null)
+        v.select(col("vec_id"), col("q"),
+            dotQ(col("q"), col("q")).as("nq"))
+          .select(col("vec_id"), col("q"), col("nq"),
+            (partialDist(pq) + col("nq")).as("d"),
+            (col("vec_id") === pid).as("taken"))
+      else
+        cur.select(col("vec_id"), col("q"), col("nq"),
+          least(col("d"), partialDist(pq) + col("nq")).as("d"),
+          (col("taken") || col("vec_id") === pid).as("taken")))
+        .observe(obs, pickAgg)
+      val mat =
+        if (cur == null) stepped.localCheckpoint(true)
+        else Ckpt.replace(stepped, cur)
+      cur = mat
+      chosen :+= nextPick(obs, mat)
+    }
+    // the maintained relation is internal state, not the result —
+    // release the final round before returning driver-side centroids
+    if (cur != null) Ckpt.release(cur)
     chosen.zipWithIndex.map { case ((_, q), i) => (i.toLong, q) }
   }
 
@@ -808,7 +884,10 @@ object Similarity {
                 dim: Int = 64, rounds: Int = 3, batch: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    // one materialization serves the oversample rounds, the weigh
+    // pass, the Lloyd's rounds, and the size pass (kMeansPP contract)
+    val v = Ckpt.replace(
+      emb.select(col("vec_id"), quantize(col("embedding")).as("q")))
     val codebook = kMeansCodebooksQInit(v,
       Some(kMeansInitParallel(v, numCentroids, rounds, batch)),
       numCentroids, numIter, dim).last
@@ -829,7 +908,11 @@ object Similarity {
                dim: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    // the quantized corpus is materialized ONCE: the k−1 init picks,
+    // every Lloyd's round, and the final size pass otherwise each
+    // re-ran the parquet scan + quantize projection
+    val v = Ckpt.replace(
+      emb.select(col("vec_id"), quantize(col("embedding")).as("q")))
     val codebook = kMeansCodebooksQInit(v,
       Some(kMeansInitFarthest(v, numCentroids)),
       numCentroids, numIter, dim).last
@@ -856,6 +939,10 @@ object Similarity {
              dim: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // NOT checkpointed (unlike kMeansPP/kMeansPar/the trained chains):
+    // first-C init is a pushed-down k-row collect and only 3 passes
+    // follow — the eager materialization measured SLOWER at sf0.1
+    // (1.06 → 1.39 s) than re-deriving the narrow quantize projection
     val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val codebook = kMeansCodebook(emb, numCentroids, numIter, dim)
     val sizes = v.select(assignCol(codebook).as("cid"))
@@ -1030,7 +1117,10 @@ object Similarity {
   def pqTopKTrained(emb: DataFrame, numQueries: Long, k: Int,
                     numSub: Int = 8, subDim: Int = 8,
                     numCodes: Int = 16, numIter: Int = 2): DataFrame = {
-    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    // one materialization serves the per-round training scans and the
+    // encode/query tails (kMeansPP contract)
+    val v = Ckpt.replace(
+      emb.select(col("vec_id"), quantize(col("embedding")).as("q")))
     pqTopKWith(v, pqModelTrained(v, numSub, subDim, numCodes, numIter),
       numQueries, k)
   }
@@ -1255,10 +1345,15 @@ object Similarity {
                         numSub: Int = 8, subDim: Int = 8,
                         numCodes: Int = 16, numIter: Int = 2,
                         dim: Int = 64): DataFrame = {
-    val v = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("nq", dotQ(col("q"), col("q")))
+    // one materialization serves BOTH training chains (coarse Lloyd's
+    // rounds + per-subspace PQ rounds) and the probe+ADC serve tail
+    // (kMeansPP contract)
+    val v = Ckpt.replace(
+      emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("nq", dotQ(col("q"), col("q"))))
     ivfadcWith(v,
-      kMeansCodebook(emb, numCentroids, numIter, dim),
+      kMeansCodebookQ(v.select(col("vec_id"), col("q")),
+        numCentroids, numIter, dim),
       pqModelTrained(v.select("vec_id", "q"), numSub, subDim, numCodes,
         numIter),
       numQueries, k, numProbes)
