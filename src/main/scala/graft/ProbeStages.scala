@@ -15,9 +15,11 @@ object ProbeStages {
         val si = e.stageInfo
         val w = si.taskMetrics.shuffleWriteMetrics.recordsWritten
         val r = si.taskMetrics.shuffleReadMetrics.recordsRead
-        if (w > 0 || r > 0)
+        val rt = si.taskMetrics.executorRunTime / 1000.0
+        if (w > 0 || r > 0 || rt >= 0.05)
           println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%4d " +
-            f"wrote=$w%12d read=$r%12d  ${si.name.takeWhile(_ != '\n').take(90)}")
+            f"runTime=$rt%7.2f s wrote=$w%12d read=$r%12d  " +
+            si.name.takeWhile(_ != '\n').take(70))
       }
     }
     spark.sparkContext.addSparkListener(l)
