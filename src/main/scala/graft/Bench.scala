@@ -270,6 +270,14 @@ object Bench {
         s"""{"query":"$k","error":"${errors.getOrElse(k, "?")}"}"""
     }.toSeq
     perQuery.foreach(println)
+    // ADDITIVE (r22, verdict item 8): one compact line carrying the
+    // full {query: sec} map near the TAIL of the output — the driver's
+    // round-over-round comparison reads only a bounded stdout tail, and
+    // line 1 (which also carries the map) scrolls out of it at 256
+    // queries, leaving PERF per_query empty two rounds running. Printed
+    // SECOND-TO-LAST so the parse-critical ~150-byte headline line
+    // still closes the capture even if this line's head is clipped.
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
     println(s"{$head}")
     // Persist the COMPLETE per-query record as a repo artifact: the
     // driver's stdout capture truncates at ~13 queries, which left

@@ -517,12 +517,21 @@ object RegistryGraph {
     // applied to a second graph family: which product groups actually
     // ship together once coincidence is gated out.
     "gr_components" -> ((s, dir) => {
-      val gated = gatedEdges(s, dir)
-        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      // The gated pair generation (lineitem self-join + support gate)
+      // is consumed twice — the edge set AND the node universe — and
+      // costs ~1.3 s of the query at sf0.1 (r22 ProbeJobs). One
+      // checkpoint of the tiny gated edge list (3.6k rows at sf0.1)
+      // makes it run once; connectedComponents materializes its own
+      // result eagerly, so the checkpoint is dead lineage by the time
+      // it returns and is released immediately (no per-invocation
+      // accumulation).
+      val gated = Ckpt.replace(gatedEdges(s, dir)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b")))
       val nodes = gated.select(col("doc_a").as("doc_id"))
         .unionAll(gated.select(col("doc_b").as("doc_id"))).distinct()
-      Dedup.connectedComponents(nodes, gated, "doc_id")
-        .select(col("doc_id").as("node"),
+      val cc = Dedup.connectedComponents(nodes, gated, "doc_id")
+      Ckpt.release(gated)
+      cc.select(col("doc_id").as("node"),
           col("cluster_id").as("component_id"),
           col("cluster_size").as("component_size"))
         .orderBy("node")

@@ -42,3 +42,29 @@ object Ckpt {
     case _ => ()
   }
 }
+
+/** Bounded NON-BLOCKING read of an [[org.apache.spark.sql.Observation]]
+  * — the shared helper behind the iterative kernels' ride-along
+  * convergence/argmax metrics (hitsQ, connectedComponents,
+  * kMeansInitFarthest). The metric normally lands with the
+  * checkpoint/action job that has already completed, so the first poll
+  * usually hits; polling `getOrEmpty` instead of parking a thread in
+  * the blocking `get` means a timeout leaks nothing (the earlier
+  * `Await(Future(obs.get))` form left one global-pool thread blocked
+  * forever per timed-out read — obs.get has no deadline), and ANY
+  * failure, not just TimeoutException, yields None so every caller
+  * falls back to its exact aggregate. */
+object Obs {
+  def poll(obs: org.apache.spark.sql.Observation,
+           timeoutMs: Long = 10000L): Option[Map[String, Any]] =
+    try {
+      // Await on the observation's own future: a bounded wait on the
+      // CALLING thread (throws on deadline — nothing leaks), unlike
+      // wrapping the blocking `get` in a pool Future, which cannot be
+      // cancelled and parks its thread forever on timeout.
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(timeoutMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+      Some(row.schema.fieldNames.zip(row.toSeq).toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

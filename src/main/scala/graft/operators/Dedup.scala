@@ -373,17 +373,12 @@ object Dedup {
       (df.observe(obs, count(lit(1)).as("cnt"),
         expr("bit_xor(xxhash64(src, dst))").as("xs")), obs)
     }
-    // Bounded wait + None fallback (the hitsQ convention): metrics
-    // missing ⇒ that round just runs the exact check, like before.
+    // Bounded non-blocking poll + None fallback ([[Obs.poll]], the
+    // shared r22 convention): metrics missing ⇒ that round just runs
+    // the exact check, like before.
     def readObs(obs: org.apache.spark.sql.Observation)
         : Option[(Any, Any)] =
-      try {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val m = Await.result(Future(obs.get), 10.seconds)
-        Some((m("cnt"), m("xs")))
-      } catch { case _: Exception => None }
+      Obs.poll(obs).map(m => (m("cnt"), m("xs")))
     // Canonical directed edges large→small; self-loops dropped.
     val (edges0, obs0) = observed(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("src"),
@@ -398,30 +393,42 @@ object Dedup {
     }
     var iter = 0
     while (!converged && iter < maxIter) {
-      // LARGE-STAR over the symmetric view: m(u) = min(Γ(u) ∪ {u});
-      // every neighbor v > u re-attaches as v→m(u). Since v > u ≥ m(u),
-      // output stays canonical (src > dst) with no self-loops.
-      val sym = edges.unionAll(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
-      val largeMin = sym.groupBy("src")
-        .agg(min("dst").as("nbr_min"))
-        .select(col("src").as("u"),
-          least(col("src"), col("nbr_min")).as("m"))
-      val large = sym.join(largeMin, sym("src") === largeMin("u"))
+      // LARGE-STAR over the symmetric view, fused into ONE window pass
+      // (r22): m(u) = min(Γ(u) ∪ {u}) rides every row of u's partition
+      // as a window min, so the rewrite is a single exchange on src —
+      // the r21 shape (groupBy(src) aggregate + join-back + distinct)
+      // shuffled the symmetric view twice and paid a third exchange for
+      // the distinct, ~3 AQE stage jobs per half-round. Every neighbor
+      // v > u re-attaches as v→m(u); since v > u ≥ m(u), output stays
+      // canonical (src > dst) with no self-loops. Duplicate (v, m) rows
+      // across u-groups are NOT distinct'd here: small-star's window
+      // min is duplicate-insensitive and the round's closing distinct
+      // removes them, while the intermediate stays ≤ |E| rows (exactly
+      // one emission per symmetric-view row with dst > src). Skew note:
+      // the window places all of Γ(u) in one task (a converged star's
+      // root sees its whole component) — the same single-task placement
+      // the old join's probe side had; the window BUFFERS the partition
+      // (spilling past memory) where the join streamed it, the price of
+      // halving the per-round exchanges.
+      val wSrc = Window.partitionBy("src")
+      val large = edges.unionAll(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("m", least(col("src"), min("dst").over(wSrc)))
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
-      // SMALL-STAR on the canonical edges: every smaller neighbor of u
-      // (they all are, src > dst) plus u itself re-attaches to
-      // m = min(Γ_small(u)); (u, m) keeps u connected, (v, m) collapses
-      // the rest. m < src by construction; dst = m rows are self-loops
-      // and are dropped.
-      val smallMin = large.groupBy("src").agg(min("dst").as("m"))
+      // SMALL-STAR, same fusion: per u-group (all dst < src, so
+      // Γ_small(u) is the whole partition), every neighbor re-attaches
+      // to m = min(Γ_small(u)). The row attaining the min emits (u, m)
+      // itself — the old separate smallMin union branch — and the rest
+      // emit (dst, m); dst = m self-loops cannot arise. Identical
+      // emission set to the r21 aggregate+join+union shape.
       val (smallObs, obs) = observed(
-        large.join(smallMin, "src")
-          .where(col("dst") =!= col("m"))
-          .select(col("dst").as("src"), col("m").as("dst"))
-          .unionAll(smallMin.select(col("src"), col("m").as("dst")))
+        large
+          .withColumn("m", min("dst").over(wSrc))
+          .select(
+            when(col("dst") === col("m"), col("src"))
+              .otherwise(col("dst")).as("src"),
+            col("m").as("dst"))
           .distinct())
       val small = smallObs.localCheckpoint(true)
       // Converged when the round was a no-op: symmetric difference of
@@ -454,12 +461,23 @@ object Dedup {
       s"of > 2^$maxIter nodes; raise maxIter")
     // At the fixed point every component is a star rooted at its
     // minimum: non-root nodes appear as src with their root as the one
-    // dst; roots and isolated docs label themselves.
+    // dst; roots and isolated docs label themselves. `labels` is
+    // consumed TWICE (sizes aggregate + the final join) — without the
+    // checkpoint the whole `docs` subtree is evaluated once per
+    // consumer, and callers pass EXPENSIVE docs relations (gr_components
+    // derives its node universe from the gated pair generation: the
+    // r22 ProbeJobs before-trace shows the lineitem pair-gen re-running
+    // in the final job, 10.2 s task time at sf0.1). Checkpointing the
+    // node-sized labels makes docs evaluate once and lets the final
+    // edge-set checkpoint (now dead lineage) release immediately.
     val rooted = edges.groupBy("src").agg(min("dst").as("root"))
-    val labels = docs.select(col(idCol).as("node"))
-      .join(rooted.withColumnRenamed("src", "node"), Seq("node"),
-        "left_outer")
-      .select(col("node"), coalesce(col("root"), col("node")).as("label"))
+    val labels = Ckpt.replace(
+      docs.select(col(idCol).as("node"))
+        .join(rooted.withColumnRenamed("src", "node"), Seq("node"),
+          "left_outer")
+        .select(col("node"),
+          coalesce(col("root"), col("node")).as("label")),
+      edges)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as(idCol), col("label").as("cluster_id"),
@@ -641,7 +659,26 @@ object Dedup {
     * of the same whole-partition window frame — no second text pass,
     * no join, no broadcast. Exactness: count(*) over the g-partition
     * equals the old groupBy(g) count; min(struct(doc_id,pos)) over the
-    * same frame equals the old per-g min — identical rows survive. */
+    * same frame equals the old per-g min — identical rows survive.
+    *
+    * Skew (r22, measured and kept as-is): a hot digest — license
+    * boilerplate repeated across the corpus — lands its entire
+    * partition in ONE window task, which buffers it (spilling via
+    * UnsafeExternalSorter past memory; a straggler, not an OOM). Two
+    * skew-bounded rewrites were built and benchmarked against a
+    * boilerplate-heavy fixture ([[graft.ProbeSubstringSkew]]) before
+    * being REJECTED on measurement: (a) a salted (g, salt) two-level
+    * count ran 2-3.4× slower end-to-end, because on low-duplication
+    * corpora the per-slice relation is data-sized and its extra
+    * exchange + window are a full second pass; (b) a count-then-join
+    * over one reused exchange (complete-mode hash aggregate + cnt>1
+    * inner join) was flat at sf0.1 but 1.9× slower at a 62M-row
+    * fixture — a hash aggregate over nearly-unique 16-byte digests
+    * loses to the sort the window gets anyway, on exactly the common
+    * (low-duplication) case. Every bounded shape measured costs ~2× on
+    * typical data to cap a straggler that degrades gracefully (buffer
+    * spill), so the single-pass window stays; numbers in
+    * OPTIMIZATION_r22.md. */
   private def dupWindowPositions(df: DataFrame, idCol: String,
                                  textCol: String, w: Int,
                                  withFirst: Boolean): DataFrame = {

@@ -359,16 +359,11 @@ object Graph {
       val rawM = raw
         .observe(obs, sum(col("raw").cast(DecimalType(38, 0))).as("tot"))
         .localCheckpoint(true)
-      // obs.get blocks until the observed action's listener event lands
-      // (the checkpoint above has already completed by here); the
-      // bounded wait + aggregate fallback keeps this robust even if a
-      // future Spark stops emitting metrics for checkpoint actions.
-      val viaObs = try {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future(obs.get), 10.seconds).get("tot")
-      } catch { case _: java.util.concurrent.TimeoutException => None }
+      // The metric lands with the checkpoint job that has already
+      // completed by here; the bounded non-blocking poll ([[Obs.poll]])
+      // + aggregate fallback keeps this robust even if a future Spark
+      // stops emitting metrics for checkpoint actions.
+      val viaObs = Obs.poll(obs).flatMap(_.get("tot"))
       val tot = viaObs match {
         case Some(d: java.math.BigDecimal) => d
         case _ => rawM.agg(sum(col("raw").cast(DecimalType(38, 0))))

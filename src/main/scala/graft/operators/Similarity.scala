@@ -746,12 +746,7 @@ object Similarity {
     // materialized frame as the fallback (the hitsQ convention)
     def nextPick(obs: org.apache.spark.sql.Observation,
                  frame: DataFrame): (Long, Seq[Long]) = {
-      val viaObs = try {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future(obs.get), 10.seconds).get("pick")
-      } catch { case _: java.util.concurrent.TimeoutException => None }
+      val viaObs = Obs.poll(obs).flatMap(_.get("pick"))
       val m = viaObs match {
         case Some(r: org.apache.spark.sql.Row) => r
         case _ => frame.agg(pickAgg).head().getStruct(0)
