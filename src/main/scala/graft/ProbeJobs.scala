@@ -56,6 +56,12 @@ object ProbeJobs {
     // cumulative ms come from Spark's own CodegenMetrics histograms.
     val cgT = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME
+    // compile_ms is the delta of sums over the histogram's SAMPLING
+    // reservoir: once getCount passes the reservoir size (1028) values
+    // drop out of the snapshot and the delta can be understated or even
+    // negative. codegen_compiles (a counter delta) is always exact and
+    // is the primary signal; compile_ms is labeled invalid past the
+    // reservoir instead of printing a misleading number (r21 advisory).
     def cgTotalMs: Long = {
       val s = cgT.getSnapshot
       s.getValues.sum // reservoir values; exact while count <= 1028
@@ -68,9 +74,12 @@ object ProbeJobs {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       // let async job-end events drain before the total line
       Thread.sleep(300)
+      val msNote =
+        if (cgT.getCount > 1028) "compile_ms=n/a(reservoir overflow)"
+        else f"compile_ms~${cgTotalMs - m0}"
       println(f"REP $rep total ${(System.nanoTime() - t0) / 1e9}%.3f s" +
         f"  codegen_compiles=${cgT.getCount - c0}" +
-        f" compile_ms~${cgTotalMs - m0}")
+        f" $msNote")
     }
     spark.stop()
   }

@@ -482,6 +482,13 @@ object RegistryGraph {
     // set (part keys divisible by PprSeedMod) — proximity-to-seeds
     // ranking instead of global importance; same exact integer rounds,
     // oracle unrolled with the seed indicator riding every CTE.
+    // NOTE (r22): checkpointing the raw co-order pair list here (the
+    // gr_bfs/gr_sssp discipline) was MEASURED at 6.15 → 6.67 s (min of
+    // two stash-A/B runs) and reverted: the pair list is 1.2M rows
+    // pre-gate — materializing it eagerly costs more than the lazy
+    // form, whose two consumers already share one exchange via
+    // ReusedExchange. The bfs/sssp checkpoints survive because the
+    // GATED relations there are ~7k rows.
     "gr_ppr" -> ((s, dir) => {
       val edges = Graph.coOrderedParts(t(s, dir, "lineitem"),
         distinct = false)
@@ -552,10 +559,18 @@ object RegistryGraph {
     // within BfsRounds hops, NULL beyond; per-round traffic is the
     // reached frontier's node vector only.
     "gr_bfs" -> ((s, dir) => {
-      val sym = gatedSym(s, dir)
+      // One checkpoint of the tiny symmetric gated edge list: edges AND
+      // seeds both derive from it, and without the materialization the
+      // seed derivation re-runs the whole lineitem pair generation
+      // (~0.5 s of the query at sf0.1, r22 ProbeJobs). bfsHops
+      // checkpoints its result eagerly, so the edge checkpoint is dead
+      // lineage by the time it returns and is released immediately.
+      val sym = Ckpt.replace(gatedSym(s, dir))
       val seeds = sym.select(col("src").as("node")).distinct()
         .where(col("node") % BfsSeedMod === 0)
-      Graph.bfsHops(sym, seeds, BfsRounds).orderBy("node")
+      val out = Graph.bfsHops(sym, seeds, BfsRounds)
+      Ckpt.release(sym)
+      out.orderBy("node")
     }),
     // Weighted shortest path (bounded Bellman–Ford) over the SAME
     // gated graph with the co-occurrence support inverted into an
@@ -564,15 +579,19 @@ object RegistryGraph {
     // are a third family (part keys divisible by SsspSeedMod); exact
     // within SsspRounds relaxations, −1 sentinel beyond.
     "gr_sssp" -> ((s, dir) => {
+      // Same one-checkpoint discipline as gr_bfs: the weighted edge
+      // list feeds both the kernel and the seed derivation.
       val und = gatedEdges(s, dir)
-      val ew = und.select(col("src"), col("dst"), col("w"))
+      val ew = Ckpt.replace(und.select(col("src"), col("dst"), col("w"))
         .unionAll(und.select(col("dst").as("src"), col("src").as("dst"),
           col("w")))
         .select(col("src"), col("dst"),
-          greatest(lit(1L), expr(s"$SsspCostScale div w")).as("cost"))
+          greatest(lit(1L), expr(s"$SsspCostScale div w")).as("cost")))
       val seeds = ew.select(col("src").as("node")).distinct()
         .where(col("node") % SsspSeedMod === 0)
-      Graph.ssspRounds(ew, seeds, SsspRounds).orderBy("node")
+      val out = Graph.ssspRounds(ew, seeds, SsspRounds)
+      Ckpt.release(ew)
+      out.orderBy("node")
     }),
     // Declarative reachability: the SAME seed family / rounds / gate
     // as gr_bfs, but run through the engine's recursive-CTE surface

@@ -23,6 +23,12 @@ private[graft] trait RegistryIndex extends RegistrySimilarity {
     // much recall does IVF pruning × PQ code-only scoring give up vs
     // exact search — the accuracy half of the compression trade, as
     // oracle-checked data.
+    // NOTE (r22): materializing the two top-k sides (localCheckpoint)
+    // before grading — the r21 "kill per-stage AQE re-plans" recipe —
+    // was built and MEASURED: 2.04 → 2.92 s (min of two stash-A/B
+    // bench runs); the two extra checkpoint jobs cost more than the
+    // 442-line combined plan's re-optimization saves here. Reverted;
+    // numbers in OPTIMIZATION_r22.md.
     "sim_recall_eval_ivfadc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.recallAtK(

@@ -69,6 +69,17 @@ object Sessions {
       // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
       // to TimestampType in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Generated-code cache sized for a MANY-QUERY session (static
+      // conf, default 100 entries): the registry's 256 queries emit a
+      // few thousand distinct codegen units, so at the default size a
+      // query's units are evicted between its own interleaved bench
+      // reps and every rep re-compiles — ev_asof_nearest_2level
+      // measured 39-48 janino compiles (~0.7-1.0 s) on WARM reps,
+      // 0 compiles / −14% wall with the cache raised (r22). The same
+      // holds for any long-lived production driver running a query mix;
+      // ~5000 compiled classes are tens of MB of driver heap, noise
+      // next to the 8 GiB default.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     // extraConf LAST so a measurement run can override ANY default
     // above (a later .config wins for the same key) — e.g. restoring
     // spark.sql.ui.retainedExecutions=1000 to measure what the

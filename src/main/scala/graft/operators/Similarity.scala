@@ -294,6 +294,15 @@ object Similarity {
       .select(col("query_id"), lit(r.toLong).as("rank"), col("cand_id"),
         col("rel"), coalesce(col("maxsim"), lit(0L)).as("maxsim"),
         col("score"), col("qv"))
+    // NOTE (r22): eagerly checkpointing each round's pick (one row per
+    // query) so state r−1 could be released as state r materializes —
+    // the r21 advisor's storage-bound suggestion — was built and
+    // MEASURED: the k extra tiny checkpoint jobs cost a consistent
+    // +0.8 s on sim_mmr_ivfadc (2.31 → 3.12 s, min of two stash-A/B
+    // bench runs; sim_mmr 1.29 → 1.38 s), with a per-round-literal
+    // variant additionally paying 27 warm janino compiles per rep.
+    // Reverted: the k-state retention stays (peak storage O(k·pool), a
+    // documented trade at k ≈ 10), numbers in OPTIMIZATION_r22.md.
     val states = Seq.newBuilder[DataFrame]
     var stateR = roundify(poolDf
         .select(col("query_id"), col("cand_id"), col("rel"))
@@ -1387,29 +1396,42 @@ object Similarity {
     val (mins, maxs) = stats
     val ranges = mins.zip(maxs).map { case (mn, mx) => mx - mn }
 
-    // encode: per-dim truncating affine map to 0..255; range 0 → code 0
-    val codes = array((0 until dim).map { i =>
-      if (ranges(i) == 0L) lit(0L)
-      else expr(s"(element_at(q, ${i + 1}) - ${mins(i)}L) * 255L div ${ranges(i)}L")
-    }: _*)
+    // encode: per-dim truncating affine map to 0..255; range 0 → code 0.
+    // HOF-with-array-literal form (r22): the earlier per-dim UNROLLED
+    // expressions built a ~130-node tree per use and re-evaluated the
+    // reconstruction 128× per row (adot and nrec each unrolled all 64
+    // dims) — ProbeJobs attributed ~1.8 s of every warm bench rep to
+    // DRIVER analysis/codegen of those trees. The zip_with/aggregate
+    // form carries the model as two constant array literals, computes
+    // the reconstruction ONCE per row, and is value-identical: the same
+    // BIGINT subtract/multiply/div per dimension, summed in the same
+    // ascending-dimension left fold.
+    def arrL(xs: Seq[Long]): String = xs.mkString("array(", "L,", "L)")
+    val (minsL, rangesL) = (arrL(mins), arrL(ranges))
+    val codes = expr(
+      s"zip_with(zip_with(q, $minsL, (x, m) -> x - m), $rangesL, " +
+        "(d, r) -> IF(r = 0L, 0L, d * 255L div r))")
     // reconstruction from codes alone + the broadcast range scalars
-    def recon(i: Int): Column =
-      if (ranges(i) == 0L) lit(mins(i))
-      else expr(s"${mins(i)}L + element_at(codes, ${i + 1}) * ${ranges(i)}L div 255L")
+    val recon = expr(
+      s"zip_with(zip_with(codes, $minsL, (c, m) -> " +
+        s"named_struct('c', c, 'm', m)), $rangesL, " +
+        "(s, r) -> IF(r = 0L, s.m, s.m + s.c * r div 255L))")
     val encoded = v.select(col("vec_id").as("cand_id"), codes.as("codes"))
 
     val queries = v.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nq").as("nqq"))
-    val adot = (0 until dim).map(i =>
-      element_at(col("qv"), i + 1) * recon(i)).reduce(_ + _)
-    val nrec = (0 until dim).map(i => recon(i) * recon(i)).reduce(_ + _)
 
     encoded.crossJoin(broadcast(queries))
       .where(col("query_id") =!= col("cand_id"))
-      .withColumn("adot", adot)
+      .withColumn("rec", recon)
+      .withColumn("adot", expr(
+        "aggregate(zip_with(qv, rec, (a, b) -> a * b), 0L, " +
+          "(acc, x) -> acc + x)"))
       .withColumn("acos", col("adot").cast(DoubleType) /
-        (sqrt(col("nqq").cast(DoubleType)) * sqrt(nrec.cast(DoubleType))))
+        (sqrt(col("nqq").cast(DoubleType)) * sqrt(expr(
+          "aggregate(rec, 0L, (acc, x) -> acc + x * x)")
+          .cast(DoubleType))))
       .groupBy("query_id")
       .agg(graft.functions.TopKByDot.topK(k)(
         col("adot"), col("cand_id"), col("acos")).as("topk"))
@@ -1567,10 +1589,14 @@ object Similarity {
 
   /** ANN INDEX PERSISTENCE (build half) — the index lifecycle every
     * deployment actually runs: encode ONCE, serve FOREVER. Writes
-    * three parquet relations under `path`: the inverted file
+    * two parquet relations under `path`: the inverted file
     * `codes/(vec_id, cid, codes)` (the only corpus-sized one — numSub
-    * small ints + a centroid id per vector), the coarse codebook
-    * `coarse/(cid, cv)`, and the sub-codebooks `books/(s, code, cv)`.
+    * small ints + a centroid id per vector) and the model
+    * `model/(s, code, cv)` — sub-codebook rows keyed s ≥ 0 plus the
+    * coarse codebook as s = −1 rows (r22: one relation instead of two
+    * k-row ones, so every model reload is ONE read+collect job and a
+    * build is one fewer commit — the append/ingest/serve paths reload
+    * the model up to three times per lifecycle).
     * Build cost is [[ivfadcTopK]]'s encode pass; the corpus vectors
     * never need to be read again for serving. */
   def ivfadcIndexBuild(emb: DataFrame, path: String,
@@ -1586,12 +1612,11 @@ object Similarity {
       v.withColumn("cid", array_max(scoreLit(coarse)).getField("cid")),
       m, Seq("vec_id", "cid"))
       .write.mode("overwrite").parquet(s"$path/codes")
-    coarse.toDF("cid", "cv")
-      .write.mode("overwrite").parquet(s"$path/coarse")
-    m.books.zipWithIndex
-      .flatMap { case (b, s) => b.map { case (code, cv) => (s, code, cv) } }
+    (coarse.map { case (cid, cv) => (-1, cid, cv) } ++
+      m.books.zipWithIndex
+        .flatMap { case (b, s) => b.map { case (code, cv) => (s, code, cv) } })
       .toDF("s", "code", "cv")
-      .write.mode("overwrite").parquet(s"$path/books")
+      .write.mode("overwrite").parquet(s"$path/model")
   }
 
   /** The saved model, reloaded: (coarse codebook, PQ model). */
@@ -1599,13 +1624,14 @@ object Similarity {
                                       path: String)
       : (Seq[(Long, Seq[Long])], PqModel) = {
     import spark.implicits._
-    val coarse = spark.read.parquet(s"$path/coarse")
-      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
-    val flat = spark.read.parquet(s"$path/books")
+    val flat = spark.read.parquet(s"$path/model")
       .as[(Int, Long, Seq[Long])].collect()
-    val numSub = flat.map(_._1).max + 1
+    val coarse = flat.filter(_._1 == -1)
+      .map(r => (r._2, r._3)).sortBy(_._1).toSeq
+    val bookRows = flat.filter(_._1 >= 0)
+    val numSub = bookRows.map(_._1).max + 1
     val books = IndexedSeq.tabulate(numSub)(s =>
-      flat.filter(_._1 == s).sortBy(_._2)
+      bookRows.filter(_._1 == s).sortBy(_._2)
         .map(r => (r._2, r._3)).toIndexedSeq)
     (coarse, pqModelOf0(books, numSub, books.head.head._2.length))
   }
